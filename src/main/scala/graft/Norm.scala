@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** Determinism helpers implementing SURVEY.md §2.3's normative rules so that
+  * result byte streams hash-match the DuckDB oracle:
+  *   1. total ORDER BY on every query;
+  *   2. money/double aggregates via exact DECIMAL(18,2) (order-independent);
+  *   3. timestamps rendered "yyyy-MM-dd HH:mm:ss" in UTC;
+  *   4. integer-ish outputs widened to LONG (DuckDB defaults to BIGINT).
+  */
+object Norm {
+  val Dec2: DecimalType = DecimalType(18, 2)
+  val Dec4: DecimalType = DecimalType(18, 4)
+
+  /** Exact money cast — inputs are 2-dp doubles, so the cast is lossless. */
+  def dec2(c: Column): Column = c.cast(Dec2)
+  def dec4(c: Column): Column = c.cast(Dec4)
+
+  /** Order-independent exact SUM, re-narrowed to DECIMAL(18,2) to match the
+    * oracle's final CAST (Spark widens sums to DECIMAL(28,2) internally). */
+  def sumDec2(c: Column): Column = sum(dec2(c)).cast(Dec2)
+
+  /** Rule 3: render timestamps as UTC strings — immune to parquet physical
+    * precision differences between engines. */
+  def tsStr(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+  /** DuckDB COUNT(*) is BIGINT; Spark count already LONG — kept for intent. */
+  def cntLong: Column = count(lit(1)).cast(LongType)
+}
