@@ -19,6 +19,18 @@ object Norm {
   def dec2(c: Column): Column = c.cast(Dec2)
   def dec4(c: Column): Column = c.cast(Dec4)
 
+  /** Terminal rendering of a DECIMAL output column. The driver's hasher
+    * renders Spark-written decimals and DuckDB decimals through different
+    * paths (`17.0` vs `17.00` for integral values — all 5 round-1 hash
+    * failures), so money columns leave the engine as fixed-scale strings:
+    * Spark `Decimal.toString` and DuckDB `CAST(dec AS VARCHAR)` both emit
+    * the full declared scale. Internally everything stays DECIMAL (exact,
+    * order-independent); only the final select changes. */
+  def decStr(c: Column): Column = c.cast(Dec2).cast("string")
+
+  /** Same, at scale 4 (cosine similarities, rates). */
+  def dec4Str(c: Column): Column = c.cast(DecimalType(9, 4)).cast("string")
+
   /** Order-independent exact SUM, re-narrowed to DECIMAL(18,2) to match the
     * oracle's final CAST (Spark widens sums to DECIMAL(28,2) internally). */
   def sumDec2(c: Column): Column = sum(dec2(c)).cast(Dec2)

@@ -9,9 +9,11 @@ import org.apache.spark.sql.functions._
 /** Relational batch core (SURVEY.md §2.2 O1–O24, O29; declared queries
   * D-Q01–D-Q26, D-Q29). Every query is a declarative DataFrame program —
   * Catalyst supplies pushdown, pruning, join selection, and AQE re-planning;
-  * the only scale decisions made here are explicit broadcasts of
-  * dimension-sized tables (region/nation/customer at sf≤0.1; at 100 TB the
-  * same hint holds because these dims stay small relative to facts).
+  * the only scale decisions made here are explicit broadcasts of tables
+  * whose cardinality is bounded by the schema, not the scale factor
+  * (region: 5 rows, nation: 25 rows — safe at any SF). Tables that grow
+  * with SF (customer, orders, ...) carry NO broadcast hint: AQE picks
+  * broadcast while they fit and shuffled-hash/sort-merge beyond.
   *
   * Reference capability citations: serve-side filter/search
   * (reference README.md:344-367), sort (README.md:488-490), aggregations
@@ -25,25 +27,27 @@ object Relational {
     // ---- O1/O2/O3: scan + projection + predicate (pushed to parquet) ----
     gated("q01_scan_filter_project",
       """SELECT l_orderkey, l_linenumber,
-        |       CAST(l_quantity AS DECIMAL(18,2)) AS l_quantity
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS l_quantity
         |FROM lineitem
         |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
         |ORDER BY l_orderkey, l_linenumber""") { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
         .select(col("l_orderkey"), col("l_linenumber"),
-          dec2(col("l_quantity")).as("l_quantity"))
+          decStr(col("l_quantity")).as("l_quantity"))
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // ---- O4: inner equi-join (customer is broadcast-sized) ----
+    // ---- O4: inner equi-join. No broadcast hint: customer scales with SF
+    //      (fact-sized at 100 TB), so join selection is left to Catalyst +
+    //      AQE — broadcast while it fits, shuffled hash/SMJ beyond. ----
     gated("q02_inner_join",
       """SELECT o_orderkey, c_name FROM orders
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey, c_name""") { (s, d) =>
       Tables.orders(s, d).filter(col("o_orderstatus") === "F")
-        .join(broadcast(Tables.customer(s, d)),
+        .join(Tables.customer(s, d),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "c_name")
         .orderBy("o_orderkey", "c_name")
@@ -93,13 +97,17 @@ object Relational {
         .orderBy("c_custkey")
     },
 
-    // ---- O6: left anti (NOT EXISTS) ----
+    // ---- O6: left anti (NOT EXISTS). Anti-joins against high-value orders
+    //      so the result is non-empty at every SF (every customer has SOME
+    //      order in this data; ~4% lack one above 450k — 57/538/5518 rows at
+    //      sf0.001/0.01/0.1, measured). ----
     gated("q06_anti_join",
       """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
         |ORDER BY c_custkey""") { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d),
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000),
           col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey")
         .orderBy("c_custkey")
@@ -193,8 +201,8 @@ object Relational {
     // ---- O10: two-phase hash aggregation (TPC-H Q1 shape) ----
     gated("q10_hash_agg",
       """SELECT l_returnflag, l_linestatus,
-        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_qty,
+        |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS sum_price,
         |       CAST(COUNT(*) AS BIGINT) AS cnt
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -203,8 +211,8 @@ object Relational {
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
-        .agg(sumDec2(col("l_quantity")).as("sum_qty"),
-          sumDec2(col("l_extendedprice")).as("sum_price"),
+        .agg(decStr(sumDec2(col("l_quantity"))).as("sum_qty"),
+          decStr(sumDec2(col("l_extendedprice"))).as("sum_price"),
           cntLong.as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     },
@@ -296,10 +304,10 @@ object Relational {
     // ---- O16: analytic window functions (lag + running sum) ----
     gated("q17_analytic_window",
       """SELECT event_id, LAG(event_id) OVER w AS prev,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)))
         |            OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |            AS DECIMAL(18,2)) AS run
+        |            AS DECIMAL(18,2)) AS VARCHAR) AS run
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |ORDER BY event_id""") { (s, d) =>
@@ -307,9 +315,9 @@ object Relational {
       Tables.events(s, d)
         .select(col("event_id"),
           lag(col("event_id"), 1).over(w).as("prev"),
-          sum(dec2(col("value")))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(Norm.Dec2).as("run"))
+          decStr(sum(dec2(col("value")))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+            .as("run"))
         .orderBy("event_id")
     },
 
@@ -349,13 +357,14 @@ object Relational {
 
     // ---- O19: global sort + limit (TakeOrderedAndProject) ----
     gated("q20_global_sort_limit",
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
         |FROM orders
-        |ORDER BY price DESC, o_orderkey LIMIT 10""") { (s, d) =>
+        |ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey LIMIT 10""") { (s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"), dec2(col("o_totalprice")).as("price"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(10)
+        .select(col("o_orderkey"), decStr(col("price")).as("price"))
     },
 
     // ---- O20: union all + aggregate ----
@@ -389,27 +398,36 @@ object Relational {
         .orderBy("c_custkey")
     },
 
-    // ---- O21: except ----
+    // ---- O21: except (against high-value orders so the difference is
+    //      non-empty at every SF; same thresholds as q06) ----
     gated("q23_except",
       """SELECT c_custkey FROM customer
-        |EXCEPT SELECT o_custkey FROM orders ORDER BY c_custkey""") { (s, d) =>
+        |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 450000
+        |ORDER BY c_custkey""") { (s, d) =>
       Tables.customer(s, d).select("c_custkey")
-        .except(Tables.orders(s, d).select("o_custkey"))
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+          .select("o_custkey"))
         .orderBy("c_custkey")
     },
 
-    // ---- O22/O3: string functions + LIKE/regex predicates ----
+    // ---- O22/O3: string functions + LIKE/regex predicates. Patterns chosen
+    //      to hit the generated data ('red widget' names, 'ECONOMY' types):
+    //      57/526/5483 rows at sf0.001/0.01/0.1, measured. ----
     gated("q24_string_funcs",
       """SELECT p_partkey, UPPER(SUBSTR(p_name, 1, 5)) AS u,
-        |       CAST(LENGTH(p_type) AS BIGINT) AS l
+        |       CAST(LENGTH(p_type) AS BIGINT) AS l,
+        |       CONCAT(TRIM(p_brand), '/', LOWER(p_type)) AS b,
+        |       REGEXP_EXTRACT(p_name, '([a-z]+)$', 1) AS w
         |FROM part
-        |WHERE p_name LIKE '%gre%' OR regexp_matches(p_type, 'BRASS$')
+        |WHERE p_name LIKE '%red%' OR regexp_matches(p_type, '^ECONOMY')
         |ORDER BY p_partkey""") { (s, d) =>
       Tables.part(s, d)
-        .filter(col("p_name").like("%gre%") || col("p_type").rlike("BRASS$"))
+        .filter(col("p_name").like("%red%") || col("p_type").rlike("^ECONOMY"))
         .select(col("p_partkey"),
           upper(substring(col("p_name"), 1, 5)).as("u"),
-          length(col("p_type")).cast("long").as("l"))
+          length(col("p_type")).cast("long").as("l"),
+          concat(trim(col("p_brand")), lit("/"), lower(col("p_type"))).as("b"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("w"))
         .orderBy("p_partkey")
     },
 
@@ -429,17 +447,17 @@ object Relational {
     // ---- O24: math functions (exact decimal arithmetic) ----
     gated("q26_math_funcs",
       """SELECT l_orderkey,
-        |       CAST(ROUND(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |       CAST(CAST(ROUND(ABS(CAST(l_extendedprice AS DECIMAL(18,2)) *
         |                      CAST(1 - l_discount AS DECIMAL(18,2))), 2)
-        |            AS DECIMAL(18,2)) AS net,
+        |            AS DECIMAL(18,2)) AS VARCHAR) AS net,
         |       CAST(l_orderkey % 7 AS BIGINT) AS m
         |FROM lineitem WHERE l_linenumber = 1
         |ORDER BY l_orderkey""") { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_linenumber") === 1)
         .select(col("l_orderkey"),
-          round(abs(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))), 2)
-            .cast(Norm.Dec2).as("net"),
+          decStr(round(abs(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount"))), 2))
+            .as("net"),
           (col("l_orderkey") % 7).cast("long").as("m"))
         .orderBy("l_orderkey")
     },
@@ -448,11 +466,11 @@ object Relational {
     gated("q29_tumbling_window",
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS h,
         |       event_type, CAST(COUNT(*) AS BIGINT) AS c,
-        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS v
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""") { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(cntLong.as("c"), sumDec2(col("value")).as("v"))
+        .agg(cntLong.as("c"), decStr(sumDec2(col("value"))).as("v"))
         .select(tsStr(col("window.start")).as("h"), col("event_type"),
           col("c"), col("v"))
         .orderBy("h", "event_type")

@@ -20,7 +20,10 @@ def norm(v):
             return "NaN"
         return repr(v)
     if isinstance(v, Decimal):
-        return str(v.normalize()) if v == v.to_integral_value() else str(v)
+        # Exact-scale compare (mirrors the driver's fixed-scale CSV render):
+        # Decimal('17.00') must NOT equal Decimal('17.0') — normalize() here
+        # masked the 5 round-1 trailing-zero hash failures.
+        return str(v)
     return str(v)
 
 def main():
