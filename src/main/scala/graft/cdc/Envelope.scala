@@ -1,0 +1,71 @@
+package graft.cdc
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The DMS→Kinesis CDC record envelope (SURVEY.md §1.2, FIXTURES.md §2):
+  * one single-line JSON per row change (reference
+  * cdk_stacks/dms_aurora_mysql_to_kinesis.py:84-92), row image under `data`,
+  * provenance under `metadata` (reference README.md:460-479).
+  *
+  * The schema is FIXED — parsed with `from_json` against this StructType,
+  * never inferred (mirrors the reference's externally declared DDL,
+  * reference README.md:198-208). Unparseable lines surface as a NULL struct
+  * and are routed to the DLQ side-path (SURVEY.md S11), not dropped
+  * silently.
+  */
+object Envelope {
+
+  /** retail_trans row image (reference README.md:198-208). `trans_datetime`
+    * stays a string at the envelope layer — second-precision ISO8601 on the
+    * wire (README.md:468); parse to TimestampType only where an operator
+    * needs time arithmetic. */
+  val dataSchema: StructType = StructType(Seq(
+    StructField("trans_id", LongType),
+    StructField("customer_id", StringType),
+    StructField("event", StringType),
+    StructField("sku", StringType),
+    StructField("amount", IntegerType),
+    StructField("device", StringType),
+    StructField("trans_datetime", StringType)))
+
+  /** Provenance block; `timestamp` is fixed-width ISO8601 with 6-digit µs,
+    * so lexicographic order == chronological order (exploited by the
+    * materialize operator — no cross-engine timestamp-parse risk). */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType),
+    StructField("record-type", StringType),
+    StructField("operation", StringType),
+    StructField("partition-key-type", StringType),
+    StructField("schema-name", StringType),
+    StructField("table-name", StringType),
+    StructField("transaction-id", LongType)))
+
+  val schema: StructType = StructType(Seq(
+    StructField("data", dataSchema),
+    StructField("metadata", metadataSchema)))
+
+  /** O34/O1: JSONL scan + envelope parse. Reads raw lines (the Kinesis
+    * `value` analog) and applies the fixed schema. Distributed: the file
+    * source splits by line ranges; `from_json` is per-row, no shuffle. */
+  def parse(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
+      .select(from_json(col("value"), schema).as("env"), col("value"))
+      .select(col("env.data").as("data"), col("env.metadata").as("metadata"),
+        col("value"))
+
+  /** S3 selection rule (reference dms_aurora_mysql_to_kinesis.py:96-107):
+    * only data records of one schema.table enter the pipeline. Control
+    * records (record-type != data) are dropped here too. */
+  def selection(schemaName: String = "testdb",
+                tableName: String = "retail_trans"): Column =
+    col("metadata.`record-type`") === "data" &&
+      col("metadata.`schema-name`") === schemaName &&
+      col("metadata.`table-name`") === tableName
+
+  /** Parsed + selected changelog of retail_trans from the checked-in
+    * fixture — the batch entry point for D-Q32/33/34. */
+  def changelog(spark: SparkSession, path: String): DataFrame =
+    parse(spark, path).filter(selection()).drop("value")
+}

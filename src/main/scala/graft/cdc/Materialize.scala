@@ -1,0 +1,45 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** O35: changelog → snapshot materialization — the reference's OpenSearch
+  * "last write per key wins" semantics (reference cdk_stacks/firehose.py:
+  * 114-116, README.md:455-457) as a batch operator.
+  *
+  * Per key: keep the row with the greatest `(metadata.timestamp,
+  * metadata.transaction-id)` — the declared D-Q33 tie-break — then drop keys
+  * whose final operation is `delete` (tombstone). A key re-inserted after a
+  * delete re-appears (its insert is the latest write).
+  *
+  * Scale: the window shuffles once on the primary key — exactly the
+  * reference's Kinesis partition-by-PK exchange (S5,
+  * dms_aurora_mysql_to_kinesis.py:121-123). At 100 TB the per-key group is
+  * tiny (one row per change), so no skew concern beyond AQE's handling;
+  * state never accumulates because this is a pure shuffle+reduce, not a
+  * driver-side fold.
+  */
+object Materialize {
+
+  /** Latest non-delete row image per primary key. Input: a parsed, selected
+    * changelog (Envelope.changelog). Output columns: data.* flattened. */
+  def snapshot(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("data.trans_id"))
+      .orderBy(col("metadata.timestamp").desc, col("metadata.`transaction-id`").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("metadata.operation") =!= "delete")
+      .select(col("data.*"))
+  }
+
+  /** O36: CDC op statistics — pipeline observability (the Kinesis data
+    * viewer role, reference README.md:448-449). Grouped on provenance. */
+  def opStats(parsed: DataFrame): DataFrame =
+    parsed
+      .filter(col("metadata.`record-type`") === "data")
+      .groupBy(col("metadata.`schema-name`").as("sch"),
+        col("metadata.`table-name`").as("tbl"),
+        col("metadata.operation").as("op"))
+      .agg(count(lit(1)).as("c"))
+}

@@ -1,0 +1,88 @@
+package graft.queries
+
+import graft.{GatedQuery, Tables}
+import graft.GatedQuery.gated
+import graft.cdc.{Envelope, Materialize}
+import org.apache.spark.sql.functions._
+
+/** CDC trio (SURVEY.md O34/O35/O36 = D-Q32/33/34) over the checked-in
+  * envelope fixture — the reference's core semantics: DMS→Kinesis envelope
+  * parse (reference README.md:460-479), OpenSearch last-write-wins snapshot
+  * (reference cdk_stacks/firehose.py:114-116, README.md:455-457), and
+  * pipeline op statistics (README.md:448-449).
+  *
+  * Both engines read the SAME jsonl file; the oracle pins DuckDB's
+  * `read_json` to the fixed envelope schema (strings stay strings) exactly
+  * as the Spark side pins `from_json` — no inference on either engine.
+  */
+object Cdc {
+
+  private val fx = Tables.cdcFixturePath
+
+  /** DuckDB-side equivalent of Envelope.schema — explicit columns so
+    * `trans_datetime`/`timestamp` stay VARCHAR (lexicographic == temporal
+    * for the fixed-width format) instead of being auto-parsed. */
+  private val readJson =
+    s"""read_json('$fx', format='newline_delimited',
+       |columns={data: 'STRUCT(trans_id BIGINT, customer_id VARCHAR, event VARCHAR, sku VARCHAR, amount INTEGER, device VARCHAR, trans_datetime VARCHAR)',
+       |metadata: 'STRUCT("timestamp" VARCHAR, "record-type" VARCHAR, operation VARCHAR, "partition-key-type" VARCHAR, "schema-name" VARCHAR, "table-name" VARCHAR, "transaction-id" BIGINT)'})""".stripMargin
+
+  private val selectionSql =
+    """metadata."record-type" = 'data' AND metadata."schema-name" = 'testdb'
+      |AND metadata."table-name" = 'retail_trans'""".stripMargin
+
+  val all: Seq[GatedQuery] = Seq(
+
+    // ---- O34/O25 (D-Q32): envelope parse + selection-rule filter ----
+    gated("q32_cdc_parse",
+      s"""SELECT metadata."transaction-id" AS txid, metadata.operation AS op,
+         |       data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |       CAST(data.amount AS BIGINT) AS amount
+         |FROM $readJson
+         |WHERE $selectionSql
+         |ORDER BY txid, op, trans_id""") { (s, _) =>
+      Envelope.changelog(s, fx)
+        .select(col("metadata.`transaction-id`").as("txid"),
+          col("metadata.operation").as("op"),
+          col("data.trans_id").as("trans_id"),
+          col("data.customer_id").as("customer_id"),
+          col("data.amount").cast("long").as("amount"))
+        .orderBy("txid", "op", "trans_id")
+    },
+
+    // ---- O35 (D-Q33): changelog → snapshot, last write per key wins,
+    //      (timestamp, transaction-id) tie-break, delete = tombstone ----
+    gated("q33_cdc_materialize",
+      s"""SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         data.device AS device, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      Materialize.snapshot(Envelope.changelog(s, fx))
+        .withColumn("amount", col("amount").cast("long"))
+        .orderBy("trans_id")
+    },
+
+    // ---- O36 (D-Q34): op statistics over ALL data records (both schemas/
+    //      tables — the observability view sees the whole stream) ----
+    gated("q34_cdc_op_stats",
+      s"""SELECT metadata."schema-name" AS sch, metadata."table-name" AS tbl,
+         |       metadata.operation AS op, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $readJson
+         |WHERE metadata."record-type" = 'data'
+         |GROUP BY sch, tbl, op
+         |ORDER BY sch, tbl, op""") { (s, _) =>
+      Materialize.opStats(Envelope.parse(s, fx))
+        .orderBy("sch", "tbl", "op")
+    }
+  )
+}
