@@ -10,7 +10,8 @@ object SparkEntry {
   /** All registered queries, in SURVEY §2 order. */
   def registry: Seq[GatedQuery] =
     graft.queries.Relational.all ++
-      graft.queries.Cdc.all
+      graft.queries.Cdc.all ++
+      graft.queries.Functions.all
 
   /** Flagship query on /root/testdata/sf0.001 (TPC-H Q1 shape, D-Q10);
     * driver smoke-checks rows>0. */
