@@ -11,7 +11,8 @@ object SparkEntry {
   def registry: Seq[GatedQuery] =
     graft.queries.Relational.all ++
       graft.queries.Cdc.all ++
-      graft.queries.Functions.all
+      graft.queries.Functions.all ++
+      graft.queries.Extended.all
 
   /** Flagship query on /root/testdata/sf0.001 (TPC-H Q1 shape, D-Q10);
     * driver smoke-checks rows>0. */

@@ -1,0 +1,134 @@
+package graft.queries
+
+import graft.{GatedQuery, Tables}
+import graft.GatedQuery.{gated, ungated}
+import graft.Norm._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+/** Extended operator coverage: remaining outer-join variants (O5),
+  * time-window generalizations (O30 sliding, O31 session — both expressible
+  * in DuckDB via bucket-union / gap-sessionization, so gated rather than
+  * golden-only), approx distinct (O12, estimator-specific → ungated here,
+  * pinned by a ±5% Spark-side spec), and the CSV leg of O1 over a
+  * checked-in SF-invariant fixture.
+  */
+object Extended {
+
+  private val nationCsvPath = "/root/repo/fixtures/nation.csv"
+  private val nationSchema = StructType(Seq(
+    StructField("n_nationkey", IntegerType),
+    StructField("n_name", StringType),
+    StructField("n_regionkey", IntegerType)))
+
+  val all: Seq[GatedQuery] = Seq(
+
+    // ---- O5: right outer join ----
+    gated("q04b_right_outer_join",
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS cnt
+        |FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey
+        |ORDER BY c_custkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("cnt"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- O5: full outer join — both sides filtered to overlapping but
+    //      non-identical key ranges so null-extension fires on each side ----
+    gated("q04c_full_outer_join",
+      """SELECT COALESCE(c_custkey, o_custkey) AS k,
+        |       CAST(COUNT(o_orderkey) AS BIGINT) AS cnt,
+        |       CAST(COUNT(c_name) AS BIGINT) AS named
+        |FROM (SELECT * FROM customer WHERE c_custkey <= 1000) c
+        |FULL JOIN (SELECT * FROM orders WHERE o_custkey >= 500) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY k
+        |ORDER BY k""") { (s, d) =>
+      val c = Tables.customer(s, d).filter(col("c_custkey") <= 1000)
+      val o = Tables.orders(s, d).filter(col("o_custkey") >= 500)
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .groupBy(coalesce(col("c_custkey"), col("o_custkey")).as("k"))
+        .agg(count(col("o_orderkey")).as("cnt"),
+          count(col("c_name")).as("named"))
+        .orderBy("k")
+    },
+
+    // ---- O30: sliding time window (10 min window, 5 min slide — each
+    //      event lands in exactly 2 epoch-aligned buckets; the oracle
+    //      states the same bucket set as a two-branch union) ----
+    gated("q30_sliding_window",
+      """SELECT strftime(make_timestamp(b*1000000), '%Y-%m-%d %H:%M:%S') AS ws,
+        |       event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM (
+        |  SELECT CAST(floor(epoch(ts)/300)*300 AS BIGINT) AS b, event_type FROM events
+        |  UNION ALL
+        |  SELECT CAST(floor(epoch(ts)/300)*300 - 300 AS BIGINT), event_type FROM events)
+        |GROUP BY b, event_type
+        |ORDER BY ws, event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"), col("event_type"))
+        .agg(cntLong.as("c"))
+        .select(tsStr(col("window.start")).as("ws"), col("event_type"), col("c"))
+        .orderBy("ws", "event_type")
+    },
+
+    // ---- O31: session window (30 min gap). Spark's session_window merges
+    //      an event into the open session iff ts < session_end (= last ts
+    //      + gap); the oracle's gap-sessionization (new session when the
+    //      inter-event gap >= 30 min) is the identical partition of each
+    //      user's timeline. ----
+    gated("q31_session_window",
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |         CASE WHEN lag(ts) OVER w IS NULL
+        |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts,
+        |             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM x)
+        |SELECT user_id, strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+        |       CAST(COUNT(*) AS BIGINT) AS c
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, ss""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(min(col("ts")).as("start"), cntLong.as("c"))
+        .select(col("user_id"), tsStr(col("start")).as("ss"), col("c"))
+        .orderBy("user_id", "ss")
+    },
+
+    // ---- O12: approx distinct (HLL++). The estimator differs from
+    //      DuckDB's, so no cross-engine hash; the driver records rows-only
+    //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----
+    ungated("q11b_approx_distinct") { (s, d) =>
+      Tables.orders(s, d)
+        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("acd"))
+    },
+
+    // ---- O1 (CSV leg): explicit-schema CSV scan of the checked-in
+    //      SF-invariant nation fixture, joined to the parquet region table
+    //      (region/nation are schema-bounded → broadcast is safe at any
+    //      SF). header=true + pinned types on both engines — no inference
+    //      in the query path. ----
+    gated("q01b_csv_scan",
+      s"""SELECT r_name, CAST(COUNT(*) AS BIGINT) AS c, MIN(n_name) AS mn
+         |FROM read_csv('$nationCsvPath', header=true,
+         |     columns={'n_nationkey':'INTEGER','n_name':'VARCHAR','n_regionkey':'INTEGER'}) n
+         |JOIN region r ON n.n_regionkey = r.r_regionkey
+         |GROUP BY r_name
+         |ORDER BY r_name""") { (s, d) =>
+      s.read.option("header", "true").schema(nationSchema).csv(nationCsvPath)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(cntLong.as("c"), min(col("n_name")).as("mn"))
+        .orderBy("r_name")
+    }
+  )
+}
