@@ -12,7 +12,8 @@ object SparkEntry {
     graft.queries.Relational.all ++
       graft.queries.Cdc.all ++
       graft.queries.Functions.all ++
-      graft.queries.Extended.all
+      graft.queries.Extended.all ++
+      graft.queries.Text.all
 
   /** Flagship query on /root/testdata/sf0.001 (TPC-H Q1 shape, D-Q10);
     * driver smoke-checks rows>0. */

@@ -1,0 +1,197 @@
+package graft.queries
+
+import graft.{GatedQuery, Tables}
+import graft.GatedQuery.{gated, ungated}
+import graft.Norm._
+import graft.functions.VectorOps
+import graft.text.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** North-star LLM-data-pipeline text/vector analysis (SURVEY.md O38/O39/O40
+  * + BASELINE.json north star): quality scoring, language-ID heuristic,
+  * token counting, fingerprinting, exact n-gram Jaccard near-dup, embedding
+  * cosine near-dup, and the ungated MinHash-LSH / SimHash scale paths.
+  *
+  * Everything gated here is arithmetic both engines can reproduce exactly:
+  * integer set sizes, DOUBLE left folds in array order, fixed marker lists.
+  */
+object Text {
+
+  // Marker token lists for the language-ID heuristic (stopword hit
+  // counting). The corpus vocabulary is shared across langs, so the gate
+  // certifies the scoring/argmax mechanics, not classifier accuracy.
+  private val enMarkers = Seq("the", "a", "fast")
+  private val deMarkers = Seq("customer", "key", "join")
+  private val esMarkers = Seq("slow", "agg", "merge")
+
+  val all: Seq[GatedQuery] = Seq(
+
+    // ---- O38: quality scoring — length/stopword/uniqueness ratios ----
+    gated("q41_text_quality",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks,
+        |       CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq,
+        |       CAST(CAST(ROUND(CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE), 4) AS DECIMAL(9,4)) AS VARCHAR) AS avg_len,
+        |       CAST(CAST(ROUND(CAST(len(list_filter(toks, x -> x IN ('a','the'))) AS DOUBLE)
+        |            / CAST(len(toks) AS DOUBLE), 4) AS DECIMAL(9,4)) AS VARCHAR) AS stop_ratio
+        |FROM t ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(array_distinct(col("toks"))).cast("long").as("n_uniq"),
+          dec4Str(round(TextOps.totalLen(col("toks")).cast("double") /
+            size(col("toks")).cast("double"), 4)).as("avg_len"),
+          dec4Str(round(TextOps.markerHits(col("toks"), Seq("a", "the")).cast("double") /
+            size(col("toks")).cast("double"), 4)).as("stop_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- O38: language-ID heuristic — marker-hit scores + argmax with
+    //      lexicographic tie-break, agreement flag vs the labeled lang ----
+    gated("q42_lang_id",
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |        CAST(len(list_filter(toks, x -> x IN ('the','a','fast'))) AS BIGINT) AS s_en,
+        |        CAST(len(list_filter(toks, x -> x IN ('customer','key','join'))) AS BIGINT) AS s_de,
+        |        CAST(len(list_filter(toks, x -> x IN ('slow','agg','merge'))) AS BIGINT) AS s_es
+        |      FROM t)
+        |SELECT doc_id, s_en, s_de, s_es,
+        |       CASE WHEN s_de > s_en AND s_de >= s_es THEN 'de'
+        |            WHEN s_es > s_en AND s_es > s_de THEN 'es'
+        |            ELSE 'en' END AS pred,
+        |       CAST(CASE WHEN (CASE WHEN s_de > s_en AND s_de >= s_es THEN 'de'
+        |                            WHEN s_es > s_en AND s_es > s_de THEN 'es'
+        |                            ELSE 'en' END) = lang THEN 1 ELSE 0 END AS BIGINT) AS agree
+        |FROM s ORDER BY doc_id""") { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("lang"),
+          TextOps.markerHits(col("toks"), enMarkers).as("s_en"),
+          TextOps.markerHits(col("toks"), deMarkers).as("s_de"),
+          TextOps.markerHits(col("toks"), esMarkers).as("s_es"))
+      val pred = when(col("s_de") > col("s_en") && col("s_de") >= col("s_es"), "de")
+        .when(col("s_es") > col("s_en") && col("s_es") > col("s_de"), "es")
+        .otherwise("en")
+      scored
+        .select(col("doc_id"), col("s_en"), col("s_de"), col("s_es"),
+          pred.as("pred"),
+          when(pred === col("lang"), 1L).otherwise(0L).as("agree"))
+        .orderBy("doc_id")
+    },
+
+    // ---- O38: token counting — whitespace tokens + regex token runs ----
+    gated("q43_token_count",
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_ws,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("long").as("n_re"))
+        .orderBy("doc_id")
+    },
+
+    // ---- O38: document fingerprint — 31-ary rolling hash mod 1e9+7 over
+    //      characters, identical left fold on both engines ----
+    gated("q44_fingerprint",
+      """SELECT doc_id,
+        |       list_reduce(
+        |         list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(list_filter(string_split(text, ''), x -> x <> ''),
+        |                          x -> CAST(ascii(x) AS BIGINT))),
+        |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- O40 (exact leg): word-trigram Jaccard over a bounded candidate
+    //      block (doc_id < 100 both sides). The unbounded corpus path is
+    //      the LSH query below — band-join, not all-pairs. ----
+    gated("q45_ngram_jaccard",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(CAST(ROUND(CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE), 4)
+        |            AS DECIMAL(9,4)) AS VARCHAR) AS j
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.01
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      val a = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+      val b = g.select(col("doc_id").as("b_id"), col("tg").as("b_tg"))
+      val j = TextOps.jaccard(col("a_tg"), col("b_tg"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(j >= 0.01)
+        .select(col("a_id"), col("b_id"), dec4Str(round(j, 4)).as("j"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- O39/O40: embedding-cosine near-dup — one bounded query block
+    //      (vec_id < 50, broadcast) against the full corpus; the corpus
+    //      side streams partition-parallel with no shuffle. ----
+    gated("q46_cosine_neardup",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nn FROM e)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       CAST(CAST(ROUND(list_sum(list_transform(list_zip(a.v, b.v),
+        |                p -> p[1]*p[2]))/(a.nn*b.nn), 4) AS DECIMAL(9,4)) AS VARCHAR) AS sim
+        |FROM n a, n b
+        |WHERE a.vec_id < 50 AND a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))/(a.nn*b.nn) >= 0.3
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val a = broadcast(e.filter(col("vec_id") < 50)
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea")))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val cos = VectorOps.cosine(col("ea"), col("eb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .filter(cos >= 0.3)
+        .select(col("a_id"), col("b_id"), dec4Str(round(cos, 4)).as("sim"))
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
+    //      equivalent → ungated; NearDupSpec pins recall on planted
+    //      duplicates and candidate ⊆ exact containment. ----
+    ungated("q40_minhash_lsh") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      NearDup.lshPairs(g, "doc_id", "tg", k = 16, nBands = 4, threshold = 0.3)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- O40: SimHash sketch per document (ungated; spec asserts
+    //      determinism + near-dup Hamming proximity on planted pairs) ----
+    ungated("q40b_simhash") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          NearDup.simhash16(TextOps.tokens(col("text"))).as("sh"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** O40: near-duplicate detection at corpus scale — MinHash+LSH banding and
+  * SimHash, built from `xxhash64` + higher-order functions (no Spark ML
+  * dependency, no UDF; every stage is a codegen'd expression).
+  *
+  * Scale design (the 100 TB path): the LSH self-join touches only rows that
+  * collide on a `(band index, band hash)` key — a shuffle on the band key
+  * whose fan-in per bucket is tiny for non-duplicate corpora — instead of
+  * the O(n²) all-pairs cross join. Candidates are then re-ranked with exact
+  * Jaccard, so false positives cost one array intersection each and false
+  * negatives are bounded by the (bands × rows-per-band) S-curve.
+  */
+object NearDup {
+
+  /** MinHash signature: k independent permutations approximated by seeding
+    * xxhash64 with the slot index; entry i = min hash of any shingle under
+    * seed i. */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shingles, sh => xxhash64(concat(lit(s"$i#"), sh))))
+    }: _*)
+
+  /** Explode a k-wide signature into `bands` rows of (band_idx, band_hash);
+    * rowsPerBand = k / bands. Two documents are LSH candidates iff they
+    * share at least one (band_idx, band_hash). */
+  def bands(sig: Column, k: Int, nBands: Int): Column = {
+    val r = k / nBands
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        xxhash64(concat_ws(",", slice(sig, b * r + 1, r))).as("band_hash"))
+    }: _*)
+  }
+
+  /** Candidate pairs (a_id < b_id) from LSH banding over the given id +
+    * shingle columns, re-ranked by exact Jaccard >= threshold. */
+  def lshPairs(docs: DataFrame, idCol: String, shingleCol: String,
+               k: Int = 16, nBands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("band", explode(bands(col("sig"), k, nBands)))
+      .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
+    val a = sig.select(col("id").as("a_id"), col("sh").as("a_sh"),
+      col("band_idx"), col("band_hash"))
+    val b = sig.select(col("id").as("b_id"), col("sh").as("b_sh"),
+      col("band_idx").as("b_band_idx"), col("band_hash").as("b_band_hash"))
+    a.join(b, col("band_idx") === col("b_band_idx") &&
+        col("band_hash") === col("b_band_hash") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        TextOps.jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over a token array: bit b of the sketch is set iff the
+    * sum over tokens of ±1 (sign of bit b of the token's xxhash64) is
+    * positive. Near-duplicates land at small Hamming distance. */
+  def simhash16(toks: Column): Column =
+    (0 until 16).map { b =>
+      val vote = aggregate(toks, lit(0L),
+        (s, t) => s + when((shiftright(xxhash64(t), b) % 2) =!= 0, 1L).otherwise(-1L))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Hamming distance between two simhash sketches (popcount of XOR). */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("long")
+}

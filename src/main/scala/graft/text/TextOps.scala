@@ -1,0 +1,51 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** O38 + north-star text analysis over the `documents` table: tokenization,
+  * quality metrics, language-ID scoring, token counting, and document
+  * fingerprinting — all pure Catalyst expressions (HOFs over the token
+  * array), no UDFs, so everything stays inside whole-stage codegen and
+  * scales as a stateless per-row map (zero shuffles until the caller
+  * aggregates).
+  */
+object TextOps {
+
+  /** Whitespace tokenizer: lowercase, split on single spaces, drop empties
+    * (documents.text is space-separated lowercase words, FIXTURES.md §4). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), " "), t => t =!= "")
+
+  /** Distinct word trigrams ("shingles") — the unit for n-gram Jaccard and
+    * MinHash. Caller must guard size >= 3. */
+  def trigrams(toks: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+
+  /** Exact Jaccard similarity of two pre-distinct shingle arrays, in
+    * DOUBLE (|A∩B| / |A∪B| — integer sizes, so cross-engine exact). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Sum of token lengths (left fold, INT arithmetic). */
+  def totalLen(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+
+  /** Count of tokens contained in a fixed marker set — the building block
+    * of the language-ID heuristic (stopword hit counting). */
+  def markerHits(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isin(markers.map(m => m: Any): _*))).cast("long")
+
+  /** Polynomial rolling hash over the document's characters, mod 1e9+7 —
+    * a deterministic 31-ary fingerprint both engines can fold identically
+    * (left fold from 0; each step stays far below 2^63, so no overflow on
+    * either engine). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      filter(split(text, ""), ch => ch =!= ""),
+      lit(0L),
+      (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
+}
