@@ -1,0 +1,131 @@
+package graft.streaming
+
+import graft.cdc.{Envelope, Materialize}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The reference pipeline's streaming spine re-expressed as one Structured
+  * Streaming query (SURVEY.md §3.1-3.2, S7-S12):
+  *
+  *   source (ordered replayable log)           → readStream (file/memory)
+  *   DMS envelope parse (S4)                   → from_json, fixed schema
+  *   selection rule (S3)                       → filter on metadata
+  *   per-key ordering + idempotent delivery    → watermark + streaming dedup
+  *     (S5/S9; Kinesis seq-number `_id`,          on (trans_id, txid)
+  *      reference README.md:455-457)             (dropDuplicatesWithinWatermark)
+  *   micro-batch trigger (S8: 1 MiB / 60 s,    → Trigger.ProcessingTime /
+  *      reference firehose.py:122-125,139-142)   AvailableNow for replay
+  *   dual sink (S9 OpenSearch + S10 S3 archive,→ foreachBatch: last-write-wins
+  *      firehose.py:117-136,153)                 serving merge + UTC
+  *                                               time-partitioned archive
+  *   error/DLQ routing (S11, firehose.py:134,  → unparseable lines appended
+  *      150-152)                                 under error/
+  *
+  * Scale notes: every stateful op is watermark-bounded (state cannot grow
+  * past the lateness horizon — the Kinesis 24 h retention analog, kds.py:24);
+  * the serving merge shuffles on the primary key only (the reference's
+  * partition-key exchange, S5); the archive append is partition-local.
+  */
+object CdcStreamPipeline {
+
+  final case class Sinks(serving: String, archive: String, error: String,
+                         checkpoint: String)
+
+  /** Stateless front of the stream: parse + flatten + event time. Keeps the
+    * raw line for DLQ routing of unparseable records. */
+  def parseLines(lines: DataFrame): DataFrame =
+    lines
+      .select(from_json(col("value"), Envelope.schema).as("env"), col("value"))
+      .select(col("env.data").as("data"), col("env.metadata").as("metadata"),
+        col("value"),
+        to_timestamp(col("env.metadata.timestamp")).as("event_ts"))
+
+  /** Full pipeline over a streaming DataFrame of raw envelope lines.
+    * Returns (main query, DLQ query). `lateness` bounds both dedup state
+    * and late-data acceptance (O32/O33).
+    *
+    * The DLQ runs as its own un-watermarked query: unparseable lines carry
+    * no event time, so routing them through the watermarked dedup would
+    * silently drop them as late data. */
+  def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
+            lateness: String = "1 hour"): (StreamingQuery, StreamingQuery) = {
+    val parsed = parseLines(lines)
+
+    // Dedup key = (pk, transaction-id) — the reference's `_id` idempotence
+    // under Firehose redelivery (S9, reference README.md:455-457).
+    val main = parsed
+      .filter(col("metadata").isNotNull)
+      .withColumn("pk", col("data.trans_id"))
+      .withColumn("txid", col("metadata.`transaction-id`"))
+      .withWatermark("event_ts", lateness)
+      .dropDuplicatesWithinWatermark("pk", "txid")
+      .drop("pk", "txid")
+      .writeStream.foreachBatch(sinkBatch(sinks) _).trigger(trigger)
+      .option("checkpointLocation", sinks.checkpoint).start()
+
+    val dlq = parsed
+      .filter(col("metadata").isNull)
+      .select(col("value"))
+      .writeStream.foreachBatch { (bad: DataFrame, batchId: Long) =>
+        bad.write.mode("append").text(s"${sinks.error}/batch_id=$batchId")
+      }.trigger(trigger)
+      .option("checkpointLocation", sinks.checkpoint + "_dlq").start()
+
+    (main, dlq)
+  }
+
+  /** Batch merge applied by foreachBatch: DLQ split, archive append, and
+    * last-write-wins serving merge that RETAINS delete tombstones in the
+    * persisted state (so a stale update replayed later cannot resurrect a
+    * deleted key); the serving read path filters tombstones out. */
+  def sinkBatch(sinks: Sinks)(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    batch.persist()
+    try {
+      val good = batch.filter(Envelope.selection())
+
+      // S10: UTC time-partitioned archive (firehose.py:131-135 prefix).
+      good.withColumn("year", date_format(col("event_ts"), "yyyy"))
+        .withColumn("month", date_format(col("event_ts"), "MM"))
+        .withColumn("day", date_format(col("event_ts"), "dd"))
+        .withColumn("hour", date_format(col("event_ts"), "HH"))
+        .drop("value")
+        .write.partitionBy("year", "month", "day", "hour")
+        .mode("append").parquet(sinks.archive)
+
+      // S9: serving state merge (idempotent under redelivery: the merge is
+      // a pure last-write-wins reduction over the union of old state and
+      // the new batch).
+      val incoming = good.select(col("data"), col("metadata"))
+      val fs = new Path(sinks.serving).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val cur = new Path(sinks.serving)
+      val old =
+        if (fs.exists(cur)) Some(spark.read.parquet(sinks.serving)) else None
+      val all = old.map(_.unionByName(incoming)).getOrElse(incoming)
+      val merged = latestPerKey(all)
+      val staging = new Path(sinks.serving + ".staging")
+      merged.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(cur)) fs.delete(cur, true)
+      fs.rename(staging, cur)
+    } finally batch.unpersist()
+  }
+
+  /** Last write per key including tombstones — the persisted serving state. */
+  def latestPerKey(env: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("data.trans_id"))
+      .orderBy(col("metadata.timestamp").desc,
+        col("metadata.`transaction-id`").desc)
+    env.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** The user-facing serving view: live rows only (tombstones hidden). */
+  def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame =
+    spark.read.parquet(servingDir)
+      .filter(col("metadata.operation") =!= "delete")
+      .select(col("data.*"))
+}

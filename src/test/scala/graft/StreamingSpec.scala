@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import graft.cdc.{Envelope, Materialize}
+import graft.streaming.CdcStreamPipeline
+import graft.streaming.CdcStreamPipeline.Sinks
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming layer (S7-S12, O32/O33): fixture replay through the file
+  * source, dual-sink parity with the batch materializer, DLQ routing,
+  * idempotence under duplicate delivery, and watermark late-data drops. */
+class StreamingSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def runPipeline(sourceDir: String, root: String): Sinks = {
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val lines = spark.readStream.text(sourceDir)
+    val (main, dlq) = CdcStreamPipeline.start(lines, sinks,
+      Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+    sinks
+  }
+
+  test("fixture replay: streaming serving snapshot == batch materialization; corrupt lines hit the DLQ") {
+    val src = tmpDir("cdc_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath),
+      Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    Files.writeString(Paths.get(s"$src/bad.jsonl"),
+      "this is not json\n{\"also\": \"not an envelope\"\n")
+    val sinks = runPipeline(src, tmpDir("cdc_out"))
+
+    val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    val batch = Materialize.snapshot(
+      Envelope.changelog(spark, Tables.cdcFixturePath))
+    assert(streaming.count() === 210)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+
+    // S10 archive: all 600 selected changes, UTC hour-partitioned
+    val archive = spark.read.parquet(sinks.archive)
+    assert(archive.count() === 600)
+    assert(archive.columns.toSet.intersect(
+      Set("year", "month", "day", "hour")).size === 4)
+
+    // S11 DLQ: exactly the 2 corrupt lines
+    assert(spark.read.text(sinks.error).count() === 2)
+  }
+
+  test("duplicate delivery is idempotent (the reference's _id semantics)") {
+    val src = tmpDir("cdc_src_dup")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/b.jsonl"))
+    val sinks = runPipeline(src, tmpDir("cdc_out_dup"))
+
+    val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    val batch = Materialize.snapshot(
+      Envelope.changelog(spark, Tables.cdcFixturePath))
+    assert(streaming.count() === 210)
+    assert(streaming.exceptAll(batch).count() === 0)
+  }
+
+  test("watermark drops late rows from a windowed aggregation (O32)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val counts = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(count(lit(1)).as("c"))
+    val q = counts.writeStream.format("memory").queryName("wm_counts")
+      .outputMode("append").start()
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // batch 1: events at 10:00-10:04; batch 2 advances watermark far ahead
+    input.addData((ts(0), 1L), (ts(2), 2L), (ts(4), 3L))
+    q.processAllAvailable()
+    input.addData((ts(59), 9L)) // watermark → 10:49
+    q.processAllAvailable()
+    // batch 3: a late row at 10:01 — behind the watermark, must be dropped
+    input.addData((ts(1), 4L))
+    q.processAllAvailable()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 10L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("wm_counts")
+      .select(col("window.start").cast("string").as("s"), col("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the 10:00 window closed with 3 rows — the late 4th never counted
+    assert(out("2024-01-01 10:00:00") === 3)
+  }
+
+  test("streaming dedup drops redelivered keys within the watermark (O33)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val deduped = input.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.format("memory").queryName("dd_rows")
+      .outputMode("append").start()
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    input.addData((ts(0), 1L), (ts(1), 2L))
+    q.processAllAvailable()
+    input.addData((ts(2), 1L), (ts(3), 3L)) // key 1 redelivered
+    q.processAllAvailable()
+    q.stop()
+
+    val ks = spark.table("dd_rows").select("k").collect().map(_.getLong(0)).sorted
+    assert(ks.toSeq === Seq(1L, 2L, 3L))
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.VectorOps
+import graft.text.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Property-style invariants for the text/vector operators (SURVEY.md §5):
+  * cosine range/symmetry, dedup idempotence, fingerprint determinism, LSH
+  * recall on planted near-duplicates, SimHash Hamming proximity. */
+class TextVectorSpec extends SparkTestBase {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("cosine is 1.0 on itself, symmetric, and within [-1, 1]") {
+    val pairs = emb.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("a_id"), col("embedding").as("ea"))
+      .crossJoin(emb.filter(col("vec_id") < 30)
+        .select(col("vec_id").as("b_id"), col("embedding").as("eb")))
+      .select(col("a_id"), col("b_id"),
+        VectorOps.cosine(col("ea"), col("eb")).as("ab"),
+        VectorOps.cosine(col("eb"), col("ea")).as("ba"))
+      .collect()
+    pairs.foreach { r =>
+      val (ab, ba) = (r.getDouble(2), r.getDouble(3))
+      assert(ab >= -1.0000001 && ab <= 1.0000001)
+      assert(math.abs(ab - ba) < 1e-12, "symmetry")
+      if (r.getLong(0) == r.getLong(1)) assert(math.abs(ab - 1.0) < 1e-9)
+    }
+  }
+
+  test("exact dedup is idempotent and removes planted duplicates") {
+    val doubled = docs.unionByName(docs)
+    val once = doubled.dropDuplicates()
+    val twice = once.dropDuplicates()
+    assert(once.count() === docs.count())
+    assert(twice.count() === once.count())
+  }
+
+  test("fingerprint is deterministic and separates the corpus") {
+    val fp = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    val again = docs.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+    assert(fp.exceptAll(again).count() === 0)
+    val distinct = fp.select("fp").distinct().count()
+    assert(distinct >= docs.count() * 95 / 100, s"only $distinct distinct fingerprints")
+  }
+
+  test("LSH finds planted near-duplicates and only true candidates") {
+    // Plant near-dups: drop the last 2 tokens of each of 25 docs — Jaccard
+    // vs the original stays high; ids offset by 100000.
+    val planted = docs.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 100000).as("doc_id"),
+        concat_ws(" ", slice(TextOps.tokens(col("text")), lit(1),
+          greatest(size(TextOps.tokens(col("text"))) - 2, lit(3)))).as("text"))
+    val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+
+    val pairs = NearDup.lshPairs(corpus, "doc_id", "tg",
+      k = 16, nBands = 4, threshold = 0.5).collect()
+
+    val plantedFound = pairs.count { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      b - a == 100000 && a < 25
+    }
+    assert(plantedFound >= 20, s"recall too low: $plantedFound/25 planted pairs found")
+    // precision of the exact re-rank: every reported pair really clears
+    // the Jaccard threshold
+    pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  test("SimHash puts planted near-duplicates at small Hamming distance") {
+    val base = docs.filter(col("doc_id") < 25)
+      .select(col("doc_id"), NearDup.simhash16(TextOps.tokens(col("text"))).as("sh"))
+    val mutated = docs.filter(col("doc_id") < 25)
+      .select(col("doc_id"),
+        NearDup.simhash16(slice(TextOps.tokens(col("text")), lit(1),
+          greatest(size(TextOps.tokens(col("text"))) - 2, lit(3)))).as("sh2"))
+    val d = base.join(mutated, "doc_id")
+      .select(NearDup.hamming(col("sh"), col("sh2")).as("h"))
+      .agg(avg(col("h"))).head().getDouble(0)
+    assert(d <= 4.0, s"avg Hamming distance $d too large for near-dups")
+  }
+
+  test("trigram Jaccard is 1.0 on itself and within [0, 1]") {
+    val g = docs.withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+    val self = g.select(TextOps.jaccard(col("tg"), col("tg")).as("j")).collect()
+    self.foreach(r => assert(r.getDouble(0) === 1.0))
+  }
+}
