@@ -162,14 +162,21 @@ object Text {
         |WHERE a.vec_id < 50 AND a.vec_id < b.vec_id
         |  AND list_sum(list_transform(list_zip(a.v, b.v), p -> p[1]*p[2]))/(a.nn*b.nn) >= 0.3
         |ORDER BY a_id, b_id""") { (s, d) =>
-      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      // Norms are per-ROW: computed once on each side before the join, so
+      // the per-pair work is only the 64-wide dot product (the oracle's
+      // dot/(na*nb) association is preserved exactly).
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorOps.l2(col("embedding")).as("nn"))
       val a = broadcast(e.filter(col("vec_id") < 50)
-        .select(col("vec_id").as("a_id"), col("embedding").as("ea")))
-      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"))
-      val cos = VectorOps.cosine(col("ea"), col("eb"))
+        .select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+          col("nn").as("na")))
+      val b = e.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nn").as("nb"))
       a.join(b, col("a_id") < col("b_id"))
-        .filter(cos >= 0.3)
-        .select(col("a_id"), col("b_id"), dec4Str(round(cos, 4)).as("sim"))
+        .withColumn("cos",
+          VectorOps.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cos") >= 0.3)
+        .select(col("a_id"), col("b_id"), dec4Str(round(col("cos"), 4)).as("sim"))
         .orderBy("a_id", "b_id")
     },
 

@@ -18,11 +18,19 @@ object NearDup {
 
   /** MinHash signature: k independent permutations approximated by seeding
     * xxhash64 with the slot index; entry i = min hash of any shingle under
-    * seed i. */
-  def minhashSignature(shingles: Column, k: Int): Column =
+    * seed i. Each shingle string is hashed ONCE to a long; the k seeded
+    * re-hashes then run over fixed-width longs (xxhash64(seed, h)), not k
+    * string traversals — at corpus scale this is the difference between
+    * k×|shingle| and k×8 bytes hashed per shingle. */
+  def minhashSignature(shingleHashes: Column, k: Int): Column =
     array((0 until k).map { i =>
-      array_min(transform(shingles, sh => xxhash64(concat(lit(s"$i#"), sh))))
+      array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
     }: _*)
+
+  /** One base hash per shingle string — materialized as its own projection
+    * by callers so the k seeded passes fold over longs, not strings. */
+  def shingleHashes(shingles: Column): Column =
+    transform(shingles, sh => xxhash64(sh))
 
   /** Explode a k-wide signature into `bands` rows of (band_idx, band_hash);
     * rowsPerBand = k / bands. Two documents are LSH candidates iff they
@@ -39,10 +47,18 @@ object NearDup {
     * shingle columns, re-ranked by exact Jaccard >= threshold. */
   def lshPairs(docs: DataFrame, idCol: String, shingleCol: String,
                k: Int = 16, nBands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    // The self-join consumes the signature relation on BOTH sides; without
+    // materialization Spark recomputes the whole tokenize→shingle→k-hash
+    // pipeline twice (measured 2× the query cost). Persisting the signature
+    // stage is the scale pattern too: at corpus scale signatures are
+    // computed once and written out, then band-joined.
     val sig = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("hs", shingleHashes(col("sh")))
+      .withColumn("sig", minhashSignature(col("hs"), k))
+      .drop("hs")
       .withColumn("band", explode(bands(col("sig"), k, nBands)))
       .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sig.select(col("id").as("a_id"), col("sh").as("a_sh"),
       col("band_idx"), col("band_hash"))
     val b = sig.select(col("id").as("b_id"), col("sh").as("b_sh"),
@@ -58,12 +74,20 @@ object NearDup {
   /** 16-bit SimHash over a token array: bit b of the sketch is set iff the
     * sum over tokens of ±1 (sign of bit b of the token's xxhash64) is
     * positive. Near-duplicates land at small Hamming distance. */
-  def simhash16(toks: Column): Column =
+  def simhash16(toks: Column): Column = {
+    // One hash per token, one pass over the token array: the fold carries a
+    // 16-wide vote vector (zip_with add of each hash's ±1 bit pattern).
+    val votes = aggregate(
+      transform(toks, t => xxhash64(t)),
+      array_repeat(lit(0L), 16),
+      (acc, h) => zip_with(acc,
+        array((0 until 16).map(b =>
+          when((shiftright(h, b) % 2) =!= 0, lit(1L)).otherwise(lit(-1L))): _*),
+        (a, v) => a + v))
     (0 until 16).map { b =>
-      val vote = aggregate(toks, lit(0L),
-        (s, t) => s + when((shiftright(xxhash64(t), b) % 2) =!= 0, 1L).otherwise(-1L))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+      when(element_at(votes, b + 1) > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
+  }
 
   /** Hamming distance between two simhash sketches (popcount of XOR). */
   def hamming(a: Column, b: Column): Column =
