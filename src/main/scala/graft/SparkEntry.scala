@@ -13,7 +13,8 @@ object SparkEntry {
       graft.queries.Cdc.all ++
       graft.queries.Functions.all ++
       graft.queries.Extended.all ++
-      graft.queries.Text.all
+      graft.queries.Text.all ++
+      graft.queries.Media.all
 
   /** Flagship query on /root/testdata/sf0.001 (TPC-H Q1 shape, D-Q10);
     * driver smoke-checks rows>0. */

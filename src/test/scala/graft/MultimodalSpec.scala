@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.{Ann, VectorOps}
+import graft.multimodal.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Stub-codec multimodal plumbing (schema, batch boundary, determinism) and
+  * the LSH ANN scale path (recall vs brute force, candidate efficiency). */
+class MultimodalSpec extends SparkTestBase {
+
+  test("decode pipeline: schema, row parity, and determinism") {
+    val docs = Tables.documents(spark, sf)
+    val f1 = Multimodal.features(spark, docs).toDF()
+    val f2 = Multimodal.features(spark, docs, partitions = 7).toDF()
+    assert(f1.columns.toSeq ===
+      Seq("media_id", "kind", "n_bytes", "width", "height", "features"))
+    assert(f1.count() === docs.count())
+    // partitioning must not change results (pure per-row codec)
+    assert(f1.exceptAll(f2).count() === 0)
+    // features are a 4-wide simplex (histogram ratios sum to 1)
+    val sums = f1.select(aggregate(col("features"), lit(0.0),
+      (a, x) => a + x.cast("double")).as("s")).collect()
+    sums.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-5))
+  }
+
+  test("payload metadata matches the source text byte-for-byte") {
+    val docs = Tables.documents(spark, sf)
+    val bad = Multimodal.mediaFromDocuments(docs)
+      .join(docs, col("media_id") === col("doc_id"))
+      .filter(octet_length(col("payload")) =!= length(col("text")))
+    assert(bad.count() === 0) // corpus is ASCII → octet length == char length
+  }
+
+  test("ANN recalls planted near-neighbors and prunes the candidate space") {
+    // LSH's contract is recalling NEAR neighbors (sim ≈ 1), not ranking the
+    // nearly-orthogonal tail of a random corpus (that's brute-force q37's
+    // job). Plant 10 perturbed copies of vector 0 (one component halved →
+    // cosine ≈ 0.99) and require the ANN top-10 to find them.
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+    val query = e.filter(col("vec_id") === 0)
+    val planted = query.crossJoin((0 until 10).toDF("j"))
+      .select((col("j") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === col("j"), x * 0.5f).otherwise(x)).as("embedding"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+
+    val approx = Ann.annTopK(corpus, query, "vec_id", "embedding", k = 10)
+      .collect().map(_.getLong(0)).toSet
+    val found = approx.count(_ >= 10000L)
+    assert(found >= 8, s"only $found/10 planted near-neighbors recalled: $approx")
+
+    // pruning: the probed buckets cover a small fraction of the corpus
+    val planes = Ann.hyperplanes(64, 8)
+    val probed = query.select(
+      explode(Ann.probes(Ann.signature(col("embedding"), planes), 8)).as("p"))
+      .collect().map(_.getLong(0)).toSet
+    val candidates = corpus.select(
+      Ann.signature(col("embedding"), planes).as("b"))
+      .collect().count(r => probed.contains(r.getLong(0)))
+    val total = corpus.count()
+    assert(candidates.toDouble / total < 0.25,
+      s"probed candidates $candidates/$total — no pruning")
+  }
+
+  test("ANN signatures are deterministic across runs") {
+    val planes = Ann.hyperplanes(64, 4)
+    val e = Tables.embeddings(spark, sf).limit(50)
+    val s1 = e.select(col("vec_id"), Ann.signature(col("embedding"), planes).as("b"))
+    val s2 = e.select(col("vec_id"), Ann.signature(col("embedding"), planes).as("b"))
+    assert(s1.exceptAll(s2).count() === 0)
+  }
+}

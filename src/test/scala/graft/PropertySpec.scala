@@ -1,0 +1,96 @@
+package graft
+
+import graft.cdc.Materialize
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, rng}
+
+/** scalacheck layer (SURVEY.md §5): randomized op streams mimicking the
+  * reference generator's distributions (gen_fake_mysql_data.py:81-89)
+  * checked against model folds. Generators are sampled with fixed seeds
+  * (no scalatestplus bridge in the offline cache), so runs are
+  * deterministic. */
+class PropertySpec extends SparkTestBase {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, rng.Seed(47L + i)))
+
+  private val envSchema = StructType(Seq(
+    StructField("data", StructType(Seq(
+      StructField("trans_id", LongType),
+      StructField("customer_id", StringType),
+      StructField("event", StringType),
+      StructField("sku", StringType),
+      StructField("amount", IntegerType),
+      StructField("device", StringType),
+      StructField("trans_datetime", StringType)))),
+    StructField("metadata", StructType(Seq(
+      StructField("timestamp", StringType),
+      StructField("record-type", StringType),
+      StructField("operation", StringType),
+      StructField("partition-key-type", StringType),
+      StructField("schema-name", StringType),
+      StructField("table-name", StringType),
+      StructField("transaction-id", LongType))))))
+
+  private val events = Gen.oneOf("visit", "view", "cart", "list", "like", "purchase")
+
+  /** Random per-key op scripts: insert then updates/deletes, as (key, seq). */
+  private val opStream: Gen[List[(Long, Int, String, String)]] = for {
+    nKeys <- Gen.choose(1, 12)
+    ops <- Gen.listOfN(nKeys, for {
+      n <- Gen.choose(0, 5)
+      tail <- Gen.listOfN(n, Gen.frequency(4 -> "update", 1 -> "delete"))
+      evs <- Gen.listOfN(n + 1, events)
+    } yield ("insert" :: tail).zip(evs))
+  } yield ops.zipWithIndex.flatMap { case (script, k) =>
+    script.zipWithIndex.map { case ((op, ev), i) => (k.toLong, i, op, ev) }
+  }
+
+  private def toEnvelope(rows: List[(Long, Int, String, String)]) = {
+    val rs = rows.map { case (k, i, op, ev) =>
+      Row(Row(k, "c", ev, "s", 1, "pc", "2022-03-14T00:00:00Z"),
+        Row(f"2022-03-14T14:00:${i}%02d.000000Z", "data", op, "primary-key",
+          "testdb", "retail_trans", 1000L + i))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rs, 2), envSchema)
+  }
+
+  test("materialize(changelog) == sequential fold, for random op streams") {
+    samples(opStream, 20).filter(_.nonEmpty).foreach { rows =>
+      val snapshot = Materialize.snapshot(toEnvelope(rows))
+        .select("trans_id", "event").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val model = scala.collection.mutable.Map[Long, Option[String]]()
+      rows.sortBy(r => (r._1, r._2)).foreach { case (k, _, op, ev) =>
+        model(k) = if (op == "delete") None else Some(ev)
+      }
+      val live = model.collect { case (k, Some(ev)) => k -> ev }.toMap
+      assert(snapshot === live)
+    }
+  }
+
+  test("dedup is idempotent and order-insensitive on random frames") {
+    import spark.implicits._
+    samples(Gen.listOf(Gen.choose(0, 20)), 20).filter(_.nonEmpty).foreach { xs =>
+      val df = xs.toDF("x")
+      val d1 = df.dropDuplicates().count()
+      val d2 = df.dropDuplicates().dropDuplicates().count()
+      assert(d1 === xs.distinct.size.toLong)
+      assert(d2 === d1)
+    }
+  }
+
+  test("union-all count additivity") {
+    import spark.implicits._
+    val as = samples(Gen.listOf(Gen.choose(0, 50)), 10)
+    val bs = samples(Gen.listOf(Gen.choose(0, 50)), 10)
+    as.zip(bs).foreach { case (a, b) =>
+      assert(a.toDF("x").unionByName(b.toDF("x")).count() ===
+        (a.size + b.size).toLong)
+    }
+  }
+}
