@@ -32,7 +32,10 @@ object Tables {
     * and both engines see identical timestamps. Integer `div` (not `/`)
     * because epoch-nanos ≈ 1.7e18 exceeds double's 2^53 exact range. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session-level conf, set once (idempotent guard keeps the loader from
+    // re-mutating shared session state on every call).
+    if (s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = load(s, d, "events")
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

@@ -1,0 +1,36 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Prints formatted physical plans for the scale-critical queries so plan
+  * regressions (lost pushdown, surprise nested-loop joins, missing partial
+  * aggregation) are visible per round. Usage:
+  *   sbt "runMain graft.tools.ExplainAudit [sfDir] [query ...]"
+  */
+object ExplainAudit {
+  private val defaults = Seq(
+    "q01_scan_filter_project", // parquet PushedFilters + pruned ReadSchema
+    "q02_inner_join",          // join pick left to AQE (no forced broadcast)
+    "q10_hash_agg",            // two-phase HashAggregate
+    "q19_topk_per_group",      // WindowGroupLimit pushdown
+    "q20_global_sort_limit",   // TakeOrderedAndProject
+    "q33_cdc_materialize",     // single PK shuffle for the window
+    "q37_cosine_topk",         // broadcast 1-row side, no corpus shuffle
+    "q46_cosine_neardup")      // per-row norms before the join
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val names = if (args.length > 1) args.drop(1).toSeq else defaults
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      println(s"\n======== $n ========")
+      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -33,7 +33,15 @@ class StreamingSpec extends SparkTestBase {
       Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
     Files.writeString(Paths.get(s"$src/bad.jsonl"),
       "this is not json\n{\"also\": \"not an envelope\"\n")
+    val t0 = System.nanoTime()
     val sinks = runPipeline(src, tmpDir("cdc_out"))
+    val recPerSec = 613.0 / ((System.nanoTime() - t0) / 1e9)
+    // Reference offered load is ~0.33 rec/s (1 insert / 3 s,
+    // gen_fake_mysql_data.py:99-102) with 5-10 min end-to-end visibility;
+    // the full parse→dedup→dual-sink replay must sustain far more even in
+    // a 4-core test session.
+    info(f"streaming replay throughput: $recPerSec%.0f rec/s (reference offered load: 0.33 rec/s)")
+    assert(recPerSec > 10.0)
 
     val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
     val batch = Materialize.snapshot(
