@@ -103,6 +103,53 @@ object Extended {
         .orderBy("user_id", "ss")
     },
 
+    // ---- O21: intersect ALL — multiplicity-preserving (min of the two
+    //      sides' counts: doubling customer keys makes the ALL semantics
+    //      observable against orders' natural multiplicities) ----
+    gated("q22b_intersect_all",
+      """SELECT x FROM (
+        |  SELECT c_custkey AS x FROM customer
+        |  UNION ALL SELECT c_custkey FROM customer)
+        |INTERSECT ALL SELECT o_custkey FROM orders
+        |ORDER BY x""") { (s, d) =>
+      val c = Tables.customer(s, d).select(col("c_custkey").as("x"))
+      c.unionByName(c)
+        .intersectAll(Tables.orders(s, d).select(col("o_custkey").as("x")))
+        .orderBy("x")
+    },
+
+    // ---- O21: except ALL — bag difference (orders keys minus one
+    //      occurrence per customer key) ----
+    gated("q23b_except_all",
+      """SELECT o_custkey AS x FROM orders
+        |EXCEPT ALL SELECT c_custkey FROM customer
+        |ORDER BY x""") { (s, d) =>
+      Tables.orders(s, d).select(col("o_custkey").as("x"))
+        .exceptAll(Tables.customer(s, d).select(col("c_custkey").as("x")))
+        .orderBy("x")
+    },
+
+    // ---- O23: date/time arithmetic — datediff, interval add, epoch ----
+    gated("q25b_datetime_arith",
+      """SELECT o_orderkey,
+        |       CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS BIGINT) AS dd,
+        |       strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d %H:%M:%S') AS plus30,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS ep,
+        |       CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS m,
+        |       CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom
+        |FROM orders
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          datediff(col("o_orderdate"),
+            lit("1995-01-01").cast("timestamp")).cast("long").as("dd"),
+          tsStr(col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("plus30"),
+          unix_timestamp(col("o_orderdate")).as("ep"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- O12: approx distinct (HLL++). The estimator differs from
     //      DuckDB's, so no cross-engine hash; the driver records rows-only
     //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression tests: the properties that make these queries
+  * survive a 100× scale-up are asserted on the optimized plans themselves,
+  * so a refactor that silently loses pushdown or picks a nested loop fails
+  * CI, not the cluster. */
+class PlanSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q01: filters reach the parquet scan; unused columns pruned") {
+    val p = planOf("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_discount)"),
+      s"predicate not pushed:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int," +
+      "l_quantity:double,l_discount:double>"), "column pruning lost")
+  }
+
+  test("q02: join strategy is size-based (no forced broadcast hint)") {
+    val lp = SparkEntry.queries("q02_inner_join")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!lp.contains("UnresolvedHint"), "stray hint")
+    // at sf0.001 AQE/statistics pick broadcast on their own
+    assert(planOf("q02_inner_join").contains("Join"), "join missing")
+  }
+
+  test("q10: aggregation is two-phase (partial before the exchange)") {
+    val p = planOf("q10_hash_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("q19/q33: rank filters push as WindowGroupLimit below the shuffle") {
+    Seq("q19_topk_per_group", "q33_cdc_materialize").foreach { q =>
+      assert(planOf(q).contains("WindowGroupLimit"), s"$q lost WindowGroupLimit")
+    }
+  }
+
+  test("q20: global sort+limit compiles to TakeOrderedAndProject") {
+    assert(planOf("q20_global_sort_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("q37: the 1-row query side broadcasts; the corpus never shuffles before top-k") {
+    val p = planOf("q37_cosine_topk")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      s"query side not broadcast:\n$p")
+  }
+
+  test("pre-partitioned join reuses the partitioning (no third exchange)") {
+    val o = Tables.orders(spark, sf).repartition(4, col("o_custkey"))
+    val l = Tables.customer(spark, sf).repartition(4, col("c_custkey"))
+    val joined = o.join(l, col("o_custkey") === col("c_custkey"))
+    val p = joined.queryExecution.executedPlan.toString
+    // exactly the two declared repartition exchanges — EnsureRequirements
+    // must not add another one for the join
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"extra shuffle inserted:\n$p")
+  }
+}

@@ -104,6 +104,35 @@ class StreamingSpec extends SparkTestBase {
     assert(out("2024-01-01 10:00:00") === 3)
   }
 
+  test("session windows close per user once the watermark passes the gap (O31 streaming)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val sessions = input.toDF().toDF("ts", "user")
+      .withWatermark("ts", "5 minutes")
+      .groupBy(col("user"), session_window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("c"))
+    val q = sessions.writeStream.format("memory").queryName("sw_sessions")
+      .outputMode("append").start()
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    // user 1: events at 10:00, 10:05 (one session), then 10:30 (new session)
+    input.addData((ts(0), 1L), (ts(5), 1L), (ts(30), 1L))
+    q.processAllAvailable()
+    // advance the watermark far enough to emit all sessions
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 2L))
+    q.processAllAvailable()
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 14:00:00"), 2L))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("sw_sessions")
+      .filter(col("user") === 1L)
+      .select(col("session_window.start").cast("string").as("s"), col("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("2024-01-01 10:00:00" -> 2L, "2024-01-01 10:30:00" -> 1L))
+  }
+
   test("streaming dedup drops redelivered keys within the watermark (O33)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
