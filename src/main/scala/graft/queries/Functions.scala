@@ -73,6 +73,45 @@ object Functions {
         .orderBy("event_id")
     },
 
+    // ---- O25: JSON round-trip — to_json(struct) + json_tuple extraction
+    //      (Spark's compact struct→JSON rendering matches DuckDB's) ----
+    gated("q27b_json_roundtrip",
+      """SELECT event_id,
+        |       to_json(struct_pack(event_id := event_id,
+        |                           k := CAST(json_extract_string(props, '$.k') AS BIGINT)))::VARCHAR AS js,
+        |       json_extract_string(props, '$.k') AS ks
+        |FROM events WHERE event_type = 'error'
+        |ORDER BY event_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type") === "error")
+        .select(col("event_id"),
+          to_json(struct(col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))).as("js"),
+          json_tuple(col("props"), "k").as("ks"))
+        .orderBy("event_id")
+    },
+
+    // ---- O26: array slice + sort + contains over the embedding column ----
+    gated("q28c_array_ops",
+      """SELECT vec_id,
+        |       CAST(CAST(ROUND(list_sort(list_transform(embedding[1:4],
+        |              x -> CAST(x AS DOUBLE)))[1], 4) AS DECIMAL(9,4)) AS VARCHAR) AS smin,
+        |       CAST(len(embedding[1:4]) AS BIGINT) AS n4,
+        |       CAST(list_contains(list_transform(embedding, x -> x > 0), true) AS BIGINT) AS has_pos
+        |FROM embeddings WHERE vec_id < 100
+        |ORDER BY vec_id""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          dec4Str(round(element_at(sort_array(
+            transform(slice(col("embedding"), 1, 4), x => x.cast("double"))), 1), 4))
+            .as("smin"),
+          size(slice(col("embedding"), 1, 4)).cast("long").as("n4"),
+          array_contains(transform(col("embedding"), x => x > 0), true)
+            .cast("long").as("has_pos"))
+        .orderBy("vec_id")
+    },
+
     // ---- O37/O11 (D-Q35): exact dedup at scale. The input is doubled via
     //      self-union so the distinct provably removes rows (500 exact
     //      duplicates at sf0.01). Spark plans dropDuplicates as a two-phase
