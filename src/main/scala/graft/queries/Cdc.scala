@@ -72,6 +72,47 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- S4 object-mapping, outbound leg: re-shape the materialized
+    //      snapshot into the Kinesis record envelope (map-record-to-record,
+    //      reference dms_aurora_mysql_to_kinesis.py:108-117). Both engines
+    //      render the identical compact JSON, so the string is gated. ----
+    gated("q49_record_shaping",
+      s"""SELECT trans_id,
+         |       to_json(struct_pack(
+         |         data := struct_pack(trans_id := trans_id,
+         |                             customer_id := customer_id,
+         |                             event := event, sku := sku,
+         |                             amount := amount, device := device,
+         |                             trans_datetime := trans_datetime),
+         |         metadata := struct_pack("schema-name" := 'testdb',
+         |                                 "table-name" := 'retail_trans',
+         |                                 "partition-key-type" := 'primary-key')))::VARCHAR AS doc
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         data.amount AS amount, data.device AS device,
+         |         data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      Materialize.snapshot(Envelope.changelog(s, fx))
+        .select(col("trans_id"),
+          to_json(struct(
+            struct(col("trans_id"), col("customer_id"), col("event"),
+              col("sku"), col("amount"), col("device"),
+              col("trans_datetime")).as("data"),
+            struct(lit("testdb").as("schema-name"),
+              lit("retail_trans").as("table-name"),
+              lit("primary-key").as("partition-key-type")).as("metadata")))
+            .as("doc"))
+        .orderBy("trans_id")
+    },
+
     // ---- O36 (D-Q34): op statistics over ALL data records (both schemas/
     //      tables — the observability view sees the whole stream) ----
     gated("q34_cdc_op_stats",
