@@ -109,8 +109,11 @@ object Text {
         |                          x -> CAST(ascii(x) AS BIGINT))),
         |         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""") { (s, d) =>
+      // native codegen Expression (no per-char allocation), registered as
+      // `rolling_hash` by GraftExtensions; equality with the HOF/oracle
+      // fold is pinned by FingerprintSpec
       Tables.documents(s, d)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .select(col("doc_id"), expr("rolling_hash(text)").as("fp"))
         .orderBy("doc_id")
     },
 
