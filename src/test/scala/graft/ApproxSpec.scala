@@ -16,11 +16,12 @@ class ApproxSpec extends SparkTestBase {
     assert(err <= 0.05, s"approx=$approx exact=$exact err=$err")
   }
 
-  test("non-vacuity: predicates chosen for q06/q23/q24/q45/q46 hit the data") {
-    val q = SparkEntry.queries
-    Seq("q06_anti_join", "q23_except", "q24_string_funcs",
-      "q45_ngram_jaccard", "q46_cosine_neardup").foreach { name =>
-      assert(q(name)(spark, sf).count() > 0, s"$name returned 0 rows")
-    }
+  test("non-vacuity: EVERY registered query returns rows at sf0.001") {
+    // a 0=0 hash match certifies nothing (round-1 lesson: three queries
+    // were vacuously green) — so emptiness anywhere in the registry fails
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (_, fn) => fn(spark, sf).count() == 0
+    }.map(_._1)
+    assert(empty.isEmpty, s"vacuous queries: ${empty.mkString(", ")}")
   }
 }
