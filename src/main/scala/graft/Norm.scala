@@ -14,6 +14,7 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
 object Norm {
   val Dec2: DecimalType = DecimalType(18, 2)
   val Dec4: DecimalType = DecimalType(18, 4)
+  val Dec94: DecimalType = DecimalType(9, 4)
 
   /** Exact money cast — inputs are 2-dp doubles, so the cast is lossless. */
   def dec2(c: Column): Column = c.cast(Dec2)

@@ -117,6 +117,41 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
+    //      document-frequency side is vocabulary-sized (≪ corpus), so it
+    //      broadcasts; at 100 TB a long-tail vocabulary falls back to a
+    //      shuffled join on `word`, which AQE picks automatically. ----
+    gated("q36b_tfidf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        |              FROM documents),
+        |t AS (SELECT doc_id, word, COUNT(*) AS cnt FROM toks
+        |      WHERE word <> '' GROUP BY doc_id, word),
+        |dfc AS (SELECT word AS w, COUNT(*) AS dfc FROM t GROUP BY word),
+        |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents)
+        |SELECT doc_id, word,
+        |       CAST(CAST(ROUND(cnt * ln(n / CAST(dfc AS DOUBLE)), 4)
+        |            AS DECIMAL(9,4)) AS VARCHAR) AS s
+        |FROM t, dfc, n WHERE t.word = dfc.w
+        |ORDER BY CAST(ROUND(cnt * ln(n / CAST(dfc AS DOUBLE)), 4) AS DECIMAL(9,4)) DESC,
+        |         doc_id, word
+        |LIMIT 20""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val t = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("word"))
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("cnt"))
+      val dfc = t.groupBy("word").agg(count(lit(1)).as("dfc"))
+        .withColumnRenamed("word", "w")
+      val n = docs.agg(count(lit(1)).cast("double").as("n"))
+      val score = round(col("cnt") * log(col("n") / col("dfc").cast("double")), 4)
+        .cast(Dec94)
+      t.join(dfc, col("word") === col("w"))
+        .crossJoin(broadcast(n))
+        .withColumn("sd", score)
+        .orderBy(col("sd").desc, col("doc_id"), col("word"))
+        .limit(20)
+        .select(col("doc_id"), col("word"), col("sd").cast("string").as("s"))
+    },
+
     // ---- O40 (exact leg): word-trigram Jaccard over a bounded candidate
     //      block (doc_id < 100 both sides). The unbounded corpus path is
     //      the LSH query below — band-join, not all-pairs. ----

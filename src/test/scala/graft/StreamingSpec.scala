@@ -55,6 +55,13 @@ class StreamingSpec extends SparkTestBase {
     assert(archive.count() === 600)
     assert(archive.columns.toSet.intersect(
       Set("year", "month", "day", "hour")).size === 4)
+    // partition pruning: an hour-bounded read must push a PartitionFilter
+    // (the dashboard query path over the archive at 100 TB)
+    val pruned = archive.filter(col("hour") === "14")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(hour"),
+      s"hour filter not pushed to partition pruning:\n$plan")
+    assert(pruned.count() === 600) // fixture spans a single UTC hour
 
     // S11 DLQ: exactly the 2 corrupt lines
     assert(spark.read.text(sinks.error).count() === 2)
