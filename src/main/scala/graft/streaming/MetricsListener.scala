@@ -1,0 +1,32 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import scala.collection.mutable
+
+/** Streaming observability — the CloudWatch log-stream analog of the
+  * reference's delivery pipeline (reference cdk_stacks/firehose.py:126-130,
+  * 143-147; SURVEY.md §3.2 stage 6). Collects per-batch input rates and row
+  * counts; the reference's "is the pipeline moving" signal, queryable
+  * in-process instead of via a log service. */
+final class MetricsListener extends StreamingQueryListener {
+
+  final case class BatchMetric(batchId: Long, numInputRows: Long,
+                               inputRowsPerSecond: Double,
+                               processedRowsPerSecond: Double)
+
+  private val metrics = mutable.ArrayBuffer[BatchMetric]()
+
+  def batches: Seq[BatchMetric] = metrics.synchronized(metrics.toVector)
+  def totalInputRows: Long = batches.map(_.numInputRows).sum
+
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    metrics.synchronized {
+      metrics += BatchMetric(p.batchId, p.numInputRows,
+        p.inputRowsPerSecond, p.processedRowsPerSecond)
+    }
+  }
+}

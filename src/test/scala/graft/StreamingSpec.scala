@@ -33,6 +33,8 @@ class StreamingSpec extends SparkTestBase {
       Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
     Files.writeString(Paths.get(s"$src/bad.jsonl"),
       "this is not json\n{\"also\": \"not an envelope\"\n")
+    val listener = new graft.streaming.MetricsListener
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val sinks = runPipeline(src, tmpDir("cdc_out"))
     val recPerSec = 613.0 / ((System.nanoTime() - t0) / 1e9)
@@ -65,6 +67,12 @@ class StreamingSpec extends SparkTestBase {
 
     // S11 DLQ: exactly the 2 corrupt lines
     assert(spark.read.text(sinks.error).count() === 2)
+
+    // observability (SURVEY §3.2 stage 6): the listener saw every input
+    // line on both queries (main + DLQ each scan the 615-line source)
+    spark.streams.removeListener(listener)
+    assert(listener.totalInputRows === 1230,
+      s"listener counted ${listener.totalInputRows} input rows")
   }
 
   test("duplicate delivery is idempotent (the reference's _id semantics)") {
