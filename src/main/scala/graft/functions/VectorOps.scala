@@ -19,12 +19,22 @@ object VectorOps {
   private def fsum(arr: Column): Column =
     aggregate(arr, lit(0.0), (acc, v) => acc + v)
 
-  /** Dot product of two equal-length float-array columns, in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two equal-length float-array columns, in double.
+    * Dispatches to the native `vec_dot` expression (same left fold, no
+    * per-row intermediate array) when the session has GraftExtensions —
+    * every session this engine creates does; `dotHof` is the
+    * engine-agnostic reference formulation. */
+  def dot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** HOF reference formulation of [[dot]] (bit-identical fold). */
+  def dotHof(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
 
   /** L2 norm, in double. */
-  def l2(a: Column): Column =
+  def l2(a: Column): Column = sqrt(dot(a, a))
+
+  /** HOF reference formulation of [[l2]]. */
+  def l2Hof(a: Column): Column =
     sqrt(fsum(transform(a, x => x.cast("double") * x.cast("double"))))
 
   /** Cosine similarity in [-1, 1]; NaN when either side is a zero vector. */

@@ -29,6 +29,15 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("native vec_dot is bit-identical to the HOF fold on real embeddings") {
+    val a = emb.limit(100).select(col("vec_id"), col("embedding").as("a"))
+    val b = emb.limit(10).select(col("embedding").as("b"))
+    val bad = a.crossJoin(b).filter(
+      VectorOps.dot(col("a"), col("b")) =!= VectorOps.dotHof(col("a"), col("b")) ||
+        VectorOps.l2(col("a")) =!= VectorOps.l2Hof(col("a")))
+    assert(bad.count() === 0)
+  }
+
   test("exact dedup is idempotent and removes planted duplicates") {
     val doubled = docs.unionByName(docs)
     val once = doubled.dropDuplicates()
