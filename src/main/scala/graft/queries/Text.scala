@@ -231,11 +231,13 @@ object Text {
     },
 
     // ---- O40: SimHash sketch per document (ungated; spec asserts
-    //      determinism + near-dup Hamming proximity on planted pairs) ----
+    //      determinism + near-dup Hamming proximity on planted pairs).
+    //      Native single-pass expression; NearDup.simhash16 is the HOF
+    //      reference formulation. ----
     ungated("q40b_simhash") { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          NearDup.simhash16(TextOps.tokens(col("text"))).as("sh"))
+          call_function("simhash16", TextOps.tokens(col("text"))).as("sh"))
         .orderBy("doc_id")
     }
   )

@@ -80,16 +80,22 @@ class TextVectorSpec extends SparkTestBase {
   }
 
   test("SimHash puts planted near-duplicates at small Hamming distance") {
-    val base = docs.filter(col("doc_id") < 25)
-      .select(col("doc_id"), NearDup.simhash16(TextOps.tokens(col("text"))).as("sh"))
-    val mutated = docs.filter(col("doc_id") < 25)
-      .select(col("doc_id"),
-        NearDup.simhash16(slice(TextOps.tokens(col("text")), lit(1),
-          greatest(size(TextOps.tokens(col("text"))) - 2, lit(3)))).as("sh2"))
-    val d = base.join(mutated, "doc_id")
-      .select(NearDup.hamming(col("sh"), col("sh2")).as("h"))
-      .agg(avg(col("h"))).head().getDouble(0)
-    assert(d <= 4.0, s"avg Hamming distance $d too large for near-dups")
+    // both formulations: HOF reference (xxhash64) and native (Murmur3)
+    val variants: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
+      "hof" -> (NearDup.simhash16(_)),
+      "native" -> (t => call_function("simhash16", t)))
+    variants.foreach { case (name, sh) =>
+      val base = docs.filter(col("doc_id") < 25)
+        .select(col("doc_id"), sh(TextOps.tokens(col("text"))).as("sh"))
+      val mutated = docs.filter(col("doc_id") < 25)
+        .select(col("doc_id"),
+          sh(slice(TextOps.tokens(col("text")), lit(1),
+            greatest(size(TextOps.tokens(col("text"))) - 2, lit(3)))).as("sh2"))
+      val d = base.join(mutated, "doc_id")
+        .select(NearDup.hamming(col("sh"), col("sh2")).as("h"))
+        .agg(avg(col("h"))).head().getDouble(0)
+      assert(d <= 4.0, s"[$name] avg Hamming distance $d too large for near-dups")
+    }
   }
 
   test("trigram Jaccard is 1.0 on itself and within [0, 1]") {
