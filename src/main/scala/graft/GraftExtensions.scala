@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVecDot, RollingHash, SimHash16}
+import graft.functions.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHash16}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -24,5 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("simhash16"),
       new ExpressionInfo(classOf[SimHash16].getName, "simhash16"),
       (exprs: Seq[Expression]) => SimHash16(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
   }
 }

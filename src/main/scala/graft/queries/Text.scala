@@ -225,8 +225,8 @@ object Text {
       val g = Tables.documents(s, d)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
-      NearDup.lshPairs(g, "doc_id", "tg", k = 16, nBands = 4, threshold = 0.3)
+        .select(col("doc_id"), col("w"))
+      NearDup.lshPairs(g, "doc_id", "w", k = 16, nBands = 4, threshold = 0.3)
         .orderBy("a_id", "b_id")
     },
 

@@ -27,10 +27,12 @@ object NearDup {
       array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
     }: _*)
 
-  /** One base hash per shingle string — materialized as its own projection
-    * by callers so the k seeded passes fold over longs, not strings. */
-  def shingleHashes(shingles: Column): Column =
-    transform(shingles, sh => xxhash64(sh))
+  /** One base hash per shingle, in one pass over the token array — the
+    * native `shingle_hashes` expression (no trigram string
+    * materialization); see
+    * [[graft.functions.expressions.ShingleHashes]]. */
+  def shingleHashes(tokens: Column): Column =
+    call_function("shingle_hashes", tokens)
 
   /** Explode a k-wide signature into `bands` rows of (band_idx, band_hash);
     * rowsPerBand = k / bands. Two documents are LSH candidates iff they
@@ -44,18 +46,18 @@ object NearDup {
   }
 
   /** Candidate pairs (a_id < b_id) from LSH banding over the given id +
-    * shingle columns, re-ranked by exact Jaccard >= threshold. */
-  def lshPairs(docs: DataFrame, idCol: String, shingleCol: String,
+    * token columns (word trigram shingles, hashed natively), re-ranked by
+    * exact Jaccard >= threshold over the shingle-hash sets. */
+  def lshPairs(docs: DataFrame, idCol: String, tokensCol: String,
                k: Int = 16, nBands: Int = 4, threshold: Double = 0.5): DataFrame = {
     // The self-join consumes the signature relation on BOTH sides; without
     // materialization Spark recomputes the whole tokenize→shingle→k-hash
     // pipeline twice (measured 2× the query cost). Persisting the signature
     // stage is the scale pattern too: at corpus scale signatures are
     // computed once and written out, then band-joined.
-    val sig = docs.select(col(idCol).as("id"), col(shingleCol).as("sh"))
-      .withColumn("hs", shingleHashes(col("sh")))
-      .withColumn("sig", minhashSignature(col("hs"), k))
-      .drop("hs")
+    val sig = docs.select(col(idCol).as("id"),
+        shingleHashes(col(tokensCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(bands(col("sig"), k, nBands)))
       .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -64,9 +64,9 @@ class TextVectorSpec extends SparkTestBase {
     val corpus = docs.select(col("doc_id"), col("text")).unionByName(planted)
       .withColumn("w", TextOps.tokens(col("text")))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      .select(col("doc_id"), col("w"))
 
-    val pairs = NearDup.lshPairs(corpus, "doc_id", "tg",
+    val pairs = NearDup.lshPairs(corpus, "doc_id", "w",
       k = 16, nBands = 4, threshold = 0.5).collect()
 
     val plantedFound = pairs.count { r =>
