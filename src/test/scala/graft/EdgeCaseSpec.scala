@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Literal-DataFrame unit layer (SURVEY §5 "tiny literal DataFrames; exact
+  * expected rows"): pins the null/boundary semantics of the relational core
+  * — the classic cross-engine divergence surface that SF-scaled test data
+  * (which is largely null-free) never exercises. */
+class EdgeCaseSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val left = Seq((Some(1L), "a"), (Some(2L), "b"), (None, "c"))
+    .toDF("k", "v")
+  private lazy val right = Seq((Some(1L), "x"), (None, "y")).toDF("k", "w")
+
+  test("equi-join never matches null keys") {
+    val j = left.join(right, left("k") === right("k"))
+    assert(j.count() === 1)
+    assert(j.select(left("k")).head().getLong(0) === 1L)
+  }
+
+  test("left outer join null-extends unmatched and null-keyed rows") {
+    val j = left.join(right, left("k") === right("k"), "left_outer")
+    assert(j.count() === 3)
+    assert(j.filter(col("w").isNull).count() === 2) // k=2 and k=null
+  }
+
+  test("anti join keeps null-keyed probe rows (NOT EXISTS semantics)") {
+    val a = left.join(right, left("k") === right("k"), "left_anti")
+    assert(a.select("v").collect().map(_.getString(0)).sorted.toSeq ===
+      Seq("b", "c"))
+  }
+
+  test("null-safe equality <=> matches null to null") {
+    val j = left.join(right, left("k") <=> right("k"))
+    assert(j.count() === 2) // 1=1 and null<=>null
+  }
+
+  test("set ops treat null as a single distinct value") {
+    val a = Seq(Some(1), None, None).toDF("x")
+    val b = Seq(Option.empty[Int], Some(2)).toDF("x")
+    assert(a.intersect(b).count() === 1) // just the null
+    assert(a.union(b).distinct().count() === 3) // 1, 2, null
+    assert(a.except(b).collect().map(_.getInt(0)).toSeq === Seq(1))
+  }
+
+  test("grouping_id distinguishes data nulls from rollup-generated nulls") {
+    val df = Seq((Some("g"), 1), (None, 2)).toDF("g", "v")
+    val r = df.rollup(col("g")).agg(sum(col("v")).as("s"),
+      grouping_id().as("gid"))
+      .collect().map(x => (Option(x.getString(0)), x.getLong(1), x.getLong(2)))
+      .toSet
+    // data-null group has gid 0; the rollup total has gid 1
+    assert(r === Set((Some("g"), 1L, 0L), (None, 2L, 0L), (None, 3L, 1L)))
+  }
+
+  test("aggregates skip nulls; count(*) does not") {
+    val df = Seq(Some(1.0), None, Some(3.0)).toDF("x")
+    val r = df.agg(count(lit(1)).as("all"), count(col("x")).as("nn"),
+      sum(col("x")).as("s"), avg(col("x")).as("a")).head()
+    assert(r.getLong(0) === 3 && r.getLong(1) === 2)
+    assert(r.getDouble(2) === 4.0 && r.getDouble(3) === 2.0) // avg over 2, not 3
+  }
+
+  test("range frame includes exact boundary values") {
+    val df = Seq((1L, 0L), (2L, 3599L), (3L, 3600L)).toDF("id", "sec")
+    val w = Window.orderBy(col("sec")).rangeBetween(-3599, 0)
+    val c = df.select(col("id"), count(lit(1)).over(w).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c === Map(1L -> 1L, 2L -> 2L, 3L -> 2L)) // 3600-3599=1 in range; 0 is not
+  }
+
+  test("window rank vs dense_rank vs row_number on ties") {
+    val df = Seq(("a", 1), ("b", 1), ("c", 2)).toDF("id", "s")
+    val w = Window.orderBy(col("s"), col("id"))
+    val wt = Window.orderBy(col("s"))
+    val r = df.select(col("id"), row_number().over(w).as("rn"),
+      rank().over(wt).as("rk"), dense_rank().over(wt).as("dr"))
+      .collect().map(x => x.getString(0) -> (x.getInt(1), x.getInt(2), x.getInt(3)))
+      .toMap
+    assert(r("a") === ((1, 1, 1)))
+    assert(r("b") === ((2, 1, 1)))
+    assert(r("c") === ((3, 3, 2)))
+  }
+
+  test("dropDuplicates on a key subset keeps exactly one row per key") {
+    val df = Seq((1, "x"), (1, "y"), (2, "z")).toDF("k", "v")
+    val d = df.dropDuplicates(Seq("k"))
+    assert(d.count() === 2)
+    assert(d.select("k").collect().map(_.getInt(0)).sorted.toSeq === Seq(1, 2))
+  }
+
+  test("union is by position, unionByName by name") {
+    val a = Seq((1, "x")).toDF("n", "s")
+    val b = Seq(("y", 2)).toDF("s", "n")
+    val byName = a.unionByName(b).collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(byName.toSet === Set((1, "x"), (2, "y")))
+  }
+}
