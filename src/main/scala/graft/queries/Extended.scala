@@ -158,6 +158,69 @@ object Extended {
         .agg(approx_count_distinct(col("o_custkey"), 0.02).as("acd"))
     },
 
+    // ---- O28: posexplode — ordinal-preserving lateral expansion ----
+    gated("q50_posexplode",
+      """SELECT doc_id, generate_subscripts(w, 1) - 1 AS pos, unnest(w) AS word
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS w
+        |      FROM documents WHERE doc_id < 20) t
+        |ORDER BY doc_id, pos""") { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "word")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("word"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- Entry point C stage 1 (SURVEY §3.3): the SQL front-end. A
+    //      scalar subquery through spark.sql — Catalyst parses, rewrites
+    //      (RewriteCorrelatedScalarSubquery), and plans the same engine
+    //      operators the DataFrame API declares. ----
+    gated("q51_sql_entry",
+      """SELECT o_orderkey,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.9
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT o_orderkey,
+          |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price
+          |FROM orders
+          |WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders) * 1.9
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ---- SQL EXISTS decorrelation (RewritePredicateSubquery → semi join) ----
+    gated("q51b_sql_exists",
+      """SELECT o_orderkey FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM events e
+        |              WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase')
+        |ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      Tables.events(s, d).createOrReplaceTempView("events")
+      s.sql(
+        """SELECT o_orderkey FROM orders o
+          |WHERE EXISTS (SELECT 1 FROM events e
+          |              WHERE e.user_id = o.o_custkey AND e.event_type = 'purchase')
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ---- O13/O14: pivot — conditional aggregation in matrix form ----
+    gated("q52_pivot",
+      """SELECT user_id,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view,
+        |       CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase
+        |FROM events GROUP BY user_id ORDER BY user_id""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .count()
+        .na.fill(0L, Seq("click", "view", "purchase"))
+        .orderBy("user_id")
+    },
+
     // ---- O1 (CSV leg): explicit-schema CSV scan of the checked-in
     //      SF-invariant nation fixture, joined to the parquet region table
     //      (region/nation are schema-bounded → broadcast is safe at any
