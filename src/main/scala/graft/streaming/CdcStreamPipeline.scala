@@ -69,7 +69,9 @@ object CdcStreamPipeline {
       .filter(col("metadata").isNull)
       .select(col("value"))
       .writeStream.foreachBatch { (bad: DataFrame, batchId: Long) =>
-        bad.write.mode("append").text(s"${sinks.error}/batch_id=$batchId")
+        // overwrite of the batch-scoped directory → a retried batch
+        // replaces its own output instead of appending twice
+        bad.write.mode("overwrite").text(s"${sinks.error}/batch_id=$batchId")
       }.trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint + "_dlq").start()
 
@@ -87,13 +89,19 @@ object CdcStreamPipeline {
       val good = batch.filter(Envelope.selection())
 
       // S10: UTC time-partitioned archive (firehose.py:131-135 prefix).
+      // The write targets a batch-scoped subdirectory with overwrite, so a
+      // RETRIED micro-batch (task failure after a partial write) replaces
+      // its own output instead of double-appending — exactly-once archive
+      // contents under at-least-once batch execution. Partition discovery
+      // on read surfaces batch_id as one more partition column; hour
+      // pruning still pushes (StreamingSpec asserts it).
       good.withColumn("year", date_format(col("event_ts"), "yyyy"))
         .withColumn("month", date_format(col("event_ts"), "MM"))
         .withColumn("day", date_format(col("event_ts"), "dd"))
         .withColumn("hour", date_format(col("event_ts"), "HH"))
         .drop("value")
         .write.partitionBy("year", "month", "day", "hour")
-        .mode("append").parquet(sinks.archive)
+        .mode("overwrite").parquet(s"${sinks.archive}/batch_id=$batchId")
 
       // S9: serving state merge (idempotent under redelivery: the merge is
       // a pure last-write-wins reduction over the union of old state and

@@ -75,6 +75,28 @@ class StreamingSpec extends SparkTestBase {
       s"listener counted ${listener.totalInputRows} input rows")
   }
 
+  test("batch RETRY is exactly-once: re-running sinkBatch leaves identical state") {
+    val root = tmpDir("cdc_retry")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val batch = CdcStreamPipeline.parseLines(
+      spark.read.text(Tables.cdcFixturePath))
+
+    CdcStreamPipeline.sinkBatch(sinks)(batch, 0L)
+    val archive1 = spark.read.parquet(sinks.archive).count()
+    // collect eagerly: the retry swaps the serving directory underneath any
+    // still-lazy reader
+    val serving1 = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().map(_.toString).sorted.toSeq
+
+    // the at-least-once case: the same micro-batch executes again
+    CdcStreamPipeline.sinkBatch(sinks)(batch, 0L)
+    assert(spark.read.parquet(sinks.archive).count() === archive1)
+    val serving2 = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().map(_.toString).sorted.toSeq
+    assert(serving2 === serving1)
+  }
+
   test("duplicate delivery is idempotent (the reference's _id semantics)") {
     val src = tmpDir("cdc_src_dup")
     Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
