@@ -46,14 +46,28 @@ object Envelope {
     StructField("data", dataSchema),
     StructField("metadata", metadataSchema)))
 
-  /** O34/O1: JSONL scan + envelope parse. Reads raw lines (the Kinesis
-    * `value` analog) and applies the fixed schema. Distributed: the file
-    * source splits by line ranges; `from_json` is per-row, no shuffle. */
-  def parse(spark: SparkSession, path: String): DataFrame =
-    spark.read.text(path)
+  /** O34/O1: envelope parse over any DataFrame of raw lines (batch file
+    * read or a streaming source) — the single parse implementation both
+    * paths share. `from_json` is per-row, no shuffle. */
+  def parseLines(lines: DataFrame): DataFrame =
+    lines
       .select(from_json(col("value"), schema).as("env"), col("value"))
       .select(col("env.data").as("data"), col("env.metadata").as("metadata"),
         col("value"))
+
+  /** Batch entry: JSONL scan + parse (the file source splits by line
+    * ranges — distributed). */
+  def parse(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.read.text(path))
+
+  /** A line is DLQ-bound when the fixed schema could not parse it at all,
+    * or when a data record arrived without a row image / primary key
+    * (PERMISSIVE from_json nulls out corrupt sub-trees — those must not
+    * materialize as null-key rows in serving state). */
+  def corrupt: Column =
+    col("metadata").isNull ||
+      (col("metadata.`record-type`") === "data" &&
+        (col("data").isNull || col("data.trans_id").isNull))
 
   /** S3 selection rule (reference dms_aurora_mysql_to_kinesis.py:96-107):
     * only data records of one schema.table enter the pipeline. Control

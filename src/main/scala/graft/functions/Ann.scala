@@ -39,10 +39,12 @@ object Ann {
     array(bucket +: (0 until nBits).map(b => bucket.bitwiseXOR(lit(1L << b))): _*)
 
   /** Approximate top-k cosine neighbors of one query vector.
-    * `corpus`: (idCol, vecCol); `query`: single row with vecCol. */
+    * `corpus`: (idCol, vecCol); `query`: single row with vecCol. `dim`
+    * MUST equal the vector width: a mismatched dim null-pads the
+    * projection and silently degrades every signature to bucket 0 (no
+    * pruning), so it is an explicit parameter, not a buried constant. */
   def annTopK(corpus: DataFrame, query: DataFrame, idCol: String,
-              vecCol: String, k: Int, nBits: Int = 8): DataFrame = {
-    val dim = 64
+              vecCol: String, k: Int, dim: Int = 64, nBits: Int = 8): DataFrame = {
     val planes = hyperplanes(dim, nBits)
     val cand = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
       VectorOps.l2(col(vecCol)).as("cn"),

@@ -5,7 +5,6 @@ import graft.GatedQuery.gated
 import graft.Norm._
 import graft.functions.{VectorOps, WeightedAvg}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** JSON/array/map functions and the LLM-pipeline batch four
   * (SURVEY.md O25–O28, O37–O39, O41 = D-Q27/28/35/36/37/38).
@@ -16,8 +15,6 @@ import org.apache.spark.sql.types.DecimalType
   * extensions over the `documents`/`embeddings` tables.
   */
 object Functions {
-
-  private val Dec94 = DecimalType(9, 4)
 
   val all: Seq[GatedQuery] = Seq(
 

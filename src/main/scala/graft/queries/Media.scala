@@ -24,12 +24,13 @@ object Media {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS head_byte
         |FROM documents ORDER BY media_id""") { (s, d) =>
+      // one scan: head_byte comes from the payload bytes themselves
+      // (decode back to string), not a second join against documents
       Multimodal.mediaFromDocuments(Tables.documents(s, d))
-        .join(Tables.documents(s, d).select(col("doc_id"), col("text")),
-          col("media_id") === col("doc_id"))
         .select(col("media_id"), col("kind"),
           octet_length(col("payload")).cast("long").as("n_bytes"),
-          ascii(substring(col("text"), 1, 1)).cast("long").as("head_byte"))
+          ascii(substring(decode(col("payload"), "UTF-8"), 1, 1))
+            .cast("long").as("head_byte"))
         .orderBy("media_id")
     },
 

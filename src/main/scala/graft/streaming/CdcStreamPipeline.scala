@@ -33,14 +33,12 @@ object CdcStreamPipeline {
   final case class Sinks(serving: String, archive: String, error: String,
                          checkpoint: String)
 
-  /** Stateless front of the stream: parse + flatten + event time. Keeps the
-    * raw line for DLQ routing of unparseable records. */
+  /** Stateless front of the stream: the shared envelope parse
+    * (Envelope.parseLines) + event time. Keeps the raw line for DLQ
+    * routing of unparseable records. */
   def parseLines(lines: DataFrame): DataFrame =
-    lines
-      .select(from_json(col("value"), Envelope.schema).as("env"), col("value"))
-      .select(col("env.data").as("data"), col("env.metadata").as("metadata"),
-        col("value"),
-        to_timestamp(col("env.metadata.timestamp")).as("event_ts"))
+    Envelope.parseLines(lines)
+      .withColumn("event_ts", to_timestamp(col("metadata.timestamp")))
 
   /** Full pipeline over a streaming DataFrame of raw envelope lines.
     * Returns (main query, DLQ query). `lateness` bounds both dedup state
@@ -53,20 +51,25 @@ object CdcStreamPipeline {
             lateness: String = "1 hour"): (StreamingQuery, StreamingQuery) = {
     val parsed = parseLines(lines)
 
-    // Dedup key = (pk, transaction-id) — the reference's `_id` idempotence
-    // under Firehose redelivery (S9, reference README.md:455-457).
+    // Dedup key = (pk, transaction-id, event time) — the reference's `_id`
+    // idempotence under Firehose redelivery (S9, reference
+    // README.md:455-457). The timestamp component matters: one source
+    // transaction can change the same row twice (same pk AND same txid,
+    // different timestamps) — a (pk, txid) key would swallow the second
+    // change as a "redelivery"; true redeliveries carry identical
+    // timestamps and still dedup.
     val main = parsed
-      .filter(col("metadata").isNotNull)
+      .filter(!Envelope.corrupt)
       .withColumn("pk", col("data.trans_id"))
       .withColumn("txid", col("metadata.`transaction-id`"))
       .withWatermark("event_ts", lateness)
-      .dropDuplicatesWithinWatermark("pk", "txid")
+      .dropDuplicatesWithinWatermark("pk", "txid", "event_ts")
       .drop("pk", "txid")
       .writeStream.foreachBatch(sinkBatch(sinks) _).trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
     val dlq = parsed
-      .filter(col("metadata").isNull)
+      .filter(Envelope.corrupt)
       .select(col("value"))
       .writeStream.foreachBatch { (bad: DataFrame, batchId: Long) =>
         // overwrite of the batch-scoped directory → a retried batch
@@ -105,21 +108,39 @@ object CdcStreamPipeline {
 
       // S9: serving state merge (idempotent under redelivery: the merge is
       // a pure last-write-wins reduction over the union of old state and
-      // the new batch).
+      // the new batch). Crash-safe swap protocol: write staging → rename
+      // current aside as backup → rename staging in → drop backup. Every
+      // crash window leaves either `cur` or `backup` intact, and
+      // `resolveState` recovers from the backup on the next batch — the
+      // plain delete-then-rename had a window that lost ALL serving state.
       val incoming = good.select(col("data"), col("metadata"))
       val fs = new Path(sinks.serving).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
       val cur = new Path(sinks.serving)
-      val old =
-        if (fs.exists(cur)) Some(spark.read.parquet(sinks.serving)) else None
+      val backup = new Path(sinks.serving + ".backup")
+      val stateDir = resolveState(fs, cur, backup)
+      val old = stateDir.map(p => spark.read.parquet(p.toString))
       val all = old.map(_.unionByName(incoming)).getOrElse(incoming)
       val merged = latestPerKey(all)
       val staging = new Path(sinks.serving + ".staging")
       merged.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(cur)) fs.delete(cur, true)
-      fs.rename(staging, cur)
+      if (fs.exists(cur)) {
+        if (fs.exists(backup)) fs.delete(backup, true)
+        require(fs.rename(cur, backup), s"rename $cur -> $backup failed")
+      }
+      require(fs.rename(staging, cur), s"rename $staging -> $cur failed")
+      if (fs.exists(backup)) fs.delete(backup, true)
     } finally batch.unpersist()
   }
+
+  /** Crash recovery for the swap protocol: prefer the live state dir; fall
+    * back to the backup a mid-swap crash left behind (restoring it to the
+    * live name). */
+  private def resolveState(fs: org.apache.hadoop.fs.FileSystem,
+                           cur: Path, backup: Path): Option[Path] =
+    if (fs.exists(cur)) Some(cur)
+    else if (fs.exists(backup)) { fs.rename(backup, cur); Some(cur) }
+    else None
 
   /** Last write per key including tombstones — the persisted serving state. */
   def latestPerKey(env: DataFrame): DataFrame = {

@@ -15,18 +15,25 @@ final class MetricsListener extends StreamingQueryListener {
                                inputRowsPerSecond: Double,
                                processedRowsPerSecond: Double)
 
-  private val metrics = mutable.ArrayBuffer[BatchMetric]()
+  /** Retained window: a continuously-running query must not grow driver
+    * memory, so only the most recent batches are kept verbatim; the input
+    * row count is a running total. */
+  private val maxRetained = 1024
+  private val metrics = mutable.ArrayDeque[BatchMetric]()
+  private var inputRows = 0L
 
   def batches: Seq[BatchMetric] = metrics.synchronized(metrics.toVector)
-  def totalInputRows: Long = batches.map(_.numInputRows).sum
+  def totalInputRows: Long = metrics.synchronized(inputRows)
 
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
     metrics.synchronized {
+      inputRows += p.numInputRows
       metrics += BatchMetric(p.batchId, p.numInputRows,
         p.inputRowsPerSecond, p.processedRowsPerSecond)
+      while (metrics.size > maxRetained) metrics.removeHead()
     }
   }
 }

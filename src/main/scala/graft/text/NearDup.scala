@@ -52,15 +52,18 @@ object NearDup {
                k: Int = 16, nBands: Int = 4, threshold: Double = 0.5): DataFrame = {
     // The self-join consumes the signature relation on BOTH sides; without
     // materialization Spark recomputes the whole tokenize→shingle→k-hash
-    // pipeline twice (measured 2× the query cost). Persisting the signature
-    // stage is the scale pattern too: at corpus scale signatures are
-    // computed once and written out, then band-joined.
+    // pipeline twice (measured 2× the query cost). localCheckpoint (not
+    // persist): it breaks lineage for both join sides, is GC-cleaned when
+    // the DataFrame is dropped (persist leaked pinned blocks for the whole
+    // session), and each call materializes fresh — a benchmark rerun can't
+    // silently hit a previous run's cache. At corpus scale the equivalent
+    // is writing signatures out once and band-joining the files.
     val sig = docs.select(col(idCol).as("id"),
         shingleHashes(col(tokensCol)).as("sh"))
       .withColumn("sig", minhashSignature(col("sh"), k))
       .withColumn("band", explode(bands(col("sig"), k, nBands)))
       .select(col("id"), col("sh"), col("band.band_idx"), col("band.band_hash"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val a = sig.select(col("id").as("a_id"), col("sh").as("a_sh"),
       col("band_idx"), col("band_hash"))
     val b = sig.select(col("id").as("b_id"), col("sh").as("b_sh"),
