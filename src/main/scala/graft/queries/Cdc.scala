@@ -113,6 +113,48 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- O35 companion: SCD type-2 history — every row version with its
+    //      validity interval (valid_from = the change's timestamp,
+    //      valid_to = the next change's, open for the current version) and
+    //      a current-row flag. The standard warehouse consumption of a CDC
+    //      changelog; one window over the PK partition, same single
+    //      exchange as the snapshot. ----
+    gated("q53_scd2_history",
+      s"""SELECT trans_id, txid, op, amount, valid_from,
+         |       COALESCE(valid_to, '9999-12-31') AS valid_to,
+         |       CAST(CASE WHEN valid_to IS NULL AND op <> 'delete'
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS is_current
+         |FROM (
+         |  SELECT data.trans_id AS trans_id,
+         |         metadata."transaction-id" AS txid,
+         |         metadata.operation AS op,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         metadata."timestamp" AS valid_from,
+         |         LEAD(metadata."timestamp") OVER (
+         |           PARTITION BY data.trans_id
+         |           ORDER BY metadata."timestamp", metadata."transaction-id")
+         |           AS valid_to
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |ORDER BY trans_id, valid_from, txid""") { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("data.trans_id"))
+        .orderBy(col("metadata.timestamp"), col("metadata.`transaction-id`"))
+      Envelope.changelog(s, fx)
+        .select(col("data.trans_id").as("trans_id"),
+          col("metadata.`transaction-id`").as("txid"),
+          col("metadata.operation").as("op"),
+          col("data.amount").cast("long").as("amount"),
+          col("metadata.timestamp").as("valid_from"),
+          lead(col("metadata.timestamp"), 1).over(w).as("valid_to"))
+        .select(col("trans_id"), col("txid"), col("op"), col("amount"),
+          col("valid_from"),
+          coalesce(col("valid_to"), lit("9999-12-31")).as("valid_to"),
+          when(col("valid_to").isNull && col("op") =!= "delete", 1L)
+            .otherwise(0L).as("is_current"))
+        .orderBy("trans_id", "valid_from", "txid")
+    },
+
     // ---- O36 (D-Q34): op statistics over ALL data records (both schemas/
     //      tables — the observability view sees the whole stream) ----
     gated("q34_cdc_op_stats",

@@ -80,6 +80,35 @@ class StreamingSpec extends SparkTestBase {
       s"listener counted ${listener.totalInputRows} input rows")
   }
 
+  test("multi-batch incremental merge equals one-shot materialization") {
+    // split the fixture across two files and force one file per trigger →
+    // the serving state is built by two successive merges, which must
+    // converge to the same snapshot as materializing everything at once
+    val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
+    val src = tmpDir("cdc_split")
+    val (a, b) = (0 until lines.size).partition(_ % 2 == 0)
+    Files.write(Paths.get(s"$src/a.jsonl"),
+      a.map(lines.get).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$src/b.jsonl"),
+      b.map(lines.get).mkString("\n").getBytes)
+
+    val root = tmpDir("cdc_split_out")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val src2 = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+    val (main, dlq) = CdcStreamPipeline.start(src2, sinks,
+      Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+
+    val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    val batch = Materialize.snapshot(
+      Envelope.changelog(spark, Tables.cdcFixturePath))
+    assert(streaming.count() === 210)
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+  }
+
   test("batch RETRY is exactly-once: re-running sinkBatch leaves identical state") {
     val root = tmpDir("cdc_retry")
     val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
