@@ -17,7 +17,10 @@ object ExplainAudit {
     "q20_global_sort_limit",   // TakeOrderedAndProject
     "q33_cdc_materialize",     // single PK shuffle for the window
     "q37_cosine_topk",         // broadcast 1-row side, no corpus shuffle
-    "q46_cosine_neardup")      // per-row norms before the join
+    "q46_cosine_neardup",      // per-row norms before the join
+    "q35_exact_dedup",         // two-phase hash agg over all columns
+    "q36b_tfidf",              // vocabulary-sized side broadcasts
+    "q51_sql_entry")           // SQL entry: scalar subquery rewrite
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
