@@ -150,6 +150,23 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
+    // ---- S15 stats surface: exact interpolated percentiles (the
+    //      OpenSearch percentiles aggregation analog). Spark `percentile`
+    //      and DuckDB `quantile_cont` share the same linear-interpolation
+    //      definition, so this gates exactly; the approximate scale path
+    //      is `approx_percentile` (same shape as O12's estimator story). ----
+    gated("q54_percentiles",
+      """SELECT event_type,
+        |       CAST(CAST(ROUND(quantile_cont(value, 0.5), 2) AS DECIMAL(18,2)) AS VARCHAR) AS p50,
+        |       CAST(CAST(ROUND(quantile_cont(value, 0.9), 2) AS DECIMAL(18,2)) AS VARCHAR) AS p90
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(decStr(round(expr("percentile(value, 0.5)"), 2)).as("p50"),
+          decStr(round(expr("percentile(value, 0.9)"), 2)).as("p90"))
+        .orderBy("event_type")
+    },
+
     // ---- O12: approx distinct (HLL++). The estimator differs from
     //      DuckDB's, so no cross-engine hash; the driver records rows-only
     //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----

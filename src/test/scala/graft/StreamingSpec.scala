@@ -144,6 +144,25 @@ class StreamingSpec extends SparkTestBase {
     assert(streaming.exceptAll(batch).count() === 0)
   }
 
+  test("ProcessingTime trigger (the reference's 60s micro-batch) drives the same pipeline") {
+    // S8: the production trigger is time-based (firehose.py:122-125); the
+    // replay tests use AvailableNow. Run one micro-batch under a
+    // ProcessingTime trigger to pin that configuration path.
+    val src = tmpDir("cdc_pt")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    val root = tmpDir("cdc_pt_out")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.text(src), sinks,
+      Trigger.ProcessingTime("1 second"))
+    try {
+      main.processAllAvailable()
+      assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+        .count() === 210)
+    } finally { main.stop(); dlq.stop() }
+  }
+
   test("watermark drops late rows from a windowed aggregation (O32)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
