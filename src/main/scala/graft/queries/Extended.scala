@@ -4,7 +4,7 @@ import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType, StructField, StructType}
 
 /** Extended operator coverage: remaining outer-join variants (O5),
   * time-window generalizations (O30 sliding, O31 session — both expressible
@@ -164,6 +164,27 @@ object Extended {
         .groupBy("event_type")
         .agg(decStr(round(expr("percentile(value, 0.5)"), 2)).as("p50"),
           decStr(round(expr("percentile(value, 0.9)"), 2)).as("p90"))
+        .orderBy("event_type")
+    },
+
+    // ---- S15 stats surface: second-moment aggregates. Both engines use
+    //      numerically stable one-pass formulations whose results agree
+    //      far below the rounded scales gated here. ----
+    gated("q55_stats_agg",
+      """SELECT event_type,
+        |       CAST(CAST(ROUND(stddev_samp(value), 2) AS DECIMAL(18,2)) AS VARCHAR) AS sd,
+        |       CAST(CAST(ROUND(var_samp(value), 1) AS DECIMAL(18,1)) AS VARCHAR) AS vr,
+        |       CAST(CAST(ROUND(corr(value, CAST(user_id AS DOUBLE)), 4) AS DECIMAL(9,4)) AS VARCHAR) AS cr
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(stddev_samp(col("value")), 2).cast(DecimalType(18, 2))
+            .cast("string").as("sd"),
+          round(var_samp(col("value")), 1).cast(DecimalType(18, 1))
+            .cast("string").as("vr"),
+          dec4Str(round(corr(col("value"), col("user_id").cast("double")), 4))
+            .as("cr"))
         .orderBy("event_type")
     },
 
