@@ -9,11 +9,14 @@ import scala.collection.mutable
   * 143-147; SURVEY.md §3.2 stage 6). Collects per-batch input rates and row
   * counts; the reference's "is the pipeline moving" signal, queryable
   * in-process instead of via a log service. */
-final class MetricsListener extends StreamingQueryListener {
-
+object MetricsListener {
   final case class BatchMetric(batchId: Long, numInputRows: Long,
                                inputRowsPerSecond: Double,
                                processedRowsPerSecond: Double)
+}
+
+final class MetricsListener extends StreamingQueryListener {
+  import MetricsListener.BatchMetric
 
   /** Retained window: a continuously-running query must not grow driver
     * memory, so only the most recent batches are kept verbatim; the input
