@@ -188,6 +188,31 @@ object Extended {
         .orderBy("event_type")
     },
 
+    // ---- S15: ordered string aggregation (collect_list is
+    //      order-nondeterministic in a distributed run — array_sort before
+    //      joining makes the output a pure function of the group) ----
+    gated("q56_string_agg",
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""") { (s, d) =>
+      Tables.nation(s, d)
+        .groupBy("n_regionkey")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("names"))
+        .orderBy("n_regionkey")
+    },
+
+    // ---- S15: numeric histogram (the date_histogram analog for value
+    //      axes): fixed-width bins via floor division — exact in double
+    //      on both engines ----
+    gated("q57_histogram",
+      """SELECT CAST(floor(value/20.0) AS BIGINT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS c
+        |FROM events GROUP BY bin ORDER BY bin""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 20.0).cast("long").as("bin"))
+        .agg(cntLong.as("c"))
+        .orderBy("bin")
+    },
+
     // ---- O12: approx distinct (HLL++). The estimator differs from
     //      DuckDB's, so no cross-engine hash; the driver records rows-only
     //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----
