@@ -61,11 +61,20 @@ object Envelope {
     parseLines(spark.read.text(path))
 
   /** A line is DLQ-bound when the fixed schema could not parse it at all,
-    * or when a data record arrived without a row image / primary key
+    * when provenance essentials (record-type, timestamp) are missing, or
+    * when a data record arrived without a row image / primary key
     * (PERMISSIVE from_json nulls out corrupt sub-trees — those must not
-    * materialize as null-key rows in serving state). */
+    * materialize as null-key rows in serving state).
+    *
+    * Null-safety is load-bearing: this predicate must NEVER evaluate to
+    * SQL NULL, because the pipeline routes on `corrupt` / `!corrupt` — a
+    * NULL would drop the row from BOTH the main stream and the DLQ. The
+    * null metadata fields are tested with isNull before any `===`
+    * comparison can go three-valued. */
   def corrupt: Column =
     col("metadata").isNull ||
+      col("metadata.`record-type`").isNull ||
+      col("metadata.`timestamp`").isNull ||
       (col("metadata.`record-type`") === "data" &&
         (col("data").isNull || col("data.trans_id").isNull))
 

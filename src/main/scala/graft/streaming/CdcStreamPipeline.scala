@@ -58,8 +58,12 @@ object CdcStreamPipeline {
     // different timestamps) — a (pk, txid) key would swallow the second
     // change as a "redelivery"; true redeliveries carry identical
     // timestamps and still dedup.
+    // The two filters are exactly complementary (Envelope.corrupt is
+    // never-NULL by construction; the event_ts guard catches timestamp
+    // strings present but unparseable): every input line reaches exactly
+    // one of the two queries.
     val main = parsed
-      .filter(!Envelope.corrupt)
+      .filter(!Envelope.corrupt && col("event_ts").isNotNull)
       .withColumn("pk", col("data.trans_id"))
       .withColumn("txid", col("metadata.`transaction-id`"))
       .withWatermark("event_ts", lateness)
@@ -69,7 +73,7 @@ object CdcStreamPipeline {
       .option("checkpointLocation", sinks.checkpoint).start()
 
     val dlq = parsed
-      .filter(Envelope.corrupt)
+      .filter(Envelope.corrupt || col("event_ts").isNull)
       .select(col("value"))
       .writeStream.foreachBatch { (bad: DataFrame, batchId: Long) =>
         // overwrite of the batch-scoped directory → a retried batch
@@ -97,7 +101,11 @@ object CdcStreamPipeline {
       // its own output instead of double-appending — exactly-once archive
       // contents under at-least-once batch execution. Partition discovery
       // on read surfaces batch_id as one more partition column; hour
-      // pruning still pushes (StreamingSpec asserts it).
+      // pruning still pushes (StreamingSpec asserts it). Long-running
+      // streams accumulate one batch_id dir per trigger — a periodic
+      // compaction job (rewrite batch dirs older than the retention point
+      // into plain hour partitions) bounds file-listing cost; at the
+      // reference's 60 s trigger that is a daily ~1440-dir sweep.
       good.withColumn("year", date_format(col("event_ts"), "yyyy"))
         .withColumn("month", date_format(col("event_ts"), "MM"))
         .withColumn("day", date_format(col("event_ts"), "dd"))
@@ -108,39 +116,51 @@ object CdcStreamPipeline {
 
       // S9: serving state merge (idempotent under redelivery: the merge is
       // a pure last-write-wins reduction over the union of old state and
-      // the new batch). Crash-safe swap protocol: write staging → rename
-      // current aside as backup → rename staging in → drop backup. Every
-      // crash window leaves either `cur` or `backup` intact, and
-      // `resolveState` recovers from the backup on the next batch — the
-      // plain delete-then-rename had a window that lost ALL serving state.
+      // the new batch). Versioned-directory protocol: each batch writes a
+      // NEW complete version dir (staging name, renamed in when finished —
+      // so any `v=` dir that exists is complete), readers and the next
+      // merge resolve the highest version. No state dir is ever deleted
+      // out from under a reader (in-place swap raced concurrent
+      // servingSnapshot readers and had crash windows); only versions two
+      // generations back are pruned.
       val incoming = good.select(col("data"), col("metadata"))
       val fs = new Path(sinks.serving).getFileSystem(
         spark.sparkContext.hadoopConfiguration)
-      val cur = new Path(sinks.serving)
-      val backup = new Path(sinks.serving + ".backup")
-      val stateDir = resolveState(fs, cur, backup)
-      val old = stateDir.map(p => spark.read.parquet(p.toString))
+      val old = latestVersion(fs, sinks.serving)
+        .map(v => spark.read.parquet(versionDir(sinks.serving, v).toString))
       val all = old.map(_.unionByName(incoming)).getOrElse(incoming)
       val merged = latestPerKey(all)
-      val staging = new Path(sinks.serving + ".staging")
+      val staging = new Path(s"${sinks.serving}/.staging-$batchId")
+      val target = versionDir(sinks.serving, batchId)
       merged.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(cur)) {
-        if (fs.exists(backup)) fs.delete(backup, true)
-        require(fs.rename(cur, backup), s"rename $cur -> $backup failed")
-      }
-      require(fs.rename(staging, cur), s"rename $staging -> $cur failed")
-      if (fs.exists(backup)) fs.delete(backup, true)
+      if (fs.exists(target)) fs.delete(target, true) // retried batch
+      require(fs.rename(staging, target), s"rename $staging -> $target failed")
+      // prune versions at least two generations old (concurrent readers of
+      // the previous version stay safe)
+      listVersions(fs, sinks.serving).filter(_ < batchId).sorted.dropRight(1)
+        .foreach(v => fs.delete(versionDir(sinks.serving, v), true))
     } finally batch.unpersist()
   }
 
-  /** Crash recovery for the swap protocol: prefer the live state dir; fall
-    * back to the backup a mid-swap crash left behind (restoring it to the
-    * live name). */
-  private def resolveState(fs: org.apache.hadoop.fs.FileSystem,
-                           cur: Path, backup: Path): Option[Path] =
-    if (fs.exists(cur)) Some(cur)
-    else if (fs.exists(backup)) { fs.rename(backup, cur); Some(cur) }
-    else None
+  private def versionDir(serving: String, v: Long): Path =
+    new Path(s"$serving/v=$v")
+
+  /** Completed state versions under the serving root (staging dirs are
+    * dot-prefixed and excluded; a `v=` dir exists only once fully
+    * written). */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+                           serving: String): Seq[Long] = {
+    val root = new Path(serving)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+  }
+
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            serving: String): Option[Long] = {
+    val vs = listVersions(fs, serving)
+    if (vs.isEmpty) None else Some(vs.max)
+  }
 
   /** Last write per key including tombstones — the persisted serving state. */
   def latestPerKey(env: DataFrame): DataFrame = {
@@ -152,9 +172,16 @@ object CdcStreamPipeline {
       .filter(col("rn") === 1).drop("rn")
   }
 
-  /** The user-facing serving view: live rows only (tombstones hidden). */
-  def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame =
-    spark.read.parquet(servingDir)
+  /** The user-facing serving view: live rows only (tombstones hidden).
+    * Resolves the newest COMPLETE version dir, so a concurrent merge can
+    * never rename files out from under this reader. */
+  def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame = {
+    val fs = new Path(servingDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, servingDir).getOrElse(
+      throw new IllegalStateException(s"no serving state under $servingDir"))
+    spark.read.parquet(versionDir(servingDir, v).toString)
       .filter(col("metadata.operation") =!= "delete")
       .select(col("data.*"))
+  }
 }

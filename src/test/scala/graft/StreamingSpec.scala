@@ -35,7 +35,10 @@ class StreamingSpec extends SparkTestBase {
       "this is not json\n{\"also\": \"not an envelope\"\n" +
         // parseable metadata but no row image: a data record that must hit
         // the DLQ, not materialize a null-key serving row
-        """{"metadata": {"timestamp": "2022-03-14T14:59:59.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 999999}}""" + "\n")
+        """{"metadata": {"timestamp": "2022-03-14T14:59:59.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 999999}}""" + "\n" +
+        // metadata present but record-type null: the three-valued-logic
+        // trap — must reach the DLQ, not vanish from both streams
+        """{"metadata": {"timestamp": "2022-03-14T14:59:58.000000Z"}}""" + "\n")
     val listener = new graft.streaming.MetricsListener
     spark.streams.addListener(listener)
     val t0 = System.nanoTime()
@@ -68,15 +71,16 @@ class StreamingSpec extends SparkTestBase {
       s"hour filter not pushed to partition pruning:\n$plan")
     assert(pruned.count() === 600) // fixture spans a single UTC hour
 
-    // S11 DLQ: the 2 unparseable lines + the data record with no row image
-    assert(spark.read.text(sinks.error).count() === 3)
+    // S11 DLQ: 2 unparseable lines + the data record with no row image +
+    // the record-type-null envelope — every corrupt line, none dropped
+    assert(spark.read.text(sinks.error).count() === 4)
     // ...and no null-key row leaked into serving state
     assert(streaming.filter(col("trans_id").isNull).count() === 0)
 
     // observability (SURVEY §3.2 stage 6): the listener saw every input
-    // line on both queries (main + DLQ each scan the 616-line source)
+    // line on both queries (main + DLQ each scan the 617-line source)
     spark.streams.removeListener(listener)
-    assert(listener.totalInputRows === 1232,
+    assert(listener.totalInputRows === 1234,
       s"listener counted ${listener.totalInputRows} input rows")
   }
 
