@@ -18,6 +18,29 @@ class CdcSpec extends SparkTestBase {
     assert(changelog.filter(col("data.amount") === 99999).count() === 0)
   }
 
+  test("Envelope.corrupt is never NULL for any null combination (routing invariant)") {
+    import spark.implicits._
+    // crafted lines covering every null/missing-field shape the PERMISSIVE
+    // parser can produce: the routing predicate must be a real boolean for
+    // all of them, or rows vanish from both the main stream and the DLQ
+    val lines = Seq(
+      "not json at all",
+      """{"metadata": null}""",
+      """{"metadata": {}}""",
+      """{"metadata": {"timestamp": "2022-01-01T00:00:00.000000Z"}}""",
+      """{"metadata": {"record-type": "data"}}""",
+      """{"metadata": {"record-type": "data", "timestamp": "2022-01-01T00:00:00.000000Z"}}""",
+      """{"metadata": {"record-type": "control", "timestamp": "2022-01-01T00:00:00.000000Z"}}""",
+      """{"data": {"trans_id": null}, "metadata": {"record-type": "data", "timestamp": "2022-01-01T00:00:00.000000Z"}}""",
+      """{"data": {"trans_id": 1}, "metadata": {"record-type": "data", "timestamp": "2022-01-01T00:00:00.000000Z"}}""")
+    val parsed = Envelope.parseLines(lines.toDF("value"))
+    assert(parsed.filter(Envelope.corrupt.isNull).count() === 0)
+    // and the two routes partition the input exactly
+    val c = parsed.filter(Envelope.corrupt).count()
+    val nc = parsed.filter(!Envelope.corrupt).count()
+    assert(c + nc === lines.size.toLong)
+  }
+
   test("materialized snapshot equals a sequential fold of the changelog") {
     val snapshot = Materialize.snapshot(changelog)
       .collect().map(r => r.getLong(0) -> r).toMap
