@@ -35,10 +35,14 @@ object CdcStreamPipeline {
 
   /** Stateless front of the stream: the shared envelope parse
     * (Envelope.parseLines) + event time. Keeps the raw line for DLQ
-    * routing of unparseable records. */
+    * routing of unparseable records. `try_to_timestamp`, not
+    * `to_timestamp`: under Spark's default ANSI mode the latter THROWS on
+    * a malformed timestamp string — one poisoned line would crash-loop
+    * the whole stream from its checkpoint; try_ yields null, which the
+    * routing below sends to the DLQ. */
   def parseLines(lines: DataFrame): DataFrame =
     Envelope.parseLines(lines)
-      .withColumn("event_ts", to_timestamp(col("metadata.timestamp")))
+      .withColumn("event_ts", try_to_timestamp(col("metadata.timestamp")))
 
   /** Full pipeline over a streaming DataFrame of raw envelope lines.
     * Returns (main query, DLQ query). `lateness` bounds both dedup state
@@ -133,11 +137,28 @@ object CdcStreamPipeline {
       val staging = new Path(s"${sinks.serving}/.staging-$batchId")
       val target = versionDir(sinks.serving, batchId)
       merged.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(target)) fs.delete(target, true) // retried batch
-      require(fs.rename(staging, target), s"rename $staging -> $target failed")
-      // prune versions at least two generations old (concurrent readers of
-      // the previous version stay safe)
-      listVersions(fs, sinks.serving).filter(_ < batchId).sorted.dropRight(1)
+      if (fs.exists(target)) {
+        // retried batch whose rename already committed: the existing
+        // version is complete and the merge is idempotent — keep it
+        // (deleting it would yank the latest version from under readers)
+        fs.delete(staging, true)
+      } else {
+        require(fs.rename(staging, target), s"rename $staging -> $target failed")
+      }
+      // housekeeping: stale staging dirs from crashed batches that will
+      // never retry, and versions older than the retention horizon.
+      // Retention = 5 generations: a snapshot reader has that many
+      // triggers to finish before its pinned version is pruned.
+      // (Caveats for other deployments: a pre-versioned flat layout would
+      // need a one-time migration into v=0, and on object stores without
+      // atomic directory rename the staging→v= commit needs a marker-file
+      // protocol instead.)
+      val root = new Path(sinks.serving)
+      fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(p => p.getName.startsWith(".staging-") &&
+          p.getName != staging.getName)
+        .foreach(p => fs.delete(p, true))
+      listVersions(fs, sinks.serving).filter(_ < batchId).sorted.dropRight(4)
         .foreach(v => fs.delete(versionDir(sinks.serving, v), true))
     } finally batch.unpersist()
   }
@@ -173,8 +194,10 @@ object CdcStreamPipeline {
   }
 
   /** The user-facing serving view: live rows only (tombstones hidden).
-    * Resolves the newest COMPLETE version dir, so a concurrent merge can
-    * never rename files out from under this reader. */
+    * Resolves the newest COMPLETE version dir; concurrent merges create
+    * new versions rather than touching this one, and the resolved version
+    * survives for the 5-generation retention horizon — a reader must
+    * consume its DataFrame within that many triggers. */
   def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame = {
     val fs = new Path(servingDir).getFileSystem(
       spark.sparkContext.hadoopConfiguration)

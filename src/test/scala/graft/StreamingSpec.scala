@@ -38,7 +38,10 @@ class StreamingSpec extends SparkTestBase {
         """{"metadata": {"timestamp": "2022-03-14T14:59:59.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 999999}}""" + "\n" +
         // metadata present but record-type null: the three-valued-logic
         // trap — must reach the DLQ, not vanish from both streams
-        """{"metadata": {"timestamp": "2022-03-14T14:59:58.000000Z"}}""" + "\n")
+        """{"metadata": {"timestamp": "2022-03-14T14:59:58.000000Z"}}""" + "\n" +
+        // present-but-MALFORMED timestamp: under ANSI mode a plain
+        // to_timestamp would throw and crash-loop the stream — must DLQ
+        """{"data": {"trans_id": 9, "customer_id": "x", "event": "visit", "sku": "AA0000AAAA", "amount": 1, "device": "pc", "trans_datetime": "2022-03-14T00:00:00Z"}, "metadata": {"timestamp": "not-a-timestamp", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 999998}}""" + "\n")
     val listener = new graft.streaming.MetricsListener
     spark.streams.addListener(listener)
     val t0 = System.nanoTime()
@@ -72,15 +75,16 @@ class StreamingSpec extends SparkTestBase {
     assert(pruned.count() === 600) // fixture spans a single UTC hour
 
     // S11 DLQ: 2 unparseable lines + the data record with no row image +
-    // the record-type-null envelope — every corrupt line, none dropped
-    assert(spark.read.text(sinks.error).count() === 4)
+    // the record-type-null envelope + the malformed-timestamp record —
+    // every corrupt line, none dropped, nothing crashed
+    assert(spark.read.text(sinks.error).count() === 5)
     // ...and no null-key row leaked into serving state
     assert(streaming.filter(col("trans_id").isNull).count() === 0)
 
     // observability (SURVEY §3.2 stage 6): the listener saw every input
-    // line on both queries (main + DLQ each scan the 617-line source)
+    // line on both queries (main + DLQ each scan the 618-line source)
     spark.streams.removeListener(listener)
-    assert(listener.totalInputRows === 1234,
+    assert(listener.totalInputRows === 1236,
       s"listener counted ${listener.totalInputRows} input rows")
   }
 
