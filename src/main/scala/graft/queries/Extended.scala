@@ -213,6 +213,23 @@ object Extended {
         .orderBy("bin")
     },
 
+    // ---- O22/O24 companion: conditional scalar expressions ----
+    gated("q58_conditionals",
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 250000 THEN 'hi' ELSE 'lo' END AS bucket,
+        |       COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status,
+        |       CAST(GREATEST(o_custkey, o_orderkey % 1000) AS BIGINT) AS g,
+        |       CAST(LEAST(o_custkey, o_orderkey % 1000) AS BIGINT) AS l
+        |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_totalprice") > 250000, "hi").otherwise("lo").as("bucket"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status"),
+          greatest(col("o_custkey"), col("o_orderkey") % 1000).cast("long").as("g"),
+          least(col("o_custkey"), col("o_orderkey") % 1000).cast("long").as("l"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- O12: approx distinct (HLL++). The estimator differs from
     //      DuckDB's, so no cross-engine hash; the driver records rows-only
     //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----
