@@ -230,6 +230,44 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
+    // ---- O14 companion: boolean aggregates + count_if ----
+    gated("q59_bool_aggs",
+      """SELECT event_type,
+        |       CAST(bool_and(value >= 0) AS BIGINT) AS ba,
+        |       CAST(bool_or(value > 400) AS BIGINT) AS bo,
+        |       CAST(COUNT(*) FILTER (WHERE value > 400) AS BIGINT) AS ci
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(bool_and(col("value") >= 0).cast("long").as("ba"),
+          bool_or(col("value") > 400).cast("long").as("bo"),
+          count_if(col("value") > 400).as("ci"))
+        .orderBy("event_type")
+    },
+
+    // ---- O22 companion: string transforms (regexp_replace/translate/
+    //      lpad/reverse/repeat — Spark replaces all matches by default;
+    //      DuckDB needs the 'g' flag for the same semantics) ----
+    gated("q60_string_transforms",
+      """SELECT p_partkey,
+        |       regexp_replace(p_name, ' ', '_', 'g') AS r,
+        |       translate(p_type, 'AEIOU', 'aeiou') AS t,
+        |       lpad(p_brand, 10, '.') AS lp,
+        |       reverse(p_name) AS rv,
+        |       repeat('x', p_size % 3) AS rp
+        |FROM part WHERE p_partkey < 500
+        |ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 500)
+        .select(col("p_partkey"),
+          regexp_replace(col("p_name"), " ", "_").as("r"),
+          translate(col("p_type"), "AEIOU", "aeiou").as("t"),
+          lpad(col("p_brand"), 10, ".").as("lp"),
+          reverse(col("p_name")).as("rv"),
+          repeat(lit("x"), col("p_size") % 3).as("rp"))
+        .orderBy("p_partkey")
+    },
+
     // ---- O12: approx distinct (HLL++). The estimator differs from
     //      DuckDB's, so no cross-engine hash; the driver records rows-only
     //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----
