@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** O35 in its arbitrary-stateful-operator form: changelog → continuously
+  * maintained snapshot via `flatMapGroupsWithState` — the per-key state
+  * machine the reference's OpenSearch upsert implements service-side
+  * (reference cdk_stacks/firehose.py:114-116, README.md:455-457).
+  *
+  * The foreachBatch merge (CdcStreamPipeline) re-reduces persisted state
+  * per trigger; this operator instead keeps ONE winner row per key in the
+  * state store and emits a delta row only when a key's winner changes —
+  * at 100 TB the state store shuffles once on the key and per-trigger work
+  * is proportional to the CHANGED keys, not the accumulated state.
+  * Last-write-wins order `(timestamp, transaction-id)` and delete
+  * tombstones match the batch materializer exactly (spec-pinned).
+  */
+object StatefulMaterialize {
+
+  /** One parsed change (flattened envelope essentials). */
+  final case class Change(pk: Long, ts: String, txid: Long, op: String,
+                          amount: Int)
+
+  /** Current winner per key; `live = false` = tombstone. */
+  final case class KeyState(ts: String, txid: Long, live: Boolean,
+                            amount: Int)
+
+  /** Emitted delta: the key's new current row (or tombstone). */
+  final case class SnapshotDelta(pk: Long, live: Boolean, amount: Int,
+                                 ts: String, txid: Long)
+
+  private def newer(a: (String, Long), b: (String, Long)): Boolean =
+    a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+
+  def updateKey(pk: Long, changes: Iterator[Change],
+                state: GroupState[KeyState]): Iterator[SnapshotDelta] = {
+    var cur = state.getOption
+    changes.foreach { c =>
+      val candidate = KeyState(c.ts, c.txid, c.op != "delete", c.amount)
+      if (cur.forall(s => newer((c.ts, c.txid), (s.ts, s.txid))))
+        cur = Some(candidate)
+    }
+    cur match {
+      case Some(s) if !state.getOption.contains(s) =>
+        state.update(s)
+        Iterator.single(SnapshotDelta(pk, s.live, s.amount, s.ts, s.txid))
+      case _ => Iterator.empty // no change for this key this trigger
+    }
+  }
+
+  /** Streaming snapshot deltas for a stream (or batch) of changes. */
+  def deltas(changes: Dataset[Change]): Dataset[SnapshotDelta] = {
+    implicit val se = Encoders.product[KeyState]
+    implicit val de = Encoders.product[SnapshotDelta]
+    changes.groupByKey(_.pk)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(updateKey)
+  }
+}
