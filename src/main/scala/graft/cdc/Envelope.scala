@@ -62,9 +62,11 @@ object Envelope {
 
   /** A line is DLQ-bound when the fixed schema could not parse it at all,
     * when provenance essentials (record-type, timestamp) are missing, or
-    * when a data record arrived without a row image / primary key
-    * (PERMISSIVE from_json nulls out corrupt sub-trees — those must not
-    * materialize as null-key rows in serving state).
+    * when a data record arrived without a row image, primary key, or
+    * transaction id (PERMISSIVE from_json nulls out corrupt sub-trees —
+    * those must not materialize as null-key rows in serving state, and a
+    * data change without a transaction id cannot participate in the
+    * last-write-wins order).
     *
     * Null-safety is load-bearing: this predicate must NEVER evaluate to
     * SQL NULL, because the pipeline routes on `corrupt` / `!corrupt` — a
@@ -76,7 +78,8 @@ object Envelope {
       col("metadata.`record-type`").isNull ||
       col("metadata.`timestamp`").isNull ||
       (col("metadata.`record-type`") === "data" &&
-        (col("data").isNull || col("data.trans_id").isNull))
+        (col("data").isNull || col("data.trans_id").isNull ||
+          col("metadata.`transaction-id`").isNull))
 
   /** S3 selection rule (reference dms_aurora_mysql_to_kinesis.py:96-107):
     * only data records of one schema.table enter the pipeline. Control

@@ -18,16 +18,19 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulMaterialize {
 
-  /** One parsed change (flattened envelope essentials). */
+  /** One parsed change (flattened envelope essentials). pk/ts/txid are
+    * non-nullable by the Envelope.corrupt routing contract (rows missing
+    * any of them go to the DLQ, never here); `amount` is nullable in the
+    * source DDL (INT NULL, reference README.md:203) so it stays Option. */
   final case class Change(pk: Long, ts: String, txid: Long, op: String,
-                          amount: Int)
+                          amount: Option[Int])
 
   /** Current winner per key; `live = false` = tombstone. */
   final case class KeyState(ts: String, txid: Long, live: Boolean,
-                            amount: Int)
+                            amount: Option[Int])
 
   /** Emitted delta: the key's new current row (or tombstone). */
-  final case class SnapshotDelta(pk: Long, live: Boolean, amount: Int,
+  final case class SnapshotDelta(pk: Long, live: Boolean, amount: Option[Int],
                                  ts: String, txid: Long)
 
   private def newer(a: (String, Long), b: (String, Long)): Boolean =
