@@ -268,6 +268,21 @@ object Extended {
         .orderBy("p_partkey")
     },
 
+    // ---- O15 companion: ntile quartiles (deterministic via the total
+    //      order inside each partition) ----
+    gated("q62_ntile",
+      """SELECT o_orderkey,
+        |       CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |                           ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS nt
+        |FROM orders ORDER BY o_orderkey""") { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), ntile(4).over(w).cast("long").as("nt"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- O12: approx distinct (HLL++). The estimator differs from
     //      DuckDB's, so no cross-engine hash; the driver records rows-only
     //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----

@@ -34,6 +34,47 @@ object Media {
         .orderBy("media_id")
     },
 
+    // ---- retrieval pipeline: ANN/top-k neighbors joined back to document
+    //      metadata — the end-to-end "search then hydrate" shape of a
+    //      serving stack. The top-k side is 10 rows → broadcast into the
+    //      documents join; the corpus scan stays shuffle-free. ----
+    gated("q61_retrieval_join",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |s AS (SELECT b.vec_id,
+        |        list_sum(list_transform(list_zip(b.embedding, q.qe),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(b.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb,
+        |        sqrt(list_sum(list_transform(q.qe,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        |      FROM embeddings b, q WHERE b.vec_id <> 0),
+        |topk AS (SELECT vec_id,
+        |           CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) AS simd
+        |         FROM s
+        |         ORDER BY CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) DESC, vec_id
+        |         LIMIT 10)
+        |SELECT t.vec_id, CAST(t.simd AS VARCHAR) AS sim, d.lang, d.n_chars
+        |FROM topk t JOIN documents d ON t.vec_id = d.doc_id
+        |ORDER BY t.simd DESC, t.vec_id""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val topk = e.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(9, 4)).as("simd"))
+        .orderBy(col("simd").desc, col("vec_id"))
+        .limit(10)
+      broadcast(topk)
+        .join(Tables.documents(s, d), col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("simd"),
+          col("simd").cast("string").as("sim"),
+          col("lang"), col("n_chars"))
+        .orderBy(col("simd").desc, col("vec_id"))
+        .drop("simd")
+    },
+
     // ---- stub decode → feature extraction through the mapPartitions
     //      (Arrow-batch analog) boundary; ungated, pinned by MultimodalSpec ----
     ungated("q47b_multimodal_decode") { (s, d) =>
