@@ -73,6 +73,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("stateful materializer matches the fold model on random op streams") {
+    import graft.streaming.StatefulMaterialize
+    import graft.streaming.StatefulMaterialize.{Change, SnapshotDelta}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    samples(opStream, 8).filter(_.nonEmpty).zipWithIndex.foreach {
+      case (rows, qi) =>
+        val changes = rows.map { case (k, i, op, ev) =>
+          Change(k, f"2022-03-14T14:00:$i%02d.000000Z", 1000L + i, op,
+            Some(ev.length))
+        }
+        val input = MemoryStream[Change]
+        val name = s"sm_prop_$qi"
+        val q = StatefulMaterialize.deltas(input.toDS())
+          .writeStream.format("memory").queryName(name)
+          .outputMode("update").start()
+        try {
+          val (a, b) = changes.splitAt(changes.length / 2)
+          if (a.nonEmpty) { input.addData(a: _*); q.processAllAvailable() }
+          if (b.nonEmpty) { input.addData(b: _*); q.processAllAvailable() }
+        } finally q.stop()
+
+        val deltas = spark.table(name).as[SnapshotDelta].collect()
+        val lastPerKey = deltas.zipWithIndex.groupBy(_._1.pk)
+          .map { case (_, ds) => ds.maxBy(_._2)._1 }
+        val live = lastPerKey.filter(_.live)
+          .map(d => d.pk -> d.amount.get).toMap
+
+        val model = scala.collection.mutable.Map[Long, Option[Int]]()
+        rows.sortBy(r => (r._1, r._2)).foreach { case (k, _, op, ev) =>
+          model(k) = if (op == "delete") None else Some(ev.length)
+        }
+        val want = model.collect { case (k, Some(v)) => k -> v }.toMap
+        assert(live === want, s"sample $qi diverged")
+        spark.sql(s"DROP VIEW IF EXISTS $name")
+    }
+  }
+
   test("dedup is idempotent and order-insensitive on random frames") {
     import spark.implicits._
     samples(Gen.listOf(Gen.choose(0, 20)), 20).filter(_.nonEmpty).foreach { xs =>
