@@ -8,7 +8,16 @@ import org.apache.spark.sql.SparkSession
   * write — a `.count()` action lets Catalyst delete final sorts and prune
   * projected columns, so TakeOrderedAndProject / decimal math went partly
   * unmeasured. One full warmup pass at sf0.001 first absorbs JVM/codegen
-  * JIT so the first timed query isn't 5 s of warmup. */
+  * JIT so the first timed query isn't 5 s of warmup.
+  *
+  * Output-size discipline (round-2 finding): the driver keeps only the
+  * last ~2000 chars of stdout; a per-query map over all 77 queries is
+  * ~2.3 KB, so the JSON line's opening brace fell outside the window and
+  * BENCH_r01/r02 recorded `parsed: null`. The line now carries the 40
+  * slowest queries at 3-decimal precision (~1.2 KB) — the full set is
+  * still timed and summed into `value`. Failures are excluded from the
+  * total (a -1 sentinel must not *improve* the headline number) and
+  * reported in an explicit `errors` list instead. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -22,6 +31,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    /** Seconds, or -1.0 on failure. */
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
@@ -37,11 +47,18 @@ object Bench {
     // box swing 2-4x per query from scheduler noise
     val r1 = names.map(n => n -> exec(n, sfDir)).toMap
     val r2 = names.map(n => n -> exec(n, sfDir)).toMap
-    val results = names.map(n => n -> math.min(r1(n), r2(n)))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val (a, b) = (r1(n), r2(n))
+      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+    }
+    val (failed, ok) = results.partition(_._2 < 0)
+    val total = ok.map(_._2).sum
+    val headline = ok.sortBy(-_._2).take(40)
+    def f(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = headline.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
