@@ -75,7 +75,12 @@ object Cdc {
     // ---- S4 object-mapping, outbound leg: re-shape the materialized
     //      snapshot into the Kinesis record envelope (map-record-to-record,
     //      reference dms_aurora_mysql_to_kinesis.py:108-117). Both engines
-    //      render the identical compact JSON, so the string is gated. ----
+    //      render the identical compact JSON, so the string is gated.
+    //      ignoreNullFields=false: Spark's to_json default DROPS null
+    //      struct fields while DuckDB emits "field":null — event/device/
+    //      amount are nullable per the reference DDL (README.md:198-208)
+    //      and the fixture plants null-field rows, so the outbound wire
+    //      format must render them. ----
     gated("q49_record_shaping",
       s"""SELECT trans_id,
          |       to_json(struct_pack(
@@ -108,7 +113,8 @@ object Cdc {
               col("trans_datetime")).as("data"),
             struct(lit("testdb").as("schema-name"),
               lit("retail_trans").as("table-name"),
-              lit("primary-key").as("partition-key-type")).as("metadata")))
+              lit("primary-key").as("partition-key-type")).as("metadata")),
+            Map("ignoreNullFields" -> "false"))
             .as("doc"))
         .orderBy("trans_id")
     },

@@ -62,6 +62,16 @@ object CdcStreamPipeline {
     // different timestamps) — a (pk, txid) key would swallow the second
     // change as a "redelivery"; true redeliveries carry identical
     // timestamps and still dedup.
+    // ACCEPTED LIMITATION: two DISTINCT changes to the same row stamped
+    // with the identical (pk, txid, µs timestamp) collapse to one — the
+    // envelope carries no per-record sequence number to tell them apart
+    // (the Kinesis sequence number is transport metadata the DMS JSON
+    // never includes), and any synthetic ordinal (file offset, batch-local
+    // row number) differs between original and redelivery, which would
+    // break redelivery dedup — the more common event. The batch
+    // materializer has the same blind spot (its (timestamp, txid) ordering
+    // cannot rank the pair), so stream and batch agree. StreamingSpec
+    // pins this collapse explicitly.
     // The two filters are exactly complementary (Envelope.corrupt is
     // never-NULL by construction; the event_ts guard catches timestamp
     // strings present but unparseable): every input line reaches exactly
@@ -147,6 +157,13 @@ object CdcStreamPipeline {
       }
       // housekeeping: stale staging dirs from crashed batches that will
       // never retry, and versions older than the retention horizon.
+      // Only staging dirs with a batch id STRICTLY BELOW the version just
+      // committed are deleted — a batch id below ours has either committed
+      // (its v= dir exists; the staging dir is leftover) or been superseded
+      // on the same checkpoint (micro-batch ids are monotone per query, so
+      // no future retry will ever run it again). A zombie driver mid-write
+      // to a staging dir at OUR id or above keeps its dir; its own commit
+      // path resolves the collision via the fs.exists(target) branch.
       // Retention = 5 generations: a snapshot reader has that many
       // triggers to finish before its pinned version is pruned.
       // (Caveats for other deployments: a pre-versioned flat layout would
@@ -155,8 +172,10 @@ object CdcStreamPipeline {
       // protocol instead.)
       val root = new Path(sinks.serving)
       fs.listStatus(root).toSeq.map(_.getPath)
-        .filter(p => p.getName.startsWith(".staging-") &&
-          p.getName != staging.getName)
+        .filter { p =>
+          p.getName.startsWith(".staging-") &&
+            p.getName.stripPrefix(".staging-").toLongOption.exists(_ < batchId)
+        }
         .foreach(p => fs.delete(p, true))
       listVersions(fs, sinks.serving).filter(_ < batchId).sorted.dropRight(4)
         .foreach(v => fs.delete(versionDir(sinks.serving, v), true))

@@ -251,4 +251,24 @@ class StreamingSpec extends SparkTestBase {
     val ks = spark.table("dd_rows").select("k").collect().map(_.getLong(0)).sorted
     assert(ks.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("ACCEPTED LIMITATION: distinct changes with identical (pk, txid, ts) collapse to one") {
+    // Two DIFFERENT row images stamped with the same primary key,
+    // transaction id, and µs timestamp: the envelope carries no per-record
+    // sequence number, so the pipeline cannot distinguish this from a
+    // redelivery and keeps exactly one (documented at the dedup site in
+    // CdcStreamPipeline). The batch materializer has the same blind spot —
+    // its (timestamp, txid) window cannot rank the pair either.
+    def env(amount: Int) =
+      s"""{"data": {"trans_id": 7, "customer_id": "c7", "event": "cart", "sku": "ZZ0000ZZZZ", "amount": $amount, "device": "pc", "trans_datetime": "2022-03-14T12:00:00Z"}, "metadata": {"timestamp": "2022-03-14T12:00:00.123456Z", "record-type": "data", "operation": "update", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 4242}}"""
+    val src = tmpDir("cdc_sameid")
+    Files.writeString(Paths.get(s"$src/pair.jsonl"), env(10) + "\n" + env(20) + "\n")
+    val sinks = runPipeline(src, tmpDir("cdc_sameid_out"))
+
+    val served = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    assert(served.count() === 1, "the identical-triple pair must collapse to one row")
+    // and the DLQ saw nothing — this is a silent collapse, not an error path
+    assert(!Files.exists(Paths.get(sinks.error)) ||
+      spark.read.text(sinks.error).count() === 0)
+  }
 }

@@ -38,6 +38,25 @@ class TextVectorSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("vec_dot null-propagates a NULL element exactly like the HOF fold") {
+    import spark.implicits._
+    // (a, b): clean pair, null element left, null element right, both
+    val rows = Seq(
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](4f, 5f, 6f)),
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](4f, 5f, 6f)),
+      (Seq[java.lang.Float](1f, 2f, 3f), Seq[java.lang.Float](4f, null, 6f)),
+      (Seq[java.lang.Float](1f, null, 3f), Seq[java.lang.Float](4f, null, 6f)))
+      .toDF("a", "b")
+      .select(VectorOps.dot(col("a"), col("b")).as("native"),
+        VectorOps.dotHof(col("a"), col("b")).as("hof"))
+      .collect()
+    assert(!rows(0).isNullAt(0) && rows(0).getDouble(0) === 32.0)
+    rows.foreach { r =>
+      assert(r.isNullAt(0) === r.isNullAt(1), s"native/HOF null disagreement: $r")
+      if (!r.isNullAt(0)) assert(r.getDouble(0) === r.getDouble(1))
+    }
+  }
+
   test("exact dedup is idempotent and removes planted duplicates") {
     val doubled = docs.unionByName(docs)
     val once = doubled.dropDuplicates()
