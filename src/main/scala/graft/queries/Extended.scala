@@ -283,12 +283,24 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
-    // ---- O12: approx distinct (HLL++). The estimator differs from
-    //      DuckDB's, so no cross-engine hash; the driver records rows-only
-    //      and ApproxSpec pins the ±5% envelope against exact D-Q11. ----
-    ungated("q11b_approx_distinct") { (s, d) =>
+    // ---- O12: approx distinct (HLL++). The raw estimate differs from
+    //      DuckDB's estimator, so the estimate itself can't hash-match;
+    //      instead the gate carries the EXACT distinct count plus a
+    //      within-5% verdict on the estimate — the oracle pins the exact
+    //      count and asserts the verdict is true, so a broken or wildly
+    //      drifting sketch flips the gate red. ApproxSpec additionally
+    //      pins the ±5% envelope Spark-side at the configured 2% rsd. ----
+    gated("q11b_approx_distinct",
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_cnt,
+        |       CAST(1 AS BIGINT) AS approx_ok
+        |FROM orders""") { (s, d) =>
       Tables.orders(s, d)
-        .agg(approx_count_distinct(col("o_custkey"), 0.02).as("acd"))
+        .agg(countDistinct(col("o_custkey")).as("exact_cnt"),
+          approx_count_distinct(col("o_custkey"), 0.02).as("acd"))
+        .select(col("exact_cnt"),
+          (abs(col("acd") - col("exact_cnt")).cast("double") /
+            col("exact_cnt").cast("double") <= 0.05)
+            .cast("long").as("approx_ok"))
     },
 
     // ---- O28: posexplode — ordinal-preserving lateral expansion ----

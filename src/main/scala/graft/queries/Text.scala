@@ -218,6 +218,93 @@ object Text {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- North star: deterministic train/val/test split by content
+    //      hash. The assignment is a pure function of the key (first hex
+    //      char of md5), so it is stable under re-runs, re-partitioning,
+    //      and incremental corpus growth — no RAND(), no global sort, no
+    //      state. '0'-'b' → train (12/16), 'c'-'d' → val, 'e'-'f' → test.
+    //      At 100 TB this is a map-only pass; the gate pins the row-level
+    //      assignment on both engines (md5 is md5 everywhere). ----
+    gated("q63_hash_split",
+      """SELECT doc_id,
+        |       CASE WHEN h < 'c' THEN 'train' WHEN h < 'e' THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |      FROM documents) t
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .select(col("doc_id"),
+          when(col("h") < "c", lit("train"))
+            .when(col("h") < "e", lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // ---- O37 companion: canonical-document selection per exact-dup
+    //      group — the "keep the best copy" half of dedup (q35 proves
+    //      removal; this picks WHICH row survives). Group = md5(text);
+    //      winner = longest text, then smallest doc_id — a deterministic
+    //      arg-max via one windowed rank over the group key. Planted
+    //      duplicates: the corpus unioned with itself re-keyed +100000,
+    //      so every group has ≥2 members and the original must win.
+    //      One shuffle on the 128-bit digest — uniformly distributed, no
+    //      skew at any scale; text travels once. ----
+    gated("q64_canonical_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text, n_chars FROM documents),
+        |r AS (SELECT doc_id, md5(text) AS grp, n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY md5(text)
+        |                           ORDER BY n_chars DESC, doc_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY md5(text)) AS dup_cnt
+        |      FROM corpus)
+        |SELECT doc_id, grp, CAST(dup_cnt AS BIGINT) AS dup_cnt
+        |FROM r WHERE rn = 1 ORDER BY doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).select("doc_id", "text", "n_chars")
+      val corpus = docs.unionByName(
+        docs.withColumn("doc_id", col("doc_id") + 100000))
+        .withColumn("grp", md5(col("text")))
+      val w = Window.partitionBy(col("grp"))
+      corpus
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .withColumn("dup_cnt", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("grp"), col("dup_cnt").cast("long").as("dup_cnt"))
+        .orderBy("doc_id")
+    },
+
+    // ---- North star: quality-band corpus filter — keep documents between
+    //      the exact P25 and P75 of a quality proxy. Two-pass threshold
+    //      form, NOT a global percent_rank window: pass 1 reduces to one
+    //      interpolated-percentile row (map-side partial agg), pass 2 is a
+    //      map-only filter against the broadcast thresholds. A
+    //      percent_rank formulation would force a single-partition global
+    //      sort of the full corpus — this stays shuffle-light at 100 TB
+    //      (swap the exact percentile for approx_percentile when the
+    //      corpus outgrows one agg buffer; the filter pass is unchanged).
+    //      Both engines interpolate percentiles linearly, so the
+    //      thresholds gate exactly. ----
+    gated("q65_quality_band",
+      """SELECT doc_id, n_chars FROM documents,
+        |  (SELECT percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars) AS t25,
+        |          percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars) AS t75
+        |   FROM documents) b
+        |WHERE n_chars >= t25 AND n_chars <= t75
+        |ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val bands = docs.agg(
+        expr("percentile(n_chars, 0.25)").as("t25"),
+        expr("percentile(n_chars, 0.75)").as("t75"))
+      docs.join(broadcast(bands),
+          col("n_chars") >= col("t25") && col("n_chars") <= col("t75"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----
