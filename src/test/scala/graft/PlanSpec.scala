@@ -59,4 +59,24 @@ class PlanSpec extends SparkTestBase {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
       s"extra shuffle inserted:\n$p")
   }
+
+  test("q63: hash split is map-only — no hash exchange anywhere in the plan") {
+    val p = planOf("q63_hash_split")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hash split must not shuffle:\n$p")
+  }
+
+  test("q64: both window functions share ONE shuffle on the group digest") {
+    val p = planOf("q64_canonical_dedup")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"rank and count must reuse the same partitioning:\n$p")
+  }
+
+  test("q65: thresholds broadcast; the corpus filter pass never hash-shuffles") {
+    val p = planOf("q65_quality_band")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"1-row threshold side must broadcast:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus side must stay map-only:\n$p")
+  }
 }
