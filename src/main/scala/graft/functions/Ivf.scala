@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** O39 scale path #2: IVF (inverted-file) approximate nearest neighbor —
+  * the coarse-quantizer counterpart to the random-hyperplane LSH in
+  * [[Ann]]. A small set of centroids partitions the corpus into `nlist`
+  * cells; a query probes only its `nprobe` nearest cells and exact-reranks
+  * the candidates, touching |corpus| × nprobe / nlist rows in expectation.
+  *
+  * Where LSH buckets are data-independent, IVF adapts to the corpus: a few
+  * Lloyd iterations of spherical k-means pull centroids toward the data's
+  * actual clusters, which is what makes IVF the standard coarse index for
+  * embedding search at scale.
+  *
+  * Plan shape at 100 TB:
+  *   - training touches only means: each iteration is one partial-agg
+  *     shuffle of nlist × dim doubles (the assignment pass is map-only
+  *     against broadcast-literal centroids), and only the nlist centroids
+  *     ever reach the driver — never data rows;
+  *   - cell assignment of the corpus is a stateless projection, computed
+  *     once and ideally persisted next to the vectors (like the LSH
+  *     signatures);
+  *   - a query broadcasts its nprobe cell ids; the corpus is filtered on
+  *     its (pre-computable) cell column, so the exact-rerank cosine runs
+  *     over a nprobe/nlist fraction of the data with no shuffle.
+  *
+  * Everything is deterministic: init = the nlist lowest-id vectors, all
+  * arithmetic is DOUBLE left-folds in array order, ties in argmax resolve
+  * to the lowest cell index.
+  */
+object Ivf {
+
+  /** Unit-normalized DOUBLE copy of a float-vector column (spherical
+    * k-means works on the unit sphere: mean-then-renormalize centroids,
+    * cosine == dot). Zero vectors normalize to zero (never NaN). */
+  def unit(v: Column): Column = {
+    val n = VectorOps.l2(v)
+    transform(v, x => when(n > 0.0, x.cast("double") / n).otherwise(0.0))
+  }
+
+  private def dotLit(v: Column, c: Seq[Double]): Column =
+    aggregate(zip_with(v, typedLit(c), (x, p) => x * p),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Index (0-based) of the max-dot centroid — lowest index wins ties
+    * (array_position returns the FIRST match). */
+  def cellOf(vUnit: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = array(centroids.map(c => dotLit(vUnit, c)): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Spherical k-means coarse quantizer: deterministic init (the `nlist`
+    * lowest-id vectors), `iters` Lloyd rounds. Collects ONLY the
+    * nlist × dim centroid means per round — O(KB) driver traffic
+    * regardless of corpus size. Empty cells keep their previous centroid. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, iters: Int = 3): Seq[Seq[Double]] = {
+    val vu = corpus.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
+
+    var centroids: Seq[Seq[Double]] = vu.orderBy("id").limit(nlist)
+      .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    val dim = centroids.head.size
+
+    for (_ <- 0 until iters) {
+      // assignment is map-only (literal centroids); the mean reduces to
+      // nlist × dim (cell, pos, avg) rows before anything moves
+      val means = vu
+        .select(cellOf(col("vu"), centroids).as("cell"),
+          posexplode(col("vu")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (!means.contains((c, 0))) old
+        else {
+          val m = Seq.tabulate(dim)(p => means((c, p)))
+          val n = math.sqrt(m.map(x => x * x).sum)
+          if (n > 0) m.map(_ / n) else old
+        }
+      }
+    }
+    centroids
+  }
+
+  /** The query's `nprobe` nearest cells, as an array column: argsort of
+    * the centroid dots via sort_array on (dot, -index) structs (descending
+    * dot, ascending index on ties). */
+  def probeCells(qUnit: Column, centroids: Seq[Seq[Double]],
+                 nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(dotLit(qUnit, c).as("dot"), lit(-i).as("negidx"))
+    }: _*)
+    transform(slice(sort_array(scored, asc = false), 1, nprobe),
+      s => -s.getField("negidx"))
+  }
+
+  /** Approximate top-k cosine neighbors of one query vector via IVF:
+    * filter the corpus to the query's nprobe cells, exact-rerank.
+    * `centroids` comes from [[train]] (or a persisted copy). */
+  def ivfTopK(corpus: DataFrame, query: DataFrame, idCol: String,
+              vecCol: String, k: Int, centroids: Seq[Seq[Double]],
+              nprobe: Int = 4): DataFrame = {
+    val cand = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
+      VectorOps.l2(col(vecCol)).as("cn"),
+      cellOf(unit(col(vecCol)), centroids).as("cell"))
+    val q = broadcast(query.select(col(vecCol).as("qv"),
+      VectorOps.l2(col(vecCol)).as("qn"),
+      explode(probeCells(unit(col(vecCol)), centroids, nprobe)).as("probe")))
+    cand.join(q, col("cell") === col("probe"))
+      .withColumn("sim",
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .select(col("nn_id"), col("sim"))
+      .orderBy(col("sim").desc, col("nn_id"))
+      .limit(k)
+  }
+}

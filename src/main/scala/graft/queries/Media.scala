@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
-import graft.functions.Ann
+import graft.functions.{Ann, Ivf}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -92,6 +92,19 @@ object Media {
       val e = Tables.embeddings(s, d)
       Ann.annTopK(e.filter(col("vec_id") =!= 0),
         e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+    },
+
+    // ---- O39 scale path #2: IVF coarse-quantizer ANN — spherical
+    //      k-means cells, nprobe-cell search, exact rerank (AnnSpec pins
+    //      recall vs brute force and cell pruning). End-to-end: train +
+    //      assign + probe in one query program. ----
+    ungated("q48b_ivf_topk") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val centroids = Ivf.train(corpus, "vec_id", "embedding",
+        nlist = 16, iters = 2)
+      Ivf.ivfTopK(corpus, e.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 10, centroids, nprobe = 4)
     }
   )
 }

@@ -71,4 +71,44 @@ class MultimodalSpec extends SparkTestBase {
     val s2 = e.select(col("vec_id"), Ann.signature(col("embedding"), planes).as("b"))
     assert(s1.exceptAll(s2).count() === 0)
   }
+
+  test("IVF recalls planted near-neighbors, prunes cells, and trains deterministically") {
+    import graft.functions.Ivf
+    import spark.implicits._
+    // same planted-near-dup protocol as the LSH test: 10 perturbed copies
+    // of vector 0 (cosine ≈ 0.99) must surface in the IVF top-10
+    val e = Tables.embeddings(spark, sf)
+    val query = e.filter(col("vec_id") === 0)
+    val planted = query.crossJoin((0 until 10).toDF("j"))
+      .select((col("j") + 10000L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === col("j"), x * 0.5f).otherwise(x)).as("embedding"))
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding")).unionByName(planted)
+
+    val centroids = Ivf.train(corpus, "vec_id", "embedding", nlist = 16, iters = 2)
+    assert(centroids.size === 16)
+    // unit-norm centroids (spherical k-means invariant)
+    centroids.foreach { c =>
+      assert(math.abs(math.sqrt(c.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    // training is deterministic: same corpus → same centroids exactly
+    val again = Ivf.train(corpus, "vec_id", "embedding", nlist = 16, iters = 2)
+    assert(centroids === again)
+
+    val found = Ivf.ivfTopK(corpus, query, "vec_id", "embedding",
+      k = 10, centroids, nprobe = 4)
+      .collect().map(_.getLong(0)).count(_ >= 10000L)
+    assert(found >= 8, s"only $found/10 planted near-neighbors recalled")
+
+    // pruning: nprobe/nlist of the cells must bound the candidate share;
+    // cells are data-adaptive so allow slack for uneven occupancy
+    val probed = query.select(explode(Ivf.probeCells(
+      Ivf.unit(col("embedding")), centroids, 4)).as("p"))
+      .collect().map(_.getInt(0)).toSet
+    val assigned = corpus.select(Ivf.cellOf(Ivf.unit(col("embedding")),
+      centroids).as("c")).collect().map(_.getInt(0))
+    val candShare = assigned.count(probed.contains).toDouble / assigned.length
+    assert(candShare < 0.6, f"probed cells hold $candShare%.2f of the corpus — no pruning")
+  }
 }
