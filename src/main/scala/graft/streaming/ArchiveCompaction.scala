@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Periodic maintenance for the S10 archive: the streaming sink writes one
+  * `batch_id=N` directory per micro-batch (exactly-once under retries), so
+  * a long-running stream accumulates ~1440 directories/day at the
+  * reference's 60 s trigger — file-listing cost grows linearly until reads
+  * slow down. Compaction rewrites all batch directories up to a horizon
+  * into ONE directory, preserving the `year/month/day/hour` partition
+  * columns (hour pruning still pushes after compaction).
+  *
+  * Protocol (single writer, same assumption as the serving merge —
+  * typically invoked from the stream's own quiet window between triggers):
+  *   1. write the union of `batch_id <= upTo` into a dot-prefixed staging
+  *      dir (invisible to partition discovery);
+  *   2. delete the source batch directories;
+  *   3. rename staging to `batch_id=<upTo>`.
+  * Every step is resumable: a crash between 2 and 3 leaves a COMPLETE
+  * staging dir (written before any delete) — re-running the same horizon
+  * skips the rewrite and finishes the swap. Readers racing step 2 can
+  * transiently miss pre-horizon rows, which is why this belongs in the
+  * maintenance window, not concurrent with queries.
+  */
+object ArchiveCompaction {
+
+  /** Batch ids present under the archive root (compacted dirs included —
+    * they carry the id of their horizon). */
+  def batchIds(spark: SparkSession, archive: String): Seq[Long] = {
+    val root = new Path(archive)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("batch_id="))
+      .flatMap(_.stripPrefix("batch_id=").toLongOption)
+  }
+
+  /** Compact every `batch_id <= upTo` directory into one. Returns the
+    * number of source directories folded in (0 = nothing to do). */
+  def compact(spark: SparkSession, archive: String, upTo: Long): Int = {
+    val root = new Path(archive)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sources = batchIds(spark, archive).filter(_ <= upTo).sorted
+    val staging = new Path(s"$archive/.compact-$upTo")
+    val done = new Path(s"$archive/.compact-$upTo.complete")
+    val target = new Path(s"$archive/batch_id=$upTo")
+    // resume-after-swap: the marker outlived the rename — the compaction
+    // already committed; deleting "sources" here would destroy the target
+    if (fs.exists(done) && !fs.exists(staging)) {
+      fs.delete(done, false)
+      return 0
+    }
+    if (sources.size <= 1 && !fs.exists(done)) return 0
+
+    // 1. complete staging copy (skipped when resuming a crashed run —
+    //    the marker commits the staging dir as whole)
+    if (!fs.exists(done)) {
+      val union = spark.read.option("basePath", archive).parquet(
+        sources.map(i => s"$archive/batch_id=$i"): _*)
+      union.drop("batch_id")
+        .write.partitionBy("year", "month", "day", "hour")
+        .mode("overwrite").parquet(staging.toString)
+      fs.create(done, true).close()
+    }
+    // 2. drop the sources (the staging dir now owns every row)
+    sources.foreach(i => fs.delete(new Path(s"$archive/batch_id=$i"), true))
+    // 3. swap in
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    fs.delete(done, false)
+    sources.size
+  }
+
+  /** Convenience horizon: keep the newest `retainBatches` directories
+    * live for exactly-once retry overlap, compact everything older. */
+  def compactOlderThan(spark: SparkSession, archive: String,
+                       retainBatches: Int): Int = {
+    val ids = batchIds(spark, archive).sorted
+    if (ids.size <= retainBatches) 0
+    else compact(spark, archive, ids.dropRight(retainBatches).last)
+  }
+}

@@ -252,6 +252,67 @@ class StreamingSpec extends SparkTestBase {
     assert(ks.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("archive compaction folds batch dirs into one, preserves rows and hour pruning, resumes after a crash") {
+    import graft.streaming.ArchiveCompaction
+    // many small batches: one file per trigger over a 6-way split
+    val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
+    val src = tmpDir("cdc_compact_src")
+    (0 until 6).foreach { i =>
+      Files.write(Paths.get(s"$src/part$i.jsonl"),
+        (i until lines.size by 6).map(lines.get).mkString("\n").getBytes)
+    }
+    val root = tmpDir("cdc_compact_out")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(src),
+      sinks, Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+
+    val before = spark.read.parquet(sinks.archive)
+      .drop("batch_id").collect().map(_.toString).sorted.toSeq
+    val idsBefore = ArchiveCompaction.batchIds(spark, sinks.archive)
+    assert(idsBefore.size === 6, s"expected 6 batch dirs, got $idsBefore")
+
+    // compact all but the newest (retry-overlap retention)
+    assert(ArchiveCompaction.compactOlderThan(spark, sinks.archive, 1) === 5)
+    val idsAfter = ArchiveCompaction.batchIds(spark, sinks.archive)
+    assert(idsAfter.size === 2, s"expected 2 dirs after compaction: $idsAfter")
+
+    // row-for-row parity and hour pruning still pushes
+    val after = spark.read.parquet(sinks.archive)
+    assert(after.drop("batch_id").collect().map(_.toString).sorted.toSeq === before)
+    val plan = after.filter(col("hour") === "14")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(hour"),
+      s"hour pruning lost after compaction:\n$plan")
+
+    // crash-resume: simulate a failure between the staging write and the
+    // swap — staging + marker exist, sources already gone — by compacting
+    // the remaining two dirs but restoring the marker mid-protocol state
+    val all2 = idsAfter.max
+    val fs = new org.apache.hadoop.fs.Path(sinks.archive)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // build the mid-crash state manually: write staging for horizon all2
+    val union = spark.read.option("basePath", sinks.archive)
+      .parquet(idsAfter.map(i => s"${sinks.archive}/batch_id=$i"): _*)
+    union.drop("batch_id").write.partitionBy("year", "month", "day", "hour")
+      .mode("overwrite").parquet(s"${sinks.archive}/.compact-$all2")
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${sinks.archive}/.compact-$all2.complete"), true).close()
+    idsAfter.foreach(i => fs.delete(
+      new org.apache.hadoop.fs.Path(s"${sinks.archive}/batch_id=$i"), true))
+    // re-run the same horizon: must finish the swap, not rewrite
+    ArchiveCompaction.compact(spark, sinks.archive, all2)
+    assert(ArchiveCompaction.batchIds(spark, sinks.archive) === Seq(all2))
+    assert(spark.read.parquet(sinks.archive)
+      .drop("batch_id").collect().map(_.toString).sorted.toSeq === before)
+    // and running it AGAIN is a no-op (resume-after-swap guard)
+    assert(ArchiveCompaction.compact(spark, sinks.archive, all2) === 0)
+    assert(spark.read.parquet(sinks.archive).count() === before.size)
+  }
+
   test("ACCEPTED LIMITATION: distinct changes with identical (pk, txid, ts) collapse to one") {
     // Two DIFFERENT row images stamped with the same primary key,
     // transaction id, and µs timestamp: the envelope carries no per-record
