@@ -305,6 +305,78 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- North star: deterministic stratified sampling — per-language
+    //      keep rates applied by content hash, the standard way to
+    //      rebalance a training corpus (downsample the dominant language,
+    //      keep the tail). Same md5 mechanism as q63: a pure function of
+    //      the key, so the sample is reproducible and append-stable —
+    //      re-running over a grown corpus never flips an old row's fate.
+    //      Map-only at any scale. Rates: en 25% ('40'), zh/fr/de/es 50%
+    //      ('80') by the first two hex chars. ----
+    gated("q66_stratified_sample",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+        |  FROM documents) t
+        |WHERE h < CASE WHEN lang = 'en' THEN '40' ELSE '80' END
+        |ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 2))
+        .filter(col("h") < when(col("lang") === "en", "40").otherwise("80"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- North star: one-pass column profiler — null count, exact
+    //      distinct, min/max per column, unpivoted to one row per column.
+    //      The multi-distinct agg compiles to Spark's Expand (k× the rows
+    //      map-side, still one scan + one shuffle); at 100 TB swap the
+    //      exact counts for approx_count_distinct and the plan loses the
+    //      Expand entirely. All stats rendered as strings so one schema
+    //      carries every column type. ----
+    gated("q67_profile",
+      """WITH s AS (SELECT
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS null_ck,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_ck,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS min_ck, CAST(MAX(o_custkey) AS VARCHAR) AS max_ck,
+        |    CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT) AS null_st,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_st,
+        |    CAST(MIN(o_orderstatus) AS VARCHAR) AS min_st, CAST(MAX(o_orderstatus) AS VARCHAR) AS max_st,
+        |    CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT) AS null_tp,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_tp,
+        |    CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS min_tp,
+        |    CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS max_tp
+        |  FROM orders)
+        |SELECT 'o_custkey' AS c, n, null_ck AS n_null, nd_ck AS n_distinct,
+        |       min_ck AS min_s, max_ck AS max_s FROM s
+        |UNION ALL
+        |SELECT 'o_orderstatus', n, null_st, nd_st, min_st, max_st FROM s
+        |UNION ALL
+        |SELECT 'o_totalprice', n, null_tp, nd_tp, min_tp, max_tp FROM s
+        |ORDER BY c""") { (s, d) =>
+      val agg = Tables.orders(s, d).agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("o_custkey"))).as("null_ck"),
+        countDistinct(col("o_custkey")).as("nd_ck"),
+        min(col("o_custkey")).cast("string").as("min_ck"),
+        max(col("o_custkey")).cast("string").as("max_ck"),
+        (count(lit(1)) - count(col("o_orderstatus"))).as("null_st"),
+        countDistinct(col("o_orderstatus")).as("nd_st"),
+        min(col("o_orderstatus")).cast("string").as("min_st"),
+        max(col("o_orderstatus")).cast("string").as("max_st"),
+        (count(lit(1)) - count(col("o_totalprice"))).as("null_tp"),
+        countDistinct(col("o_totalprice")).as("nd_tp"),
+        decStr(min(col("o_totalprice"))).as("min_tp"),
+        decStr(max(col("o_totalprice"))).as("max_tp"))
+      agg.select(expr(
+        """stack(3,
+          |  'o_custkey',     n, null_ck, nd_ck, min_ck, max_ck,
+          |  'o_orderstatus', n, null_st, nd_st, min_st, max_st,
+          |  'o_totalprice',  n, null_tp, nd_tp, min_tp, max_tp)
+          |  AS (c, n, n_null, n_distinct, min_s, max_s)""".stripMargin))
+        .orderBy("c")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----
