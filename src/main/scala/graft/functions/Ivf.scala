@@ -40,9 +40,11 @@ object Ivf {
     transform(v, x => when(n > 0.0, x.cast("double") / n).otherwise(0.0))
   }
 
+  /** Native codegen dot against a literal centroid (vec_dot handles
+    * array<double> too) — the HOF fold allocates per element, and cell
+    * assignment runs nlist of these per row. */
   private def dotLit(v: Column, c: Seq[Double]): Column =
-    aggregate(zip_with(v, typedLit(c), (x, p) => x * p),
-      lit(0.0), (acc, x) => acc + x)
+    call_function("vec_dot", v, typedLit(c))
 
   /** Index (0-based) of the max-dot centroid — lowest index wins ties
     * (array_position returns the FIRST match). */
@@ -56,8 +58,16 @@ object Ivf {
     * nlist × dim centroid means per round — O(KB) driver traffic
     * regardless of corpus size. Empty cells keep their previous centroid. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, iters: Int = 3): Seq[Seq[Double]] = {
-    val vu = corpus.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
+            nlist: Int, iters: Int = 3,
+            sampleMod: Int = 1): Seq[Seq[Double]] = {
+    // Coarse quantizers train on a corpus sample (the standard IVF
+    // recipe): centroid quality needs the distribution, not every row.
+    // The sample is deterministic — id % sampleMod — so training stays
+    // reproducible; assignment/search always use the full corpus.
+    val sampled =
+      if (sampleMod <= 1) corpus
+      else corpus.filter(col(idCol) % sampleMod === 0)
+    val vu = sampled.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
 
     var centroids: Seq[Seq[Double]] = vu.orderBy("id").limit(nlist)
       .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq

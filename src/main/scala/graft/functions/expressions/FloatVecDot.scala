@@ -6,8 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
-/** Native dot product over two `array<float>` columns, accumulating in
-  * DOUBLE — bit-identical to the HOF formulation
+/** Native dot product over two `array<float>` (or two `array<double>`)
+  * columns, accumulating in DOUBLE — bit-identical to the HOF formulation
   * (`aggregate(zip_with(a,b,(x,y)->xd*yd), 0d, +)`: same left-to-right
   * fold), but without materializing the intermediate product array per row
   * pair. On the near-dup/top-k joins this is the per-pair inner loop, so
@@ -36,26 +36,31 @@ case class FloatVecDot(left: Expression, right: Expression)
       case _ => false
     })
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
-      case _ => false
-    })
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<float> arguments, got " +
-        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
+  /** Element type shared by both sides (float or double), or None. */
+  private def elemType: Option[DataType] = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => Some(FloatType)
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => Some(DoubleType)
+    case _ => None
   }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (elemType.isDefined) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<float> or two array<double> arguments, got " +
+        s"${left.dataType.catalogString}, ${right.dataType.catalogString}")
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val dbl = elemType.contains(DoubleType)
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc +=
+        (if (dbl) x.getDouble(i) * y.getDouble(i)
+         else x.getFloat(i).toDouble * y.getFloat(i).toDouble)
       i += 1
     }
     acc
@@ -66,12 +71,13 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val get = if (elemType.contains(DoubleType)) "getDouble" else "getFloat"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += (double) $a.$get($i) * (double) $b.$get($i);
          |}
          |${ev.value} = $acc;
        """.stripMargin

@@ -102,7 +102,7 @@ object Media {
       val e = Tables.embeddings(s, d)
       val corpus = e.filter(col("vec_id") =!= 0)
       val centroids = Ivf.train(corpus, "vec_id", "embedding",
-        nlist = 16, iters = 2)
+        nlist = 16, iters = 2, sampleMod = 7)
       Ivf.ivfTopK(corpus, e.filter(col("vec_id") === 0),
         "vec_id", "embedding", k = 10, centroids, nprobe = 4)
     }

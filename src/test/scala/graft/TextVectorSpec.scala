@@ -38,6 +38,16 @@ class TextVectorSpec extends SparkTestBase {
     assert(bad.count() === 0)
   }
 
+  test("vec_dot on array<double> matches the HOF fold (IVF centroid path)") {
+    val vd = emb.limit(100).select(
+      transform(col("embedding"), _.cast("double")).as("a"),
+      transform(reverse(col("embedding")), _.cast("double")).as("b"))
+    val bad = vd.filter(
+      call_function("vec_dot", col("a"), col("b")) =!=
+        VectorOps.dotHof(col("a"), col("b")))
+    assert(bad.count() === 0)
+  }
+
   test("vec_dot null-propagates a NULL element exactly like the HOF fold") {
     import spark.implicits._
     // (a, b): clean pair, null element left, null element right, both
