@@ -20,7 +20,10 @@ object ExplainAudit {
     "q46_cosine_neardup",      // per-row norms before the join
     "q35_exact_dedup",         // two-phase hash agg over all columns
     "q36b_tfidf",              // vocabulary-sized side broadcasts
-    "q51_sql_entry")           // SQL entry: scalar subquery rewrite
+    "q51_sql_entry",           // SQL entry: scalar subquery rewrite
+    "q63_hash_split",          // map-only: no hash exchange at all
+    "q64_canonical_dedup",     // one shuffle shared by both windows
+    "q65_quality_band")        // broadcast thresholds, map-only filter
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
