@@ -75,6 +75,50 @@ object Media {
         .drop("simd")
     },
 
+    // ---- filtered vector search: metadata predicate applied BEFORE the
+    //      distance computation (pre-filtering, the standard vector-db
+    //      "filtered top-k"). Both predicates push to their parquet scans
+    //      (label on embeddings, lang on documents); the metadata join is
+    //      an equi-join on the corpus PK that AQE plans (broadcast while
+    //      the filtered dim fits, shuffled-hash beyond). Only survivors
+    //      pay the 64-wide dot product — at 100 TB a selective predicate
+    //      cuts the scan+compute cost proportionally, which post-filtering
+    //      (top-k first, filter after) cannot. ----
+    gated("q68_filtered_topk",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cand AS (SELECT b.vec_id, b.embedding, d.lang
+        |         FROM embeddings b JOIN documents d ON b.vec_id = d.doc_id
+        |         WHERE b.vec_id <> 0 AND b.label <> 3 AND d.lang = 'en'),
+        |s AS (SELECT vec_id, lang,
+        |        list_sum(list_transform(list_zip(embedding, q.qe),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb,
+        |        sqrt(list_sum(list_transform(q.qe,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        |      FROM cand, q)
+        |SELECT vec_id, CAST(CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) AS VARCHAR) AS sim,
+        |       lang
+        |FROM s
+        |ORDER BY CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) DESC, vec_id
+        |LIMIT 10""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val meta = Tables.documents(s, d)
+        .filter(col("lang") === "en")
+        .select(col("doc_id"), col("lang"))
+      e.filter(col("vec_id") =!= 0 && col("label") =!= 3)
+        .join(meta, col("vec_id") === col("doc_id"))
+        .crossJoin(q)
+        .select(col("vec_id"), col("lang"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(9, 4)).as("simd"))
+        .orderBy(col("simd").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("simd").cast("string").as("sim"), col("lang"))
+    },
+
     // ---- stub decode → feature extraction through the mapPartitions
     //      (Arrow-batch analog) boundary; ungated, pinned by MultimodalSpec ----
     ungated("q47b_multimodal_decode") { (s, d) =>

@@ -377,6 +377,65 @@ object Text {
         .orderBy("c")
     },
 
+    // ---- North star: document chunking — fixed-size token windows with
+    //      overlap (size 20, stride 15), the standard pre-tokenization
+    //      chunker for embedding/training pipelines. Chunk starts come
+    //      from `sequence(0, n-1, stride)` + posexplode — pure per-row
+    //      array work, map-only at any scale; rows only widen by the
+    //      ~n/stride chunk factor. The trailing chunk is allowed short
+    //      (n_toks shows it) — no padding, matching the oracle. ----
+    gated("q69_chunking",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |           FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 15)) AS st
+        |      FROM t WHERE len(toks) >= 1)
+        |SELECT doc_id, CAST(st / 15 AS BIGINT) AS chunk_id,
+        |       CAST(len(list_slice(toks, st + 1, st + 20)) AS BIGINT) AS n_toks,
+        |       array_to_string(list_slice(toks, st + 1, st + 20), ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", TextOps.tokens(col("text")))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"), col("toks"),
+          posexplode(sequence(lit(0), size(col("toks")) - 1, lit(15))))
+        .select(col("doc_id"),
+          col("pos").cast("long").as("chunk_id"),
+          size(slice(col("toks"), col("col") + 1, lit(20))).cast("long").as("n_toks"),
+          concat_ws(" ", slice(col("toks"), col("col") + 1, lit(20))).as("chunk"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- North star: sequence packing — assign documents to fixed-
+    //      capacity training sequences (2000 chars) by cumulative size in
+    //      deterministic (lang, doc_id) order; a doc may straddle a
+    //      boundary (pack-then-split). seq_id/offset are pure functions of
+    //      the running sum, so packing is reproducible and append-stable.
+    //      The window partitions by lang — 5 partitions here; at 100 TB
+    //      partition by (lang, hash_shard) so each cumsum stays bounded
+    //      while seq_ids remain disjoint per shard. ----
+    gated("q70_seq_packing",
+      """SELECT doc_id, lang,
+        |       CAST(floor((cum - n_chars) / 2000.0) AS BIGINT) AS seq_id,
+        |       CAST(cum - n_chars
+        |            - 2000 * floor((cum - n_chars) / 2000.0) AS BIGINT) AS off
+        |FROM (SELECT doc_id, lang, n_chars,
+        |        SUM(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |                           ROWS UNBOUNDED PRECEDING) AS cum
+        |      FROM documents)
+        |ORDER BY lang, doc_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val before = col("cum") - col("n_chars")
+      Tables.documents(s, d)
+        .withColumn("cum", sum(col("n_chars")).over(w))
+        .select(col("doc_id"), col("lang"),
+          floor(before / 2000.0).cast("long").as("seq_id"),
+          (before - lit(2000) * floor(before / 2000.0)).cast("long").as("off"))
+        .orderBy("lang", "doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----
