@@ -1,0 +1,103 @@
+package graft
+
+import java.nio.file.Files
+import graft.streaming.DocIngest
+import graft.streaming.DocIngest.Sinks
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming document ingest: quality routing, content dedup within the
+  * watermark, hash-split partitioning, and DLQ routing — the corpus
+  * pipeline's end-to-end behavior over a file-source replay. */
+class DocIngestSpec extends SparkTestBase {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def doc(id: Long, text: String, source: String = "crawl",
+                  ts: String = "2026-08-12T10:00:00.000Z"): String =
+    s"""{"doc_id": $id, "text": "$text", "source": "$source", "ingest_ts": "$ts"}"""
+
+  test("ingest replay: quality rejects, content dedup, split partitioning, DLQ") {
+    val src = tmpDir("doc_src")
+    val lines = Seq(
+      doc(1, "the quick brown fox jumps"),
+      doc(2, "a slow green turtle crawls"),
+      // exact content duplicate of doc 1 from another source, later ts —
+      // content dedup must keep exactly one copy
+      doc(3, "the quick brown fox jumps", source = "mirror",
+        ts = "2026-08-12T10:05:00.000Z"),
+      // quality rejects: too short
+      doc(4, "tiny doc"),
+      doc(5, ""),
+      // corrupt: not JSON, missing text, unparseable timestamp
+      "not json at all",
+      """{"doc_id": 6, "source": "crawl", "ingest_ts": "2026-08-12T10:00:00.000Z"}""",
+      doc(7, "valid text here but bad clock", ts = "not-a-timestamp")
+    )
+    Files.writeString(java.nio.file.Paths.get(s"$src/docs.jsonl"),
+      lines.mkString("\n") + "\n")
+
+    val root = tmpDir("doc_out")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val (main, dlq) = DocIngest.start(spark.readStream.text(src), sinks,
+      Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+
+    // corpus: docs 1 and 2 survive; the duplicate (3) collapsed into 1
+    val corpus = spark.read.parquet(sinks.corpus)
+    assert(corpus.count() === 2)
+    assert(corpus.select("doc_id").as[Long](longEnc).collect().toSet === Set(1L, 2L))
+    // first arrival won the dedup (doc 1, not the mirror copy doc 3)
+    assert(corpus.filter(col("source") === "mirror").count() === 0)
+
+    // split column: present, partition-valued, and matching q63's rule
+    val splits = corpus.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def expected(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.charAt(0)
+      if (h < 'c') "train" else if (h < 'e') "val" else "test"
+    }
+    splits.foreach { case (id, s) => assert(s === expected(id)) }
+    // the split is a physical partition dir → downstream readers prune
+    val batchDirs = new java.io.File(sinks.corpus).listFiles().filter(_.isDirectory)
+    assert(batchDirs.flatMap(_.listFiles()).exists(_.getName.startsWith("split=")))
+
+    // rejects: docs 4 and 5 (too short), with reasons — data, not errors
+    val rejects = spark.read.parquet(sinks.rejects)
+    assert(rejects.count() === 2)
+    assert(rejects.filter(col("reject_reason") === "too_short").count() === 2)
+
+    // DLQ: the non-JSON line, the missing-text record, the bad timestamp
+    assert(spark.read.text(sinks.error).count() === 3)
+  }
+
+  test("redelivery of identical content dedups across files") {
+    val src = tmpDir("doc_src2")
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      doc(10, "same exact content delivered twice") + "\n")
+    Files.writeString(java.nio.file.Paths.get(s"$src/b.jsonl"),
+      doc(11, "same exact content delivered twice",
+        ts = "2026-08-12T10:01:00.000Z") + "\n" +
+        doc(12, "fresh second document content") + "\n")
+
+    val root = tmpDir("doc_out2")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val (main, dlq) = DocIngest.start(spark.readStream.text(src), sinks,
+      Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+
+    val corpus = spark.read.parquet(sinks.corpus)
+    // one survivor per distinct digest: {10 or 11} + 12
+    assert(corpus.count() === 2)
+    assert(corpus.select(countDistinct(col("digest"))).head().getLong(0) === 2)
+  }
+
+  private def longEnc = org.apache.spark.sql.Encoders.scalaLong
+}
