@@ -436,6 +436,78 @@ object Text {
         .orderBy("lang", "doc_id")
     },
 
+    // ---- North star: train/test decontamination — find test-split
+    //      documents sharing word trigrams with the train split (the
+    //      benchmark-leakage check every eval pipeline needs). Splits come
+    //      from q63's hash rule; the collision join shuffles on the
+    //      shingle itself — uniformly distributed, no skew. At 100 TB,
+    //      pre-hash each shingle to 8 bytes (xxhash64) before the
+    //      exchange to cut shuffle bytes ~10×; the gate joins on the
+    //      string form because both engines can reproduce it exactly. ----
+    gated("q71_decontamination",
+      """WITH t AS (SELECT doc_id,
+        |             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, h,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3),
+        |train AS (SELECT DISTINCT unnest(tg) AS sh FROM g WHERE h < 'c'),
+        |test AS (SELECT doc_id, len(tg) AS n_sh, unnest(tg) AS sh
+        |         FROM g WHERE h >= 'e')
+        |SELECT test.doc_id, CAST(MAX(n_sh) AS BIGINT) AS n_sh,
+        |       CAST(COUNT(*) AS BIGINT) AS n_hit,
+        |       CAST(CAST(ROUND(COUNT(*) * 1.0 / MAX(n_sh), 4)
+        |            AS DECIMAL(9,4)) AS VARCHAR) AS ratio
+        |FROM test JOIN train ON test.sh = train.sh
+        |GROUP BY test.doc_id ORDER BY doc_id""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), col("h"), TextOps.trigrams(col("w")).as("tg"))
+      val train = g.filter(col("h") < "c")
+        .select(explode(col("tg")).as("sh")).distinct()
+      val test = g.filter(col("h") >= "e")
+        .select(col("doc_id"), size(col("tg")).as("n_sh"),
+          explode(col("tg")).as("sh"))
+      test.join(train, "sh")
+        .groupBy("doc_id")
+        .agg(max(col("n_sh")).cast("long").as("n_sh"),
+          count(lit(1)).as("n_hit"),
+          dec4Str(round(count(lit(1)) * 1.0 / max(col("n_sh")), 4)).as("ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- North star: intra-document repetition — fraction of duplicate
+    //      word trigrams (the Gopher/RefinedWeb boilerplate signal: high
+    //      rep means templated or looping text). Pure per-row array math,
+    //      map-only at any scale. ----
+    gated("q72_repetition",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                      for i in range(1, len(w)-1)] AS tg
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT doc_id, CAST(len(tg) AS BIGINT) AS n_tri,
+        |       CAST(len(list_distinct(tg)) AS BIGINT) AS n_uniq,
+        |       CAST(CAST(ROUND(1.0 - len(list_distinct(tg)) * 1.0 / len(tg), 4)
+        |            AS DECIMAL(9,4)) AS VARCHAR) AS rep
+        |FROM g ORDER BY doc_id""") { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .withColumn("tg", TextOps.trigramsAll(col("w")))
+        .select(col("doc_id"),
+          size(col("tg")).cast("long").as("n_tri"),
+          size(array_distinct(col("tg"))).cast("long").as("n_uniq"),
+          dec4Str(round(lit(1.0) - size(array_distinct(col("tg"))) * 1.0 /
+            size(col("tg")), 4)).as("rep"))
+        .orderBy("doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----

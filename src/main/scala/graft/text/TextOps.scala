@@ -24,6 +24,14 @@ object TextOps {
       i => concat_ws(" ",
         element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
 
+  /** ALL word trigrams in order, duplicates kept — the unit for intra-doc
+    * repetition measurement (a repeated phrase must count every
+    * occurrence). Caller must guard size >= 3. */
+  def trigramsAll(toks: Column): Column =
+    transform(sequence(lit(1), size(toks) - 2),
+      i => concat_ws(" ",
+        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))
+
   /** Exact Jaccard similarity of two pre-distinct shingle arrays, in
     * DOUBLE (|A∩B| / |A∪B| — integer sizes, so cross-engine exact). */
   def jaccard(a: Column, b: Column): Column =
