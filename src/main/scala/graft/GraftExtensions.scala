@@ -3,7 +3,8 @@ package graft
 import graft.functions.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHash16}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 
 /** Engine extensions, installed with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` on every
@@ -28,5 +29,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    // Bloom-filter build/probe — Catalyst's own runtime-row-level-filter
+    // expressions (used internally by InjectRuntimeFilter), surfaced as
+    // engine functions so join pruning can be EXPLICIT in a query program
+    // (operators/BloomPrune). Keys hash through XxHash64 on both sides, the
+    // same discipline the built-in rule applies; any input type works.
+    //   bloom_agg(key[, estimated_items])  → binary sketch (aggregate)
+    //   bloom_contains(sketch, key)        → boolean, no false negatives
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => {
+        val hashed = new XxHash64(Seq(exprs.head))
+        exprs match {
+          case Seq(_)    => new BloomFilterAggregate(hashed)
+          case Seq(_, n) => new BloomFilterAggregate(hashed,
+            n.eval().asInstanceOf[Number].longValue())
+          case _ => throw new IllegalArgumentException(
+            "bloom_agg(key[, estimated_items])")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (exprs: Seq[Expression]) =>
+        BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1))))))
   }
 }

@@ -366,6 +366,29 @@ object Extended {
         .orderBy("user_id")
     },
 
+    // ---- Scale op: explicit bloom-filter join pruning — the fact side is
+    //      probed against a broadcast sketch of the (filtered) dim keys
+    //      BEFORE the join's exchange, so only might-match rows shuffle.
+    //      bloom_contains has no false negatives, so prune-then-join is
+    //      exactly the plain join — which is what the oracle runs. The
+    //      sketch is sized to the filtered dim (false positives only waste
+    //      shuffle rows, never change the result). ----
+    gated("q73_bloom_join",
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS rev
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_totalprice > 400000
+        |GROUP BY o_orderkey
+        |ORDER BY o_orderkey""") { (s, d) =>
+      val dim = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      val fact = graft.operators.BloomPrune.prune(
+        Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey")
+      dim.join(fact, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderkey")
+        .agg(decStr(sumDec2(col("l_extendedprice"))).as("rev"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- O1 (CSV leg): explicit-schema CSV scan of the checked-in
     //      SF-invariant nation fixture, joined to the parquet region table
     //      (region/nation are schema-bounded → broadcast is safe at any
