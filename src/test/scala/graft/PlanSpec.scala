@@ -79,4 +79,36 @@ class PlanSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"corpus side must stay map-only:\n$p")
   }
+
+  test("q68: both metadata predicates push to their parquet scans") {
+    val p = planOf("q68_filtered_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0)), " +
+      "Not(EqualTo(label,3))") ||
+      (p.contains("Not(EqualTo(label,3))") && p.contains("EqualTo(lang,en)")),
+      s"metadata filters not pushed:\n$p")
+  }
+
+  test("q69/q72: chunking and repetition are map-only (explode/array math, no exchange before the final sort)") {
+    Seq("q69_chunking", "q72_repetition").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q must not hash-shuffle:\n$p")
+    }
+  }
+
+  test("q70: the packing cumsum is ONE shuffle on the stratum key") {
+    val p = planOf("q70_seq_packing")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"packing must shuffle once on lang:\n$p")
+  }
+
+  test("q71: decontamination joins shuffle on the shingle (uniform key), never on doc_id before the agg") {
+    val p = planOf("q71_decontamination")
+    // the join key is the shingle string: every hash exchange before the
+    // join must partition on sh, not on a doc-skewed key
+    val pre = p.substring(0, p.indexOf("SortMergeJoin").max(0).max(
+      p.indexOf("ShuffledHashJoin").max(0)))
+    assert(!pre.contains("hashpartitioning(doc_id"),
+      s"pre-join exchange keyed on doc_id:\n$p")
+  }
 }
