@@ -119,6 +119,82 @@ object Media {
         .select(col("vec_id"), col("simd").cast("string").as("sim"), col("lang"))
     },
 
+    // ---- batched retrieval: MANY query vectors against the corpus in one
+    //      pass, per-query top-5 — the realistic serving workload (q37 is
+    //      the single-query form). The query block broadcasts; the corpus
+    //      scans ONCE for all queries; the per-query rank pushes as
+    //      WindowGroupLimit, so each task keeps only its local top-5 per
+    //      query before the exchange — the shuffle carries k·|queries|
+    //      rows, not the full score matrix. ----
+    gated("q74_batch_topk",
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id < 5),
+        |s AS (SELECT q.q_id, b.vec_id AS b_id,
+        |        list_sum(list_transform(list_zip(b.embedding, q.qe),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(b.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb,
+        |        sqrt(list_sum(list_transform(q.qe,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        |      FROM embeddings b, q WHERE b.vec_id >= 5),
+        |r AS (SELECT q_id, b_id, CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) AS simd
+        |      FROM s)
+        |SELECT q_id, b_id, CAST(simd AS VARCHAR) AS sim
+        |FROM (SELECT q_id, b_id, simd,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |                           ORDER BY simd DESC, b_id) AS rn
+        |      FROM r)
+        |WHERE rn <= 5 ORDER BY q_id, simd DESC, b_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+      val scored = e.filter(col("vec_id") >= 5)
+        .crossJoin(q)
+        .select(col("q_id"), col("vec_id").as("b_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(9, 4)).as("simd"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("simd").desc, col("b_id"))))
+        .filter(col("rn") <= 5)
+        .orderBy(col("q_id"), col("simd").desc, col("b_id"))
+        .select(col("q_id"), col("b_id"), col("simd").cast("string").as("sim"))
+    },
+
+    // ---- per-label embedding centroids — the class-prototype / coarse-
+    //      quantizer-training primitive, unpivoted to one row per (label,
+    //      dim). posexplode widens map-side (×64), then ONE shuffle on the
+    //      uniform (label, dim) key with partial aggregation below it.
+    //      Elements are quantized to DECIMAL(18,4) BEFORE the sum so the
+    //      aggregate is exact and order-independent on both engines (a
+    //      DOUBLE sum's low bits depend on reduction order). ----
+    gated("q75_label_centroids",
+      """WITH x AS (SELECT label, dim,
+        |             CAST(ROUND(CAST(embedding[dim] AS DOUBLE), 4)
+        |                  AS DECIMAL(18,4)) AS v
+        |           FROM embeddings,
+        |                (SELECT unnest(range(1, 65)) AS dim))
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |       CAST(CAST(ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6)
+        |            AS DECIMAL(18,6)) AS VARCHAR) AS c,
+        |       CAST(COUNT(*) AS BIGINT) AS n
+        |FROM x GROUP BY label, dim ORDER BY label, dim""") { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("dim"),
+          round(col("col").cast("double"), 4)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
+        .groupBy("label", "dim")
+        .agg(
+          round(sum(col("v")).cast("double") / count(lit(1)), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6))
+            .cast("string").as("c"),
+          count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    },
+
     // ---- stub decode → feature extraction through the mapPartitions
     //      (Arrow-batch analog) boundary; ungated, pinned by MultimodalSpec ----
     ungated("q47b_multimodal_decode") { (s, d) =>

@@ -102,6 +102,21 @@ class PlanSpec extends SparkTestBase {
       s"packing must shuffle once on lang:\n$p")
   }
 
+  test("q74: batched retrieval broadcasts the query block and partial-limits per task") {
+    val p = planOf("q74_batch_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query block not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-k must push a partial limit below the exchange:\n$p")
+  }
+
+  test("q75: centroid aggregation is two-phase over ONE (label, dim) shuffle") {
+    val p = planOf("q75_label_centroids")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"centroids must shuffle once:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
   test("q71: decontamination joins shuffle on the shingle (uniform key), never on doc_id before the agg") {
     val p = planOf("q71_decontamination")
     // the join key is the shingle string: every hash exchange before the
