@@ -508,6 +508,49 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- North star: mixture weighting — fit the corpus to target
+    //      per-language shares under a global token budget (60% of total;
+    //      n_chars as the token proxy). keep_rate(lang) = min(1,
+    //      budget·share/actual) computed from one tiny aggregate, then
+    //      applied as deterministic hash sampling (q66's mechanism, with
+    //      the threshold now DERIVED from data instead of fixed): keep iff
+    //      the first 16 bits of md5(doc_id) fall under rate·2^16. The
+    //      rates table is |langs| rows → broadcast; the apply pass is
+    //      map-only. Exact integer sums → rates are cross-engine exact;
+    //      the rate ≥ 1 branch avoids the 5-hex-digit threshold edge. ----
+    gated("q76_mixture_weights",
+      """WITH s AS (SELECT lang, SUM(n_chars) AS tok FROM documents GROUP BY lang),
+        |t AS (SELECT SUM(n_chars) AS tot FROM documents),
+        |r AS (SELECT lang,
+        |        LEAST(CAST(1.0 AS DOUBLE),
+        |              CAST(0.6 AS DOUBLE) * CAST(tot AS DOUBLE)
+        |              * (CASE WHEN lang = 'en' THEN CAST(0.4 AS DOUBLE)
+        |                      ELSE CAST(0.15 AS DOUBLE) END)
+        |              / CAST(tok AS DOUBLE)) AS rate
+        |      FROM s, t)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN r ON d.lang = r.lang
+        |WHERE rate >= 1.0
+        |   OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)
+        |      < lpad(lower(to_hex(CAST(floor(rate * 65536) AS INTEGER))), 4, '0')
+        |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val share = when(col("lang") === "en", 0.4).otherwise(0.15)
+      val rates = docs.groupBy("lang")
+        .agg(sum(col("n_chars")).as("tok"))
+        .crossJoin(docs.agg(sum(col("n_chars")).as("tot")))
+        .select(col("lang").as("rl"),
+          least(lit(1.0),
+            lit(0.6) * col("tot").cast("double") * share /
+              col("tok").cast("double")).as("rate"))
+      val threshold = lpad(lower(hex(floor(col("rate") * 65536).cast("int"))),
+        4, "0")
+      docs.join(broadcast(rates), col("lang") === col("rl"))
+        .filter(col("rate") >= 1.0 ||
+          substring(md5(col("doc_id").cast("string")), 1, 4) < threshold)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----
