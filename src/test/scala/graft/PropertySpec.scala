@@ -133,4 +133,68 @@ class PropertySpec extends SparkTestBase {
         (a.size + b.size).toLong)
     }
   }
+
+  test("chunking (q69 formulation) covers every token exactly at its position, for random docs") {
+    import spark.implicits._
+    val docs = samples(Gen.choose(1, 90).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerStr.map(s => "w" + s.take(3)))), 30)
+      .zipWithIndex.map { case (toks, id) => (id.toLong, toks) }
+    val (size20, stride15) = (20, 15)
+    val chunks = docs.toDF("doc_id", "toks")
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(stride15))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        col("col").as("st"),
+        slice(col("toks"), col("col") + 1, lit(size20)).as("chunk"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getSeq[String](3).toList))
+    val byDoc = chunks.groupBy(_._1)
+    docs.foreach { case (id, toks) =>
+      val cs = byDoc(id).sortBy(_._2)
+      // chunk k starts at stride·k and equals the source slice there
+      cs.foreach { case (_, k, st, chunk) =>
+        assert(st === stride15 * k)
+        assert(chunk === toks.slice(st, st + size20))
+      }
+      // stitching the non-overlap prefixes + the last chunk's tail
+      // reconstructs the document exactly
+      val stitched = cs.init.map(_._4.take(stride15)).flatten ++ cs.last._4
+      assert(stitched === toks, s"doc $id not covered")
+    }
+  }
+
+  test("packing (q70 formulation) matches the sequential fold model, for random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cap = 100
+    val corpora = samples(Gen.listOf(for {
+      lang <- Gen.oneOf("en", "de", "es")
+      n <- Gen.choose(1, 250)
+    } yield (lang, n)), 15).filter(_.nonEmpty)
+    corpora.foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((lang, n), id) => (id.toLong, lang, n) }
+        .toDF("doc_id", "lang", "n_chars")
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val before = col("cum") - col("n_chars")
+      val got = df.withColumn("cum", sum(col("n_chars")).over(w))
+        .select(col("doc_id"),
+          floor(before / (cap * 1.0)).cast("long").as("seq_id"),
+          (before - lit(cap) * floor(before / (cap * 1.0))).cast("long").as("off"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // model: per-lang running total folded sequentially
+      rows.zipWithIndex.groupBy(_._1._1).foreach { case (_, docs) =>
+        var cum = 0L
+        docs.sortBy(_._2).foreach { case ((_, n), id) =>
+          val (seq, off) = got(id.toLong)
+          assert(seq === cum / cap, s"doc $id seq")
+          assert(off === cum % cap, s"doc $id off")
+          assert(off >= 0 && off < cap)
+          cum += n
+        }
+      }
+    }
+  }
 }
