@@ -167,6 +167,31 @@ object Extended {
         .orderBy("event_type")
     },
 
+    // ---- O12-family: approximate percentiles — the 100 TB path for q54.
+    //      `approx_percentile`'s mergeable sketch aggregates in two phases
+    //      (bounded memory per task); exact `percentile` buffers every
+    //      value per group. Estimator-specific output → gated like q11b:
+    //      the oracle pins the EXACT quantiles and a within-tolerance
+    //      verdict on the estimate, so a drifting sketch flips the gate. ----
+    gated("q54b_approx_percentiles",
+      """SELECT event_type,
+        |       CAST(CAST(ROUND(quantile_cont(value, 0.5), 2) AS DECIMAL(18,2)) AS VARCHAR) AS p50,
+        |       CAST(1 AS BIGINT) AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("ex"),
+          expr("approx_percentile(value, 0.5, 10000)").as("ap"),
+          max(abs(col("value"))).as("mx"))
+        .select(col("event_type"),
+          decStr(round(col("ex"), 2)).as("p50"),
+          // estimate within 5% of the exact median, relative to the value
+          // range (medians can sit near zero)
+          (abs(col("ap") - col("ex")) <= col("mx") * 0.05)
+            .cast("long").as("approx_ok"))
+        .orderBy("event_type")
+    },
+
     // ---- S15 stats surface: second-moment aggregates. Both engines use
     //      numerically stable one-pass formulations whose results agree
     //      far below the rounded scales gated here. ----
