@@ -462,16 +462,22 @@ object Text {
         |            AS DECIMAL(9,4)) AS VARCHAR) AS ratio
         |FROM test JOIN train ON test.sh = train.sh
         |GROUP BY test.doc_id ORDER BY doc_id""") { (s, d) =>
-      val g = Tables.documents(s, d)
+      // The shingle arrays are exploded IN the projection that builds them
+      // (not aliased and exploded one select later): explode of a bare
+      // column triggers InferFiltersFromGenerate's `size(tg) > 0` guard,
+      // which predicate-pushdown then inlines — re-deriving the token
+      // array inside every lambda step of the substituted filter, an
+      // O(shingles × tokenize) blowup per row (measured 15× on this
+      // query). Explode-at-build keeps the generator opaque to the rule.
+      val docs = Tables.documents(s, d)
         .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("h"), TextOps.trigrams(col("w")).as("tg"))
-      val train = g.filter(col("h") < "c")
-        .select(explode(col("tg")).as("sh")).distinct()
-      val test = g.filter(col("h") >= "e")
-        .select(col("doc_id"), size(col("tg")).as("n_sh"),
-          explode(col("tg")).as("sh"))
+      val tg = TextOps.trigrams(col("w"))
+      val train = docs.filter(col("h") < "c")
+        .select(explode(tg).as("sh")).distinct()
+      val test = docs.filter(col("h") >= "e")
+        .select(col("doc_id"), size(tg).as("n_sh"), explode(tg).as("sh"))
       test.join(train, "sh")
         .groupBy("doc_id")
         .agg(max(col("n_sh")).cast("long").as("n_sh"),

@@ -23,7 +23,12 @@ object ExplainAudit {
     "q51_sql_entry",           // SQL entry: scalar subquery rewrite
     "q63_hash_split",          // map-only: no hash exchange at all
     "q64_canonical_dedup",     // one shuffle shared by both windows
-    "q65_quality_band")        // broadcast thresholds, map-only filter
+    "q65_quality_band",        // broadcast thresholds, map-only filter
+    "q68_filtered_topk",       // metadata predicates pushed to both scans
+    "q71_decontamination",     // shingle-keyed (uniform) join exchanges
+    "q73_bloom_join",          // literal bloom probe before the exchange
+    "q74_batch_topk",          // one corpus pass, WindowGroupLimit per query
+    "q75_label_centroids")     // ×64 explode, one (label,dim) shuffle
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
