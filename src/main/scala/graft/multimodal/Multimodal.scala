@@ -72,6 +72,30 @@ object Multimodal {
     }
   }
 
+  /** One sampled frame reference. A real pipeline would carry the decoded
+    * frame bytes; the id is what survives the stub. */
+  final case class Frame(media_id: Long, frame_id: Long)
+
+  /** Frame-sampling stage for video payloads: every k-th frame, one output
+    * row per sampled frame. flatMap through the same typed boundary as the
+    * decode stage — output cardinality is ceil(n_bytes/k) per video, so
+    * the stage fans out by a bounded factor; non-video rows are filtered
+    * before the codec ever runs. */
+  def sampleFrames(media: Dataset[Media], k: Int): Dataset[Frame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video")
+      .flatMap(m => FakeCodec.frameIds(m, k).map(Frame(m.media_id, _)))
+  }
+
+  /** Resize stage: per-row map over decoded features (the stub restamps the
+    * grid dimensions; a real codec interpolates pixels). Kept as its own
+    * stage so decode→resize composes as two streaming iterators — no
+    * partition is ever materialized between codec stages. */
+  def resizeAll(feats: Dataset[MediaFeatures], w: Int, h: Int): Dataset[MediaFeatures] = {
+    import feats.sparkSession.implicits._
+    feats.map(FakeCodec.resize(_, w, h))
+  }
+
   /** End-to-end: documents → media → repartitioned decode → features.
     * Repartitioning by media_id models the shuffle you would pay to
     * co-locate payloads with GPU/codec-capable executors. */

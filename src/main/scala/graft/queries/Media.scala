@@ -206,6 +206,24 @@ object Media {
         .orderBy("media_id")
     },
 
+    // ---- frame sampling: every 16th "frame" of each video payload
+    //      through the typed codec boundary (flatMap stage). The sampled
+    //      count is a pure function of payload size — ceil(n_bytes/16) —
+    //      so the stub's contract gates cross-engine even though the
+    //      frames themselves are stub ids. ----
+    gated("q47c_frame_sample",
+      """SELECT doc_id AS media_id,
+        |       CAST((octet_length(encode(text)) + 15) // 16 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2
+        |ORDER BY media_id""") { (s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d))
+            .as[Multimodal.Media](org.apache.spark.sql.Encoders.product),
+          k = 16)
+        .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    },
+
     // ---- ANN top-10 for vec_id = 0 via random-hyperplane LSH with
     //      multi-probe; ungated (recall pinned vs brute force in AnnSpec) ----
     ungated("q48_ann_topk") { (s, d) =>

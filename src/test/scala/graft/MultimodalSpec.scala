@@ -23,6 +23,34 @@ class MultimodalSpec extends SparkTestBase {
     sums.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-5))
   }
 
+  test("frame sampling touches only videos and is deterministic and partition-invariant") {
+    import org.apache.spark.sql.Encoders
+    val docs = Tables.documents(spark, sf)
+    val media = Multimodal.mediaFromDocuments(docs)
+      .as[Multimodal.Media](Encoders.product[Multimodal.Media])
+    val frames = Multimodal.sampleFrames(media, k = 16).toDF()
+    // videos only (doc_id % 3 == 2), every 16th byte offset, starting at 0
+    assert(frames.filter(col("media_id") % 3 =!= 2).count() === 0)
+    assert(frames.filter(col("frame_id") % 16 =!= 0).count() === 0)
+    assert(frames.filter(col("frame_id") === 0).count() ===
+      docs.filter(col("doc_id") % 3 === 2).count())
+    val again = Multimodal.sampleFrames(
+      media.repartition(7, col("media_id")), k = 16).toDF()
+    assert(frames.exceptAll(again).count() === 0)
+    assert(again.exceptAll(frames).count() === 0)
+  }
+
+  test("resize stage restamps dimensions and preserves features and row count") {
+    val feats = Multimodal.features(spark, Tables.documents(spark, sf))
+    val out = Multimodal.resizeAll(feats, 32, 24).toDF()
+    assert(out.count() === feats.count())
+    assert(out.filter(col("width") =!= 32 || col("height") =!= 24).count() === 0)
+    // only the grid changes: ids + features survive untouched
+    assert(out.select("media_id", "kind", "n_bytes", "features")
+      .exceptAll(feats.toDF().select("media_id", "kind", "n_bytes", "features"))
+      .count() === 0)
+  }
+
   test("payload metadata matches the source text byte-for-byte") {
     val docs = Tables.documents(spark, sf)
     val bad = Multimodal.mediaFromDocuments(docs)
