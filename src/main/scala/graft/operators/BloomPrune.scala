@@ -34,6 +34,11 @@ object BloomPrune {
     val sketch = dim
       .agg(expr(s"bloom_agg($dimKey, ${estimatedItems}L)").as("__bf"))
       .head().getAs[Array[Byte]]("__bf")
-    fact.where(call_function("bloom_contains", lit(sketch), col(factKey)))
+    // empty (or all-null-key) dim → the aggregate yields a NULL sketch; a
+    // null literal would fail might_contain's Binary type check, and the
+    // semantically right answer is "no key can match" — same as the
+    // semi-join against an empty dim
+    if (sketch == null) fact.where(lit(false))
+    else fact.where(call_function("bloom_contains", lit(sketch), col(factKey)))
   }
 }

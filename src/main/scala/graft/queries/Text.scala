@@ -557,6 +557,45 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- North star: PII detection + redaction — the scrub pass every
+    //      training corpus needs before release. Pure per-row regex work
+    //      (detect counts + replace-all), map-only at any scale; patterns
+    //      stay in the RE2 ∩ Java-regex common dialect so both engines
+    //      match identically. The corpus is synthetic (no real PII), so
+    //      deterministic PII is INJECTED from doc fields first — the same
+    //      injection on both engines — making the redaction provably
+    //      non-vacuous (every row has one email + one phone hit). ----
+    gated("q77_pii_redact",
+      """WITH t AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@mail.example or +1-555-'
+        |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9._-]+@[a-z0-9.-]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(raw, '\+1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  regexp_replace(regexp_replace(raw, '[a-z0-9._-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |                 '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM t ORDER BY doc_id""") { (s, d) =>
+      val emailRe = "[a-z0-9._-]+@[a-z0-9.-]+"
+      val phoneRe = "\\+1-[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 50)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example or +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("raw"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          regexp_replace(
+            regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>").as("clean"))
+        .orderBy("doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----

@@ -27,6 +27,13 @@ class BloomPruneSpec extends SparkTestBase {
     assert(without.exceptAll(withPrune).count() === 0)
   }
 
+  test("empty dim prunes everything (the empty semi-join), not an analysis error") {
+    val dim = Tables.orders(spark, sf).filter(col("o_totalprice") < 0)
+    val pruned = BloomPrune.prune(Tables.lineitem(spark, sf),
+      "l_orderkey", dim, "o_orderkey")
+    assert(pruned.count() === 0)
+  }
+
   test("false positives stay within sketch bounds; probe plan is exchange-free") {
     val dim = Tables.orders(spark, sf).filter(col("o_totalprice") > 400000)
     val fact = Tables.lineitem(spark, sf)
