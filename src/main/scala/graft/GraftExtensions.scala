@@ -42,9 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => {
         val hashed = new XxHash64(Seq(exprs.head))
         exprs match {
-          case Seq(_)    => new BloomFilterAggregate(hashed)
-          case Seq(_, n) => new BloomFilterAggregate(hashed,
-            n.eval().asInstanceOf[Number].longValue())
+          case Seq(_) => new BloomFilterAggregate(hashed)
+          case Seq(_, Literal(n: Number, _)) =>
+            new BloomFilterAggregate(hashed, n.longValue())
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"bloom_agg: estimated_items must be an integer literal, got $other")
           case _ => throw new IllegalArgumentException(
             "bloom_agg(key[, estimated_items])")
         }
@@ -53,7 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("bloom_contains"),
       new ExpressionInfo(classOf[BloomFilterMightContain].getName,
         "bloom_contains"),
-      (exprs: Seq[Expression]) =>
-        BloomFilterMightContain(exprs.head, new XxHash64(Seq(exprs(1))))))
+      (exprs: Seq[Expression]) => exprs match {
+        case Seq(sketch, key) =>
+          BloomFilterMightContain(sketch, new XxHash64(Seq(key)))
+        case _ => throw new IllegalArgumentException(
+          "bloom_contains(sketch, key)")
+      }))
   }
 }

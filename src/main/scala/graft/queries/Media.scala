@@ -210,11 +210,13 @@ object Media {
     //      through the typed codec boundary (flatMap stage). The sampled
     //      count is a pure function of payload size — ceil(n_bytes/16) —
     //      so the stub's contract gates cross-engine even though the
-    //      frames themselves are stub ids. ----
+    //      frames themselves are stub ids. Zero-byte payloads produce NO
+    //      frames and therefore no row (the flatMap emits nothing); the
+    //      oracle's octet_length > 0 guard states the same contract. ----
     gated("q47c_frame_sample",
       """SELECT doc_id AS media_id,
         |       CAST((octet_length(encode(text)) + 15) // 16 AS BIGINT) AS n_frames
-        |FROM documents WHERE doc_id % 3 = 2
+        |FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
         |ORDER BY media_id""") { (s, d) =>
       Multimodal.sampleFrames(
           Multimodal.mediaFromDocuments(Tables.documents(s, d))

@@ -68,26 +68,41 @@ object DocIngest {
     size(TextOps.tokens(col("doc.text"))) > maxToks
 
   /** q63's deterministic hash-split rule, applied at ingest. */
-  private def splitCol =
-    when(substring(md5(col("doc_id").cast("string")), 1, 1) < "c", "train")
-      .when(substring(md5(col("doc_id").cast("string")), 1, 1) < "e", "val")
-      .otherwise("test")
+  private def splitCol = {
+    val h = substring(md5(col("doc.doc_id").cast("string")), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
 
+  /** Three routed queries: accepted (deduped corpus), rejected (audit),
+    * corrupt (DLQ). Rejects split off BEFORE the stateful dedup — they are
+    * an audit trail (every rejected line must appear, duplicates included)
+    * and junk must not occupy corpus-dedup watermark state. The three
+    * filters partition the input: every line reaches exactly one sink. */
   def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
             lateness: String = "1 hour", minToks: Int = 3,
-            maxToks: Int = 10000): (StreamingQuery, StreamingQuery) = {
+            maxToks: Int = 10000)
+      : (StreamingQuery, StreamingQuery, StreamingQuery) = {
     val parsed = parseLines(lines)
+    val rejectReason =
+      when(tooFewToks(minToks), "too_short")
+        .when(tooManyToks(maxToks), "too_long")
 
     val main = parsed
-      .filter(!corrupt)
-      .withColumn("reject_reason",
-        when(tooFewToks(minToks), "too_short")
-          .when(tooManyToks(maxToks), "too_long"))
+      .filter(!corrupt && rejectReason.isNull)
       .withColumn("digest", md5(col("doc.text")))
       .withWatermark("event_ts", lateness)
       .dropDuplicatesWithinWatermark("digest")
       .writeStream.foreachBatch(sinkBatch(sinks) _).trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
+
+    val rejects = parsed
+      .filter(!corrupt && rejectReason.isNotNull)
+      .select(col("doc.doc_id").as("doc_id"), col("doc.source").as("source"),
+        rejectReason.as("reject_reason"))
+      .writeStream.foreachBatch { (bad: DataFrame, batchId: Long) =>
+        bad.write.mode("overwrite").parquet(s"${sinks.rejects}/batch_id=$batchId")
+      }.trigger(trigger)
+      .option("checkpointLocation", sinks.checkpoint + "_rejects").start()
 
     val dlq = parsed
       .filter(corrupt)
@@ -97,28 +112,19 @@ object DocIngest {
       }.trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint + "_dlq").start()
 
-    (main, dlq)
+    (main, rejects, dlq)
   }
 
-  /** Routed writes. Dedup already happened upstream in the stateful
+  /** Corpus write. Dedup already happened upstream in the stateful
     * dropDuplicatesWithinWatermark (first arrival wins — deterministic
     * under retry because a retried micro-batch replays the same offsets
-    * from the checkpoint); this stage only splits accepted vs rejected
-    * and writes each exactly-once via batch-scoped overwrite. */
-  def sinkBatch(sinks: Sinks)(batch: DataFrame, batchId: Long): Unit = {
-    batch.persist()
-    try {
-      batch.filter(col("reject_reason").isNotNull)
-        .select(col("doc.doc_id").as("doc_id"), col("doc.source").as("source"),
-          col("reject_reason"))
-        .write.mode("overwrite").parquet(s"${sinks.rejects}/batch_id=$batchId")
-
-      batch.filter(col("reject_reason").isNull)
-        .select(col("doc.doc_id").as("doc_id"), col("doc.text").as("text"),
-          col("doc.source").as("source"), col("event_ts"),
-          col("digest"), splitCol.as("split"))
-        .write.partitionBy("split")
-        .mode("overwrite").parquet(s"${sinks.corpus}/batch_id=$batchId")
-    } finally batch.unpersist()
-  }
+    * from the checkpoint); this stage writes exactly-once via batch-scoped
+    * overwrite, partitioned by the ingest-time split. */
+  def sinkBatch(sinks: Sinks)(batch: DataFrame, batchId: Long): Unit =
+    batch
+      .select(col("doc.doc_id").as("doc_id"), col("doc.text").as("text"),
+        col("doc.source").as("source"), col("event_ts"),
+        col("digest"), splitCol.as("split"))
+      .write.partitionBy("split")
+      .mode("overwrite").parquet(s"${sinks.corpus}/batch_id=$batchId")
 }

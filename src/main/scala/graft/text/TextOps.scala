@@ -19,10 +19,7 @@ object TextOps {
 
   /** Distinct word trigrams ("shingles") — the unit for n-gram Jaccard and
     * MinHash. Caller must guard size >= 3. */
-  def trigrams(toks: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(toks) - 2),
-      i => concat_ws(" ",
-        element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  def trigrams(toks: Column): Column = array_distinct(trigramsAll(toks))
 
   /** ALL word trigrams in order, duplicates kept — the unit for intra-doc
     * repetition measurement (a repeated phrase must count every

@@ -41,9 +41,10 @@ class DocIngestSpec extends SparkTestBase {
     val root = tmpDir("doc_out")
     val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
       s"$root/checkpoint")
-    val (main, dlq) = DocIngest.start(spark.readStream.text(src), sinks,
-      Trigger.AvailableNow())
+    val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
+      sinks, Trigger.AvailableNow())
     main.awaitTermination(120000)
+    rejects.awaitTermination(120000)
     dlq.awaitTermination(120000)
 
     // corpus: docs 1 and 2 survive; the duplicate (3) collapsed into 1
@@ -68,9 +69,9 @@ class DocIngestSpec extends SparkTestBase {
     assert(batchDirs.flatMap(_.listFiles()).exists(_.getName.startsWith("split=")))
 
     // rejects: docs 4 and 5 (too short), with reasons — data, not errors
-    val rejects = spark.read.parquet(sinks.rejects)
-    assert(rejects.count() === 2)
-    assert(rejects.filter(col("reject_reason") === "too_short").count() === 2)
+    val rej = spark.read.parquet(sinks.rejects)
+    assert(rej.count() === 2)
+    assert(rej.filter(col("reject_reason") === "too_short").count() === 2)
 
     // DLQ: the non-JSON line, the missing-text record, the bad timestamp
     assert(spark.read.text(sinks.error).count() === 3)
@@ -88,15 +89,34 @@ class DocIngestSpec extends SparkTestBase {
     val root = tmpDir("doc_out2")
     val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
       s"$root/checkpoint")
-    val (main, dlq) = DocIngest.start(spark.readStream.text(src), sinks,
-      Trigger.AvailableNow())
+    val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
+      sinks, Trigger.AvailableNow())
     main.awaitTermination(120000)
+    rejects.awaitTermination(120000)
     dlq.awaitTermination(120000)
 
     val corpus = spark.read.parquet(sinks.corpus)
     // one survivor per distinct digest: {10 or 11} + 12
     assert(corpus.count() === 2)
     assert(corpus.select(countDistinct(col("digest"))).head().getLong(0) === 2)
+  }
+
+  test("duplicate rejected lines all reach the audit sink (no dedup state spent on junk)") {
+    val src = tmpDir("doc_src3")
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      doc(20, "tiny doc") + "\n" +
+        doc(21, "tiny doc", ts = "2026-08-12T10:02:00.000Z") + "\n")
+    val root = tmpDir("doc_out3")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
+      sinks, Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    rejects.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+    // identical junk content twice → BOTH rows audited (content dedup is
+    // a corpus concern, not an audit concern)
+    assert(spark.read.parquet(sinks.rejects).count() === 2)
   }
 
   private def longEnc = org.apache.spark.sql.Encoders.scalaLong

@@ -82,10 +82,10 @@ class PlanSpec extends SparkTestBase {
 
   test("q68: both metadata predicates push to their parquet scans") {
     val p = planOf("q68_filtered_topk")
-    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0)), " +
-      "Not(EqualTo(label,3))") ||
-      (p.contains("Not(EqualTo(label,3))") && p.contains("EqualTo(lang,en)")),
-      s"metadata filters not pushed:\n$p")
+    assert(p.contains("Not(EqualTo(label,3))"),
+      s"label filter not pushed to the embeddings scan:\n$p")
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter not pushed to the documents scan:\n$p")
   }
 
   test("q69/q72: chunking and repetition are map-only (explode/array math, no exchange before the final sort)") {
@@ -117,13 +117,13 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
-  test("q71: decontamination joins shuffle on the shingle (uniform key), never on doc_id before the agg") {
+  test("q71: decontamination shuffles on doc_id ONLY at the final aggregate") {
     val p = planOf("q71_decontamination")
-    // the join key is the shingle string: every hash exchange before the
-    // join must partition on sh, not on a doc-skewed key
-    val pre = p.substring(0, p.indexOf("SortMergeJoin").max(0).max(
-      p.indexOf("ShuffledHashJoin").max(0)))
-    assert(!pre.contains("hashpartitioning(doc_id"),
-      s"pre-join exchange keyed on doc_id:\n$p")
+    // the join/distinct exchanges key on the shingle (uniform); the single
+    // permitted doc_id-keyed exchange is the post-join groupBy — a second
+    // one would mean a join or window got keyed on the skewable doc side
+    assert(p.contains("Join"), s"join missing:\n$p")
+    assert("hashpartitioning\\(doc_id".r.findAllIn(p).size <= 1,
+      s"extra doc_id-keyed exchange:\n$p")
   }
 }
