@@ -596,6 +596,49 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- North star: duplicate CLUSTERS — connected components over the
+    //      q45 near-dup pair list (A~B, B~C ⇒ one group of three, even if
+    //      A and C never matched). Engine side: iterative min-label
+    //      propagation (operators/ConnectedComponents — one join + one agg
+    //      per round, O(diameter) rounds); oracle side: transitive closure
+    //      via recursive CTE. Same fixpoint, exactly comparable. Cluster
+    //      id = min doc_id in the component (the canonical survivor). ----
+    gated("q78_dup_clusters",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM g a, g b
+        |      WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.01),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
+        |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+        |FROM reach GROUP BY s ORDER BY doc_id""") { (s, d) =>
+      val g = Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      val a = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+      val b = g.select(col("doc_id").as("b_id"), col("tg").as("b_tg"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .filter(TextOps.jaccard(col("a_tg"), col("b_tg")) >= 0.01)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      graft.operators.ConnectedComponents.run(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+        .orderBy("doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent → ungated; NearDupSpec pins recall on planted
     //      duplicates and candidate ⊆ exact containment. ----

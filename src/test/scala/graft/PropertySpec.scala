@@ -134,6 +134,29 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("connected components == union-find model, for random edge lists") {
+    import spark.implicits._
+    val graphs = samples(Gen.listOf(for {
+      a <- Gen.choose(0L, 25L); b <- Gen.choose(0L, 25L) if a != b
+    } yield (a, b)), 12).filter(_.nonEmpty)
+    graphs.foreach { edges =>
+      // model: classic union-find, component label = min member
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(n => n -> find(n)).toMap
+      val got = graft.operators.ConnectedComponents.run(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges $edges")
+    }
+  }
+
   test("chunking (q69 formulation) covers every token exactly at its position, for random docs") {
     import spark.implicits._
     val docs = samples(Gen.choose(1, 90).flatMap(n =>
