@@ -414,6 +414,55 @@ object Extended {
         .orderBy("o_orderkey")
     },
 
+    // ---- Serve-side analytics: sessionized conversion funnel — per user,
+    //      first click → earliest purchase within the next 24 hours (the
+    //      classic event-sequence dashboard query; composes O10 aggs with
+    //      an O8-style range join). Two user-keyed aggregations + one
+    //      user-keyed range join: everything shuffles once on user_id,
+    //      uniform at any scale. ----
+    gated("q80_funnel",
+      """WITH fc AS (SELECT user_id, MIN(ts) AS first_click
+        |            FROM events WHERE event_type = 'click' GROUP BY user_id),
+        |conv AS (SELECT f.user_id, MIN(p.ts) AS first_purchase
+        |         FROM fc f JOIN events p ON p.user_id = f.user_id
+        |         WHERE p.event_type = 'purchase'
+        |           AND p.ts >= f.first_click
+        |           AND p.ts <= f.first_click + INTERVAL 24 HOUR
+        |         GROUP BY f.user_id)
+        |SELECT f.user_id,
+        |       strftime(f.first_click, '%Y-%m-%d %H:%M:%S') AS first_click,
+        |       CAST(CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS converted,
+        |       CAST(CASE WHEN c.user_id IS NULL THEN -1
+        |                 ELSE (epoch_us(c.first_purchase) - epoch_us(f.first_click))
+        |                      // 1000000
+        |            END AS BIGINT) AS secs_to_convert
+        |FROM fc f LEFT JOIN conv c ON f.user_id = c.user_id
+        |ORDER BY f.user_id""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min(col("ts")).as("first_click"))
+      val conv = fc.join(
+          ev.filter(col("event_type") === "purchase")
+            .select(col("user_id").as("pu"), col("ts").as("pts")),
+          col("pu") === col("user_id") &&
+            col("pts") >= col("first_click") &&
+            col("pts") <= col("first_click") + expr("INTERVAL 24 HOUR"))
+        .groupBy(col("user_id").as("cu"))
+        .agg(min(col("pts")).as("first_purchase"))
+      fc.join(conv, col("user_id") === col("cu"), "left")
+        .select(col("user_id"),
+          tsStr(col("first_click")).as("first_click"),
+          when(col("cu").isNull, 0L).otherwise(1L).as("converted"),
+          // exact µs diff, floor-divided to whole seconds — per-timestamp
+          // second truncation (unix_timestamp) disagrees with the oracle
+          // whenever the two fractional parts straddle a second boundary
+          when(col("cu").isNull, -1L)
+            .otherwise(floor((unix_micros(col("first_purchase")) -
+              unix_micros(col("first_click"))) / 1000000.0).cast("long"))
+            .as("secs_to_convert"))
+        .orderBy("user_id")
+    },
+
     // ---- O1 (CSV leg): explicit-schema CSV scan of the checked-in
     //      SF-invariant nation fixture, joined to the parquet region table
     //      (region/nation are schema-bounded → broadcast is safe at any

@@ -195,6 +195,70 @@ object Media {
         .orderBy("label", "dim")
     },
 
+    // ---- int8 scalar quantization (SQ8) — the 4× memory/bandwidth scale
+    //      path for vector search: per-vector scale = max|x|/127, elements
+    //      round to int8, dot products run in integer arithmetic and
+    //      rescale by sc_a·sc_b. Quantization is a pure per-row map; the
+    //      gate pins the quantized values exactly (round-away-from-zero on
+    //      both engines) plus a ±0.05 verdict that the INT dot product
+    //      reconstructs the exact cosine against query 0 — so a broken
+    //      quantizer or rescale flips the gate. ----
+    gated("q79_sq8_quantize",
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        GREATEST(list_max(list_transform(v, x -> abs(x))) / 127.0, 1e-12) AS sc
+        |      FROM e),
+        |q AS (SELECT vec_id, sc,
+        |        list_transform(v, x -> CAST(ROUND(x / sc) AS INTEGER)) AS qv, v
+        |      FROM s),
+        |qq AS (SELECT sc AS qsc, qv AS qqv, v AS qev FROM q WHERE vec_id = 0),
+        |r AS (SELECT b.vec_id, b.sc, b.qv[1] AS q0,
+        |        list_sum(list_transform(list_zip(b.qv, qq.qqv),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |          * b.sc * qq.qsc
+        |          / (sqrt(list_sum(list_transform(b.v, x -> x*x)))
+        |             * sqrt(list_sum(list_transform(qq.qev, x -> x*x)))) AS acos,
+        |        list_sum(list_transform(list_zip(b.v, qq.qev), p -> p[1]*p[2]))
+        |          / (sqrt(list_sum(list_transform(b.v, x -> x*x)))
+        |             * sqrt(list_sum(list_transform(qq.qev, x -> x*x)))) AS ecos
+        |      FROM q b, qq WHERE b.vec_id <> 0)
+        |SELECT vec_id,
+        |       CAST(CAST(ROUND(sc, 6) AS DECIMAL(12,6)) AS VARCHAR) AS scale,
+        |       CAST(q0 AS BIGINT) AS q0,
+        |       CAST(CASE WHEN abs(acos - ecos) <= 0.05 THEN 1 ELSE 0 END AS BIGINT) AS ok
+        |FROM r ORDER BY vec_id""") { (s, d) =>
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val sc = greatest(
+        array_max(transform(col("v"), x => abs(x))) / 127.0, lit(1e-12))
+      val qv = transform(col("v"), x => round(x / col("sc")).cast("int"))
+      val e = Tables.embeddings(s, d)
+        .select(col("vec_id"), v.as("v"))
+        .withColumn("sc", sc)
+        .withColumn("qv", qv)
+      val qq = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("sc").as("qsc"), col("qv").as("qqv"), col("v").as("qev")))
+      val intDot = aggregate(
+        zip_with(col("qv"), col("qqv"), (a, b) =>
+          a.cast("double") * b.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+      val l2  = (c: org.apache.spark.sql.Column) => sqrt(aggregate(
+        transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+      val dot = aggregate(zip_with(col("v"), col("qev"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x)
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(qq)
+        .withColumn("acos",
+          intDot * col("sc") * col("qsc") / (l2(col("v")) * l2(col("qev"))))
+        .withColumn("ecos", dot / (l2(col("v")) * l2(col("qev"))))
+        .select(col("vec_id"),
+          round(col("sc"), 6).cast(org.apache.spark.sql.types.DecimalType(12, 6))
+            .cast("string").as("scale"),
+          element_at(col("qv"), 1).cast("long").as("q0"),
+          when(abs(col("acos") - col("ecos")) <= 0.05, 1L).otherwise(0L).as("ok"))
+        .orderBy("vec_id")
+    },
+
     // ---- stub decode → feature extraction through the mapPartitions
     //      (Arrow-batch analog) boundary; ungated, pinned by MultimodalSpec ----
     ungated("q47b_multimodal_decode") { (s, d) =>
