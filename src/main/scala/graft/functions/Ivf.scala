@@ -67,10 +67,21 @@ object Ivf {
     val sampled =
       if (sampleMod <= 1) corpus
       else corpus.filter(col(idCol) % sampleMod === 0)
-    val vu = sampled.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
+    var vu = sampled.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
 
     var centroids: Seq[Seq[Double]] = vu.orderBy("id").limit(nlist)
       .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    if (centroids.size < nlist && sampleMod > 1) {
+      // the deterministic sample can under-shoot (or miss entirely) on a
+      // small or sparse-id corpus — fall back to training unsampled
+      // rather than silently fitting fewer cells than asked for
+      vu = corpus.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
+      centroids = vu.orderBy("id").limit(nlist)
+        .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
+    }
+    require(centroids.size >= nlist,
+      s"IVF train: corpus has only ${centroids.size} vectors, need at " +
+        s"least nlist=$nlist — lower nlist or grow the corpus")
     val dim = centroids.head.size
 
     for (_ <- 0 until iters) {

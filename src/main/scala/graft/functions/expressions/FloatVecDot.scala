@@ -66,17 +66,32 @@ case class FloatVecDot(left: Expression, right: Expression)
     acc
   }
 
+  /** Whether either input's ELEMENTS can be null (drives the per-element
+    * null check; input-level nulls are nullSafeCodeGen's job). */
+  private def elemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, containsNull) => containsNull
+    case _ => false
+  })
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val get = if (elemType.contains(DoubleType)) "getDouble" else "getFloat"
+      // when no element can be null, `nullable` can be false and
+      // nullSafeCodeGen then never declares ${ev.isNull} — referencing it
+      // would make the generated Java fail to compile (and silently fall
+      // back to interpreted mode), so the check is emitted conditionally
+      val nullCheck =
+        if (elemNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  $nullCheck
          |  $acc += (double) $a.$get($i) * (double) $b.$get($i);
          |}
          |${ev.value} = $acc;

@@ -31,8 +31,11 @@ object BloomPrune {
     * to every task like any literal. Re-call prune() if `dim` changes. */
   def prune(fact: DataFrame, factKey: String, dim: DataFrame, dimKey: String,
             estimatedItems: Long = 1000000L): DataFrame = {
+    // call_function (not string-interpolated expr): column names needing
+    // quoting resolve correctly and nothing in dimKey can be parsed as SQL
     val sketch = dim
-      .agg(expr(s"bloom_agg($dimKey, ${estimatedItems}L)").as("__bf"))
+      .agg(call_function("bloom_agg", col(dimKey), lit(estimatedItems))
+        .as("__bf"))
       .head().getAs[Array[Byte]]("__bf")
     // empty (or all-null-key) dim → the aggregate yields a NULL sketch; a
     // null literal would fail might_contain's Binary type check, and the

@@ -8,15 +8,19 @@ import org.apache.spark.sql.functions._
   * are only edges; the deletion unit is the transitive CLUSTER (A~B, B~C
   * ⇒ {A,B,C} is one duplicate group even if A and C never matched).
   *
-  * Algorithm: iterative min-label propagation (the Pregel/GraphX formula
-  * expressed in DataFrames): every node starts labeled with itself; each
-  * round takes the min of its label and its neighbors' labels; fixpoint in
-  * O(component diameter) rounds. Each round is one shuffled join + one
-  * aggregate — at 100 TB that is the standard big-graph CC shape (hashed
-  * exchanges on node id, no global structure on any single executor).
-  * The driver loop carries only the single `changed` count per round —
-  * the label table itself never leaves the cluster; per-round
-  * localCheckpoint keeps the lineage (and recompute cost) flat.
+  * Algorithm: min-label propagation with pointer jumping. Every node
+  * starts labeled with itself; each round (1) takes the min of its label
+  * and its neighbors' labels (one hop along an edge), then (2) shortcuts
+  * through the label table itself — `label(id) <- label(label(id))` — so
+  * the distance a min-label still has to travel roughly halves per round.
+  * Hop alone needs ~diameter rounds; hop+jump converges in O(log d), the
+  * same reason large-star/small-star CC runs in logarithmic rounds. Each
+  * round is two shuffled joins + one aggregate — at 100 TB that is the
+  * standard big-graph CC shape (hashed exchanges on node id, no global
+  * structure on any single executor). The driver loop carries only the
+  * single `changed` count per round — the label table itself never leaves
+  * the cluster; per-round localCheckpoint keeps the lineage (and recompute
+  * cost) flat.
   *
   * Duplicate-cluster semantics downstream: keep min(id) per cluster (the
   * q64 canonical-winner idea applied transitively), drop the rest. */
@@ -24,9 +28,10 @@ object ConnectedComponents {
 
   /** `edges`: two Long columns (a, b), undirected (symmetrized here).
     * Returns (id, cluster) for every endpoint, cluster = min id reachable.
-    * `maxIters` bounds the driver loop; propagation needs ~diameter
-    * rounds, so 20 covers any plausible dup-cluster shape (a chain of 2^20
-    * pairwise-similar docs would be the pathology, not the norm). */
+    * `maxIters` bounds the driver loop; with pointer jumping the label
+    * distance halves per round, so 20 rounds cover diameters up to ~2^20.
+    * Throws (rather than silently returning split clusters, which would
+    * corrupt downstream dedup) if the fixpoint is not reached. */
   def run(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = edges.toDF("a", "b")
     val sym = e.union(e.select(col("b"), col("a"))).distinct()
@@ -37,19 +42,32 @@ object ConnectedComponents {
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
+      // (1) hop: min over neighbors' labels
       val nbrMin = sym
         .join(labels.withColumnRenamed("id", "b2"), col("b") === col("b2"))
         .groupBy(col("a").as("id2")).agg(min(col("label")).as("nl"))
-      val next = labels
+      val hopped = labels
         .join(nbrMin, col("id") === col("id2"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nl"), col("label"))).as("label"),
-          (coalesce(col("nl"), col("label")) < col("label")).as("moved"))
+        .select(col("id"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("mid"))
+      // (2) jump: label(id) <- label(label(id)); label values are node
+      // ids (min-propagation only ever copies ids), and label(j) <= j, so
+      // the looked-up label can only improve
+      val next = hopped.as("x")
+        .join(hopped.select(col("id").as("jid"), col("mid").as("jl")),
+          col("x.mid") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.mid"), coalesce(col("jl"), col("x.mid"))).as("label"),
+          col("x.prev").as("prev"))
         .localCheckpoint()
-      changed = next.filter(col("moved")).count()
-      labels = next.drop("moved")
+      changed = next.filter(col("label") < col("prev")).count()
+      labels = next.drop("prev")
       i += 1
     }
+    require(changed == 0,
+      s"connected components did not converge after $maxIters rounds " +
+        s"($changed labels still moving) — raise maxIters; returning " +
+        "partial labels would split clusters and corrupt downstream dedup")
     labels.withColumnRenamed("label", "cluster")
   }
 }

@@ -19,8 +19,10 @@ import org.apache.spark.sql.functions._
   *   2. delete the source batch directories;
   *   3. rename staging to `batch_id=<upTo>`.
   * Every step is resumable: a crash between 2 and 3 leaves a COMPLETE
-  * staging dir (written before any delete) — re-running the same horizon
-  * skips the rewrite and finishes the swap. Readers racing step 2 can
+  * staging dir (written before any delete) plus its `.complete` marker —
+  * every entry point first finishes such orphaned swaps ([[recover]]),
+  * so the stranded rows become visible again no matter what horizon the
+  * next invocation asks for. Readers racing step 2 can
   * transiently miss pre-horizon rows, which is why this belongs in the
   * maintenance window, not concurrent with queries.
   */
@@ -37,9 +39,38 @@ object ArchiveCompaction {
       .flatMap(_.stripPrefix("batch_id=").toLongOption)
   }
 
-  /** Compact every `batch_id <= upTo` directory into one. Returns the
-    * number of source directories folded in (0 = nothing to do). */
+  /** Horizons of crashed runs: a `.compact-<h>.complete` marker says the
+    * staging dir for horizon `h` was fully written but the swap (delete
+    * sources, rename staging in) may not have finished. */
+  def orphanHorizons(spark: SparkSession, archive: String): Seq[Long] = {
+    val root = new Path(archive)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Marker = """\.compact-(\d+)\.complete""".r
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName).collect {
+      case Marker(h) => h.toLong
+    }.sorted
+  }
+
+  /** Finish every crashed compaction's swap. Must run before any new
+    * horizon is chosen: a crash between source-delete and rename strands
+    * the pre-horizon rows in the invisible staging dir, and a fresh
+    * `compactOlderThan` recomputes its horizon from the REMAINING batch
+    * ids — it would never re-pick the crashed horizon on its own. */
+  def recover(spark: SparkSession, archive: String): Int =
+    orphanHorizons(spark, archive)
+      .map(h => doCompact(spark, archive, h)).sum
+
+  /** Compact every `batch_id <= upTo` directory into one. Finishes any
+    * crashed prior compaction first. Returns the number of source
+    * directories folded in (0 = nothing to do). */
   def compact(spark: SparkSession, archive: String, upTo: Long): Int = {
+    orphanHorizons(spark, archive).filterNot(_ == upTo)
+      .foreach(h => doCompact(spark, archive, h))
+    doCompact(spark, archive, upTo)
+  }
+
+  private def doCompact(spark: SparkSession, archive: String, upTo: Long): Int = {
     val root = new Path(archive)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val sources = batchIds(spark, archive).filter(_ <= upTo).sorted
@@ -76,8 +107,9 @@ object ArchiveCompaction {
     * live for exactly-once retry overlap, compact everything older. */
   def compactOlderThan(spark: SparkSession, archive: String,
                        retainBatches: Int): Int = {
+    val recovered = recover(spark, archive)
     val ids = batchIds(spark, archive).sorted
-    if (ids.size <= retainBatches) 0
-    else compact(spark, archive, ids.dropRight(retainBatches).last)
+    if (ids.size <= retainBatches) recovered
+    else recovered + doCompact(spark, archive, ids.dropRight(retainBatches).last)
   }
 }

@@ -139,4 +139,19 @@ class MultimodalSpec extends SparkTestBase {
     val candShare = assigned.count(probed.contains).toDouble / assigned.length
     assert(candShare < 0.6, f"probed cells hold $candShare%.2f of the corpus — no pruning")
   }
+
+  test("IVF train falls back to the full corpus on an under-sized sample and fails clearly on an under-sized corpus") {
+    import graft.functions.Ivf
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))
+    // sampleMod far above every id ⇒ the sample is just vec_id 0 — train
+    // must fall back to the unsampled corpus, not fit 1 centroid silently
+    val centroids = Ivf.train(e, "vec_id", "embedding",
+      nlist = 8, iters = 1, sampleMod = 1000000000)
+    assert(centroids.size === 8)
+    // corpus smaller than nlist: loud failure, not centroids.head NPE
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.train(e.filter(col("vec_id") < 3), "vec_id", "embedding", nlist = 8)
+    }
+    assert(ex.getMessage.contains("nlist"), ex.getMessage)
+  }
 }

@@ -157,6 +157,20 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("connected components converges on a long chain and fails loudly when capped") {
+    import spark.implicits._
+    // diameter 299 ≫ 20 rounds of pure hop-propagation: only pointer
+    // jumping (reach doubling per round) converges inside the default cap
+    val chain = (0L until 299L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = graft.operators.ConnectedComponents.run(chain).collect()
+    assert(labels.length === 300 && labels.forall(_.getLong(1) == 0L))
+    // an unreachable fixpoint must throw, not return split clusters
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.ConnectedComponents.run(chain, maxIters = 2)
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
+
   test("chunking (q69 formulation) covers every token exactly at its position, for random docs") {
     import spark.implicits._
     val docs = samples(Gen.choose(1, 90).flatMap(n =>

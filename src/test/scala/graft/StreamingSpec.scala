@@ -303,8 +303,12 @@ class StreamingSpec extends SparkTestBase {
       s"${sinks.archive}/.compact-$all2.complete"), true).close()
     idsAfter.foreach(i => fs.delete(
       new org.apache.hadoop.fs.Path(s"${sinks.archive}/batch_id=$i"), true))
-    // re-run the same horizon: must finish the swap, not rewrite
-    ArchiveCompaction.compact(spark, sinks.archive, all2)
+    // the AUTOMATED path must finish the swap: with every source dir gone
+    // there are no batch ids left to derive the crashed horizon from, so
+    // compactOlderThan can only see the stranded rows via orphan-marker
+    // recovery, never by re-picking the same horizon
+    assert(ArchiveCompaction.orphanHorizons(spark, sinks.archive) === Seq(all2))
+    ArchiveCompaction.compactOlderThan(spark, sinks.archive, 3)
     assert(ArchiveCompaction.batchIds(spark, sinks.archive) === Seq(all2))
     assert(spark.read.parquet(sinks.archive)
       .drop("batch_id").collect().map(_.toString).sorted.toSeq === before)

@@ -67,6 +67,23 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("vec_dot codegen compiles when the result is non-nullable") {
+    // non-nullable inputs (containsNull=false arrays of non-null exprs)
+    // make the whole expression non-nullable; codegen must not assign the
+    // undeclared/constant isNull slot. fallback=false turns the silent
+    // interpreted fallback into a hard failure so this is a real gate.
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = spark.range(3).select(
+        call_function("vec_dot",
+          array((col("id") + 1).cast("float"), lit(2.0f)),
+          typedLit(Array(4.0f, 5.0f))).as("d"))
+        .collect().map(_.getDouble(0)).sorted
+      assert(out.toSeq === Seq(14.0, 18.0, 22.0))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("exact dedup is idempotent and removes planted duplicates") {
     val doubled = docs.unionByName(docs)
     val once = doubled.dropDuplicates()
