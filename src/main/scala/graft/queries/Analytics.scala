@@ -1,0 +1,299 @@
+package graft.queries
+
+import graft.{GatedQuery, Tables}
+import graft.GatedQuery.gated
+import graft.Norm._
+import graft.cdc.{Envelope, Materialize}
+import graft.functions.VectorOps
+import graft.text.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-4 analytics surface: sequence/corpus statistics and CDC diffing
+  * that a training-data pipeline layers on top of the base operators —
+  * collocation mining (bigram lift), a k-means assignment step (the
+  * E-step the IVF coarse quantizer iterates), day-over-day user
+  * retention, arg-max/arg-min per group, event-transition matrices, and
+  * snapshot diffs between two changelog horizons.
+  *
+  * Everything gated is exact: integer counts, one IEEE double division
+  * rounded per §2.3 rule 2, decimal-string rendering, total ORDER BY.
+  */
+object Analytics {
+
+  private val fx = Tables.cdcFixturePath
+
+  /** Same DuckDB-side envelope read the Cdc module pins (strings stay
+    * strings; no inference on either engine). */
+  private val readJson =
+    s"""read_json('$fx', format='newline_delimited',
+       |columns={data: 'STRUCT(trans_id BIGINT, customer_id VARCHAR, event VARCHAR, sku VARCHAR, amount INTEGER, device VARCHAR, trans_datetime VARCHAR)',
+       |metadata: 'STRUCT("timestamp" VARCHAR, "record-type" VARCHAR, operation VARCHAR, "partition-key-type" VARCHAR, "schema-name" VARCHAR, "table-name" VARCHAR, "transaction-id" BIGINT)'})""".stripMargin
+
+  private val selectionSql =
+    """metadata."record-type" = 'data' AND metadata."schema-name" = 'testdb'
+      |AND metadata."table-name" = 'retail_trans'""".stripMargin
+
+  /** Decimal-string rendering at scale 4 with 18-digit headroom (lift
+    * ratios can exceed DECIMAL(9,4)'s integral range on rare words). */
+  private def dec184Str(c: org.apache.spark.sql.Column) =
+    c.cast(DecimalType(18, 4)).cast("string")
+
+  val all: Seq[GatedQuery] = Seq(
+
+    // ---- Collocation mining: top-20 bigrams by frequency with their
+    //      lift = p(ab) / (p(a)·p(b)) — the log-free core of PMI (logs
+    //      are not bit-portable across engines; lift orders identically).
+    //      Numerator/denominator stay exact BIGINTs (bounded: n_uni ≤
+    //      ~4e6 even at sf1 ⇒ c_ab·n_uni² ≤ ~1e17 < 2^63), so the only
+    //      float op is one division, rounded per §2.3 rule 2.
+    //      Scale: two hash-agg shuffles (unigrams, bigrams) + broadcast
+    //      scalar totals + a TakeOrdered top-20 — no global sort. ----
+    gated("q81_collocations",
+      """WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
+        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
+        |bgr AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |        FROM t WHERE len(w) >= 2),
+        |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bgr GROUP BY bg),
+        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bgr),
+        |top AS (SELECT bg, c_ab FROM bc ORDER BY c_ab DESC, bg LIMIT 20)
+        |SELECT t.bg, t.c_ab, a.c AS c_a, b.c AS c_b,
+        |       CAST(CAST(ROUND(CAST(t.c_ab * nu.n * nu.n AS DOUBLE)
+        |            / CAST(nb.n * a.c * b.c AS DOUBLE), 4) AS DECIMAL(18,4)) AS VARCHAR) AS lift
+        |FROM top t CROSS JOIN nu CROSS JOIN nb
+        |JOIN uc a ON a.tok = string_split(t.bg, ' ')[1]
+        |JOIN uc b ON b.tok = string_split(t.bg, ' ')[2]
+        |ORDER BY t.c_ab DESC, t.bg""") { (s, d) =>
+      val t = Tables.documents(s, d).select(TextOps.tokens(col("text")).as("w"))
+      val u = t.select(explode(col("w")).as("tok"))
+      val uc = u.groupBy("tok").agg(count(lit(1)).as("c"))
+      val nu = broadcast(u.agg(count(lit(1)).as("n_uni")))
+      val bgr = t.filter(size(col("w")) >= 2)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bg"))
+      val nb = broadcast(bgr.agg(count(lit(1)).as("n_bg")))
+      val top = bgr.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        .orderBy(col("c_ab").desc, col("bg")).limit(20)
+      top
+        .withColumn("w1", split(col("bg"), " ")(0))
+        .withColumn("w2", split(col("bg"), " ")(1))
+        .join(uc.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c_a"), "w1")
+        .join(uc.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c_b"), "w2")
+        .crossJoin(nu).crossJoin(nb)
+        .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
+          dec184Str(round(
+            (col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
+              (col("n_bg") * col("c_a") * col("c_b")).cast("double"), 4)).as("lift"))
+        .orderBy(col("c_ab").desc, col("bg"))
+    },
+
+    // ---- k-means assignment step (the E-step of the IVF coarse
+    //      quantizer, gated cross-engine): nearest of 8 fixed centroids
+    //      (vec_id < 8, as-is) by cosine, ties to the lowest centroid id.
+    //      Engine plan: broadcast the 8 centroids, one map-side cosine
+    //      per (row, centroid), then argmax as a PARTIAL-AGGREGATABLE
+    //      max_by on a (sim, -cid) struct — one exchange on vec_id and
+    //      no per-partition sort, unlike a window formulation. ----
+    gated("q82_kmeans_assign",
+      """WITH c AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cid,
+        |        list_sum(list_transform(list_zip(e.embedding, c.ce),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(e.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne,
+        |        sqrt(list_sum(list_transform(c.ce,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        |      FROM embeddings e CROSS JOIN c WHERE e.vec_id >= 8),
+        |r AS (SELECT vec_id, cid, dot/(ne*nc) AS sim,
+        |        ROW_NUMBER() OVER (PARTITION BY vec_id
+        |                           ORDER BY dot/(ne*nc) DESC, cid) AS rn
+        |      FROM s)
+        |SELECT vec_id, cid AS cell,
+        |       CAST(CAST(ROUND(sim, 4) AS DECIMAL(9,4)) AS VARCHAR) AS sim
+        |FROM r WHERE rn = 1 ORDER BY vec_id""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val c = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      e.filter(col("vec_id") >= 8).crossJoin(c)
+        .select(col("vec_id"), col("cid"),
+          VectorOps.cosine(col("embedding"), col("ce")).as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"),
+          col("cid").as("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"),
+          dec4Str(round(col("m.sim"), 4)).as("sim"))
+        .orderBy("vec_id")
+    },
+
+    // ---- Day-over-day user retention over the event stream: per day,
+    //      distinct active users, how many were also active the previous
+    //      day, and the retention rate vs the previous day's actives.
+    //      Scale: one distinct shuffle on (day, user), then joins keyed
+    //      on user/day — the standard DAU/retention shape; no window. ----
+    gated("q83_retention",
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+        |act AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n_active FROM du GROUP BY d),
+        |ret AS (SELECT b.d AS d, CAST(COUNT(*) AS BIGINT) AS n_ret
+        |        FROM du a JOIN du b
+        |          ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+        |        GROUP BY b.d)
+        |SELECT strftime(act.d, '%Y-%m-%d') AS day, act.n_active,
+        |       COALESCE(ret.n_ret, 0) AS n_retained,
+        |       CAST(CAST(ROUND(CAST(COALESCE(ret.n_ret, 0) AS DOUBLE)
+        |            / CAST(prev.n_active AS DOUBLE), 4) AS DECIMAL(9,4)) AS VARCHAR) AS retention
+        |FROM act
+        |LEFT JOIN ret ON ret.d = act.d
+        |LEFT JOIN act prev ON prev.d = act.d - INTERVAL 1 DAY
+        |ORDER BY day""") { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("d"), col("user_id")).distinct()
+      val act = du.groupBy("d").agg(cntLong.as("n_active"))
+      val ret = du.as("a")
+        .join(du.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("b.d") === col("a.d") + expr("INTERVAL 1 DAY"))
+        .groupBy(col("b.d").as("d")).agg(cntLong.as("n_ret"))
+      act.as("act")
+        .join(ret.as("ret"), col("ret.d") === col("act.d"), "left")
+        .join(act.select(col("d").as("pd"), col("n_active").as("prev_active")),
+          col("pd") === col("act.d") - expr("INTERVAL 1 DAY"), "left")
+        .select(date_format(col("act.d"), "yyyy-MM-dd").as("day"),
+          col("act.n_active"),
+          coalesce(col("n_ret"), lit(0L)).as("n_retained"),
+          dec4Str(round(coalesce(col("n_ret"), lit(0L)).cast("double") /
+            col("prev_active").cast("double"), 4)).as("retention"))
+        .orderBy("day")
+    },
+
+    // ---- arg-max / arg-min per group (max_by/min_by agg surface): each
+    //      customer's highest-value order and first-ever order. The
+    //      tie-break folds into one exact BIGINT sort key (prices are
+    //      2-dp ⇒ price·100 is integral; ·1e7 + orderkey stays < 2^63
+    //      through sf1) because DuckDB's arg_max cannot order on structs.
+    //      Engine side uses max_by/min_by — partial-aggregatable, one
+    //      exchange, no window sort. ----
+    gated("q84_argmax",
+      """SELECT o_custkey,
+        |       arg_max(o_orderkey,
+        |               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10000000
+        |               + o_orderkey) AS top_order,
+        |       CAST(CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS top_price,
+        |       arg_min(o_orderkey,
+        |               epoch_ms(o_orderdate)//1000 * 10000000 + o_orderkey) AS first_order
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""") { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(
+          max_by(col("o_orderkey"),
+            round(col("o_totalprice") * 100).cast("long") * 10000000L
+              + col("o_orderkey")).as("top_order"),
+          decStr(max(dec2(col("o_totalprice")))).as("top_price"),
+          min_by(col("o_orderkey"),
+            unix_timestamp(col("o_orderdate")) * 10000000L
+              + col("o_orderkey")).as("first_order"))
+        .orderBy("o_custkey")
+    },
+
+    // ---- Event-type transition matrix (first-order Markov counts):
+    //      consecutive per-user event pairs in (ts, event_id) order.
+    //      One window shuffle on user_id, then a 25-row hash agg —
+    //      session-path mining over the reference's event stream. ----
+    gated("q85_transitions",
+      """WITH s AS (SELECT user_id, event_type,
+        |             LAG(event_type) OVER (PARTITION BY user_id
+        |                                   ORDER BY ts, event_id) AS prev
+        |           FROM events)
+        |SELECT prev, event_type AS next, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM s WHERE prev IS NOT NULL
+        |GROUP BY prev, next ORDER BY prev, next""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          lag(col("event_type"), 1).over(w).as("prev"))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev"), col("event_type").as("next"))
+        .agg(cntLong.as("c"))
+        .orderBy("prev", "next")
+    },
+
+    // ---- CDC snapshot DIFF between two changelog horizons: materialize
+    //      the snapshot as of the mid txid and as of the full log, then
+    //      classify every differing key as added / removed / changed —
+    //      the replication-audit primitive (what changed since the last
+    //      checkpoint?). Horizon = (min+max)//2 txid, computed from the
+    //      data on both engines. Scale: two PK-window materializations
+    //      + one full outer join, all keyed on the primary key — the
+    //      same single-exchange shape as the snapshot itself. ----
+    gated("q86_snapshot_diff",
+      s"""WITH hz AS (SELECT (MIN(metadata."transaction-id")
+         |                    + MAX(metadata."transaction-id"))//2 AS h
+         |            FROM $readJson WHERE $selectionSql),
+         |a AS (SELECT * FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         data.device AS device, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql
+         |    AND metadata."transaction-id" <= (SELECT h FROM hz))
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |b AS (SELECT * FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         data.device AS device, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT COALESCE(a.trans_id, b.trans_id) AS trans_id,
+         |       CASE WHEN a.trans_id IS NULL THEN 'added'
+         |            WHEN b.trans_id IS NULL THEN 'removed'
+         |            ELSE 'changed' END AS status,
+         |       a.event AS old_event, b.event AS new_event,
+         |       a.amount AS old_amount, b.amount AS new_amount
+         |FROM a FULL JOIN b ON a.trans_id = b.trans_id
+         |WHERE a.trans_id IS NULL OR b.trans_id IS NULL OR NOT (
+         |      a.customer_id IS NOT DISTINCT FROM b.customer_id
+         |  AND a.event IS NOT DISTINCT FROM b.event
+         |  AND a.sku IS NOT DISTINCT FROM b.sku
+         |  AND a.amount IS NOT DISTINCT FROM b.amount
+         |  AND a.device IS NOT DISTINCT FROM b.device
+         |  AND a.trans_datetime IS NOT DISTINCT FROM b.trans_datetime)
+         |ORDER BY trans_id""") { (s, _) =>
+      val log = Envelope.changelog(s, fx)
+      val tx = col("metadata.`transaction-id`")
+      val hz = broadcast(log.agg(
+        ((min(tx) + max(tx)) / 2).cast("long").as("h")))
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        Materialize.snapshot(df).withColumn("amount", col("amount").cast("long"))
+      val a = snap(log.crossJoin(hz).filter(tx <= col("h")).drop("h")).as("a")
+      val b = snap(log).as("b")
+      val same = Seq("customer_id", "event", "sku", "amount", "device",
+        "trans_datetime")
+        .map(c => col(s"a.$c") <=> col(s"b.$c")).reduce(_ && _)
+      a.join(b, col("a.trans_id") === col("b.trans_id"), "full_outer")
+        .filter(col("a.trans_id").isNull || col("b.trans_id").isNull || !same)
+        .select(coalesce(col("a.trans_id"), col("b.trans_id")).as("trans_id"),
+          when(col("a.trans_id").isNull, "added")
+            .when(col("b.trans_id").isNull, "removed")
+            .otherwise("changed").as("status"),
+          col("a.event").as("old_event"), col("b.event").as("new_event"),
+          col("a.amount").as("old_amount"), col("b.amount").as("new_amount"))
+        .orderBy("trans_id")
+    }
+  )
+}
