@@ -16,9 +16,10 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape at 100 TB:
   *   - training touches only means: each iteration is one partial-agg
-  *     shuffle of nlist × dim doubles (the assignment pass is map-only
-  *     against broadcast-literal centroids), and only the nlist centroids
-  *     ever reach the driver — never data rows;
+  *     shuffle of nlist × dim doubles (the assignment pass is a
+  *     broadcast join against the centroid table + argmax aggregate —
+  *     codegen stays one loop at any nlist), and only the nlist
+  *     centroids ever reach the driver — never data rows;
   *   - cell assignment of the corpus is a stateless projection, computed
   *     once and ideally persisted next to the vectors (like the LSH
   *     signatures);
@@ -47,10 +48,37 @@ object Ivf {
     call_function("vec_dot", v, typedLit(c))
 
   /** Index (0-based) of the max-dot centroid — lowest index wins ties
-    * (array_position returns the FIRST match). */
+    * (array_position returns the FIRST match). Literal-unrolled: one
+    * vec_dot column per centroid, so codegen cost grows with nlist —
+    * reserve for SINGLE-ROW inputs (the query vector); corpus-wide
+    * assignment goes through [[assignCells]]. */
   def cellOf(vUnit: Column, centroids: Seq[Seq[Double]]): Column = {
     val dots = array(centroids.map(c => dotLit(vUnit, c)): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Corpus-wide cell assignment as a broadcast join + argmax aggregate:
+    * `df` (must carry a unique `id` column and a unit-vector column
+    * `vuCol`) × broadcast centroid table → one vec_dot per (row, cell) →
+    * partial-aggregatable max on a (dot, -cell) struct. Identical tie
+    * semantics to [[cellOf]] (highest dot, then LOWEST cell), but the
+    * plan scales to any nlist (no literal unrolling, codegen stays one
+    * loop) and any corpus (map-side join, one exchange on id). */
+  def assignCells(df: DataFrame, idCol: String, vuCol: String,
+                  centroids: Seq[Seq[Double]],
+                  keep: Seq[String] = Nil): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toDF("__cell", "__cvec"))
+    val aggs = max(struct(col("__dot"), (-col("__cell")).as("__neg"),
+      col("__cell").as("__c"))).as("__m") +:
+      keep.map(k => first(col(k)).as(k))
+    df.crossJoin(cdf)
+      .withColumn("__dot", call_function("vec_dot", col(vuCol), col("__cvec")))
+      .groupBy(col(idCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(idCol) +: col("__m.__c").as("cell") +: keep.map(col): _*)
   }
 
   /** Spherical k-means coarse quantizer: deterministic init (the `nlist`
@@ -85,11 +113,11 @@ object Ivf {
     val dim = centroids.head.size
 
     for (_ <- 0 until iters) {
-      // assignment is map-only (literal centroids); the mean reduces to
+      // assignment is a broadcast join + argmax agg (assignCells — one
+      // vec_dot loop regardless of nlist); the mean reduces to
       // nlist × dim (cell, pos, avg) rows before anything moves
-      val means = vu
-        .select(cellOf(col("vu"), centroids).as("cell"),
-          posexplode(col("vu")).as(Seq("pos", "x")))
+      val means = assignCells(vu, "id", "vu", centroids, keep = Seq("vu"))
+        .select(col("cell"), posexplode(col("vu")).as(Seq("pos", "x")))
         .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
         .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
       centroids = centroids.zipWithIndex.map { case (old, c) =>
@@ -122,9 +150,10 @@ object Ivf {
   def ivfTopK(corpus: DataFrame, query: DataFrame, idCol: String,
               vecCol: String, k: Int, centroids: Seq[Seq[Double]],
               nprobe: Int = 4): DataFrame = {
-    val cand = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
-      VectorOps.l2(col(vecCol)).as("cn"),
-      cellOf(unit(col(vecCol)), centroids).as("cell"))
+    val cand = assignCells(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
+        VectorOps.l2(col(vecCol)).as("cn"), unit(col(vecCol)).as("vu")),
+      "nn_id", "vu", centroids, keep = Seq("cv", "cn"))
     val q = broadcast(query.select(col(vecCol).as("qv"),
       VectorOps.l2(col(vecCol)).as("qn"),
       explode(probeCells(unit(col(vecCol)), centroids, nprobe)).as("probe")))

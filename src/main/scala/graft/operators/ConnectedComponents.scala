@@ -34,10 +34,14 @@ object ConnectedComponents {
     * corrupt downstream dedup) if the fixpoint is not reached. */
   def run(edges: DataFrame, maxIters: Int = 20): DataFrame = {
     val e = edges.toDF("a", "b")
-    val sym = e.union(e.select(col("b"), col("a"))).distinct()
-      .localCheckpoint()
-    var labels = sym.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // no distinct: duplicate edges only feed extra rows into min() aggs,
+    // which tolerate them — dedup here would cost an exchange per run
+    val sym = e.union(e.select(col("b"), col("a"))).localCheckpoint()
+    // init fused with the first hop: label = min(self, neighbors) in one
+    // aggregation, saving a whole join round
+    var labels = sym.groupBy(col("a").as("id"))
+      .agg(min(col("b")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("label"))
       .localCheckpoint()
     var changed = 1L
     var i = 0

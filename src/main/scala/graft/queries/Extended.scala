@@ -406,8 +406,13 @@ object Extended {
         |GROUP BY o_orderkey
         |ORDER BY o_orderkey""") { (s, d) =>
       val dim = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      // size the sketch to the actual filtered-dim cardinality (one cheap
+      // dim-side count — dims are small by definition; Catalyst's own
+      // InjectRuntimeFilter sizes from stats the same way): a 1M-item
+      // default for a ~3k-key dim is a 350× oversized build + broadcast
       val fact = graft.operators.BloomPrune.prune(
-        Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey")
+        Tables.lineitem(s, d), "l_orderkey", dim, "o_orderkey",
+        estimatedItems = math.max(dim.count(), 1024L))
       dim.join(fact, col("o_orderkey") === col("l_orderkey"))
         .groupBy("o_orderkey")
         .agg(decStr(sumDec2(col("l_extendedprice"))).as("rev"))

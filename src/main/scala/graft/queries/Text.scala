@@ -469,15 +469,26 @@ object Text {
       // array inside every lambda step of the substituted filter, an
       // O(shingles × tokenize) blowup per row (measured 15× on this
       // query). Explode-at-build keeps the generator opaque to the rule.
+      // Tokenize + shingle ONCE and materialize (localCheckpoint — the
+      // local-mode stand-in for persisting the shingle index): train and
+      // test are two branches over the same derived table, and without
+      // the cut Spark re-runs the whole tokenize→trigram pipeline per
+      // branch. At 100 TB the shingle index is written to storage once
+      // and both sides read it — never derived twice.
       val docs = Tables.documents(s, d)
         .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
       val tg = TextOps.trigrams(col("w"))
-      val train = docs.filter(col("h") < "c")
-        .select(explode(tg).as("sh")).distinct()
-      val test = docs.filter(col("h") >= "e")
-        .select(col("doc_id"), size(tg).as("n_sh"), explode(tg).as("sh"))
+      val shingled = docs
+        .filter(col("h") < "c" || col("h") >= "e")
+        .select(col("doc_id"), col("h"), tg.as("tg"))
+        .localCheckpoint()
+      val train = shingled.filter(col("h") < "c")
+        .select(explode(col("tg")).as("sh")).distinct()
+      val test = shingled.filter(col("h") >= "e")
+        .select(col("doc_id"), size(col("tg")).as("n_sh"),
+          explode(col("tg")).as("sh"))
       test.join(train, "sh")
         .groupBy("doc_id")
         .agg(max(col("n_sh")).cast("long").as("n_sh"),
