@@ -294,6 +294,74 @@ object Analytics {
           col("a.event").as("old_event"), col("b.event").as("new_event"),
           col("a.amount").as("old_amount"), col("b.amount").as("new_amount"))
         .orderBy("trans_id")
+    },
+
+    // ---- CDC replication-lag observability: capture-time minus
+    //      business-time per operation, in EXACT integer microseconds
+    //      (both envelope timestamps parse to µs precision; the synthetic
+    //      fixture's business times scatter around capture time, so lags
+    //      go negative — the arithmetic doesn't care). The one float op
+    //      is the display average, a single division rounded per §2.3.
+    //      Scale: pure map + 3-group hash agg, no shuffle beyond it. ----
+    gated("q87_cdc_lag",
+      s"""SELECT metadata.operation AS op, CAST(COUNT(*) AS BIGINT) AS n,
+         |       MIN(epoch_us(CAST(metadata."timestamp" AS TIMESTAMP))
+         |           - epoch_us(CAST(data.trans_datetime AS TIMESTAMP))) AS min_lag_us,
+         |       MAX(epoch_us(CAST(metadata."timestamp" AS TIMESTAMP))
+         |           - epoch_us(CAST(data.trans_datetime AS TIMESTAMP))) AS max_lag_us,
+         |       CAST(CAST(ROUND(CAST(SUM(epoch_us(CAST(metadata."timestamp" AS TIMESTAMP))
+         |                - epoch_us(CAST(data.trans_datetime AS TIMESTAMP))) AS DOUBLE)
+         |            / (COUNT(*) * 1000000.0), 2) AS DECIMAL(18,2)) AS VARCHAR) AS avg_lag_s
+         |FROM $readJson WHERE $selectionSql
+         |GROUP BY op ORDER BY op""") { (s, _) =>
+      val lag = unix_micros(to_timestamp(col("metadata.timestamp"))) -
+        unix_micros(to_timestamp(col("data.trans_datetime")))
+      Envelope.changelog(s, fx)
+        .select(col("metadata.operation").as("op"), lag.as("lag"))
+        .groupBy("op")
+        .agg(cntLong.as("n"),
+          min(col("lag")).as("min_lag_us"),
+          max(col("lag")).as("max_lag_us"),
+          decStr(round(sum(col("lag")).cast("double") /
+            (count(lit(1)) * lit(1000000.0)), 2)).as("avg_lag_s"))
+        .orderBy("op")
+    },
+
+    // ---- Per-group outlier detection (data-quality pass): top-3 most
+    //      deviant event values per type. RANKING is exact — |value·n − Σ|
+    //      in DECIMAL equals n·|value − mean| up to the constant n, so no
+    //      float enters the order — while the z-score itself is display-
+    //      only (two IEEE divisions, rounded to 2 dp like q55's stddev).
+    //      Scale: one 5-row agg broadcast back over the stream + one
+    //      window per group — same two-exchange shape as q19. ----
+    gated("q88_outliers",
+      """WITH g AS (SELECT event_type, SUM(CAST(value AS DECIMAL(18,2))) AS s,
+        |                  CAST(COUNT(*) AS BIGINT) AS n, stddev_samp(value) AS sd
+        |           FROM events GROUP BY event_type),
+        |r AS (SELECT e.event_type, e.event_id, CAST(e.value AS DECIMAL(18,2)) AS v,
+        |        (e.value - CAST(g.s AS DOUBLE)/g.n) / g.sd AS z,
+        |        ROW_NUMBER() OVER (PARTITION BY e.event_type
+        |          ORDER BY ABS(CAST(e.value AS DECIMAL(18,2)) * g.n - g.s) DESC,
+        |                   e.event_id) AS rn
+        |      FROM events e JOIN g USING (event_type))
+        |SELECT event_type, event_id, CAST(v AS VARCHAR) AS value,
+        |       CAST(CAST(ROUND(z, 2) AS DECIMAL(18,2)) AS VARCHAR) AS z, rn
+        |FROM r WHERE rn <= 3 ORDER BY event_type, rn""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val g = broadcast(ev.groupBy("event_type").agg(
+        sum(dec2(col("value"))).as("s"), cntLong.as("n"),
+        stddev_samp(col("value")).as("sd")))
+      val dev = abs(dec2(col("value")) * col("n") - col("s"))
+      val z = (col("value") - col("s").cast("double") / col("n")) / col("sd")
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(dev.desc, col("event_id"))
+      ev.join(g, "event_type")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("event_type"), col("event_id"),
+          decStr(col("value")).as("value"), decStr(round(z, 2)).as("z"),
+          col("rn"))
+        .orderBy("event_type", "rn")
     }
   )
 }
