@@ -362,6 +362,124 @@ object Analytics {
           decStr(col("value")).as("value"), decStr(round(z, 2)).as("z"),
           col("rn"))
         .orderBy("event_type", "rn")
+    },
+
+    // ---- Pre-aggregation reuse: monthly stats answered FROM a daily
+    //      rollup (two-level aggregation) instead of the raw stream —
+    //      the warehouse pattern that turns a 100 TB scan into a
+    //      rollup-sized one for every coarser granularity. Exactness is
+    //      what makes it gateable: DECIMAL partial sums and counts merge
+    //      associatively, so rollup-then-merge equals the oracle's
+    //      direct single-level aggregation bit-for-bit, including the
+    //      one display division. ----
+    gated("q89_rollup_reuse",
+      """SELECT strftime(date_trunc('month', ts), '%Y-%m') AS m, event_type,
+        |       CAST(COUNT(*) AS BIGINT) AS c,
+        |       CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS v,
+        |       CAST(CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |            / COUNT(*), 2) AS DECIMAL(18,2)) AS VARCHAR) AS avg_v
+        |FROM events GROUP BY 1, 2 ORDER BY m, event_type""") { (s, d) =>
+      // engine path: daily rollup first (what the streaming archive
+      // would materialize), monthly merged from the rollup's partials
+      val daily = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("pc"), sum(dec2(col("value"))).as("ps"))
+      daily
+        .groupBy(date_trunc("month", col("day")).as("mo"), col("event_type"))
+        .agg(sum(col("pc")).as("c"), sum(col("ps")).as("sv"))
+        .select(date_format(col("mo"), "yyyy-MM").as("m"), col("event_type"),
+          col("c"),
+          decStr(col("sv")).as("v"),
+          decStr(round(col("sv").cast("double") / col("c"), 2)).as("avg_v"))
+        .orderBy("m", "event_type")
+    },
+
+    // ---- The FULL dedup pipeline as one composed operator — exact dedup
+    //      → near-dup pair mining → connected-component clustering →
+    //      canonical survivor per cluster → per-language survivor stats.
+    //      Exact-dup input is provably non-vacuous: ten re-keyed copies
+    //      (doc_id + 1000 — a re-crawl under new ids) are unioned in and
+    //      must vanish at the exact stage. Near-dup scope matches
+    //      q45/q78 (doc_id < 100) to bound the oracle's recursive-CTE
+    //      transitive closure. Scale: exact stage is one text-keyed
+    //      shuffle (xxhash64 pre-hash at 100 TB), pair stage the q45
+    //      band join, clustering O(log d) label rounds — each stage's
+    //      cost story is its own query's; this gates their COMPOSITION
+    //      (survivor sets feed stage to stage without drift). ----
+    gated("q90_dedup_pipeline",
+      """WITH RECURSIVE sub AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 100
+        |  UNION ALL
+        |  SELECT doc_id + 1000, lang, text FROM documents WHERE doc_id < 10),
+        |ex AS (SELECT MIN(doc_id) AS doc_id FROM sub GROUP BY text),
+        |exd AS (SELECT s.doc_id, s.lang, s.text FROM sub s
+        |        JOIN ex ON s.doc_id = ex.doc_id),
+        |t AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |      FROM exd),
+        |g AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM g a, g b
+        |      WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.01),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+        |cl AS (SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
+        |       FROM reach GROUP BY s),
+        |lab AS (SELECT exd.doc_id, exd.lang,
+        |               COALESCE(cl.cluster, exd.doc_id) AS cluster
+        |        FROM exd LEFT JOIN cl ON exd.doc_id = cl.doc_id)
+        |SELECT l.lang, l.n_docs,
+        |       COALESCE(x.n_after_exact, 0) AS n_after_exact,
+        |       COALESCE(v.n_survivors, 0) AS n_survivors
+        |FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |      FROM sub GROUP BY lang) l
+        |LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_after_exact
+        |           FROM exd GROUP BY lang) x ON l.lang = x.lang
+        |LEFT JOIN (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_survivors
+        |           FROM lab WHERE doc_id = cluster GROUP BY lang) v
+        |  ON l.lang = v.lang
+        |ORDER BY l.lang""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val sub = docs.filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000).as("doc_id"), col("lang"), col("text")))
+      // stage 1: exact dedup, min doc_id per text wins
+      val ex = sub.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      val exd = sub.join(ex.select("doc_id"), "doc_id")
+      // stage 2: near-dup pairs over the exact survivors (q45 protocol)
+      val g = exd
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      val pairs = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+        .join(g.select(col("doc_id").as("b_id"), col("tg").as("b_tg")),
+          col("a_id") < col("b_id"))
+        .filter(TextOps.jaccard(col("a_tg"), col("b_tg")) >= 0.01)
+        .select(col("a_id"), col("b_id"))
+      // stage 3: transitive clusters; stage 4: survivor = cluster min
+      val cl = graft.operators.ConnectedComponents.run(pairs)
+      val lab = exd.join(cl, exd("doc_id") === cl("id"), "left")
+        .select(exd("doc_id"), col("lang"),
+          coalesce(col("cluster"), exd("doc_id")).as("cluster"))
+      val l = sub.groupBy("lang").agg(cntLong.as("n_docs"))
+      val x = exd.groupBy("lang").agg(cntLong.as("n_after_exact"))
+      val v = lab.filter(col("doc_id") === col("cluster"))
+        .groupBy("lang").agg(cntLong.as("n_survivors"))
+      l.join(x, Seq("lang"), "left").join(v, Seq("lang"), "left")
+        .select(col("lang"), col("n_docs"),
+          coalesce(col("n_after_exact"), lit(0L)).as("n_after_exact"),
+          coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
+        .orderBy("lang")
     }
   )
 }
