@@ -28,7 +28,12 @@ object ExplainAudit {
     "q71_decontamination",     // shingle-keyed (uniform) join exchanges
     "q73_bloom_join",          // literal bloom probe before the exchange
     "q74_batch_topk",          // one corpus pass, WindowGroupLimit per query
-    "q75_label_centroids")     // ×64 explode, one (label,dim) shuffle
+    "q75_label_centroids",     // ×64 explode, one (label,dim) shuffle
+    "q82_kmeans_assign",       // broadcast centroids + partial-agg argmax
+    "q84_argmax",              // max_by/min_by two-phase, no window sort
+    "q86_snapshot_diff",       // PK-keyed windows + full-outer SMJ
+    "q89_rollup_reuse",        // two-level agg, both phases partial+final
+    "q90_dedup_pipeline")      // composed dedup stages, no driver fold
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

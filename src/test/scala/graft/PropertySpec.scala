@@ -171,6 +171,44 @@ class PropertySpec extends SparkTestBase {
     assert(ex.getMessage.contains("did not converge"), ex.getMessage)
   }
 
+  test("rollup-then-merge equals direct aggregation, for random day/value data (q89 invariant)") {
+    import spark.implicits._
+    // decimal partial sums + counts merge associatively: grouping by a
+    // fine key then re-aggregating to a coarse key must be bit-identical
+    // to aggregating directly at the coarse key
+    val data = samples(Gen.listOf(for {
+      day <- Gen.choose(1, 60); cents <- Gen.choose(0L, 100000L)
+    } yield (day, cents / 100.0)), 8).filter(_.nonEmpty)
+    data.foreach { rows =>
+      val df = rows.toDF("day", "v")
+        .select(col("day"), (col("day") / 7).cast("int").as("wk"), col("v"))
+      val direct = df.groupBy("wk")
+        .agg(count(lit(1)).as("c"), sum(col("v").cast("decimal(18,2)")).as("s"))
+      val merged = df.groupBy("wk", "day")
+        .agg(count(lit(1)).as("pc"), sum(col("v").cast("decimal(18,2)")).as("ps"))
+        .groupBy("wk").agg(sum(col("pc")).as("c"), sum(col("ps")).as("s"))
+      assert(merged.select(col("wk"), col("c"), col("s").cast("decimal(18,2)"))
+        .exceptAll(direct.select(col("wk"), col("c"),
+          col("s").cast("decimal(18,2)"))).count() === 0)
+    }
+  }
+
+  test("max_by with a composite bigint key picks the row a sort-based model picks (q84 invariant)") {
+    import spark.implicits._
+    val groups = samples(Gen.listOf(for {
+      g <- Gen.choose(0, 5); k <- Gen.choose(0L, 50L); p <- Gen.choose(0L, 99L)
+    } yield (g, k, p)), 10).filter(_.nonEmpty)
+    groups.foreach { rows =>
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map { case (_, k, p) => (p, k) }.max._2
+      }
+      val got = rows.toDF("g", "k", "p")
+        .groupBy("g").agg(max_by(col("k"), col("p") * 1000L + col("k")).as("k"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"rows $rows")
+    }
+  }
+
   test("chunking (q69 formulation) covers every token exactly at its position, for random docs") {
     import spark.implicits._
     val docs = samples(Gen.choose(1, 90).flatMap(n =>
