@@ -480,6 +480,71 @@ object Analytics {
           coalesce(col("n_after_exact"), lit(0L)).as("n_after_exact"),
           coalesce(col("n_survivors"), lit(0L)).as("n_survivors"))
         .orderBy("lang")
+    },
+
+    // ---- Serve-side SEARCH RANKING (S13's scoring half): top-10 docs
+    //      for the 3-term query {fast, join, merge} by length-normalized
+    //      tf-idf, Σ_t tf_t/dl · N/df_t. The sum of per-term float
+    //      divisions would be order-nondeterministic under partial
+    //      aggregation, so the score is assembled as ONE exact rational —
+    //      num = N·Σ_t tf_t·Π_{u≠t}df_u, den = dl·Π_t df_t, both BIGINT
+    //      (bounded: ≤ ~1e13 at sf0.1) — and divided once for display.
+    //      Scale: tf extraction is map-only; df/N is one tiny agg
+    //      broadcast back; ranking is TakeOrdered top-10, no global
+    //      sort. The log-free idf keeps every engine bit-identical. ----
+    gated("q91_search_rank",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |        CAST(len(list_filter(w, x -> x = 'fast')) AS BIGINT) AS tf_f,
+        |        CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_j,
+        |        CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_m
+        |      FROM t WHERE len(w) > 0),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(CASE WHEN tf_f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_f,
+        |        CAST(SUM(CASE WHEN tf_j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_j,
+        |        CAST(SUM(CASE WHEN tf_m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_m
+        |      FROM s),
+        |r AS (SELECT s.doc_id,
+        |        g.n * (s.tf_f * g.df_j * g.df_m
+        |             + s.tf_j * g.df_f * g.df_m
+        |             + s.tf_m * g.df_f * g.df_j) AS num,
+        |        s.dl * g.df_f * g.df_j * g.df_m AS den
+        |      FROM s CROSS JOIN g
+        |      WHERE s.tf_f + s.tf_j + s.tf_m > 0)
+        |SELECT doc_id,
+        |       CAST(CAST(ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |            AS DECIMAL(18,6)) AS VARCHAR) AS score
+        |FROM r
+        |ORDER BY ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6) DESC,
+        |         doc_id
+        |LIMIT 10""") { (s, d) =>
+      def tf(term: String) =
+        size(filter(col("w"), x => x === term)).cast("long")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          tf("fast").as("tf_f"), tf("join").as("tf_j"), tf("merge").as("tf_m"))
+      val g = broadcast(t.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("tf_f") > 0, 1L).otherwise(0L)).as("df_f"),
+        sum(when(col("tf_j") > 0, 1L).otherwise(0L)).as("df_j"),
+        sum(when(col("tf_m") > 0, 1L).otherwise(0L)).as("df_m")))
+      val score = round(
+        (col("n") * (col("tf_f") * col("df_j") * col("df_m")
+          + col("tf_j") * col("df_f") * col("df_m")
+          + col("tf_m") * col("df_f") * col("df_j"))).cast("double") /
+          (col("dl") * col("df_f") * col("df_j") * col("df_m")).cast("double"),
+        6)
+      t.crossJoin(g)
+        .filter(col("tf_f") + col("tf_j") + col("tf_m") > 0)
+        .select(col("doc_id"), score.as("sc"))
+        .orderBy(col("sc").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
     }
   )
 }
