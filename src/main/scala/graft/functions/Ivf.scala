@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   *     broadcast join against the centroid table + argmax aggregate —
   *     codegen stays one loop at any nlist), and only the nlist
   *     centroids ever reach the driver — never data rows;
-  *   - cell assignment of the corpus is a stateless projection, computed
-  *     once and ideally persisted next to the vectors (like the LSH
+  *   - cell assignment of the corpus is a broadcast join + argmax
+  *     aggregate (one exchange on the (id, vector) key), computed once
+  *     and ideally persisted next to the vectors (like the LSH
   *     signatures);
   *   - a query broadcasts its nprobe cell ids; the corpus is filtered on
   *     its (pre-computable) cell column, so the exact-rerank cosine runs
@@ -58,12 +59,17 @@ object Ivf {
   }
 
   /** Corpus-wide cell assignment as a broadcast join + argmax aggregate:
-    * `df` (must carry a unique `id` column and a unit-vector column
-    * `vuCol`) × broadcast centroid table → one vec_dot per (row, cell) →
+    * `df` × broadcast centroid table → one vec_dot per (row, cell) →
     * partial-aggregatable max on a (dot, -cell) struct. Identical tie
     * semantics to [[cellOf]] (highest dot, then LOWEST cell), but the
     * plan scales to any nlist (no literal unrolling, codegen stays one
-    * loop) and any corpus (map-side join, one exchange on id). */
+    * loop) and any corpus (map-side join, one exchange on the group key).
+    * The group key is (id, vector), NOT id alone: a corpus with repeated
+    * ids (re-ingested embeddings awaiting dedup) keeps one row per
+    * distinct vector — never an argmax smeared across different rows'
+    * dots paired with an arbitrary row's payload. `keep` columns must be
+    * functions of (id, vector) (e.g. norms of the same vector) so the
+    * within-group first() is deterministic. */
   def assignCells(df: DataFrame, idCol: String, vuCol: String,
                   centroids: Seq[Seq[Double]],
                   keep: Seq[String] = Nil): DataFrame = {
@@ -71,12 +77,13 @@ object Ivf {
     import spark.implicits._
     val cdf = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("__cell", "__cvec"))
+    val aggKeep = keep.filterNot(k => k == idCol || k == vuCol)
     val aggs = max(struct(col("__dot"), (-col("__cell")).as("__neg"),
       col("__cell").as("__c"))).as("__m") +:
-      keep.map(k => first(col(k)).as(k))
+      aggKeep.map(k => first(col(k)).as(k))
     df.crossJoin(cdf)
       .withColumn("__dot", call_function("vec_dot", col(vuCol), col("__cvec")))
-      .groupBy(col(idCol))
+      .groupBy(col(idCol), col(vuCol))
       .agg(aggs.head, aggs.tail: _*)
       .select(col(idCol) +: col("__m.__c").as("cell") +: keep.map(col): _*)
   }

@@ -45,41 +45,50 @@ object Analytics {
     // ---- Collocation mining: top-20 bigrams by frequency with their
     //      lift = p(ab) / (p(a)·p(b)) — the log-free core of PMI (logs
     //      are not bit-portable across engines; lift orders identically).
-    //      Numerator/denominator stay exact BIGINTs (bounded: n_uni ≤
-    //      ~4e6 even at sf1 ⇒ c_ab·n_uni² ≤ ~1e17 < 2^63), so the only
-    //      float op is one division, rounded per §2.3 rule 2.
-    //      Scale: two hash-agg shuffles (unigrams, bigrams) + broadcast
-    //      scalar totals + a TakeOrdered top-20 — no global sort. ----
+    //      Every factor casts to DOUBLE BEFORE multiplying — BIGINT
+    //      products would silently wrap in (non-ANSI) Spark on a
+    //      boilerplate-heavy corpus (c_ab·n_uni² passes 2^63 once a
+    //      bigram tops ~6e5 occurrences at n_uni~4e6) while doubles
+    //      cannot; the expression tree is identical on both engines so
+    //      IEEE gives identical results, rounded per §2.3 rule 2.
+    //      Scale: the token table materializes ONCE (localCheckpoint —
+    //      the corpus is tokenized a single time) and feeds two hash-agg
+    //      shuffles (unigram, bigram counts); the scalar totals derive
+    //      from those aggregates, not extra corpus scans; top-20 is a
+    //      TakeOrdered, no global sort. ----
     gated("q81_collocations",
       """WITH t AS (SELECT list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
         |           FROM documents),
-        |u AS (SELECT unnest(w) AS tok FROM t),
-        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY tok),
-        |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM u),
-        |bgr AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
-        |        FROM t WHERE len(w) >= 2),
-        |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bgr GROUP BY bg),
-        |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bgr),
+        |uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok),
+        |nu AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM uc),
+        |bc AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c_ab
+        |       FROM (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+        |             FROM t WHERE len(w) >= 2) GROUP BY bg),
+        |nb AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n FROM bc),
         |top AS (SELECT bg, c_ab FROM bc ORDER BY c_ab DESC, bg LIMIT 20)
         |SELECT t.bg, t.c_ab, a.c AS c_a, b.c AS c_b,
-        |       CAST(CAST(ROUND(CAST(t.c_ab * nu.n * nu.n AS DOUBLE)
-        |            / CAST(nb.n * a.c * b.c AS DOUBLE), 4) AS DECIMAL(18,4)) AS VARCHAR) AS lift
+        |       CAST(CAST(ROUND(
+        |         (CAST(t.c_ab AS DOUBLE) * CAST(nu.n AS DOUBLE) * CAST(nu.n AS DOUBLE))
+        |         / (CAST(nb.n AS DOUBLE) * CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE)),
+        |         4) AS DECIMAL(18,4)) AS VARCHAR) AS lift
         |FROM top t CROSS JOIN nu CROSS JOIN nb
         |JOIN uc a ON a.tok = string_split(t.bg, ' ')[1]
         |JOIN uc b ON b.tok = string_split(t.bg, ' ')[2]
         |ORDER BY t.c_ab DESC, t.bg""") { (s, d) =>
       val t = Tables.documents(s, d).select(TextOps.tokens(col("text")).as("w"))
-      val u = t.select(explode(col("w")).as("tok"))
-      val uc = u.groupBy("tok").agg(count(lit(1)).as("c"))
-      val nu = broadcast(u.agg(count(lit(1)).as("n_uni")))
-      val bgr = t.filter(size(col("w")) >= 2)
+        .localCheckpoint()
+      val uc = t.select(explode(col("w")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bc = t.filter(size(col("w")) >= 2)
         .select(explode(zip_with(
           slice(col("w"), lit(1), size(col("w")) - 1),
           slice(col("w"), lit(2), size(col("w")) - 1),
           (a, b) => concat(a, lit(" "), b))).as("bg"))
-      val nb = broadcast(bgr.agg(count(lit(1)).as("n_bg")))
-      val top = bgr.groupBy("bg").agg(count(lit(1)).as("c_ab"))
-        .orderBy(col("c_ab").desc, col("bg")).limit(20)
+        .groupBy("bg").agg(count(lit(1)).as("c_ab"))
+      val nu = broadcast(uc.agg(sum(col("c")).as("n_uni")))
+      val nb = broadcast(bc.agg(sum(col("c_ab")).as("n_bg")))
+      val top = bc.orderBy(col("c_ab").desc, col("bg")).limit(20)
       top
         .withColumn("w1", split(col("bg"), " ")(0))
         .withColumn("w2", split(col("bg"), " ")(1))
@@ -88,8 +97,10 @@ object Analytics {
         .crossJoin(nu).crossJoin(nb)
         .select(col("bg"), col("c_ab"), col("c_a"), col("c_b"),
           dec184Str(round(
-            (col("c_ab") * col("n_uni") * col("n_uni")).cast("double") /
-              (col("n_bg") * col("c_a") * col("c_b")).cast("double"), 4)).as("lift"))
+            (col("c_ab").cast("double") * col("n_uni").cast("double")
+              * col("n_uni").cast("double")) /
+              (col("n_bg").cast("double") * col("c_a").cast("double")
+                * col("c_b").cast("double")), 4)).as("lift"))
         .orderBy(col("c_ab").desc, col("bg"))
     },
 
@@ -276,8 +287,12 @@ object Analytics {
          |ORDER BY trans_id""") { (s, _) =>
       val log = Envelope.changelog(s, fx)
       val tx = col("metadata.`transaction-id`")
-      val hz = broadcast(log.agg(
-        ((min(tx) + max(tx)) / 2).cast("long").as("h")))
+      // integer `div`, not `/`: Column./ on longs goes through DOUBLE and
+      // rounds the sum above 2^53, diverging from the oracle's exact
+      // (min+max)//2 for large 64-bit transaction counters (txids are
+      // positive, so div's truncation == floor division)
+      val hz = broadcast(log.agg(min(tx).as("mn"), max(tx).as("mx"))
+        .select(expr("(mn + mx) div 2").as("h")))
       def snap(df: org.apache.spark.sql.DataFrame) =
         Materialize.snapshot(df).withColumn("amount", col("amount").cast("long"))
       val a = snap(log.crossJoin(hz).filter(tx <= col("h")).drop("h")).as("a")
