@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Incrementally maintained serving rollup — the streaming counterpart of
+  * q89's rollup-reuse: instead of recomputing hourly op statistics from
+  * the whole archive per dashboard query (S15, the reference's OpenSearch
+  * aggregation role), each micro-batch folds its PARTIAL aggregate into a
+  * persisted rollup. Counts and DECIMAL sums merge associatively, so
+  * incremental maintenance is bit-identical to a one-shot aggregation
+  * over everything the stream has delivered (RollupSpec pins this).
+  *
+  * Exactly-once under at-least-once batch execution comes from the same
+  * versioned-directory protocol as the serving merge: a batch commits its
+  * merged rollup as `v=<batchId>` (staging + rename); a RETRIED batch
+  * whose rename already committed finds the version present and skips —
+  * critical here, because unlike last-write-wins a SUM rollup is NOT
+  * idempotent, and double-merging a batch would double its counts.
+  *
+  * Scale: the per-batch partial reduces the batch to (hour × op) rows
+  * before anything is read or written; the merge unions two rollup-sized
+  * tables — state is bounded by the key space, never by stream volume.
+  */
+object RollupMaintenance {
+
+  private val Amt = DecimalType(18, 2)
+
+  /** (hour, op) partial aggregate of one micro-batch of parsed, selected
+    * envelope rows (CdcStreamPipeline.parseLines output). */
+  def partial(batch: DataFrame): DataFrame =
+    batch.groupBy(
+      date_format(col("event_ts"), "yyyy-MM-dd HH").as("h"),
+      col("metadata.operation").as("op"))
+      .agg(count(lit(1)).cast("long").as("c"),
+        sum(col("data.amount").cast(Amt)).cast(Amt).as("amt"))
+
+  /** Associative merge of rollup states/partials. */
+  def merge(old: Option[DataFrame], p: DataFrame): DataFrame = {
+    val all = old.map(_.unionByName(p)).getOrElse(p)
+    all.groupBy("h", "op")
+      .agg(sum(col("c")).cast("long").as("c"),
+        sum(col("amt")).cast(Amt).as("amt"))
+  }
+
+  /** Fold one micro-batch into the persisted rollup at `rollupDir`.
+    * Call from the stream's foreachBatch with the batch's parsed good
+    * rows. Idempotent per batchId via the version protocol. */
+  def update(rollupDir: String, batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val fs = new Path(rollupDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"$rollupDir/v=$batchId")
+    if (fs.exists(target)) return // retried batch, already folded in
+    val old = latestVersion(fs, rollupDir)
+      .map(v => spark.read.parquet(s"$rollupDir/v=$v"))
+    val merged = merge(old, partial(batch))
+    val staging = new Path(s"$rollupDir/.staging-$batchId")
+    merged.write.mode("overwrite").parquet(staging.toString)
+    if (fs.exists(target)) fs.delete(staging, true)
+    else require(fs.rename(staging, target),
+      s"rename $staging -> $target failed")
+    // prune: stale staging from crashed earlier batches + old versions
+    // (keep a short read horizon, same rationale as the serving merge)
+    fs.listStatus(new Path(rollupDir)).toSeq.map(_.getPath)
+      .filter(p => p.getName.startsWith(".staging-") &&
+        p.getName.stripPrefix(".staging-").toLongOption.exists(_ < batchId))
+      .foreach(p => fs.delete(p, true))
+    listVersions(fs, rollupDir).filter(_ < batchId).sorted.dropRight(4)
+      .foreach(v => fs.delete(new Path(s"$rollupDir/v=$v"), true))
+  }
+
+  /** Newest complete rollup state. */
+  def snapshot(spark: SparkSession, rollupDir: String): DataFrame = {
+    val fs = new Path(rollupDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, rollupDir).getOrElse(
+      throw new IllegalStateException(s"no rollup state under $rollupDir"))
+    spark.read.parquet(s"$rollupDir/v=$v")
+  }
+
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: String): Seq[Long] = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+  }
+
+  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Option[Long] =
+    listVersions(fs, dir) match {
+      case Nil => None
+      case vs => Some(vs.max)
+    }
+}

@@ -252,6 +252,41 @@ class StreamingSpec extends SparkTestBase {
     assert(ks.toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("incremental rollup maintenance equals one-shot aggregation and is idempotent under batch retry") {
+    import graft.streaming.RollupMaintenance
+    import org.apache.spark.sql.DataFrame
+    val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
+    val src = tmpDir("cdc_rollup_src")
+    (0 until 6).foreach { i =>
+      Files.write(Paths.get(s"$src/part$i.jsonl"),
+        (i until lines.size by 6).map(lines.get).mkString("\n").getBytes)
+    }
+    val rollup = tmpDir("cdc_rollup_state") + "/rollup"
+    def good(df: DataFrame) = CdcStreamPipeline.parseLines(df)
+      .filter(!Envelope.corrupt && col("event_ts").isNotNull)
+      .filter(Envelope.selection())
+    val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        RollupMaintenance.update(rollup, good(b), id)
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdc_rollup_ckpt")).start()
+    q.awaitTermination(120000)
+
+    // 6 incremental merges == one aggregation over everything delivered
+    val snap = RollupMaintenance.snapshot(spark, rollup)
+    val oneShot = RollupMaintenance.partial(good(spark.read.text(src)))
+    assert(snap.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(snap).count() === 0)
+
+    // a retried batch whose commit already landed must NOT double-count
+    // (SUM rollups are not idempotent — the version protocol is the guard)
+    val before = snap.collect().map(_.toString).sorted.toSeq
+    RollupMaintenance.update(rollup, good(spark.read.text(src)), 5L)
+    val after = RollupMaintenance.snapshot(spark, rollup)
+      .collect().map(_.toString).sorted.toSeq
+    assert(after === before)
+  }
+
   test("archive compaction folds batch dirs into one, preserves rows and hour pruning, resumes after a crash") {
     import graft.streaming.ArchiveCompaction
     // many small batches: one file per trigger over a 6-way split
