@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVecDot, RollingHash, ShingleHashes, SimHash16}
+import graft.functions.expressions.{FloatVecDot, JaccardSets, RollingHash, ShingleHashes, SimHash16}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sets"),
+      new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),
+      (exprs: Seq[Expression]) => JaccardSets(exprs.head, exprs(1))))
     // Bloom-filter build/probe — Catalyst's own runtime-row-level-filter
     // expressions (used internally by InjectRuntimeFilter), surfaced as
     // engine functions so join pruning can be EXPLICIT in a query program
