@@ -260,13 +260,37 @@ object Media {
     },
 
     // ---- stub decode → feature extraction through the mapPartitions
-    //      (Arrow-batch analog) boundary; ungated, pinned by MultimodalSpec ----
-    ungated("q47b_multimodal_decode") { (s, d) =>
-      Multimodal.features(s, Tables.documents(s, d))
-        .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"),
-          round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+    //      (Arrow-batch analog) boundary. The stub codec is pure byte
+    //      arithmetic (grid dims from payload length, features =
+    //      byte-histogram fractions), so the WHOLE decode is
+    //      oracle-expressible: the histogram fractions are re-multiplied
+    //      into exact integer counts (round(f·n) recovers the count
+    //      exactly for n < 2^24 — float mantissa bound), sidestepping
+    //      float-vs-double division rounding. MultimodalSpec still pins
+    //      the typed-boundary plumbing (iterators, partitioning). ----
+    gated("q47b_multimodal_decode",
+      """WITH m AS (SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio'
+        |              ELSE 'video' END AS kind,
+        |         CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         regexp_extract_all(text, '.') AS cs
+        |       FROM documents)
+        |SELECT media_id, kind, n AS n_bytes,
+        |       CAST(GREATEST(1, LEAST(64, n // 8)) AS BIGINT) AS width,
+        |       CAST(GREATEST(1, n // GREATEST(1, LEAST(64, n // 8))) AS BIGINT) AS height,
+        |       CAST(len(list_filter(cs, c -> ascii(c) < 64)) AS BIGINT) AS c0,
+        |       CAST(len(list_filter(cs, c -> ascii(c) >= 64 AND ascii(c) < 128)) AS BIGINT) AS c1,
+        |       CAST(len(list_filter(cs, c -> ascii(c) >= 128 AND ascii(c) < 192)) AS BIGINT) AS c2,
+        |       CAST(len(list_filter(cs, c -> ascii(c) >= 192)) AS BIGINT) AS c3
+        |FROM m ORDER BY media_id""") { (s, d) =>
+      val f = Multimodal.features(s, Tables.documents(s, d)).toDF()
+      def cnt(i: Int) = round(element_at(col("features"), i).cast("double") *
+        col("n_bytes")).cast("long").as(s"c${i - 1}")
+      f.select(col("media_id"), col("kind"), col("n_bytes"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          cnt(1), cnt(2), cnt(3), cnt(4))
         .orderBy("media_id")
     },
 
@@ -291,24 +315,109 @@ object Media {
     },
 
     // ---- ANN top-10 for vec_id = 0 via random-hyperplane LSH with
-    //      multi-probe; ungated (recall pinned vs brute force in AnnSpec) ----
-    ungated("q48_ann_topk") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      Ann.annTopK(e.filter(col("vec_id") =!= 0),
-        e.filter(col("vec_id") === 0), "vec_id", "embedding", k = 10)
+    //      multi-probe. Gate design (q11b verdict pattern): LSH's contract
+    //      is recalling NEAR neighbors (sim ≈ 1), not ranking the
+    //      moderate-similarity tail — so the corpus gains 10 planted
+    //      near-neighbors of the query (component 0 nudged by 0.01·i, a
+    //      construction both engines express exactly in DOUBLE), the
+    //      EXACT top-10 over corpus+planted is the oracle-checked payload,
+    //      and the ANN result contributes a recall verdict (≥8/10;
+    //      measured 10/10 at sf0.001/0.01/0.1 — deterministic seeded
+    //      hyperplanes, no randomness). A broken signature/probe path
+    //      flips recall_ok to 0 and the gate red. AnnSpec pins candidate
+    //      pruning (<25% of the corpus probed). ----
+    gated("q48_ann_topk", annOracleSql) { (s, d) =>
+      val (corpus, query) = plantedCorpus(s, d)
+      val ann = Ann.annTopK(corpus, query, "vec_id", "embedding", k = 10)
+      annVerdict(exactTop10(corpus, query), ann)
     },
 
     // ---- O39 scale path #2: IVF coarse-quantizer ANN — spherical
-    //      k-means cells, nprobe-cell search, exact rerank (AnnSpec pins
-    //      recall vs brute force and cell pruning). End-to-end: train +
-    //      assign + probe in one query program. ----
-    ungated("q48b_ivf_topk") { (s, d) =>
-      val e = Tables.embeddings(s, d)
-      val corpus = e.filter(col("vec_id") =!= 0)
+    //      k-means cells, nprobe-cell search, exact rerank. End-to-end:
+    //      train + assign + probe in one query program, gated with the
+    //      same planted-neighbor exact-top-10 + recall-verdict design as
+    //      q48 (measured 10/10 at all three SFs; training is
+    //      deterministic: id-mod sample, lowest-id init, DOUBLE folds).
+    //      MultimodalSpec pins cell pruning + training determinism. ----
+    gated("q48b_ivf_topk", annOracleSql) { (s, d) =>
+      val (corpus, query) = plantedCorpus(s, d)
       val centroids = Ivf.train(corpus, "vec_id", "embedding",
         nlist = 16, iters = 2, sampleMod = 7)
-      Ivf.ivfTopK(corpus, e.filter(col("vec_id") === 0),
-        "vec_id", "embedding", k = 10, centroids, nprobe = 4)
+      val ivf = Ivf.ivfTopK(corpus, query, "vec_id", "embedding",
+        k = 10, centroids, nprobe = 4)
+      annVerdict(exactTop10(corpus, query), ivf)
     }
   )
+
+  /** Corpus ∪ 10 planted near-neighbors of the query vector (ids
+    * 100001..100010; component 0 nudged by 0.01·i), plus the query row —
+    * everything as array<double> so Spark and DuckDB run identical DOUBLE
+    * arithmetic. */
+  private def plantedCorpus(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e = Tables.embeddings(s, d)
+    val query = e.filter(col("vec_id") === 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val planted = (1 to 10).map { i =>
+      query.select(lit(100000L + i).as("vec_id"),
+        transform(col("embedding"),
+          (x, j) => when(j === 0, x + lit(0.01 * i)).otherwise(x)).as("embedding"))
+    }.reduce(_ unionAll _)
+    // checkpointed: the 11-branch union feeds exact top-k, signatures/
+    // cells, AND (for IVF) every Lloyd round — without materialization
+    // each pass re-derives the whole plant (measured 3× query cost)
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .unionAll(planted)
+      .localCheckpoint()
+    (corpus, query)
+  }
+
+  /** Exact brute-force top-10 (q37 formulation: dec(9,4) rounding, vec_id
+    * tie-break) — the oracle-checkable half of the ANN gates. */
+  private def exactTop10(corpus: org.apache.spark.sql.DataFrame,
+                         query: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = broadcast(query.select(col("embedding").as("qe")))
+    corpus.crossJoin(q)
+      .select(col("vec_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
+          .cast(graft.Norm.Dec94).as("simd"))
+      .orderBy(col("simd").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Exact top-10 rows + the ANN recall verdict column (≥8 of the exact
+    * top-10 retrieved → 1). */
+  private def annVerdict(exact: org.apache.spark.sql.DataFrame,
+                         ann: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val verdict = broadcast(
+      exact.join(ann.select(col("nn_id")), col("vec_id") === col("nn_id"), "leftsemi")
+        .agg((count(lit(1)) >= 8).cast("long").as("recall_ok")))
+    exact.crossJoin(verdict)
+      .orderBy(col("simd").desc, col("vec_id"))
+      .select(col("vec_id"), col("simd").cast("string").as("sim"), col("recall_ok"))
+  }
+
+  /** Shared oracle for q48/q48b: exact top-10 over corpus+planted, verdict
+    * pinned true. */
+  private def annOracleSql: String =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+      |           FROM embeddings WHERE vec_id = 0),
+      |p AS (SELECT CAST(100000 + i AS BIGINT) AS vec_id,
+      |        list_concat([qe[1] + CAST(0.01 AS DOUBLE) * i], qe[2:]) AS v
+      |      FROM q, range(1, 11) t(i)),
+      |c AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |      FROM embeddings WHERE vec_id <> 0
+      |      UNION ALL SELECT vec_id, v FROM p),
+      |s AS (SELECT c.vec_id,
+      |        list_sum(list_transform(list_zip(c.v, q.qe), z -> z[1]*z[2])) AS dot,
+      |        sqrt(list_sum(list_transform(c.v, x -> x*x))) AS nb,
+      |        sqrt(list_sum(list_transform(q.qe, x -> x*x))) AS nq
+      |      FROM c, q)
+      |SELECT vec_id, CAST(CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) AS VARCHAR) AS sim,
+      |       CAST(1 AS BIGINT) AS recall_ok
+      |FROM s ORDER BY CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) DESC, vec_id
+      |LIMIT 10""".stripMargin.trim.replaceAll("\\s+", " ")
 }

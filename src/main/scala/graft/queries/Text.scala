@@ -651,26 +651,106 @@ object Text {
     },
 
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
-    //      equivalent → ungated; NearDupSpec pins recall on planted
-    //      duplicates and candidate ⊆ exact containment. ----
-    ungated("q40_minhash_lsh") { (s, d) =>
-      val g = Tables.documents(s, d)
+    //      equivalent, so the signatures can't hash-match — instead the
+    //      gate (q11b verdict pattern) runs LSH over the FULL corpus plus
+    //      planted perturbed copies (text ⧺ " xdup marker", id+100000 —
+    //      trigram Jaccard ≈ 0.85 per pair, constructible in both
+    //      engines), and checks it against the EXACT trigram-Jaccard
+    //      pair list of a bounded block (doc_id%100000 < 300, the
+    //      all-pairs cost the oracle can afford):
+    //        n_exact    — exact block pairs at θ=0.3 (oracle-counted;
+    //                     348/328/300 at sf0.001/0.01/0.1 — non-vacuous);
+    //        recall_ok  — LSH found ≥95% of them (measured ≥97.9% at all
+    //                     three SFs; deterministic — seeded hashes);
+    //        subset_ok  — every block LSH pair IS an exact pair (the
+    //                     exact-Jaccard rerank guarantees this up to
+    //                     shingle-hash collisions; measured exact).
+    //      Integer-only verdict arithmetic (hits·100 ≥ n_exact·95): no
+    //      float compare at the gate boundary. ----
+    gated("q40_minhash_lsh",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' xdup marker' AS text
+        |  FROM documents WHERE doc_id < 300),
+        |t AS (SELECT doc_id,
+        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |      FROM corpus WHERE doc_id % 100000 < 300),
+        |g AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS subset_ok
+        |FROM g a, g b
+        |WHERE a.doc_id < b.doc_id
+        |  AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.3""") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // copies planted only for the gate block: the verdict inspects block
+      // pairs, so the full corpus keeps its natural size for the LSH leg
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") < 300)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xdup marker")).as("text")))
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), col("w"))
-      NearDup.lshPairs(g, "doc_id", "w", k = 16, nBands = 4, threshold = 0.3)
-        .orderBy("a_id", "b_id")
+      val inBlock = (col("doc_id") % 100000) < 300
+      // exact block pairs, trigram-STRING Jaccard (the oracle's formula);
+      // checkpointed — the block table feeds both sides of the self-join
+      val g = corpus.filter(inBlock)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+        .localCheckpoint()
+      val exact = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+        .join(g.select(col("doc_id").as("b_id"), col("tg").as("b_tg")),
+          col("a_id") < col("b_id"))
+        .filter(call_function("jaccard_sets", col("a_tg"), col("b_tg")) >= 0.3)
+        .select(col("a_id"), col("b_id"))
+      // LSH over the FULL corpus (the scale path under test), then the
+      // block slice is compared against the exact pair list
+      val lsh = NearDup.lshPairs(corpus.select(col("doc_id"), col("w")),
+          "doc_id", "w", k = 16, nBands = 4, threshold = 0.3)
+        .filter(((col("a_id") % 100000) < 300) && ((col("b_id") % 100000) < 300))
+        .select(col("a_id").as("la"), col("b_id").as("lb"))
+      // one pass over each side: full-outer pair match → three counts
+      exact.join(lsh,
+          col("a_id") === col("la") && col("b_id") === col("lb"), "full_outer")
+        .agg(sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("a_id").isNotNull && col("la").isNotNull, 1L)
+            .otherwise(0L)).as("n_hits"),
+          sum(when(col("la").isNotNull, 1L).otherwise(0L)).as("n_lsh"))
+        .select(col("n_exact"),
+          (col("n_hits") * 100 >= col("n_exact") * 95).cast("long").as("recall_ok"),
+          (col("n_hits") === col("n_lsh")).cast("long").as("subset_ok"))
     },
 
-    // ---- O40: SimHash sketch per document (ungated; spec asserts
-    //      determinism + near-dup Hamming proximity on planted pairs).
-    //      Native single-pass expression; NearDup.simhash16 is the HOF
-    //      reference formulation. ----
-    ungated("q40b_simhash") { (s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"),
-          call_function("simhash16", TextOps.tokens(col("text"))).as("sh"))
-        .orderBy("doc_id")
+    // ---- O40: SimHash sketch per document. The 16-bit sketches are
+    //      xxhash64-derived (no DuckDB twin), so the gate pins the
+    //      sketch's CONTRACT: identical texts land at Hamming 0 (purity —
+    //      re-keyed identical copies), near-identical texts (one token
+    //      appended) land within Hamming ≤ 8 (measured max 6 at all three
+    //      SFs; deterministic). n_docs anchors the row count. Native
+    //      single-pass expression; NearDup.simhash16 is the HOF reference
+    //      formulation (bit-parity spec). ----
+    gated("q40b_simhash",
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(1 AS BIGINT) AS zero_ok,
+        |       CAST(1 AS BIGINT) AS near_ok
+        |FROM documents""") { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val sig = call_function("simhash16", TextOps.tokens(col("text")))
+      val orig = docs.select(col("doc_id"), sig.as("osh"))
+      val ident = docs.select(col("doc_id"), sig.as("ish"))
+      val pert = docs.select(col("doc_id"),
+          concat(col("text"), lit(" xdup marker")).as("text"))
+        .select(col("doc_id"), sig.as("psh"))
+      val joined = orig.join(ident, "doc_id").join(pert, "doc_id")
+        .select(NearDup.hamming(col("osh"), col("ish")).as("hi"),
+          NearDup.hamming(col("osh"), col("psh")).as("hp"))
+      joined.agg(cntLong.as("n_docs"),
+        (max(col("hi")) === 0).cast("long").as("zero_ok"),
+        (max(col("hp")) <= 8).cast("long").as("near_ok"))
     }
   )
 }
