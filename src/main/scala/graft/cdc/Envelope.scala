@@ -94,4 +94,10 @@ object Envelope {
     * fixture — the batch entry point for D-Q32/33/34. */
   def changelog(spark: SparkSession, path: String): DataFrame =
     parse(spark, path).filter(selection()).drop("value")
+
+  /** Parsed + selected changelog over an existing line DataFrame — works
+    * for batch AND streaming inputs (from_json/filter are per-row, so the
+    * same plan runs under either execution mode). */
+  def changelog(lines: DataFrame): DataFrame =
+    parseLines(lines).filter(selection()).drop("value")
 }

@@ -33,6 +33,28 @@ object Materialize {
       .select(col("data.*"))
   }
 
+  /** Aggregate-form materialization: the same last-write-wins semantics
+    * as [[snapshot]], expressed as `max_by` over the `(timestamp,
+    * transaction-id)` ordering key instead of a window. Scale: the window
+    * form shuffles EVERY change row and sorts each key partition; max_by
+    * partial-aggregates map-side, so the exchange carries one candidate
+    * row per key per map task — the right form when the changelog has
+    * many updates per key (a hot row at 0.33 rec/s for a day is ~30k
+    * versions that never leave their map task). Kept alongside the window
+    * form as an independently-computed snapshot for [[Reconcile]];
+    * inherits the same accepted limitation on fully-identical
+    * (pk, timestamp, txid) ties. */
+  def snapshotAgg(changelog: DataFrame): DataFrame =
+    changelog
+      .groupBy(col("data.trans_id").as("__pk"))
+      .agg(max_by(
+        struct(col("data.*"), col("metadata.operation").as("__op")),
+        struct(col("metadata.timestamp"),
+          col("metadata.`transaction-id`"))).as("__last"))
+      .filter(col("__last.__op") =!= "delete")
+      .select(col("__last.*"))
+      .drop("__op")
+
   /** O36: CDC op statistics — pipeline observability (the Kinesis data
     * viewer role, reference README.md:448-449). Grouped on provenance. */
   def opStats(parsed: DataFrame): DataFrame =

@@ -560,6 +560,60 @@ object Analytics {
         .limit(10)
         .select(col("doc_id"),
           col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+    },
+
+    // ---- Heavy hitters via per-partition Misra-Gries + exact recount
+    //      (operators/HeavyHitters): the candidates-then-verify shape —
+    //      the MG union is a PROVABLE superset of every item with
+    //      count·50 > n (pigeonhole over partitions), so the exact
+    //      recount of candidates yields the exact answer in two passes
+    //      with k counters of state per partition. The gate is the
+    //      exact heavy-hitter set itself (30 words at every SF);
+    //      integer threshold arithmetic (c·50 > n, no float). ----
+    gated("q98_heavy_hitters",
+      """WITH toks AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+        |                            x -> x <> '')) AS w
+        |              FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM toks),
+        |c AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY w)
+        |SELECT w, CAST(c AS BIGINT) AS c
+        |FROM c, n WHERE c * 50 > n
+        |ORDER BY c DESC, w""") { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .as[String]
+      graft.operators.HeavyHitters.exact(toks, k = 50)
+        .orderBy(col("c").desc, col("w"))
+    },
+
+    // ---- Z-order (Morton) clustering key (functions/ZOrder): the
+    //      multi-dimensional layout key for co-locating rows close in
+    //      BOTH dimensions under one sort — repartitionByRange(zkey) +
+    //      sortWithinPartitions before the write gives every file a
+    //      tight (x, y) bounding box, so min/max row-group pruning works
+    //      for filters on either dimension. The gate pins the exact
+    //      mask-shift cascade bit arithmetic cross-engine. ----
+    gated("q99_zorder_key",
+      """WITH base AS (SELECT p_partkey, p_partkey % 1024 AS x,
+        |                     CAST(p_size AS BIGINT) AS y FROM part),
+        |s1 AS (SELECT p_partkey, x & 65535 AS xa, y & 65535 AS ya FROM base),
+        |s2 AS (SELECT p_partkey, (xa | (xa << 8)) & 16711935 AS xb,
+        |              (ya | (ya << 8)) & 16711935 AS yb FROM s1),
+        |s3 AS (SELECT p_partkey, (xb | (xb << 4)) & 252645135 AS xc,
+        |              (yb | (yb << 4)) & 252645135 AS yc FROM s2),
+        |s4 AS (SELECT p_partkey, (xc | (xc << 2)) & 858993459 AS xd,
+        |              (yc | (yc << 2)) & 858993459 AS yd FROM s3),
+        |s5 AS (SELECT p_partkey, (xd | (xd << 1)) & 1431655765 AS xe,
+        |              (yd | (yd << 1)) & 1431655765 AS ye FROM s4)
+        |SELECT p_partkey, CAST(xe | (ye << 1) AS BIGINT) AS zkey
+        |FROM s5 ORDER BY p_partkey""") { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          graft.functions.ZOrder.interleave16(
+            pmod(col("p_partkey"), lit(1024L)),
+            col("p_size").cast("long")).as("zkey"))
+        .orderBy("p_partkey")
     }
   )
 }

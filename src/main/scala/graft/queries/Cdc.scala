@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.gated
-import graft.cdc.{Envelope, Materialize}
+import graft.cdc.{Envelope, Materialize, Reconcile}
 import org.apache.spark.sql.functions._
 
 /** CDC trio (SURVEY.md O34/O35/O36 = D-Q32/33/34) over the checked-in
@@ -172,6 +172,54 @@ object Cdc {
          |ORDER BY sch, tbl, op""") { (s, _) =>
       Materialize.opStats(Envelope.parse(s, fx))
         .orderBy("sch", "tbl", "op")
+    },
+
+    // ---- O35/O36 companion: table validation / reconciliation — the
+    //      DMS-table-validation role. Two INDEPENDENTLY computed
+    //      snapshots (window-form row_number vs aggregate-form max_by —
+    //      different physical plans, same declared semantics) are
+    //      reduced to per-key digests and reconciled to per-bucket
+    //      counts + content checksums; the oracle recomputes the bucket
+    //      checksums from ITS OWN snapshot, so a drift in either
+    //      materialization path (or in the digest) flips the gate.
+    //      n_mismatch/n_missing/n_extra pinned 0. Checksum = SUM of the
+    //      poly-31 mod 1e9+7 row hash (q44's cross-engine fold): ≤ 1e9
+    //      per row, so the BIGINT sum is exact far beyond any fixture
+    //      size. ----
+    gated("q93_reconcile",
+      s"""WITH snap AS (
+         |  SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |  FROM (
+         |    SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |           data.event AS event, data.sku AS sku, data.amount AS amount,
+         |           data.device AS device, data.trans_datetime AS trans_datetime,
+         |           metadata.operation AS op,
+         |           ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |               ORDER BY metadata."timestamp" DESC,
+         |                        metadata."transaction-id" DESC) AS rn
+         |    FROM $readJson
+         |    WHERE $selectionSql)
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |d AS (SELECT trans_id % 4 AS bucket,
+         |        list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |          list_transform(list_filter(string_split(
+         |            concat_ws('|', trans_id, customer_id, event, sku,
+         |                      amount, device, trans_datetime), ''),
+         |            x -> x <> ''), x -> CAST(ascii(x) AS BIGINT))),
+         |          (acc, x) -> (acc * 31 + x) % 1000000007) AS dg
+         |      FROM snap)
+         |SELECT CAST(bucket AS BIGINT) AS bucket,
+         |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |       CAST(SUM(dg) AS BIGINT) AS checksum,
+         |       CAST(0 AS BIGINT) AS n_mismatch,
+         |       CAST(0 AS BIGINT) AS n_missing,
+         |       CAST(0 AS BIGINT) AS n_extra
+         |FROM d GROUP BY bucket ORDER BY bucket""") { (s, _) =>
+      val log = Envelope.changelog(s, fx)
+      val cols = Seq("trans_id", "customer_id", "event", "sku",
+        "amount", "device", "trans_datetime")
+      Reconcile.reconcile(Materialize.snapshot(log),
+        Materialize.snapshotAgg(log), "trans_id", cols, buckets = 4)
     }
   )
 }

@@ -486,6 +486,33 @@ object Extended {
         .groupBy("r_name")
         .agg(cntLong.as("c"), min(col("n_name")).as("mn"))
         .orderBy("r_name")
+    },
+
+    // ---- O2 companion: UNPIVOT / melt — wide measure columns to long
+    //      (metric, value) rows, the inverse of q52's pivot. Map-only
+    //      (a generate/expand node, no shuffle beyond the harness ORDER
+    //      BY); column names become data, so both engines must agree on
+    //      the emitted metric labels, not just values. ----
+    gated("q96_unpivot",
+      """SELECT l_orderkey, l_linenumber, metric,
+        |       CAST(CAST(v AS DECIMAL(18,2)) AS VARCHAR) AS v
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |             l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey < 1000)
+        |UNPIVOT (v FOR metric IN (l_quantity, l_extendedprice, l_discount, l_tax))
+        |ORDER BY l_orderkey, l_linenumber, metric, v""") { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 1000)
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "v")
+        .select(col("l_orderkey"), col("l_linenumber"), col("metric"),
+          decStr(col("v")).as("v"))
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+        // (746 dup keys at sf0.01) — v completes the total order
+        .orderBy("l_orderkey", "l_linenumber", "metric", "v")
     }
   )
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
-import graft.functions.{Ann, Ivf}
+import graft.functions.{Ann, Ivf, VectorOps}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -346,6 +346,82 @@ object Media {
       val ivf = Ivf.ivfTopK(corpus, query, "vec_id", "embedding",
         k = 10, centroids, nprobe = 4)
       annVerdict(exactTop10(corpus, query), ivf)
+    },
+
+    // ---- O39/O40: embedding-cosine near-dup at corpus scale — the
+    //      ALL-PAIRS version of q46, made tractable by sign-LSH
+    //      bucketing: 8-bit hyperplane signatures, candidates = pairs
+    //      colliding on a bucket or any 1-bit flip (multi-probe), exact
+    //      cosine ≥ 0.9 re-rank of candidates only. Candidate volume is
+    //      |corpus|²·(nBits+1)/2^nBits instead of |corpus|². Gate
+    //      (q40's design): 100 planted near-identical copies (component
+    //      0 + 0.001 — cosine ≈ 1, constructible in DOUBLE on both
+    //      engines); the oracle counts the exact block pair list, the
+    //      LSH leg contributes recall ≥ 95% + exact-subset verdicts
+    //      (measured below before gating; deterministic seeded
+    //      hyperplanes). ----
+    gated("q97_embed_lsh_neardup",
+      """WITH base AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |planted AS (SELECT vec_id + 200000 AS vec_id,
+        |         list_concat([v[1] + CAST(0.001 AS DOUBLE)], v[2:]) AS v
+        |       FROM base WHERE vec_id < 100),
+        |c AS (SELECT vec_id, v FROM base UNION ALL SELECT vec_id, v FROM planted),
+        |blk AS (SELECT vec_id, v,
+        |          sqrt(list_sum(list_transform(v, x -> x*x))) AS nn
+        |        FROM c WHERE vec_id % 200000 < 100)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+        |       CAST(1 AS BIGINT) AS recall_ok,
+        |       CAST(1 AS BIGINT) AS subset_ok
+        |FROM blk a, blk b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_sum(list_transform(list_zip(a.v, b.v), z -> z[1]*z[2]))
+        |      / (a.nn * b.nn) >= 0.9""") { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val planted = base.filter(col("vec_id") < 100)
+        .select((col("vec_id") + 200000).as("vec_id"),
+          transform(col("v"),
+            (x, j) => when(j === 0, x + lit(0.001)).otherwise(x)).as("v"))
+      val planes = Ann.hyperplanes(dim = 64, nBits = 8)
+      // signatures + norms computed ONCE (checkpoint: both join sides and
+      // the exact leg reuse this relation)
+      val sig = base.unionAll(planted)
+        .select(col("vec_id"), col("v"), VectorOps.l2(col("v")).as("nn"),
+          Ann.signature(col("v"), planes).as("bucket"))
+        .localCheckpoint()
+      val inBlock = (col("vec_id") % 200000) < 100
+      // exact block pairs — the oracle's formula
+      val blk = sig.filter(inBlock)
+      val exact = blk.select(col("vec_id").as("a_id"), col("v").as("av"),
+          col("nn").as("na"))
+        .join(blk.select(col("vec_id").as("b_id"), col("v").as("bv"),
+          col("nn").as("nb")), col("a_id") < col("b_id"))
+        .filter(VectorOps.dot(col("av"), col("bv")) /
+          (col("na") * col("nb")) >= 0.9)
+        .select(col("a_id"), col("b_id"))
+      // LSH candidates over the FULL corpus: multi-probe a-side vs bucket
+      val aSide = sig.select(col("vec_id").as("la"), col("v").as("lav"),
+        col("nn").as("lna"),
+        explode(Ann.probes(col("bucket"), nBits = 8)).as("probe"))
+      val bSide = sig.select(col("vec_id").as("lb"), col("v").as("lbv"),
+        col("nn").as("lnb"), col("bucket").as("bb"))
+      val lsh = aSide.join(bSide,
+          col("probe") === col("bb") && col("la") < col("lb"))
+        .filter(VectorOps.dot(col("lav"), col("lbv")) /
+          (col("lna") * col("lnb")) >= 0.9)
+        .select(col("la"), col("lb")).distinct()
+        .filter(((col("la") % 200000) < 100) && ((col("lb") % 200000) < 100))
+      exact.join(lsh,
+          col("a_id") === col("la") && col("b_id") === col("lb"), "full_outer")
+        .agg(sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("a_id").isNotNull && col("la").isNotNull, 1L)
+            .otherwise(0L)).as("n_hits"),
+          sum(when(col("la").isNotNull, 1L).otherwise(0L)).as("n_lsh"))
+        .select(col("n_exact"),
+          (col("n_hits") * 100 >= col("n_exact") * 95).cast("long").as("recall_ok"),
+          (col("n_hits") === col("n_lsh")).cast("long").as("subset_ok"))
     }
   )
 

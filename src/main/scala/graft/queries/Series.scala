@@ -1,0 +1,103 @@
+package graft.queries
+
+import graft.{GatedQuery, Tables}
+import graft.GatedQuery.gated
+import graft.Norm._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators over the events stream: date-spine gap filling
+  * with last-observation-carried-forward, and interval-overlap (peak
+  * concurrency) via the +1/-1 sweep — the two staples of turning an
+  * event log into a dense, chartable series.
+  *
+  * Scale posture: the spine is days × types (calendar-bounded, tiny at
+  * any data size) and broadcasts into the left join; the sparse side
+  * aggregates BEFORE joining, so the exchange carries group cardinality.
+  * The sweep is a partial-aggregatable groupBy plus one window per
+  * partition key; at 100 TB the sweep partitions by (key, coarse time
+  * bucket) with per-bucket boundary offsets folded in a second tiny
+  * pass — the standard two-level scan statistic.
+  */
+object Series {
+
+  val all: Seq[GatedQuery] = Seq(
+
+    // ---- gap filling + LOCF: a sparse cohort's daily totals densified
+    //      over the GLOBAL date spine (sequence + explode), missing days
+    //      imputed by the last prior observation (last value IGNORE
+    //      NULLS over an unbounded-preceding frame). Days before a
+    //      series' first observation stay NULL — imputing them would
+    //      invent data; the flag column marks every imputed row. The
+    //      cohort (user_id % 499 = 1) is sparse at every SF, so filled
+    //      rows are guaranteed non-vacuous. ----
+    gated("q94_gap_fill",
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |                       CAST(max(ts) AS DATE) AS hi FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+        |          FROM events WHERE user_id % 499 = 1
+        |          GROUP BY event_type, CAST(ts AS DATE)),
+        |g AS (SELECT t.event_type, s.day, d.v
+        |      FROM spine s CROSS JOIN types t
+        |      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |       CAST(last_value(v IGNORE NULLS) OVER (
+        |         PARTITION BY event_type ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS v,
+        |       CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM g ORDER BY event_type, day""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val daily = ev.filter(pmod(col("user_id"), lit(499)) === 1)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sumDec2(col("value")).as("v"))
+      val spine = ev.agg(to_date(min("ts")).as("lo"), to_date(max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          last(col("v"), ignoreNulls = true).over(w).cast("string").as("v"),
+          when(col("v").isNull, 1L).otherwise(0L).as("filled"))
+        .orderBy("event_type", "day")
+    },
+
+    // ---- interval overlap / peak concurrency: each event opens a
+    //      30-minute interval; the sweep turns starts into +1 and
+    //      (exclusive) ends into -1, collapses equal instants by
+    //      aggregation (so the running sum is order-independent — ends
+    //      sort before starts at the same instant via dl asc), and the
+    //      peak per event type is the max running total. ----
+    gated("q95_interval_overlap",
+      """WITH pts AS (
+        |  SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS dl FROM events
+        |  UNION ALL
+        |  SELECT event_type, ts + INTERVAL 30 MINUTE AS t, CAST(-1 AS BIGINT) AS dl
+        |  FROM events),
+        |g AS (SELECT event_type, t, dl, SUM(dl) AS net
+        |      FROM pts GROUP BY event_type, t, dl),
+        |r AS (SELECT event_type,
+        |        SUM(net) OVER (PARTITION BY event_type ORDER BY t, dl
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |      FROM g)
+        |SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak
+        |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("ts"))
+      val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("dl"))
+        .unionAll(ev.select(col("event_type"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"), lit(-1L).as("dl")))
+      val w = Window.partitionBy("event_type").orderBy(col("t"), col("dl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      pts.groupBy("event_type", "t", "dl").agg(sum("dl").as("net"))
+        .select(col("event_type"), sum("net").over(w).as("run"))
+        .groupBy("event_type").agg(max("run").as("peak"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -650,6 +650,61 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- O37/O38 companion: LINE-level boilerplate removal — the
+    //      RefinedWeb/CCNet-style dedup unit below whole documents:
+    //      lines repeated across ≥100 distinct documents (footers,
+    //      banners) are dropped; each document is reassembled from its
+    //      surviving lines in original order. Boilerplate lines are
+    //      planted deterministically (doc_id%2 → newsletter banner,
+    //      doc_id%3 → copyright footer: document frequencies n/2 and
+    //      n/3 ≥ 100 at every SF) on a corpus whose natural lines are
+    //      unique (max exact-dup text multiplicity ≤ 2) — removal and
+    //      retention are both provably non-vacuous. Scale: one shuffle
+    //      on the line (at 100 TB: on xxhash64(line)), document-
+    //      frequency side partial-aggregates; reassembly reuses the
+    //      doc_id exchange. ----
+    gated("q92_line_dedup",
+      """WITH d2 AS (SELECT doc_id,
+        |         text ||
+        |         CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'subscribe to our newsletter today' ELSE '' END ||
+        |         CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'copyright 2024 example corp all rights reserved' ELSE '' END AS t
+        |       FROM documents),
+        |lines AS (SELECT doc_id, generate_subscripts(ls, 1) AS pos, unnest(ls) AS ln
+        |          FROM (SELECT doc_id, string_split(t, chr(10)) AS ls FROM d2)),
+        |freq AS (SELECT ln, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY ln),
+        |kept AS (SELECT l.doc_id, l.pos, l.ln
+        |         FROM lines l JOIN freq f ON l.ln = f.ln WHERE f.df < 100),
+        |n AS (SELECT doc_id, COUNT(*) AS n_lines FROM lines GROUP BY doc_id)
+        |SELECT n.doc_id, CAST(n.n_lines AS BIGINT) AS n_lines,
+        |       CAST(COUNT(k.ln) AS BIGINT) AS n_kept,
+        |       md5(string_agg(k.ln, chr(10) ORDER BY k.pos)) AS fp
+        |FROM n LEFT JOIN kept k ON n.doc_id = k.doc_id
+        |GROUP BY n.doc_id, n.n_lines
+        |ORDER BY n.doc_id""") { (s, d) =>
+      val d2 = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 2 === 0,
+            lit("\nsubscribe to our newsletter today")).otherwise(lit("")),
+          when(col("doc_id") % 3 === 0,
+            lit("\ncopyright 2024 example corp all rights reserved"))
+            .otherwise(lit(""))).as("t"))
+      val lines = d2.select(col("doc_id"),
+        posexplode(split(col("t"), "\n")).as(Seq("pos", "ln")))
+      val freq = lines.groupBy("ln")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val kept = lines.join(freq, "ln").filter(col("df") < 100)
+      val reassembled = kept.groupBy("doc_id")
+        .agg(cntLong.as("n_kept"),
+          md5(concat_ws("\n",
+            transform(array_sort(collect_list(struct(col("pos"), col("ln")))),
+              x => x.getField("ln")))).as("fp"))
+      lines.groupBy("doc_id").agg(cntLong.as("n_lines"))
+        .join(reassembled, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("fp"))
+        .orderBy("doc_id")
+    },
+
     // ---- O40: MinHash-LSH near-dup (scale path). xxhash64 has no DuckDB
     //      equivalent, so the signatures can't hash-match — instead the
     //      gate (q11b verdict pattern) runs LSH over the FULL corpus plus

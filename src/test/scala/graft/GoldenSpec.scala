@@ -1,22 +1,35 @@
 package graft
 
-/** Golden layer (SURVEY §5): checked-in expected outputs for the non-gated
-  * queries (no DuckDB oracle exists for xxhash/Murmur-based sketches, the
-  * stub codec, or HLL). Any semantic drift in these operators — a changed
-  * hash seed, a codec tweak, a different estimator — fails here instead of
-  * shipping silently. Values generated once at sf0.001 and pinned. */
+import graft.text.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Golden layer (SURVEY §5): checked-in expected outputs for operators
+  * whose raw values have no DuckDB oracle (xxhash/Murmur-based sketches,
+  * the stub codec, HLL). The queries over these operators are gated via
+  * exact-payload + verdict designs (q40/q40b/q47b/q48), which certify the
+  * CONTRACT; the goldens here pin the raw VALUES, so a changed hash seed,
+  * codec tweak, or estimator swap fails loudly instead of shipping
+  * silently. Values generated once at sf0.001 and pinned. */
 class GoldenSpec extends SparkTestBase {
 
-  test("q40b_simhash: first 8 sketches match the pinned golden values") {
-    val got = SparkEntry.queries("q40b_simhash")(spark, sf)
+  test("simhash16: first 8 sketches match the pinned golden values") {
+    val got = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        call_function("simhash16", TextOps.tokens(col("text"))).as("sh"))
+      .orderBy("doc_id")
       .limit(8).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val want = Seq((0L, 5103L), (1L, 13740L), (2L, 12702L), (3L, 9774L),
       (4L, 13478L), (5L, 12606L), (6L, 13628L), (7L, 12602L))
     assert(got === want)
   }
 
-  test("q47b_multimodal_decode: first 5 feature rows match the pinned goldens") {
-    val got = SparkEntry.queries("q47b_multimodal_decode")(spark, sf)
+  test("stub codec: first 5 feature rows match the pinned goldens") {
+    val got = graft.multimodal.Multimodal
+      .features(spark, Tables.documents(spark, sf)).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"),
+        col("width"), col("height"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"))
+      .orderBy("media_id")
       .limit(5).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3),
         r.getInt(4), r.getDouble(5))).toSeq
@@ -29,8 +42,13 @@ class GoldenSpec extends SparkTestBase {
     assert(got === want)
   }
 
-  test("q40_minhash_lsh: candidate pair count is stable") {
-    assert(SparkEntry.queries("q40_minhash_lsh")(spark, sf).count() === 28L)
+  test("minhash-LSH pairs: candidate pair count over the raw corpus is stable") {
+    val g = Tables.documents(spark, sf)
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"))
+    assert(NearDup.lshPairs(g, "doc_id", "w",
+      k = 16, nBands = 4, threshold = 0.3).count() === 28L)
   }
 
   test("q11b_approx_distinct: estimator output is stable (and here exact)") {

@@ -352,6 +352,91 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(sinks.archive).count() === before.size)
   }
 
+  test("stream-static enrichment join: CDC stream enriched against a static dim == batch join") {
+    // the standard serving-pipeline shape: the change stream joins a slow
+    // dim table (sku → category) WITHOUT watermark/state — Spark plans a
+    // per-micro-batch broadcast join against the static side
+    import spark.implicits._
+    val dim = spark.createDataset(Seq.tabulate(26)(i =>
+        (('A' + i).toChar.toString, s"cat${i % 5}")))
+      .toDF("sku_head", "category")
+    val src = tmpDir("cdc_enrich_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    val enriched = Envelope.changelog(spark.readStream.text(src))
+      .select(col("data.trans_id").as("trans_id"),
+        col("data.sku").as("sku"))
+      .join(dim, substring(col("sku"), 1, 1) === col("sku_head"), "left")
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val got = spark.table("enriched")
+    val want = Envelope.changelog(spark, Tables.cdcFixturePath)
+      .select(col("data.trans_id").as("trans_id"), col("data.sku").as("sku"))
+      .join(dim, substring(col("sku"), 1, 1) === col("sku_head"), "left")
+    assert(got.count() === 600)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // every fixture sku starts with an uppercase letter → fully enriched
+    assert(got.filter(col("category").isNull).count() === 0)
+  }
+
+  test("stream-stream interval join: purchases attribute to clicks within 30 min, watermark-bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(java.sql.Timestamp, Long)]
+    val buys = MemoryStream[(java.sql.Timestamp, Long)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+    val c = clicks.toDF().toDF("cts", "cuser").withWatermark("cts", "1 hour")
+    val b = buys.toDF().toDF("bts", "buser").withWatermark("bts", "1 hour")
+    val joined = c.join(b,
+      col("cuser") === col("buser") &&
+        col("bts") >= col("cts") &&
+        col("bts") < col("cts") + expr("INTERVAL 30 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+
+    clicks.addData((ts(0), 1L), (ts(0), 2L), (ts(40), 3L))
+    buys.addData((ts(20), 1L), (ts(45), 2L), (ts(50), 3L))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.table("attrib")
+      .select(col("cuser"), col("cts").cast("string"), col("bts").cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    // user 1: buy 20 min after click → attributed; user 2: 45 min → outside
+    // the window; user 3: click 10:40, buy 10:50 → attributed
+    assert(got === Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:20:00"),
+      (3L, "2024-01-01 10:40:00", "2024-01-01 10:50:00")))
+  }
+
+  test("schema drift: extra envelope fields are ignored, missing nullable fields parse as null") {
+    // an upstream ALTER TABLE ADD COLUMN (extra field in data) or a
+    // producer omitting a nullable column must NOT hit the DLQ — the
+    // declared-schema parse keeps known fields and nulls absent ones
+    val extra =
+      """{"data": {"trans_id": 11, "customer_id": "c11", "event": "visit", "sku": "AA0000AAAA", "amount": 5, "device": "pc", "trans_datetime": "2022-03-14T12:00:00Z", "coupon_code": "NEW15"}, "metadata": {"timestamp": "2022-03-14T12:00:00.000001Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 5001}}"""
+    val missing =
+      """{"data": {"trans_id": 12, "customer_id": "c12", "sku": "BB0000BBBB", "amount": 6, "trans_datetime": "2022-03-14T12:00:01Z"}, "metadata": {"timestamp": "2022-03-14T12:00:01.000001Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 5002}}"""
+    val src = tmpDir("cdc_drift")
+    Files.writeString(Paths.get(s"$src/drift.jsonl"), extra + "\n" + missing + "\n")
+    val sinks = runPipeline(src, tmpDir("cdc_drift_out"))
+
+    val served = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .orderBy("trans_id").collect()
+    assert(served.length === 2, "both drifted rows must materialize")
+    assert(served(0).getAs[Long]("trans_id") === 11L)
+    assert(served(1).getAs[Long]("trans_id") === 12L)
+    assert(served(1).getAs[String]("event") == null,
+      "absent nullable field must surface as null")
+    assert(served(1).getAs[String]("device") == null)
+    // nothing was treated as corrupt
+    assert(!Files.exists(Paths.get(sinks.error)) ||
+      spark.read.text(sinks.error).count() === 0)
+  }
+
   test("ACCEPTED LIMITATION: distinct changes with identical (pk, txid, ts) collapse to one") {
     // Two DIFFERENT row images stamped with the same primary key,
     // transaction id, and µs timestamp: the envelope carries no per-record
