@@ -14,10 +14,10 @@ import org.apache.spark.sql.functions._
   * Scale posture: the spine is days × types (calendar-bounded, tiny at
   * any data size) and broadcasts into the left join; the sparse side
   * aggregates BEFORE joining, so the exchange carries group cardinality.
-  * The sweep is a partial-aggregatable groupBy plus one window per
-  * partition key; at 100 TB the sweep partitions by (key, coarse time
-  * bucket) with per-bucket boundary offsets folded in a second tiny
-  * pass — the standard two-level scan statistic.
+  * The sweep is a partial-aggregatable groupBy plus a running sum
+  * partitioned by (key, coarse time bucket) with per-bucket boundary
+  * offsets folded in a second tiny pass — the standard two-level scan
+  * statistic, so no single task ever sorts a whole key's history.
   */
 object Series {
 
@@ -73,7 +73,18 @@ object Series {
     //      (exclusive) ends into -1, collapses equal instants by
     //      aggregation (so the running sum is order-independent — ends
     //      sort before starts at the same instant via dl asc), and the
-    //      peak per event type is the max running total. ----
+    //      peak per event type is the max running total.
+    //
+    //      The running sum is the two-level scan statistic: the row-level
+    //      window partitions by (event_type, day bucket) — thousands of
+    //      partitions that each fit one task — giving per-bucket local
+    //      running maxima and totals in ONE pass; a second pass over the
+    //      per-bucket aggregate (rows = types × days, calendar-bounded
+    //      and tiny at any data size) folds prefix offsets, since the
+    //      true running sum inside bucket b is (sum of prior buckets'
+    //      totals) + local run. A window keyed on event_type alone would
+    //      sort the whole collapsed point set in 5 tasks — the 100×
+    //      scale-up killer this formulation avoids. ----
     gated("q95_interval_overlap",
       """WITH pts AS (
         |  SELECT event_type, ts AS t, CAST(1 AS BIGINT) AS dl FROM events
@@ -92,11 +103,23 @@ object Series {
       val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("dl"))
         .unionAll(ev.select(col("event_type"),
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"), lit(-1L).as("dl")))
-      val w = Window.partitionBy("event_type").orderBy(col("t"), col("dl"))
+      val g = pts.groupBy("event_type", "t", "dl").agg(sum("dl").as("net"))
+        .withColumn("bkt", date_trunc("day", col("t")))
+      // pass 1: local running sum within (type, day); keep only each
+      // bucket's max and total — all a bucket contributes to the peak
+      val wLoc = Window.partitionBy("event_type", "bkt")
+        .orderBy(col("t"), col("dl"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      pts.groupBy("event_type", "t", "dl").agg(sum("dl").as("net"))
-        .select(col("event_type"), sum("net").over(w).as("run"))
-        .groupBy("event_type").agg(max("run").as("peak"))
+      val perBucket = g.withColumn("lrun", sum("net").over(wLoc))
+        .groupBy("event_type", "bkt")
+        .agg(max("lrun").as("lmax"), sum("net").as("btot"))
+      // pass 2 (tiny: one row per type × day): prefix offset + local max
+      val wOff = Window.partitionBy("event_type").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      perBucket
+        .select(col("event_type"),
+          (coalesce(sum("btot").over(wOff), lit(0L)) + col("lmax")).as("cand"))
+        .groupBy("event_type").agg(max("cand").as("peak"))
         .orderBy("event_type")
     }
   )

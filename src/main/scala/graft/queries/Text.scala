@@ -411,9 +411,17 @@ object Text {
     //      deterministic (lang, doc_id) order; a doc may straddle a
     //      boundary (pack-then-split). seq_id/offset are pure functions of
     //      the running sum, so packing is reproducible and append-stable.
-    //      The window partitions by lang — 5 partitions here; at 100 TB
-    //      partition by (lang, hash_shard) so each cumsum stays bounded
-    //      while seq_ids remain disjoint per shard. ----
+    //
+    //      The cumsum is the two-level scan statistic: the row-level
+    //      window partitions by (lang, contiguous doc_id range) so every
+    //      task sorts a bounded slice; per-range totals (one row per
+    //      range — tiny) get prefix-summed in a second pass and the
+    //      offset broadcasts back, because the global cumsum inside
+    //      range r is (sum of prior ranges' totals) + local cumsum.
+    //      A window keyed on lang alone would funnel each language's
+    //      whole corpus through one task — the 100× scale-up killer.
+    //      RANGE_DOCS=64 exercises many ranges at test SF; at 100 TB
+    //      size it so a range is ~one task (e.g. 1e6 docs). ----
     gated("q70_seq_packing",
       """SELECT doc_id, lang,
         |       CAST(floor((cum - n_chars) / 2000.0) AS BIGINT) AS seq_id,
@@ -425,11 +433,25 @@ object Text {
         |      FROM documents)
         |ORDER BY lang, doc_id""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+      val RANGE_DOCS = 64L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rng", floor(col("doc_id") / RANGE_DOCS))
+      // pass 1 input: per-(lang, range) totals — one tiny row per range
+      val wOff = Window.partitionBy("lang").orderBy("rng")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("lang", "rng")
+        .agg(sum("n_chars").as("rtot"))
+        .select(col("lang"), col("rng"),
+          coalesce(sum("rtot").over(wOff), lit(0L)).as("roff"))
+      // pass 2: bounded local cumsum + broadcast prefix offset
+      val wLoc = Window.partitionBy("lang", "rng").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val before = col("cum") - col("n_chars")
-      Tables.documents(s, d)
-        .withColumn("cum", sum(col("n_chars")).over(w))
+      docs
+        .withColumn("lcum", sum(col("n_chars")).over(wLoc))
+        .join(broadcast(offsets), Seq("lang", "rng"))
+        .withColumn("cum", col("lcum") + col("roff"))
         .select(col("doc_id"), col("lang"),
           floor(before / 2000.0).cast("long").as("seq_id"),
           (before - lit(2000) * floor(before / 2000.0)).cast("long").as("off"))

@@ -96,10 +96,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q70: the packing cumsum is ONE shuffle on the stratum key") {
+  test("q70: the packing cumsum is two-level — no row-level window keyed on lang alone") {
     val p = planOf("q70_seq_packing")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
-      s"packing must shuffle once on lang:\n$p")
+    // the row-level cumsum must partition by (lang, doc_id range) — a
+    // windowspec of [lang] ordering by doc_id would sort a whole
+    // language's corpus in one task
+    assert(!"windowspecdefinition\\(lang#\\d+, doc_id".r.findFirstIn(p).isDefined,
+      s"row-level cumsum keyed on lang alone:\n$p")
+    assert("windowspecdefinition\\(lang#\\d+, rng#\\d+L?, doc_id".r.findFirstIn(p).isDefined,
+      s"two-level cumsum window (lang, rng) missing:\n$p")
+    // the prefix-offset side is tiny and must broadcast back, not shuffle
+    // the corpus a second time
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"range offsets must broadcast:\n$p")
+  }
+
+  test("q95: the sweep's running sum is two-level — no row-level window keyed on event_type alone") {
+    val p = planOf("q95_interval_overlap")
+    // the collapsed point set must be windowed by (event_type, day
+    // bucket); [event_type] ordering by t would sort everything in
+    // five tasks
+    assert(!"windowspecdefinition\\(event_type#\\d+, t#".r.findFirstIn(p).isDefined,
+      s"running sum keyed on event_type alone:\n$p")
+    assert("windowspecdefinition\\(event_type#\\d+, bkt#\\d+, t#".r.findFirstIn(p).isDefined,
+      s"two-level sweep window (event_type, bkt) missing:\n$p")
   }
 
   test("q74: batched retrieval broadcasts the query block and partial-limits per task") {
