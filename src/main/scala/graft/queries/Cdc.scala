@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.gated
-import graft.cdc.{Envelope, Materialize, Reconcile}
+import graft.cdc.{Bootstrap, Envelope, Materialize, Reconcile}
 import org.apache.spark.sql.functions._
 
 /** CDC trio (SURVEY.md O34/O35/O36 = D-Q32/33/34) over the checked-in
@@ -220,6 +220,44 @@ object Cdc {
         "amount", "device", "trans_datetime")
       Reconcile.reconcile(Materialize.snapshot(log),
         Materialize.snapshotAgg(log), "trans_id", cols, buckets = 4)
+    },
+
+    // ---- S1 `full-load-and-cdc` (reference
+    //      dms_aurora_mysql_to_kinesis.py:145), batch form: the Spark
+    //      side materializes the snapshot AT a mid-fixture cut, envelope-
+    //      wraps it as full-load records, and merges it with the FULL
+    //      changelog — every record at or before the cut is a boundary
+    //      overlap the handover must suppress, everything after must win.
+    //      The oracle computes the plain one-shot materialization of the
+    //      whole changelog, so the two must agree byte-for-byte: any
+    //      double-apply (stale image beats seed), boundary loss (post-cut
+    //      change lost to seed) or tombstone resurrection flips the hash.
+    //      The cut is EXACTLY an existing record's timestamp, pinning the
+    //      tie rule: a real change at the cut instant out-ranks the seed
+    //      via transaction-id (-1 on the seed), and re-applies an image
+    //      the snapshot already contains — idempotent by construction. ----
+    gated("q100_bootstrap_handover",
+      s"""SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         data.device AS device, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      val loadTs = "2022-03-14T14:01:12.193068Z" // a real record's stamp
+      val log = Envelope.changelog(s, fx)
+      val snapshotAtCut =
+        Materialize.snapshot(log.filter(col("metadata.timestamp") <= loadTs))
+      Bootstrap.handover(snapshotAtCut, log, loadTs)
+        .withColumn("amount", col("amount").cast("long"))
+        .orderBy("trans_id")
     }
   )
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.cdc.{Envelope, Materialize}
+import graft.cdc.{Bootstrap, Envelope}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -97,6 +97,41 @@ object CdcStreamPipeline {
       .option("checkpointLocation", sinks.checkpoint + "_dlq").start()
 
     (main, dlq)
+  }
+
+  /** S1 `full-load-and-cdc` (reference dms_aurora_mysql_to_kinesis.py:145):
+    * seed the serving state from a one-time snapshot, then [[start]] the
+    * CDC stream against the SAME sinks. The seed commits as version v=-1 —
+    * below every micro-batch id — via the same staging→rename protocol as
+    * the stream's merges, so batch 0 finds it as ordinary prior state and
+    * the fs.exists(v=0) retry branch is never confused by the seed.
+    *
+    * Boundary safety lives entirely in the seed's envelope stamp (see
+    * [[graft.cdc.Bootstrap]]): the stream may replay records from at or
+    * before loadTs and the last-write-wins merge suppresses them against
+    * the seed; records after loadTs win. Caller contract: `snapshot` is
+    * the consistent source image at `loadTs`, and the stream replays a
+    * prefix-complete log from some point ≤ loadTs (a log with holes below
+    * the cut could resurrect a key whose delete fell in the hole — the
+    * same contract DMS itself places on the binlog position). */
+  def bootstrap(snapshot: DataFrame, loadTs: String, sinks: Sinks,
+                schemaName: String = "testdb",
+                tableName: String = "retail_trans"): Unit = {
+    val spark = snapshot.sparkSession
+    val fs = new Path(sinks.serving).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    require(listVersions(fs, sinks.serving).isEmpty,
+      s"bootstrap requires an empty serving state under ${sinks.serving}; " +
+        "it seeds v=-1 BELOW every stream version and must run before the stream")
+    // latestPerKey: tolerate duplicate-PK snapshots (identical stamps —
+    // an arbitrary survivor is the only coherent answer) and keep the
+    // seed's shape byte-identical to every later merge's output
+    val seed = latestPerKey(
+      Bootstrap.asLoadEnvelope(snapshot, loadTs, schemaName, tableName))
+    val staging = new Path(s"${sinks.serving}/.staging--1")
+    val target = versionDir(sinks.serving, -1L)
+    seed.write.mode("overwrite").parquet(staging.toString)
+    require(fs.rename(staging, target), s"rename $staging -> $target failed")
   }
 
   /** Batch merge applied by foreachBatch: DLQ split, archive append, and

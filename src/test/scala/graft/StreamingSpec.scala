@@ -139,6 +139,51 @@ class StreamingSpec extends SparkTestBase {
     assert(serving2 === serving1)
   }
 
+  test("full-load → CDC handover: bootstrap seeds serving state, overlapping replay neither drops nor double-applies the boundary (S1)") {
+    // the cut is a real record's timestamp — the hardest boundary: a
+    // change at exactly loadTs must beat the seed (txid tie-break) and
+    // re-apply an image the snapshot already holds
+    val loadTs = "2022-03-14T14:01:12.193068Z"
+    val log = Envelope.changelog(spark, Tables.cdcFixturePath)
+    val snapshotAtCut = Materialize.snapshot(
+      log.filter(col("metadata.timestamp") <= loadTs))
+
+    val root = tmpDir("cdc_boot")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    CdcStreamPipeline.bootstrap(snapshotAtCut, loadTs, sinks)
+
+    // phase 1 (full load only): serving view == the batch snapshot at the cut
+    val seeded = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    assert(seeded.exceptAll(snapshotAtCut).count() === 0)
+    assert(snapshotAtCut.exceptAll(seeded).count() === 0)
+
+    // bootstrap must refuse to stomp an existing serving state
+    intercept[IllegalArgumentException] {
+      CdcStreamPipeline.bootstrap(snapshotAtCut, loadTs, sinks)
+    }
+
+    // phase 2 (CDC): replay the FULL fixture through the same sinks —
+    // every record at or before loadTs is a boundary overlap that must
+    // be suppressed by the seed; everything after must win
+    val src = tmpDir("cdc_boot_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath),
+      Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.text(src), sinks, Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+
+    val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    val oneShot = Materialize.snapshot(log)
+    assert(streaming.count() === 210)
+    assert(streaming.exceptAll(oneShot).count() === 0,
+      "handover state has rows one-shot materialization lacks " +
+        "(double-apply or resurrection)")
+    assert(oneShot.exceptAll(streaming).count() === 0,
+      "handover lost rows at the boundary")
+  }
+
   test("duplicate delivery is idempotent (the reference's _id semantics)") {
     val src = tmpDir("cdc_src_dup")
     Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
