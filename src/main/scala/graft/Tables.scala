@@ -47,4 +47,10 @@ object Tables {
   /** Path of the deterministic CDC envelope fixture (FIXTURES.md §3); both
     * this engine and the DuckDB oracle read the same file. */
   val cdcFixturePath = "/root/repo/fixtures/cdc_retail_trans.jsonl"
+
+  /** Second-table shard fixture (FIXTURES.md §3b) — multi-table wildcard
+    * selection (S3); key range deliberately collides with the main
+    * fixture's so per-table materialization is forced to key on
+    * (schema, table, pk). */
+  val cdcShardFixturePath = "/root/repo/fixtures/cdc_retail_trans_eu.jsonl"
 }

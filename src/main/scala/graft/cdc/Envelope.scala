@@ -81,14 +81,39 @@ object Envelope {
         (col("data").isNull || col("data.trans_id").isNull ||
           col("metadata.`transaction-id`").isNull))
 
-  /** S3 selection rule (reference dms_aurora_mysql_to_kinesis.py:96-107):
-    * only data records of one schema.table enter the pipeline. Control
-    * records (record-type != data) are dropped here too. */
+  /** One DMS table-mapping selection rule (reference
+    * dms_aurora_mysql_to_kinesis.py:96-107): an object locator with SQL
+    * LIKE wildcards (`%` any run, `_` one char — the DMS wildcard
+    * grammar) plus an include/exclude action. */
+  final case class SelectionRule(schemaName: String, tableName: String,
+                                 action: String = "include") {
+    require(action == "include" || action == "exclude",
+      s"rule-action must be include|exclude, got '$action'")
+  }
+
+  /** S3 selection over a DMS rule LIST: a data record enters the pipeline
+    * iff it matches at least one include locator and no exclude locator —
+    * exclusions take precedence, the documented DMS resolution. Control
+    * records (record-type != data) are dropped here too. Wildcard match
+    * compiles to Catalyst `LIKE` — per-row, codegen'd, no shuffle. */
+  def selection(rules: Seq[SelectionRule]): Column = {
+    require(rules.exists(_.action == "include"),
+      "a DMS selection needs at least one include rule")
+    def locator(r: SelectionRule): Column =
+      col("metadata.`schema-name`").like(r.schemaName) &&
+        col("metadata.`table-name`").like(r.tableName)
+    val included = rules.filter(_.action == "include").map(locator)
+      .reduce(_ || _)
+    val excluded = rules.filter(_.action == "exclude").map(locator)
+      .reduceOption(_ || _).getOrElse(lit(false))
+    col("metadata.`record-type`") === "data" && included && !excluded
+  }
+
+  /** Single-table convenience form — the reference task's exact mapping
+    * (one include rule, no wildcards). */
   def selection(schemaName: String = "testdb",
                 tableName: String = "retail_trans"): Column =
-    col("metadata.`record-type`") === "data" &&
-      col("metadata.`schema-name`") === schemaName &&
-      col("metadata.`table-name`") === tableName
+    selection(Seq(SelectionRule(schemaName, tableName)))
 
   /** Parsed + selected changelog of retail_trans from the checked-in
     * fixture — the batch entry point for D-Q32/33/34. */

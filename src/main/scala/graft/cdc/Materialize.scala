@@ -33,6 +33,23 @@ object Materialize {
       .select(col("data.*"))
   }
 
+  /** Multi-table form of [[snapshot]] for a wildcard-selected changelog
+    * (S3 rule lists fan N tables into one stream): last-write-wins per
+    * (schema, table, primary key) — two shards may reuse the same key
+    * value, so the table identity MUST be in the window key or one
+    * shard's change silently overwrites the other's row. Still one
+    * shuffle, now on the composite key; per-group size is unchanged. */
+  def snapshotByTable(changelog: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("metadata.`schema-name`"),
+        col("metadata.`table-name`"), col("data.trans_id"))
+      .orderBy(col("metadata.timestamp").desc, col("metadata.`transaction-id`").desc)
+    changelog
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("metadata.operation") =!= "delete")
+      .select(col("metadata.`schema-name`").as("sch"),
+        col("metadata.`table-name`").as("tbl"), col("data.*"))
+  }
+
   /** Aggregate-form materialization: the same last-write-wins semantics
     * as [[snapshot]], expressed as `max_by` over the `(timestamp,
     * transaction-id)` ordering key instead of a window. Scale: the window

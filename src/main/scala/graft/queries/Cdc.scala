@@ -31,6 +31,26 @@ object Cdc {
     """metadata."record-type" = 'data' AND metadata."schema-name" = 'testdb'
       |AND metadata."table-name" = 'retail_trans'""".stripMargin
 
+  /** Both shards' fixtures in one DuckDB scan (S3 multi-table stream). */
+  private val fx2 = Tables.cdcShardFixturePath
+  private val readJsonBoth =
+    s"""read_json(['$fx', '$fx2'], format='newline_delimited',
+       |columns={data: 'STRUCT(trans_id BIGINT, customer_id VARCHAR, event VARCHAR, sku VARCHAR, amount INTEGER, device VARCHAR, trans_datetime VARCHAR)',
+       |metadata: 'STRUCT("timestamp" VARCHAR, "record-type" VARCHAR, operation VARCHAR, "partition-key-type" VARCHAR, "schema-name" VARCHAR, "table-name" VARCHAR, "transaction-id" BIGINT)'})""".stripMargin
+
+  /** DuckDB mirror of the wildcard rule list used by q101/q102:
+    * include testdb.retail_trans%, exclude %.%backup. */
+  private val wildcardSelectionSql =
+    """metadata."record-type" = 'data'
+      |AND (metadata."schema-name" LIKE 'testdb'
+      |     AND metadata."table-name" LIKE 'retail_trans%')
+      |AND NOT (metadata."schema-name" LIKE '%'
+      |         AND metadata."table-name" LIKE '%backup')""".stripMargin
+
+  private val wildcardRules = Seq(
+    Envelope.SelectionRule("testdb", "retail_trans%"),
+    Envelope.SelectionRule("%", "%backup", action = "exclude"))
+
   val all: Seq[GatedQuery] = Seq(
 
     // ---- O34/O25 (D-Q32): envelope parse + selection-rule filter ----
@@ -258,6 +278,55 @@ object Cdc {
       Bootstrap.handover(snapshotAtCut, log, loadTs)
         .withColumn("amount", col("amount").cast("long"))
         .orderBy("trans_id")
+    },
+
+    // ---- S3 multi-table selection, observability leg: per-table op
+    //      stats over BOTH shard fixtures under the wildcard rule list —
+    //      include testdb.retail_trans% (catches both shards AND the
+    //      planted retail_trans_eu_backup trap), exclude %backup (removes
+    //      the trap; precedence is the thing under test). other_table /
+    //      otherdb / control noise must all fall out of the include. ----
+    gated("q101_multitable_op_stats",
+      s"""SELECT metadata."schema-name" AS sch, metadata."table-name" AS tbl,
+         |       metadata.operation AS op, CAST(COUNT(*) AS BIGINT) AS c
+         |FROM $readJsonBoth
+         |WHERE $wildcardSelectionSql
+         |GROUP BY sch, tbl, op
+         |ORDER BY sch, tbl, op""") { (s, _) =>
+      Materialize.opStats(
+        Envelope.parseLines(s.read.text(fx, fx2))
+          .filter(Envelope.selection(wildcardRules)))
+        .orderBy("sch", "tbl", "op")
+    },
+
+    // ---- S3 multi-table selection, materialization leg: one wildcard-
+    //      selected stream fans out into per-(schema, table, pk) serving
+    //      rows. The shards REUSE trans_id values 1..60, so a
+    //      materializer keyed on the pk alone would collapse rows across
+    //      tables — the composite window key is what's gated here. ----
+    gated("q102_multitable_materialize",
+      s"""SELECT sch, tbl, trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |FROM (
+         |  SELECT metadata."schema-name" AS sch, metadata."table-name" AS tbl,
+         |         data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         data.device AS device, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (
+         |             PARTITION BY metadata."schema-name",
+         |                          metadata."table-name", data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJsonBoth
+         |  WHERE $wildcardSelectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY sch, tbl, trans_id""") { (s, _) =>
+      Materialize.snapshotByTable(
+        Envelope.parseLines(s.read.text(fx, fx2))
+          .filter(Envelope.selection(wildcardRules)).drop("value"))
+        .withColumn("amount", col("amount").cast("long"))
+        .orderBy("sch", "tbl", "trans_id")
     }
   )
 }

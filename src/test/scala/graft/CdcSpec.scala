@@ -18,6 +18,58 @@ class CdcSpec extends SparkTestBase {
     assert(changelog.filter(col("data.amount") === 99999).count() === 0)
   }
 
+  test("wildcard rule list: include/exclude precedence, LIKE semantics, single-rule equivalence (S3)") {
+    import spark.implicits._
+    import Envelope.SelectionRule
+    def env(sch: String, tbl: String, rt: String = "data") =
+      s"""{"data": {"trans_id": 1}, "metadata": {"timestamp": "2022-01-01T00:00:00.000000Z", "record-type": "$rt", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "$sch", "table-name": "$tbl", "transaction-id": 1}}"""
+    val parsed = Envelope.parseLines(Seq(
+      env("testdb", "retail_trans"),        // plain include
+      env("testdb", "retail_trans_eu"),     // wildcard include
+      env("testdb", "retail_trans_backup"), // include hit, exclude wins
+      env("testdb", "other_table"),         // no include hit
+      env("otherdb", "retail_trans"),       // schema miss
+      env("testdb", "retail_trans", rt = "control")) // never selected
+      .toDF("value"))
+    val rules = Seq(SelectionRule("testdb", "retail_trans%"),
+      SelectionRule("%", "%backup", action = "exclude"))
+    val kept = parsed.filter(Envelope.selection(rules))
+      .select(col("metadata.`table-name`")).as[String].collect().sorted
+    assert(kept.toSeq === Seq("retail_trans", "retail_trans_eu"))
+
+    // the defaulted single-table form IS a one-include rule list
+    val a = parsed.filter(Envelope.selection()).count()
+    val b = parsed.filter(Envelope.selection(
+      Seq(SelectionRule("testdb", "retail_trans")))).count()
+    assert(a === b && a === 1L)
+
+    // an exclude-only rule set is a configuration error, loudly
+    intercept[IllegalArgumentException] {
+      Envelope.selection(Seq(SelectionRule("%", "%", action = "exclude")))
+    }
+    intercept[IllegalArgumentException] { SelectionRule("a", "b", "drop") }
+  }
+
+  test("per-table materialization keeps colliding pk ranges apart (S3 fan-out)") {
+    val both = Envelope.parseLines(
+      spark.read.text(Tables.cdcFixturePath, Tables.cdcShardFixturePath))
+      .filter(Envelope.selection(Seq(
+        Envelope.SelectionRule("testdb", "retail_trans%"),
+        Envelope.SelectionRule("%", "%backup", action = "exclude"))))
+      .drop("value")
+    val byTable = Materialize.snapshotByTable(both)
+    // 210 live keys in retail_trans, 60-12+5=53 in retail_trans_eu; the
+    // shards share trans_id 1..60, so a pk-only key would collapse them
+    val counts = byTable.groupBy("tbl").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("retail_trans" -> 210L, "retail_trans_eu" -> 53L))
+    // the eu shard's rows must be eu images, not main-fixture leftovers:
+    // every (tbl, pk) pair is unique and no backup-trap amount leaked
+    assert(byTable.filter(col("amount") === 99999).count() === 0)
+    assert(byTable.groupBy("tbl", "trans_id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("Envelope.corrupt is never NULL for any null combination (routing invariant)") {
     import spark.implicits._
     // crafted lines covering every null/missing-field shape the PERMISSIVE
