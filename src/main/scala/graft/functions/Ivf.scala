@@ -151,6 +151,61 @@ object Ivf {
       s => -s.getField("negidx"))
   }
 
+  /** Persist the IVF index: cell assignments of the whole corpus under
+    * `path/cells` PARTITIONED BY cell (a probe touches nprobe of nlist
+    * directories — partition pruning does the cell filter before any row
+    * is read), centroids under `path/centroids`. The expensive pieces —
+    * training and the corpus-wide assignment join — run exactly once;
+    * every later query reads files. Returns the trained centroids. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 nlist: Int, path: String, iters: Int = 3,
+                 sampleMod: Int = 1): Seq[Seq[Double]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = train(corpus, idCol, vecCol, nlist, iters, sampleMod)
+    assignCells(
+      corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
+        VectorOps.l2(col(vecCol)).as("cn"), unit(col(vecCol)).as("vu")),
+      "nn_id", "vu", centroids, keep = Seq("cv", "cn"))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "cvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    centroids
+  }
+
+  /** Centroids back from a persisted index, in cell order. */
+  def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .select("cvec").collect().map(_.getSeq[Double](0).toSeq).toSeq
+
+  /** [[ivfTopK]] against a persisted index: the query's nprobe cell ids
+    * are resolved driver-side (O(nprobe) integers off a ONE-ROW query —
+    * not a corpus collect) into a literal `cell IN (...)` predicate, so
+    * the scan prunes to nprobe/nlist of the cell directories and the
+    * exact rerank never touches the rest. Identical results to the
+    * inline path for the same centroids/nprobe. */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: DataFrame, vecCol: String, k: Int,
+                     nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val centroids = readCentroids(spark, path)
+    val probes = query.select(
+      explode(probeCells(unit(col(vecCol)), centroids, nprobe)).as("p"))
+      .as[Int].collect().toSeq
+    val q = broadcast(query.select(col(vecCol).as("qv"),
+      VectorOps.l2(col(vecCol)).as("qn")))
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probes: _*))
+      .crossJoin(q)
+      .withColumn("sim",
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .select(col("nn_id"), col("sim"))
+      .orderBy(col("sim").desc, col("nn_id"))
+      .limit(k)
+  }
+
   /** Approximate top-k cosine neighbors of one query vector via IVF:
     * filter the corpus to the query's nprobe cells, exact-rerank.
     * `centroids` comes from [[train]] (or a persisted copy). */

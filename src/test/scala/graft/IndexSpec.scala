@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+import graft.functions.Ivf
+import graft.text.{NearDup, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Persisted near-dup / ANN indexes: the probe path must (a) return
+  * byte-identical results to the inline operators that are oracle-gated
+  * (q40/q48b), and (b) actually READ the index — no signature derivation
+  * or centroid-assignment join may appear in the probe plan. This is the
+  * 100 TB posture: signatures and cell assignments are computed once and
+  * band-joined / partition-pruned from files ever after. */
+class IndexSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** documents + planted copies (same recipe as q40): guaranteed non-empty
+    * pair sets at the smallest SF. */
+  private lazy val corpus = {
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    docs.unionAll(
+        docs.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xdup marker")).as("text")))
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), col("w"))
+  }
+
+  test("persisted MinHash index: pairs == inline lshPairs; probe plan reads parquet, derives nothing") {
+    val dir = tmp("lsh_index")
+    NearDup.writeIndex(corpus, "doc_id", "w", dir, k = 16, nBands = 4)
+
+    val inline = NearDup.lshPairs(corpus, "doc_id", "w",
+      k = 16, nBands = 4, threshold = 0.3)
+    val indexed = NearDup.pairsFromIndex(spark, dir, threshold = 0.3)
+
+    val a = inline.collect().map(_.toString).toSet
+    val b = indexed.collect().map(_.toString).toSet
+    assert(a.nonEmpty, "planted copies must yield pairs — vacuous otherwise")
+    assert(a === b)
+
+    // the probe never re-derives: no shingle/minhash expression anywhere,
+    // and both join sides come from the parquet index
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("shingle_hashes"), s"probe re-derives shingles:\n$plan")
+    assert(!plan.contains("xxhash64"), s"probe re-derives signatures:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"probe does not scan the index:\n$plan")
+  }
+
+  test("incremental ingest: new-batch band join == full self-join restricted to pairs touching new docs") {
+    val dir = tmp("lsh_index_inc")
+    val oldDocs = corpus.filter(col("doc_id") % 100000 >= 50)
+    val newDocs = corpus.filter(col("doc_id") % 100000 < 50)
+    NearDup.writeIndex(oldDocs, "doc_id", "w", dir, k = 16, nBands = 4)
+
+    val inc = NearDup.incrementalPairs(
+      spark.read.parquet(dir),
+      NearDup.signatureRelation(newDocs, "doc_id", "w", k = 16, nBands = 4)
+        .localCheckpoint(),
+      threshold = 0.3)
+
+    val isNew = (c: org.apache.spark.sql.Column) => c % 100000 < 50
+    val expected = NearDup.lshPairs(corpus, "doc_id", "w",
+        k = 16, nBands = 4, threshold = 0.3)
+      .filter(isNew(col("a_id")) || isNew(col("b_id")))
+
+    val got = inc.collect().map(_.toString).toSet
+    val exp = expected.collect().map(_.toString).toSet
+    assert(exp.nonEmpty, "split must leave cross/new pairs — vacuous otherwise")
+    assert(got === exp)
+  }
+
+  test("persisted IVF index: top-k == inline ivfTopK; probe plan partition-prunes to the nprobe cells") {
+    val dir = tmp("ivf_index")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding"))
+
+    val centroids = Ivf.writeIndex(emb, "vec_id", "embedding",
+      nlist = 16, dir, iters = 2, sampleMod = 7)
+    // round-trip: the persisted centroids ARE the trained ones, in order
+    assert(Ivf.readCentroids(spark, dir) === centroids)
+
+    val inline = Ivf.ivfTopK(emb, query, "vec_id", "embedding",
+      k = 10, centroids, nprobe = 4).collect().toSeq
+    val indexed = Ivf.ivfTopKIndexed(spark, dir, query, "embedding",
+      k = 10, nprobe = 4)
+    assert(indexed.collect().toSeq === inline)
+
+    // pruning: the cell predicate must be a PARTITION filter (directory
+    // pruning before any row is read), and the probe must not re-run the
+    // centroid-assignment join
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell IN (...) did not become a partition filter:\n$plan")
+    assert(!plan.contains("__cvec"), s"probe re-assigns cells:\n$plan")
+  }
+}
