@@ -58,7 +58,29 @@ object Bench {
     val qs = headline.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+
+    // Streaming replay throughput (reference comparison point: offered
+    // load 0.33 rec/s with 5-10 min visibility, reference README.md:451).
+    // Full fixture through parse→dedup→dual-sink under AvailableNow; -1
+    // on failure so a broken stream can't silently vanish from the line.
+    val streamRecPerSec: Double = try {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val src = Files.createTempDirectory("bench_cdc_src").toString
+      val out = Files.createTempDirectory("bench_cdc_out").toString
+      Files.copy(Paths.get(Tables.cdcFixturePath),
+        Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+      val sinks = graft.streaming.CdcStreamPipeline.Sinks(
+        s"$out/serving", s"$out/archive", s"$out/error", s"$out/checkpoint")
+      val nRec = 613.0
+      val t0 = System.nanoTime()
+      val (main, dlq) = graft.streaming.CdcStreamPipeline.start(
+        spark.readStream.text(src), sinks,
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      main.awaitTermination(300000); dlq.awaitTermination(300000)
+      nRec / ((System.nanoTime() - t0) / 1e9)
+    } catch { case _: Throwable => -1.0 }
+
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"streaming_rec_per_sec":${f(streamRecPerSec)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

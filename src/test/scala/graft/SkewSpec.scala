@@ -34,4 +34,49 @@ class SkewSpec extends SparkTestBase {
       .agg(count(lit(1)))
     assert(partials.count() === 8) // one hot key → 8 parallel partials
   }
+
+  test("AQE splits a 100x-skewed self-join key instead of stranding it on one reducer") {
+    // the q83/q08/q09 hazard class: a user-keyed join where one planted
+    // user carries 100× the rows. AQE's skew-join must split the hot
+    // partition into parallel sub-tasks (skew=true on the join) — the
+    // production knob set, scaled down to test-sized thresholds.
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> c.getOption(k)).toMap
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    c.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    try {
+      val ev = Tables.events(spark, sf).select("event_id", "user_id", "ts")
+      // hot side: user 42 planted at 100× everyone else's volume
+      val hot = ev.crossJoin(spark.range(100))
+        .select(col("event_id"), lit(42L).as("user_id"), col("ts"))
+      val fact = ev.unionByName(hot)
+      // per-key-small right side, so output stays |fact| while the join
+      // INPUT partition for user 42 is the straggler candidate.
+      // Materialized: OptimizeSkewedJoin pattern-matches
+      // SMJ(Sort(ShuffleRead), Sort(ShuffleRead)) — a distinct's final
+      // aggregate between shuffle and sort would opt the join out
+      val dim = fact.select("user_id").distinct()
+        .withColumn("cohort", pmod(col("user_id"), lit(7)))
+        .localCheckpoint()
+      val joined = fact.join(dim, "user_id")
+      // execute THIS DataFrame's QueryExecution (count() would spawn its
+      // own) so executedPlan is the final adaptive plan
+      assert(joined.collect().length.toLong === fact.count())
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the hot key's partition:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None)    => c.unset(k)
+    }
+  }
 }
