@@ -109,6 +109,12 @@ object Envelope {
     col("metadata.`record-type`") === "data" && included && !excluded
   }
 
+  /** The reference task's exact mapping (one include rule, no wildcards,
+    * dms_aurora_mysql_to_kinesis.py:96-107) — the default rule set of
+    * every pipeline entry point. */
+  val defaultRules: Seq[SelectionRule] =
+    Seq(SelectionRule("testdb", "retail_trans"))
+
   /** Single-table convenience form — the reference task's exact mapping
     * (one include rule, no wildcards). */
   def selection(schemaName: String = "testdb",

@@ -46,13 +46,19 @@ object CdcStreamPipeline {
 
   /** Full pipeline over a streaming DataFrame of raw envelope lines.
     * Returns (main query, DLQ query). `lateness` bounds both dedup state
-    * and late-data acceptance (O32/O33).
+    * and late-data acceptance (O32/O33). `rules` is the DMS selection
+    * rule list (S3) — a wildcard include fans N tables into the one
+    * stream; every keyed stage below (dedup, serving merge) keys on
+    * (schema, table, pk) so shards with colliding pk ranges can never
+    * collapse into each other.
     *
     * The DLQ runs as its own un-watermarked query: unparseable lines carry
     * no event time, so routing them through the watermarked dedup would
     * silently drop them as late data. */
   def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
-            lateness: String = "1 hour"): (StreamingQuery, StreamingQuery) = {
+            lateness: String = "1 hour",
+            rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules)
+      : (StreamingQuery, StreamingQuery) = {
     val parsed = parseLines(lines)
 
     // Dedup key = (pk, transaction-id, event time) — the reference's `_id`
@@ -76,14 +82,19 @@ object CdcStreamPipeline {
     // never-NULL by construction; the event_ts guard catches timestamp
     // strings present but unparseable): every input line reaches exactly
     // one of the two queries.
+    // Dedup key includes (schema, table): one source transaction touches
+    // rows of SEVERAL tables under the same txid, so a table-blind key
+    // would swallow a sibling table's change as a redelivery.
     val main = parsed
       .filter(!Envelope.corrupt && col("event_ts").isNotNull)
+      .withColumn("sch", col("metadata.`schema-name`"))
+      .withColumn("tbl", col("metadata.`table-name`"))
       .withColumn("pk", col("data.trans_id"))
       .withColumn("txid", col("metadata.`transaction-id`"))
       .withWatermark("event_ts", lateness)
-      .dropDuplicatesWithinWatermark("pk", "txid", "event_ts")
-      .drop("pk", "txid")
-      .writeStream.foreachBatch(sinkBatch(sinks) _).trigger(trigger)
+      .dropDuplicatesWithinWatermark("sch", "tbl", "pk", "txid", "event_ts")
+      .drop("sch", "tbl", "pk", "txid")
+      .writeStream.foreachBatch(sinkBatch(sinks, rules) _).trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
     val dlq = parsed
@@ -116,8 +127,17 @@ object CdcStreamPipeline {
     * same contract DMS itself places on the binlog position). */
   def bootstrap(snapshot: DataFrame, loadTs: String, sinks: Sinks,
                 schemaName: String = "testdb",
-                tableName: String = "retail_trans"): Unit = {
-    val spark = snapshot.sparkSession
+                tableName: String = "retail_trans"): Unit =
+    bootstrapEnvelope(
+      Bootstrap.asLoadEnvelope(snapshot, loadTs, schemaName, tableName), sinks)
+
+  /** Multi-table form of [[bootstrap]]: the seed is an already
+    * envelope-wrapped union — one [[graft.cdc.Bootstrap.asLoadEnvelope]]
+    * per fanned-out table, each stamped with its own (loadTs, schema,
+    * table) — so a wildcard-selected stream can cut over every shard in
+    * one seeded state. */
+  def bootstrapEnvelope(seedEnv: DataFrame, sinks: Sinks): Unit = {
+    val spark = seedEnv.sparkSession
     val fs = new Path(sinks.serving).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     require(listVersions(fs, sinks.serving).isEmpty,
@@ -126,8 +146,7 @@ object CdcStreamPipeline {
     // latestPerKey: tolerate duplicate-PK snapshots (identical stamps —
     // an arbitrary survivor is the only coherent answer) and keep the
     // seed's shape byte-identical to every later merge's output
-    val seed = latestPerKey(
-      Bootstrap.asLoadEnvelope(snapshot, loadTs, schemaName, tableName))
+    val seed = latestPerKey(seedEnv)
     val staging = new Path(s"${sinks.serving}/.staging--1")
     val target = versionDir(sinks.serving, -1L)
     seed.write.mode("overwrite").parquet(staging.toString)
@@ -138,11 +157,13 @@ object CdcStreamPipeline {
     * last-write-wins serving merge that RETAINS delete tombstones in the
     * persisted state (so a stale update replayed later cannot resurrect a
     * deleted key); the serving read path filters tombstones out. */
-  def sinkBatch(sinks: Sinks)(batch: DataFrame, batchId: Long): Unit = {
+  def sinkBatch(sinks: Sinks,
+                rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules)
+               (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     batch.persist()
     try {
-      val good = batch.filter(Envelope.selection())
+      val good = batch.filter(Envelope.selection(rules))
 
       // S10: UTC time-partitioned archive (firehose.py:131-135 prefix).
       // The write targets a batch-scoped subdirectory with overwrite, so a
@@ -237,10 +258,14 @@ object CdcStreamPipeline {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
-  /** Last write per key including tombstones — the persisted serving state. */
+  /** Last write per key including tombstones — the persisted serving
+    * state. Keyed on (schema, table, pk): single-table streams see
+    * identical behavior (constant prefix), multi-table streams with
+    * colliding pk ranges stay apart. Still one shuffle. */
   def latestPerKey(env: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("data.trans_id"))
+    val w = Window.partitionBy(col("metadata.`schema-name`"),
+        col("metadata.`table-name`"), col("data.trans_id"))
       .orderBy(col("metadata.timestamp").desc,
         col("metadata.`transaction-id`").desc)
     env.withColumn("rn", row_number().over(w))
@@ -260,5 +285,20 @@ object CdcStreamPipeline {
     spark.read.parquet(versionDir(servingDir, v).toString)
       .filter(col("metadata.operation") =!= "delete")
       .select(col("data.*"))
+  }
+
+  /** Multi-table serving view for a wildcard-selected stream: live rows
+    * of EVERY table with their (schema, table) identity — the fan-out
+    * counterpart of [[servingSnapshot]], same columns as the batch
+    * [[graft.cdc.Materialize.snapshotByTable]]. */
+  def servingTables(spark: SparkSession, servingDir: String): DataFrame = {
+    val fs = new Path(servingDir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val v = latestVersion(fs, servingDir).getOrElse(
+      throw new IllegalStateException(s"no serving state under $servingDir"))
+    spark.read.parquet(versionDir(servingDir, v).toString)
+      .filter(col("metadata.operation") =!= "delete")
+      .select(col("metadata.`schema-name`").as("sch"),
+        col("metadata.`table-name`").as("tbl"), col("data.*"))
   }
 }

@@ -184,6 +184,56 @@ class StreamingSpec extends SparkTestBase {
       "handover lost rows at the boundary")
   }
 
+  test("multi-table wildcard stream: per-(schema,table,pk) serving state; shard bootstrap + overlapping replay (S1+S3)") {
+    import graft.cdc.Bootstrap
+    val rules = Seq(Envelope.SelectionRule("testdb", "retail_trans%"),
+      Envelope.SelectionRule("%", "%backup", action = "exclude"))
+    val bothLines = spark.read.text(
+      Tables.cdcFixturePath, Tables.cdcShardFixturePath)
+    val log = Envelope.parseLines(bothLines)
+      .filter(Envelope.selection(rules)).drop("value")
+
+    // seed BOTH shards at their own cuts (the eu shard's hour starts at
+    // 15:00, the main table's at 14:00 — per-table loadTs is the point)
+    val cutMain = "2022-03-14T14:01:12.193068Z"
+    val cutEu = "2022-03-14T15:00:27.888210Z"
+    def tableLog(t: String) =
+      log.filter(col("metadata.`table-name`") === t)
+    val seedEnv = Bootstrap.asLoadEnvelope(
+        Materialize.snapshot(tableLog("retail_trans")
+          .filter(col("metadata.timestamp") <= cutMain)),
+        cutMain, "testdb", "retail_trans")
+      .unionByName(Bootstrap.asLoadEnvelope(
+        Materialize.snapshot(tableLog("retail_trans_eu")
+          .filter(col("metadata.timestamp") <= cutEu)),
+        cutEu, "testdb", "retail_trans_eu"))
+
+    val root = tmpDir("cdc_multi")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    CdcStreamPipeline.bootstrapEnvelope(seedEnv, sinks)
+
+    // replay BOTH fixtures in full — overlap on both sides of the seam
+    val src = tmpDir("cdc_multi_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    Files.copy(Paths.get(Tables.cdcShardFixturePath),
+      Paths.get(s"$src/b.jsonl"))
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.text(src), sinks, Trigger.AvailableNow(),
+      rules = rules)
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+
+    val streaming = CdcStreamPipeline.servingTables(spark, sinks.serving)
+    val batch = Materialize.snapshotByTable(log)
+    assert(streaming.count() === 263) // 210 main + 53 eu live keys
+    assert(streaming.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streaming).count() === 0)
+    // colliding pk ranges stayed apart: every (tbl, pk) unique
+    assert(streaming.groupBy("tbl", "trans_id").count()
+      .filter(col("count") > 1).count() === 0)
+  }
+
   test("duplicate delivery is idempotent (the reference's _id semantics)") {
     val src = tmpDir("cdc_src_dup")
     Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
