@@ -828,6 +828,45 @@ object Text {
       joined.agg(cntLong.as("n_docs"),
         (max(col("hi")) === 0).cast("long").as("zero_ok"),
         (max(col("hp")) <= 8).cast("long").as("near_ok"))
+    },
+
+    // ---- North star: training-shard layout — the deterministic global
+    //      shuffle every training run needs. Each document gets a
+    //      (shard, pos): shard = hash-assigned reader lane, pos = the
+    //      document's position in that lane's reproducible pseudo-random
+    //      order (order by md5(doc_id) — append-stable, seed-free,
+    //      identical on both engines). The rank is two-level like
+    //      q70/q95: row_number within (shard, 2-hex-char bucket of the
+    //      SORT key — a refinement of the order, so local+offset ==
+    //      global), per-bucket counts prefix-summed in a tiny pass and
+    //      broadcast back. No task ever sorts a whole shard; shard
+    //      count at 100 TB is the reader parallelism (thousands), and
+    //      the same shape holds. ----
+    gated("q103_train_shards",
+      """SELECT doc_id,
+        |       CAST(ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8
+        |            AS BIGINT) AS shard,
+        |       CAST(ROW_NUMBER() OVER (
+        |         PARTITION BY ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 8
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR))) AS BIGINT) AS pos
+        |FROM documents
+        |ORDER BY shard, pos""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
+        .withColumn("shard", (ascii(substring(col("k"), 1, 1)) % 8).cast("long"))
+        .withColumn("bkt", substring(col("k"), 1, 2))
+      val wOff = Window.partitionBy("shard").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("shard", "bkt").agg(count(lit(1)).as("btot"))
+        .select(col("shard"), col("bkt"),
+          coalesce(sum("btot").over(wOff), lit(0L)).as("boff"))
+      val wLoc = Window.partitionBy("shard", "bkt").orderBy("k")
+      t.withColumn("lpos", row_number().over(wLoc))
+        .join(broadcast(offsets), Seq("shard", "bkt"))
+        .select(col("doc_id"), col("shard"),
+          (col("lpos") + col("boff")).as("pos"))
+        .orderBy("shard", "pos")
     }
   )
 }

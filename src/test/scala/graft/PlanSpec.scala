@@ -111,6 +111,14 @@ class PlanSpec extends SparkTestBase {
       s"range offsets must broadcast:\n$p")
   }
 
+  test("q103: the shard-layout rank is two-level — no row-level window keyed on shard alone") {
+    val p = planOf("q103_train_shards")
+    assert(!"windowspecdefinition\\(shard#\\d+L?, k#".r.findFirstIn(p).isDefined,
+      s"row-level rank keyed on shard alone:\n$p")
+    assert("windowspecdefinition\\(shard#\\d+L?, bkt#\\d+, k#".r.findFirstIn(p).isDefined,
+      s"two-level rank window (shard, bkt) missing:\n$p")
+  }
+
   test("q95: the sweep's running sum is two-level — no row-level window keyed on event_type alone") {
     val p = planOf("q95_interval_overlap")
     // the collapsed point set must be windowed by (event_type, day
