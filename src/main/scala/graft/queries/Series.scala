@@ -103,8 +103,18 @@ object Series {
       val pts = ev.select(col("event_type"), col("ts").as("t"), lit(1L).as("dl"))
         .unionAll(ev.select(col("event_type"),
           (col("ts") + expr("INTERVAL 30 MINUTES")).as("t"), lit(-1L).as("dl")))
-      val g = pts.groupBy("event_type", "t", "dl").agg(sum("dl").as("net"))
-        .withColumn("bkt", date_trunc("day", col("t")))
+      // ONE explicit exchange on (type, day bucket) serves everything
+      // below it: the instant-collapse groupBy (bkt is a function of t,
+      // so adding it to the keys changes nothing), the local-running-sum
+      // window, the per-bucket aggregate, and the final per-type max all
+      // have their clustering satisfied by this partitioning. Tradeoff
+      // vs aggregating before the shuffle: the exchange carries raw
+      // sweep points instead of collapsed instants — at µs event
+      // resolution collapse saves almost nothing, and one full exchange
+      // fewer wins at any scale.
+      val g = pts.withColumn("bkt", date_trunc("day", col("t")))
+        .repartition(col("event_type"), col("bkt"))
+        .groupBy("event_type", "bkt", "t", "dl").agg(sum("dl").as("net"))
       // pass 1: local running sum within (type, day); keep only each
       // bucket's max and total — all a bucket contributes to the peak
       val wLoc = Window.partitionBy("event_type", "bkt")

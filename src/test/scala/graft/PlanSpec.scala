@@ -128,6 +128,12 @@ class PlanSpec extends SparkTestBase {
       s"running sum keyed on event_type alone:\n$p")
     assert("windowspecdefinition\\(event_type#\\d+, bkt#\\d+, t#".r.findFirstIn(p).isDefined,
       s"two-level sweep window (event_type, bkt) missing:\n$p")
+    // ONE row-level exchange: the declared (event_type, bkt) repartition
+    // satisfies the collapse groupBy, the local window, the per-bucket
+    // agg, and the final per-type agg; only the tiny offsets window adds
+    // a second (bucket-cardinality) exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 2,
+      s"extra row-level exchange crept in:\n$p")
   }
 
   test("q74: batched retrieval broadcasts the query block and partial-limits per task") {
