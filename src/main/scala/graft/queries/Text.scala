@@ -434,9 +434,14 @@ object Text {
         |ORDER BY lang, doc_id""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       val RANGE_DOCS = 64L
+      // ONE declared exchange on (lang, range): it satisfies both the
+      // per-range totals aggregate and the local-cumsum window, and the
+      // two branches below share the identical repartition subtree, so
+      // ReuseExchange materializes one scan + one shuffle for both.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("rng", floor(col("doc_id") / RANGE_DOCS))
+        .repartition(col("lang"), col("rng"))
       // pass 1 input: per-(lang, range) totals — one tiny row per range
       val wOff = Window.partitionBy("lang").orderBy("rng")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -852,10 +857,13 @@ object Text {
         |FROM documents
         |ORDER BY shard, pos""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
+      // one declared exchange feeds both branches (ReuseExchange), same
+      // single-shuffle shape as q70/q95
       val t = Tables.documents(s, d)
         .select(col("doc_id"), md5(col("doc_id").cast("string")).as("k"))
         .withColumn("shard", (ascii(substring(col("k"), 1, 1)) % 8).cast("long"))
         .withColumn("bkt", substring(col("k"), 1, 2))
+        .repartition(col("shard"), col("bkt"))
       val wOff = Window.partitionBy("shard").orderBy("bkt")
         .rowsBetween(Window.unboundedPreceding, -1)
       val offsets = t.groupBy("shard", "bkt").agg(count(lit(1)).as("btot"))
