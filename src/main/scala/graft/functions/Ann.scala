@@ -60,4 +60,42 @@ object Ann {
       .orderBy(col("sim").desc, col("nn_id"))
       .limit(k)
   }
+
+  /** Persist the sign-LSH index: (id, vector, norm, bucket) PARTITIONED
+    * BY bucket, so a probe reads nBits+1 of 2^nBits directories. The
+    * hyperplanes are seed-deterministic — the index and any later probe
+    * agree on signatures by construction, nothing else to store. */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                 path: String, dim: Int = 64, nBits: Int = 8): Unit = {
+    val planes = hyperplanes(dim, nBits)
+    corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
+        VectorOps.l2(col(vecCol)).as("cn"),
+        signature(col(vecCol), planes).as("bucket"))
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+  }
+
+  /** [[annTopK]] against a persisted index: the query's probe buckets
+    * resolve driver-side (nBits+1 longs off a one-row query) into a
+    * literal `bucket IN (...)`, so the scan partition-prunes before any
+    * vector is read. Identical results to the inline path. */
+  def annTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     query: DataFrame, vecCol: String, k: Int,
+                     dim: Int = 64, nBits: Int = 8): DataFrame = {
+    import spark.implicits._
+    val planes = hyperplanes(dim, nBits)
+    val probeIds = query.select(
+      explode(probes(signature(col(vecCol), planes), nBits)).as("p"))
+      .as[Long].collect().toSeq
+    val q = broadcast(query.select(col(vecCol).as("qv"),
+      VectorOps.l2(col(vecCol)).as("qn")))
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probeIds: _*))
+      .crossJoin(q)
+      .withColumn("sim",
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .select(col("nn_id"), col("sim"))
+      .dropDuplicates("nn_id")
+      .orderBy(col("sim").desc, col("nn_id"))
+      .limit(k)
+  }
 }

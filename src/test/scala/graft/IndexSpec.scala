@@ -73,6 +73,24 @@ class IndexSpec extends SparkTestBase {
     assert(got === exp)
   }
 
+  test("persisted sign-LSH index: top-k == inline annTopK; probe plan partition-prunes to the probe buckets") {
+    import graft.functions.Ann
+    val dir = tmp("ann_index")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding"))
+
+    Ann.writeIndex(emb, "vec_id", "embedding", dir)
+    val inline = Ann.annTopK(emb, query, "vec_id", "embedding", k = 10)
+      .collect().toSeq
+    val indexed = Ann.annTopKIndexed(spark, dir, query, "embedding", k = 10)
+    assert(indexed.collect().toSeq === inline)
+
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket IN (...) did not become a partition filter:\n$plan")
+  }
+
   test("persisted IVF index: top-k == inline ivfTopK; probe plan partition-prunes to the nprobe cells") {
     val dir = tmp("ivf_index")
     val emb = Tables.embeddings(spark, sf)

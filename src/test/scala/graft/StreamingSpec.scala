@@ -234,6 +234,37 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("bootstrap of an EMPTY snapshot yields a readable serving state and the stream proceeds (S1 edge)") {
+    // a table empty at the full-load cut is a legal full-load-and-cdc
+    // start; the v=-1 seed must still be schema-bearing parquet or the
+    // first micro-batch merge dies reading it
+    val loadTs = "2022-03-14T13:00:00.000000Z" // before every record
+    val log = Envelope.changelog(spark, Tables.cdcFixturePath)
+    val emptySnapshot = Materialize.snapshot(
+      log.filter(col("metadata.timestamp") <= loadTs))
+    assert(emptySnapshot.count() === 0)
+
+    val root = tmpDir("cdc_boot_empty")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    CdcStreamPipeline.bootstrap(emptySnapshot, loadTs, sinks)
+    // the seeded view must read (zero rows), not throw on a schemaless dir
+    assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .count() === 0)
+
+    val src = tmpDir("cdc_boot_empty_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.text(src), sinks, Trigger.AvailableNow())
+    main.awaitTermination(120000)
+    dlq.awaitTermination(120000)
+    val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    val oneShot = Materialize.snapshot(log)
+    assert(streaming.count() === 210)
+    assert(streaming.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(streaming).count() === 0)
+  }
+
   test("duplicate delivery is idempotent (the reference's _id semantics)") {
     val src = tmpDir("cdc_src_dup")
     Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
