@@ -174,6 +174,23 @@ object Ivf {
     centroids
   }
 
+  /** Ingest path: assign a NEW batch of vectors to the index's EXISTING
+    * cells and append their rows — training never re-runs, the old rows
+    * never rewrite, and the append lands inside the per-cell partition
+    * layout (steady-state cost is |batch|, not |corpus|). Standard IVF
+    * practice: centroids drift only on explicit re-train; probes see old
+    * and new vectors uniformly because assignment is a pure function of
+    * (vector, centroids). */
+  def appendToIndex(newVecs: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val centroids = readCentroids(newVecs.sparkSession, path)
+    assignCells(
+      newVecs.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
+        VectorOps.l2(col(vecCol)).as("cn"), unit(col(vecCol)).as("vu")),
+      "nn_id", "vu", centroids, keep = Seq("cv", "cn"))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
   /** Centroids back from a persisted index, in cell order. */
   def readCentroids(spark: org.apache.spark.sql.SparkSession,
                     path: String): Seq[Seq[Double]] =

@@ -116,4 +116,27 @@ class IndexSpec extends SparkTestBase {
       s"cell IN (...) did not become a partition filter:\n$plan")
     assert(!plan.contains("__cvec"), s"probe re-assigns cells:\n$plan")
   }
+
+  test("IVF ingest append: old-index + appended batch probes == one index over the union") {
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val oldVecs = emb.filter(col("vec_id") % 5 =!= 0)
+    val newVecs = emb.filter(col("vec_id") % 5 === 0)
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding"))
+
+    // incremental: train+write on the old corpus, append the new batch
+    val dirInc = tmp("ivf_inc")
+    val centroids = Ivf.writeIndex(oldVecs, "vec_id", "embedding",
+      nlist = 16, dirInc, iters = 2, sampleMod = 7)
+    Ivf.appendToIndex(newVecs, "vec_id", "embedding", dirInc)
+
+    // oracle: the inline probe over the FULL corpus with the SAME
+    // centroids (assignment is a pure function of vector + centroids,
+    // so append-then-probe must equal assign-all-then-probe)
+    val inline = Ivf.ivfTopK(emb, query, "vec_id", "embedding",
+      k = 10, centroids, nprobe = 4).collect().toSeq
+    val appended = Ivf.ivfTopKIndexed(spark, dirInc, query, "embedding",
+      k = 10, nprobe = 4).collect().toSeq
+    assert(appended === inline)
+  }
 }
