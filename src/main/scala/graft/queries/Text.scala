@@ -875,6 +875,71 @@ object Text {
         .select(col("doc_id"), col("shard"),
           (col("lpos") + col("boff")).as("pos"))
         .orderBy("shard", "pos")
+    },
+
+    // ---- North star: exact SUBSTRING dedup at token granularity — the
+    //      unit below whole documents and lines: any 20-token window
+    //      appearing in ≥2 distinct documents is boilerplate/duplication
+    //      (the exact-substring criterion of training-data dedup), and
+    //      each document reports how many of its token positions fall
+    //      under a repeated window. A 23-token tail planted on doc_id%7
+    //      guarantees cross-doc repeats distinct from the corpus's
+    //      natural full-document duplicates; both are caught. Scale: the
+    //      window table shuffles on md5(window) — uniform by
+    //      construction, 16 bytes per key regardless of window text; the
+    //      repeated-set semi-join and the ×20 position explode touch
+    //      only hit rows. ----
+    gated("q104_substring_dedup",
+      """WITH d2 AS (SELECT doc_id,
+        |         text || CASE WHEN doc_id % 7 = 0
+        |                 THEN ' the quick brown fox jumps over the lazy dog while reading terms and conditions that apply to all subscribers of this newsletter today'
+        |                 ELSE '' END AS t
+        |       FROM documents),
+        |tt AS (SELECT doc_id,
+        |         list_filter(string_split(lower(t), ' '), x -> x <> '') AS w
+        |       FROM d2),
+        |t20 AS (SELECT doc_id, w FROM tt WHERE len(w) >= 20),
+        |s AS (SELECT doc_id, unnest(range(1, len(w) - 18)) AS i, w FROM t20),
+        |sh AS (SELECT doc_id, i - 1 AS start,
+        |         md5(array_to_string(list_slice(w, i, i + 19), ' ')) AS h
+        |       FROM s),
+        |rep AS (SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT DISTINCT sh.doc_id, sh.start
+        |         FROM sh JOIN rep USING (h)),
+        |m AS (SELECT doc_id, COUNT(DISTINCT p) AS n_masked
+        |      FROM (SELECT doc_id, unnest(range(start, start + 20)) AS p
+        |            FROM hits)
+        |      GROUP BY doc_id)
+        |SELECT t20.doc_id, CAST(len(t20.w) AS BIGINT) AS n_toks,
+        |       CAST(COALESCE(m.n_masked, 0) AS BIGINT) AS n_masked
+        |FROM t20 LEFT JOIN m USING (doc_id) ORDER BY doc_id""") { (s, d) =>
+      val tail = " the quick brown fox jumps over the lazy dog while " +
+        "reading terms and conditions that apply to all subscribers of " +
+        "this newsletter today"
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(col("text"), when(pmod(col("doc_id"), lit(7)) === 0,
+            lit(tail)).otherwise(lit(""))).as("t"))
+        .withColumn("w", TextOps.tokens(col("t")))
+        .filter(size(col("w")) >= 20)
+        .select(col("doc_id"), col("w"))
+      val spans = t.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - 20),
+            i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(20)))))))
+        .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
+      val rep = spans.groupBy("h")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("h")
+      val masked = spans.join(rep, "h")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 19)).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+      t.select(col("doc_id"), size(col("w")).cast("long").as("n_toks"))
+        .join(masked, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+        .orderBy("doc_id")
     }
   )
 }
