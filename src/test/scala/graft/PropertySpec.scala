@@ -239,6 +239,46 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("substring dedup (q104 formulation) matches the brute-force mask model, for random corpora") {
+    import spark.implicits._
+    // small vocab + short window forces genuine cross-doc collisions
+    val W = 4 // window size for the property (q104 uses 20)
+    val corpora = samples(Gen.listOf(
+      Gen.choose(1, 12).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf("a", "b", "c")))), 12)
+      .filter(docs => docs.count(_.size >= W) >= 2)
+    corpora.foreach { docs =>
+      val df = docs.zipWithIndex
+        .map { case (w, id) => (id.toLong, w) }.toDF("doc_id", "w")
+        .filter(size(col("w")) >= W)
+      val spans = df.select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), size(col("w")) - W),
+            i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(W)))))))
+        .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
+      val rep = spans.groupBy("h").agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") >= 2).select("h")
+      val got = spans.join(rep, "h")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + (W - 1))).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      // model: literal window multiset over the token lists
+      val wins = docs.zipWithIndex.flatMap { case (w, id) =>
+        w.sliding(W).filter(_.size == W).zipWithIndex
+          .map { case (win, st) => (id.toLong, st, win.mkString(" ")) }
+      }
+      val repeated = wins.groupBy(_._3)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      val expect = wins.filter(t => repeated(t._3))
+        .groupBy(_._1)
+        .view.mapValues(_.flatMap(t => t._2 until t._2 + W).distinct.size.toLong)
+        .toMap
+      assert(got === expect)
+    }
+  }
+
   test("packing (q70 formulation) matches the sequential fold model, for random corpora") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
