@@ -923,10 +923,15 @@ object Text {
         .withColumn("w", TextOps.tokens(col("t")))
         .filter(size(col("w")) >= 20)
         .select(col("doc_id"), col("w"))
+      // the span relation feeds THREE consumers (repeated-set agg, hit
+      // join, per-doc token count) — materialize it once so tokenize +
+      // per-window md5 run a single time (at corpus scale: the persisted
+      // index, as with the MinHash signatures)
       val spans = t.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), size(col("w")) - 20),
             i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(20)))))))
         .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
+        .localCheckpoint()
       val rep = spans.groupBy("h")
         .agg(countDistinct("doc_id").as("df"))
         .filter(col("df") >= 2).select("h")
@@ -935,7 +940,10 @@ object Text {
           explode(sequence(col("start"), col("start") + 19)).as("p"))
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
-      t.select(col("doc_id"), size(col("w")).cast("long").as("n_toks"))
+      // n_toks = last window start + window size: spans alone carry it,
+      // no second tokenize pass over the corpus
+      spans.groupBy("doc_id")
+        .agg((max("start") + 20).cast("long").as("n_toks"))
         .join(masked, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_toks"),
           coalesce(col("n_masked"), lit(0L)).as("n_masked"))
