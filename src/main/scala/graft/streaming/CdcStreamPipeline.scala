@@ -166,6 +166,12 @@ object CdcStreamPipeline {
       val good = batch.filter(Envelope.selection(rules))
 
       // S10: UTC time-partitioned archive (firehose.py:131-135 prefix).
+      // Under a multi-table rule set the archive stays time-partitioned
+      // (all tables in one timeline, like the reference's single Firehose
+      // prefix); a per-table reader filters on metadata.`table-name`
+      // post-scan. Fan-outs with heavy per-table readers should add the
+      // table to partitionBy — coordinate with ArchiveCompaction's
+      // directory layout before changing it.
       // The write targets a batch-scoped subdirectory with overwrite, so a
       // RETRIED micro-batch (task failure after a partial write) replaces
       // its own output instead of double-appending — exactly-once archive

@@ -37,6 +37,16 @@ class CdcSpec extends SparkTestBase {
       .select(col("metadata.`table-name`")).as[String].collect().sorted
     assert(kept.toSeq === Seq("retail_trans", "retail_trans_eu"))
 
+    // `_` is the single-char wildcard (DMS LIKE grammar): retail_tran_
+    // matches retail_trans but not the longer shard name
+    val one = parsed.filter(Envelope.selection(
+      Seq(SelectionRule("testdb", "retail!_tran!_")))) // no escape support claimed
+    val underscore = parsed.filter(Envelope.selection(
+      Seq(SelectionRule("testdb", "retail_tran_"))))
+      .select(col("metadata.`table-name`")).as[String].collect().toSeq
+    assert(underscore === Seq("retail_trans"))
+    assert(one.count() === 0) // literal '!' never matches; no escape syntax
+
     // the defaulted single-table form IS a one-include rule list
     val a = parsed.filter(Envelope.selection()).count()
     val b = parsed.filter(Envelope.selection(
