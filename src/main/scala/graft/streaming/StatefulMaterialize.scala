@@ -21,22 +21,28 @@ object StatefulMaterialize {
   /** One parsed change (flattened envelope essentials). pk/ts/txid are
     * non-nullable by the Envelope.corrupt routing contract (rows missing
     * any of them go to the DLQ, never here); `amount` is nullable in the
-    * source DDL (INT NULL, reference README.md:203) so it stays Option. */
+    * source DDL (INT NULL, reference README.md:203) so it stays Option.
+    * sch/tbl default to the reference task's single table; a wildcard-
+    * selected stream sets them per record so shards with colliding pk
+    * ranges never share a state-store key. */
   final case class Change(pk: Long, ts: String, txid: Long, op: String,
-                          amount: Option[Int])
+                          amount: Option[Int],
+                          sch: String = "testdb",
+                          tbl: String = "retail_trans")
 
   /** Current winner per key; `live = false` = tombstone. */
   final case class KeyState(ts: String, txid: Long, live: Boolean,
                             amount: Option[Int])
 
   /** Emitted delta: the key's new current row (or tombstone). */
-  final case class SnapshotDelta(pk: Long, live: Boolean, amount: Option[Int],
+  final case class SnapshotDelta(sch: String, tbl: String, pk: Long,
+                                 live: Boolean, amount: Option[Int],
                                  ts: String, txid: Long)
 
   private def newer(a: (String, Long), b: (String, Long)): Boolean =
     a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
 
-  def updateKey(pk: Long, changes: Iterator[Change],
+  def updateKey(key: (String, String, Long), changes: Iterator[Change],
                 state: GroupState[KeyState]): Iterator[SnapshotDelta] = {
     var cur = state.getOption
     changes.foreach { c =>
@@ -47,16 +53,20 @@ object StatefulMaterialize {
     cur match {
       case Some(s) if !state.getOption.contains(s) =>
         state.update(s)
-        Iterator.single(SnapshotDelta(pk, s.live, s.amount, s.ts, s.txid))
+        Iterator.single(SnapshotDelta(key._1, key._2, key._3,
+          s.live, s.amount, s.ts, s.txid))
       case _ => Iterator.empty // no change for this key this trigger
     }
   }
 
-  /** Streaming snapshot deltas for a stream (or batch) of changes. */
+  /** Streaming snapshot deltas for a stream (or batch) of changes. The
+    * state store shuffles once on (schema, table, pk) — one composite
+    * key, same exchange count as the single-table form. */
   def deltas(changes: Dataset[Change]): Dataset[SnapshotDelta] = {
     implicit val se = Encoders.product[KeyState]
     implicit val de = Encoders.product[SnapshotDelta]
-    changes.groupByKey(_.pk)(Encoders.scalaLong)
+    changes.groupByKey(c => (c.sch, c.tbl, c.pk))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(updateKey)
   }

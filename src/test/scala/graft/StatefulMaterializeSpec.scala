@@ -57,6 +57,20 @@ class StatefulMaterializeSpec extends SparkTestBase {
     assert(out(3).isEmpty)
   }
 
+  test("colliding pk values across tables keep independent state (multi-table S3)") {
+    val out = runBatches(Seq(
+      // same pk in two shards, then a delete in one only
+      Seq(Change(1L, "t01", 100L, "insert", Some(10)),
+        Change(1L, "t02", 101L, "insert", Some(20), tbl = "retail_trans_eu")),
+      Seq(Change(1L, "t03", 102L, "delete", None))))
+    assert(out(0).map(d => (d.tbl, d.pk) -> d.amount).toMap ===
+      Map(("retail_trans", 1L) -> Some(10),
+        ("retail_trans_eu", 1L) -> Some(20)))
+    // only the main shard's key tombstones; the eu shard's row is untouched
+    assert(out(1).map(d => (d.tbl, d.live)) ===
+      Seq(("retail_trans", false)))
+  }
+
   test("replaying the CDC fixture through the stateful operator matches the batch snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val changes = graft.cdc.Envelope.changelog(spark, Tables.cdcFixturePath)
@@ -64,7 +78,9 @@ class StatefulMaterializeSpec extends SparkTestBase {
         col("metadata.timestamp").as("ts"),
         col("metadata.`transaction-id`").as("txid"),
         col("metadata.operation").as("op"),
-        col("data.amount").as("amount"))
+        col("data.amount").as("amount"),
+        col("metadata.`schema-name`").as("sch"),
+        col("metadata.`table-name`").as("tbl"))
       .as[Change].collect()
 
     val input = MemoryStream[Change]
