@@ -28,11 +28,17 @@ object RollupMaintenance {
 
   private val Amt = DecimalType(18, 2)
 
-  /** (hour, op) partial aggregate of one micro-batch of parsed, selected
-    * envelope rows (CdcStreamPipeline.parseLines output). */
+  /** (hour, schema, table, op) partial aggregate of one micro-batch of
+    * parsed, selected envelope rows (CdcStreamPipeline.parseLines
+    * output). Table identity is in the key so a wildcard-selected
+    * multi-table stream rolls up per shard — the streaming counterpart
+    * of q101's per-table op stats; single-table streams just carry two
+    * constant columns. */
   def partial(batch: DataFrame): DataFrame =
     batch.groupBy(
       date_format(col("event_ts"), "yyyy-MM-dd HH").as("h"),
+      col("metadata.`schema-name`").as("sch"),
+      col("metadata.`table-name`").as("tbl"),
       col("metadata.operation").as("op"))
       .agg(count(lit(1)).cast("long").as("c"),
         sum(col("data.amount").cast(Amt)).cast(Amt).as("amt"))
@@ -40,7 +46,7 @@ object RollupMaintenance {
   /** Associative merge of rollup states/partials. */
   def merge(old: Option[DataFrame], p: DataFrame): DataFrame = {
     val all = old.map(_.unionByName(p)).getOrElse(p)
-    all.groupBy("h", "op")
+    all.groupBy("h", "sch", "tbl", "op")
       .agg(sum(col("c")).cast("long").as("c"),
         sum(col("amt")).cast(Amt).as("amt"))
   }

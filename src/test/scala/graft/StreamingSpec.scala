@@ -411,6 +411,18 @@ class StreamingSpec extends SparkTestBase {
     val after = RollupMaintenance.snapshot(spark, rollup)
       .collect().map(_.toString).sorted.toSeq
     assert(after === before)
+
+    // multi-table: a wildcard-selected stream rolls up per shard
+    val both = CdcStreamPipeline.parseLines(
+        spark.read.text(Tables.cdcFixturePath, Tables.cdcShardFixturePath))
+      .filter(!Envelope.corrupt && col("event_ts").isNotNull)
+      .filter(Envelope.selection(Seq(
+        Envelope.SelectionRule("testdb", "retail_trans%"),
+        Envelope.SelectionRule("%", "%backup", action = "exclude"))))
+    val perTable = RollupMaintenance.partial(both)
+      .groupBy("tbl").agg(sum("c").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perTable === Map("retail_trans" -> 600L, "retail_trans_eu" -> 117L))
   }
 
   test("archive compaction folds batch dirs into one, preserves rows and hour pruning, resumes after a crash") {
