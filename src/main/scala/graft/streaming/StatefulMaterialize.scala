@@ -61,7 +61,12 @@ object StatefulMaterialize {
 
   /** Streaming snapshot deltas for a stream (or batch) of changes. The
     * state store shuffles once on (schema, table, pk) — one composite
-    * key, same exchange count as the single-table form. */
+    * key, same exchange count as the single-table form.
+    *
+    * No timeout → state is retained forever, INCLUDING tombstones. Use
+    * this form only for bounded replays (tests, backfills); a long-running
+    * stream should use [[deltasEvicting]] so state tracks LIVE keys, not
+    * keys-ever-seen. */
   def deltas(changes: Dataset[Change]): Dataset[SnapshotDelta] = {
     implicit val se = Encoders.product[KeyState]
     implicit val de = Encoders.product[SnapshotDelta]
@@ -69,5 +74,71 @@ object StatefulMaterialize {
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Update,
         GroupStateTimeout.NoTimeout)(updateKey)
+  }
+
+  /** Envelope `metadata.timestamp` → epoch millis, interpreted in UTC to
+    * match the pipeline's session timezone. Accepts both wire forms the
+    * envelope fixtures carry: `yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'` (the DMS
+    * ISO-8601 instant) and the space-separated SQL form. */
+  private[streaming] def tsMillis(ts: String): Long = {
+    val iso = ts.replace(' ', 'T')
+    if (iso.endsWith("Z")) java.time.Instant.parse(iso).toEpochMilli
+    else java.time.LocalDateTime.parse(iso)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+  }
+
+  /** [[updateKey]] plus tombstone eviction via event-time timeout: a key
+    * whose winner is a delete schedules its own removal once the watermark
+    * passes `tombstone ts + lateness`. Live keys never time out — their
+    * retention is the serving view's inherent bound (same as the
+    * reference's OpenSearch index); tombstones are pure replay armor and
+    * safe to drop once every change they could suppress would be filtered
+    * as late data anyway (the exec's own late-row filter under an
+    * event-time watermark). */
+  private[streaming] def updateKeyEvicting(latenessMs: Long)(
+      key: (String, String, Long), changes: Iterator[Change],
+      state: GroupState[KeyState]): Iterator[SnapshotDelta] = {
+    if (state.hasTimedOut) {
+      // Only tombstones schedule timeouts, but a key revived AFTER its
+      // tombstone armed one still sees that stale alarm fire — keep live
+      // state, drop only tombstones.
+      if (state.getOption.exists(!_.live)) state.remove()
+      Iterator.empty
+    } else {
+      val out = updateKey(key, changes, state)
+      state.getOption.filter(!_.live).foreach { s =>
+        // setTimeoutTimestamp requires a value strictly beyond the current
+        // watermark; an already-expired tombstone (late replay racing the
+        // horizon) arms for the very next watermark tick instead.
+        state.setTimeoutTimestamp(math.max(
+          tsMillis(s.ts) + latenessMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out
+    }
+  }
+
+  /** Long-running form of [[deltas]]: identical winners and delta emission
+    * (spec-pinned parity), but tombstone state is EVICTED once the
+    * watermark passes the delete's event time plus `lateness` — so at
+    * 100 TB with key churn (insert→delete lifecycles) the state store is
+    * bounded by LIVE keys + the lateness horizon's worth of tombstones,
+    * not by keys-ever-seen. Eviction is safe, not just convenient: any
+    * replayed change old enough to need the tombstone's suppression is
+    * older than the watermark and is dropped by the operator's late-row
+    * filter before it can resurrect the key (StatefulMaterializeSpec pins
+    * exactly this). `ts` strings must be the envelope's UTC wire format. */
+  def deltasEvicting(changes: Dataset[Change],
+                     lateness: java.time.Duration): Dataset[SnapshotDelta] = {
+    implicit val se = Encoders.product[KeyState]
+    implicit val de = Encoders.product[SnapshotDelta]
+    import org.apache.spark.sql.functions.{col, try_to_timestamp}
+    changes
+      .withColumn("event_ts", try_to_timestamp(col("ts")))
+      .withWatermark("event_ts", s"${lateness.toMillis} milliseconds")
+      .as[Change](Encoders.product[Change])
+      .groupByKey(c => (c.sch, c.tbl, c.pk))(
+        Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout)(updateKeyEvicting(lateness.toMillis))
   }
 }

@@ -71,6 +71,90 @@ class StatefulMaterializeSpec extends SparkTestBase {
       Seq(("retail_trans", false)))
   }
 
+  test("tombstones evict after the lateness horizon; late replay cannot resurrect the key") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Int) = f"2023-01-01 10:$min%02d:00.000000"
+    val input = MemoryStream[Change]
+    val q = StatefulMaterialize
+      .deltasEvicting(input.toDS(), java.time.Duration.ofMinutes(10))
+      .writeStream.format("memory").queryName("sm_evict")
+      .outputMode("update").start()
+    def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+    try {
+      // two keys inserted, then key 1 deleted → state = tombstone + live
+      input.addData(Change(1L, ts(0), 100L, "insert", Some(10)),
+        Change(2L, ts(1), 101L, "insert", Some(20)),
+        Change(1L, ts(2), 102L, "delete", None))
+      q.processAllAvailable()
+      assert(stateRows === 2L)
+      assert(spark.table("sm_evict").as[SnapshotDelta].collect()
+        .find(_.pk == 1L).get.live === false)
+
+      // advance the watermark past tombstoneTs + lateness (delete at
+      // minute 2, horizon 10 → evict once watermark > minute 12; key 3 at
+      // minute 40 puts the watermark at minute 30)
+      input.addData(Change(3L, ts(40), 103L, "insert", Some(30)))
+      q.processAllAvailable()
+      // tombstone for key 1 evicted; keys 2 and 3 (live) remain
+      assert(stateRows === 2L)
+
+      // a replayed change for the evicted key, older than the watermark,
+      // is dropped as late data — NO delta, NO state resurrection
+      val before = spark.table("sm_evict").count()
+      input.addData(Change(1L, ts(5), 99L, "update", Some(77)))
+      q.processAllAvailable()
+      assert(spark.table("sm_evict").count() === before)
+      assert(stateRows === 2L)
+
+      // live keys never time out: key 2's state is intact and a genuine
+      // new change for it still emits a delta
+      input.addData(Change(2L, ts(41), 104L, "update", Some(21)))
+      q.processAllAvailable()
+      val last = spark.table("sm_evict").as[SnapshotDelta].collect().last
+      assert((last.pk, last.amount) === (2L, Some(21)))
+    } finally {
+      q.stop()
+      spark.sql("DROP VIEW IF EXISTS sm_evict")
+    }
+  }
+
+  test("evicting form matches the no-timeout form on the CDC fixture (parity)") {
+    implicit val sqlCtx = spark.sqlContext
+    val changes = graft.cdc.Envelope.changelog(spark, Tables.cdcFixturePath)
+      .select(col("data.trans_id").as("pk"),
+        col("metadata.timestamp").as("ts"),
+        col("metadata.`transaction-id`").as("txid"),
+        col("metadata.operation").as("op"),
+        col("data.amount").as("amount"),
+        col("metadata.`schema-name`").as("sch"),
+        col("metadata.`table-name`").as("tbl"))
+      .as[Change].collect()
+
+    val input = MemoryStream[Change]
+    // horizon far wider than the fixture's time span → no eviction can
+    // fire, so winners must be IDENTICAL to the NoTimeout form
+    val q = StatefulMaterialize
+      .deltasEvicting(input.toDS(), java.time.Duration.ofDays(3650))
+      .writeStream.format("memory").queryName("sm_evict_parity")
+      .outputMode("update").start()
+    val (a, b) = changes.splitAt(changes.length / 2)
+    try {
+      input.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      input.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val deltas = spark.table("sm_evict_parity").as[SnapshotDelta].collect()
+    val lastPerKey = deltas.zipWithIndex.groupBy(_._1.pk)
+      .map { case (_, ds) => ds.maxBy(_._2)._1 }
+    val live = lastPerKey.filter(_.live).map(d => d.pk -> d.amount.get).toMap
+    val batchSnap = graft.cdc.Materialize.snapshot(
+        graft.cdc.Envelope.changelog(spark, Tables.cdcFixturePath))
+      .select(col("trans_id"), col("amount"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(live === batchSnap)
+    spark.sql("DROP VIEW IF EXISTS sm_evict_parity")
+  }
+
   test("replaying the CDC fixture through the stateful operator matches the batch snapshot") {
     implicit val sqlCtx = spark.sqlContext
     val changes = graft.cdc.Envelope.changelog(spark, Tables.cdcFixturePath)
