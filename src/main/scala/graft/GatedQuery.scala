@@ -20,4 +20,12 @@ object GatedQuery {
   def ungated(name: String)(
       build: (SparkSession, String) => DataFrame): GatedQuery =
     GatedQuery(name, build, None)
+
+  /** Scratch directory for queries that exercise a PERSISTED index's
+    * write→probe round trip (q40c, q48c): deterministic per (sf dir, index
+    * name) so a re-run overwrites its own files, and under java.io.tmpdir
+    * so the repo and testdata trees are never written. */
+  def indexScratch(sfDir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+      s"${new java.io.File(sfDir).getName}/$name"
 }

@@ -348,6 +348,24 @@ object Media {
       annVerdict(exactTop10(corpus, query), ivf)
     },
 
+    // ---- The PERSISTED-index probe path of q48b — the steady-state
+    //      serving shape at corpus scale: writeIndex trains once and lays
+    //      the corpus out as cell-partitioned parquet; ivfTopKIndexed
+    //      resolves the query's nprobe cells driver-side and partition-
+    //      prunes to those directories before reading a row. Same planted
+    //      gate as q48/q48b, so the index WRITE→PROBE round trip is
+    //      oracle-checked end-to-end (IndexSpec keeps the inline-parity
+    //      and pruning plan assertions). ----
+    gated("q48c_ivf_indexed", annOracleSql) { (s, d) =>
+      val (corpus, query) = plantedCorpus(s, d)
+      val path = graft.GatedQuery.indexScratch(d, "ivf_q48c")
+      Ivf.writeIndex(corpus, "vec_id", "embedding", nlist = 16, path,
+        iters = 2, sampleMod = 7)
+      val ivf = Ivf.ivfTopKIndexed(s, path, query, "embedding",
+        k = 10, nprobe = 4)
+      annVerdict(exactTop10(corpus, query), ivf)
+    },
+
     // ---- O39/O40: embedding-cosine near-dup at corpus scale — the
     //      ALL-PAIRS version of q46, made tractable by sign-LSH
     //      bucketing: 8-bit hyperplane signatures, candidates = pairs

@@ -4,7 +4,7 @@ import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import graft.functions.VectorOps
-import graft.text.{NearDup, TextOps}
+import graft.text.{NearDup, Spans, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline text/vector analysis (SURVEY.md O38/O39/O40
@@ -749,26 +749,7 @@ object Text {
     //                     shingle-hash collisions; measured exact).
     //      Integer-only verdict arithmetic (hits·100 ≥ n_exact·95): no
     //      float compare at the gate boundary. ----
-    gated("q40_minhash_lsh",
-      """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, text || ' xdup marker' AS text
-        |  FROM documents WHERE doc_id < 300),
-        |t AS (SELECT doc_id,
-        |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
-        |      FROM corpus WHERE doc_id % 100000 < 300),
-        |g AS (SELECT doc_id,
-        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
-        |                       for i in range(1, len(w)-1)]) AS tg
-        |      FROM t WHERE len(w) >= 3)
-        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
-        |       CAST(1 AS BIGINT) AS recall_ok,
-        |       CAST(1 AS BIGINT) AS subset_ok
-        |FROM g a, g b
-        |WHERE a.doc_id < b.doc_id
-        |  AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
-        |      / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.3""") { (s, d) =>
+    gated("q40_minhash_lsh", minhashOracleSql) { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       // copies planted only for the gate block: the verdict inspects block
       // pairs, so the full corpus keeps its natural size for the LSH leg
@@ -796,6 +777,48 @@ object Text {
         .filter(((col("a_id") % 100000) < 300) && ((col("b_id") % 100000) < 300))
         .select(col("a_id").as("la"), col("b_id").as("lb"))
       // one pass over each side: full-outer pair match → three counts
+      exact.join(lsh,
+          col("a_id") === col("la") && col("b_id") === col("lb"), "full_outer")
+        .agg(sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("a_id").isNotNull && col("la").isNotNull, 1L)
+            .otherwise(0L)).as("n_hits"),
+          sum(when(col("la").isNotNull, 1L).otherwise(0L)).as("n_lsh"))
+        .select(col("n_exact"),
+          (col("n_hits") * 100 >= col("n_exact") * 95).cast("long").as("recall_ok"),
+          (col("n_hits") === col("n_lsh")).cast("long").as("subset_ok"))
+    },
+
+    // ---- The PERSISTED-index probe path of q40 — the steady-state dedup
+    //      shape at corpus scale: writeIndex materializes the banded
+    //      signature relation to parquet ONCE (tokenize→shingle→k-hash
+    //      never re-runs), pairsFromIndex band-joins the FILES. Same
+    //      planted-block gate as q40, so the index write→probe round trip
+    //      is oracle-checked end-to-end (IndexSpec keeps the inline-parity
+    //      and no-derivation plan assertions). ----
+    gated("q40c_minhash_indexed", minhashOracleSql) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val corpus = docs.unionAll(
+        docs.filter(col("doc_id") < 300)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xdup marker")).as("text")))
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+      val inBlock = (col("doc_id") % 100000) < 300
+      val g = corpus.filter(inBlock)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+        .localCheckpoint()
+      val exact = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+        .join(g.select(col("doc_id").as("b_id"), col("tg").as("b_tg")),
+          col("a_id") < col("b_id"))
+        .filter(call_function("jaccard_sets", col("a_tg"), col("b_tg")) >= 0.3)
+        .select(col("a_id"), col("b_id"))
+      // the probe path under test: signatures persisted, pairs from FILES
+      val path = graft.GatedQuery.indexScratch(d, "minhash_q40c")
+      NearDup.writeIndex(corpus.select(col("doc_id"), col("w")),
+        "doc_id", "w", path, k = 16, nBands = 4)
+      val lsh = NearDup.pairsFromIndex(s, path, threshold = 0.3)
+        .filter(((col("a_id") % 100000) < 300) && ((col("b_id") % 100000) < 300))
+        .select(col("a_id").as("la"), col("b_id").as("lb"))
       exact.join(lsh,
           col("a_id") === col("la") && col("b_id") === col("lb"), "full_outer")
         .agg(sum(when(col("a_id").isNotNull, 1L).otherwise(0L)).as("n_exact"),
@@ -921,33 +944,37 @@ object Text {
           concat(col("text"), when(pmod(col("doc_id"), lit(7)) === 0,
             lit(tail)).otherwise(lit(""))).as("t"))
         .withColumn("w", TextOps.tokens(col("t")))
-        .filter(size(col("w")) >= 20)
         .select(col("doc_id"), col("w"))
       // the span relation feeds THREE consumers (repeated-set agg, hit
       // join, per-doc token count) — materialize it once so tokenize +
       // per-window md5 run a single time (at corpus scale: the persisted
-      // index, as with the MinHash signatures)
-      val spans = t.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), size(col("w")) - 20),
-            i => md5(concat_ws(" ", slice(col("w"), i + 1, lit(20)))))))
-        .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
-        .localCheckpoint()
-      val rep = spans.groupBy("h")
-        .agg(countDistinct("doc_id").as("df"))
-        .filter(col("df") >= 2).select("h")
-      val masked = spans.join(rep, "h")
-        .select(col("doc_id"),
-          explode(sequence(col("start"), col("start") + 19)).as("p"))
-        .distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
-      // n_toks = last window start + window size: spans alone carry it,
-      // no second tokenize pass over the corpus
-      spans.groupBy("doc_id")
-        .agg((max("start") + 20).cast("long").as("n_toks"))
-        .join(masked, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_toks"),
-          coalesce(col("n_masked"), lit(0L)).as("n_masked"))
-        .orderBy("doc_id")
+      // index — Spans.writeIndex, parity-pinned by IndexSpec)
+      val spans = Spans.spanRelation(t, "doc_id", "w").localCheckpoint()
+      Spans.maskedCounts(spans).orderBy("doc_id")
     }
   )
+
+  /** Shared oracle for q40/q40c: exact trigram-Jaccard pair count over the
+    * planted block, recall/subset verdicts pinned true. */
+  private def minhashOracleSql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text || ' xdup marker' AS text
+      |  FROM documents WHERE doc_id < 300),
+      |t AS (SELECT doc_id,
+      |        list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+      |      FROM corpus WHERE doc_id % 100000 < 300),
+      |g AS (SELECT doc_id,
+      |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                       for i in range(1, len(w)-1)]) AS tg
+      |      FROM t WHERE len(w) >= 3)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+      |       CAST(1 AS BIGINT) AS recall_ok,
+      |       CAST(1 AS BIGINT) AS subset_ok
+      |FROM g a, g b
+      |WHERE a.doc_id < b.doc_id
+      |  AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+      |      / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.3"""
+      .stripMargin
 }

@@ -1,0 +1,66 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Token-window span relation for exact SUBSTRING dedup (q104's operator):
+  * one row per `window`-token sliding window of each document,
+  * `(doc_id, start, h)` with `h = md5(window text)`. The md5 keys shuffle
+  * uniformly (16 bytes per key regardless of window text), and every
+  * downstream consumer — repeated-window detection, position masking,
+  * per-doc token counts — derives from this one relation.
+  *
+  * Like the MinHash signature relation ([[NearDup]]), the span relation IS
+  * the corpus's substring-dedup index: at corpus scale it persists once
+  * ([[writeIndex]]) and every later dedup pass reads the files instead of
+  * re-running tokenize + per-window md5 over 100 TB of text.
+  */
+object Spans {
+
+  /** The span relation over (idCol, tokensCol): (doc_id, start, h).
+    * Documents shorter than `window` tokens emit no rows (they cannot
+    * contain a repeated window and carry no position to mask). */
+  def spanRelation(docs: DataFrame, idCol: String, tokensCol: String,
+                   window: Int = 20): DataFrame =
+    docs.filter(size(col(tokensCol)) >= window)
+      .select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col(tokensCol)) - window),
+          i => md5(concat_ws(" ", slice(col(tokensCol), i + 1, lit(window)))))))
+      .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
+
+  /** Persist the span relation as the corpus's substring-dedup index —
+    * computed once, appended per ingest batch (new documents append their
+    * own span rows; cross-batch repeats surface because [[maskedCounts]]
+    * groups over the whole relation). */
+  def writeIndex(docs: DataFrame, idCol: String, tokensCol: String,
+                 path: String, window: Int = 20): Unit =
+    spanRelation(docs, idCol, tokensCol, window)
+      .write.mode("overwrite").parquet(path)
+
+  /** The span relation back from a persisted index. */
+  def fromIndex(spark: org.apache.spark.sql.SparkSession,
+                path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Per-document substring-dedup statistic from a span relation:
+    * (doc_id, n_toks, n_masked) where n_masked counts token positions
+    * covered by any window repeated in ≥ 2 distinct documents. The
+    * repeated-set semi-join and the ×window position explode touch only
+    * hit rows; n_toks = last window start + window (the spans alone carry
+    * it — no second pass over the corpus text). */
+  def maskedCounts(spans: DataFrame, window: Int = 20): DataFrame = {
+    val rep = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= 2).select("h")
+    val masked = spans.join(rep, "h")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + (window - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("n_masked"))
+    spans.groupBy("doc_id")
+      .agg((max("start") + window).cast("long").as("n_toks"))
+      .join(masked, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"))
+  }
+}

@@ -117,6 +117,65 @@ class IndexSpec extends SparkTestBase {
     assert(!plan.contains("__cvec"), s"probe re-assigns cells:\n$plan")
   }
 
+  test("persisted span index: substring-dedup counts == inline; probe plan reads parquet, derives nothing") {
+    import graft.text.Spans
+    val dir = tmp("span_index")
+    // planted 23-token tail on doc_id%7 (q104's recipe) → guaranteed
+    // cross-doc repeated windows at the smallest SF
+    val tail = " the quick brown fox jumps over the lazy dog while " +
+      "reading terms and conditions that apply to all subscribers of " +
+      "this newsletter today"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(tail)).otherwise(lit(""))).as("t"))
+      .withColumn("w", TextOps.tokens(col("t")))
+      .select(col("doc_id"), col("w"))
+
+    Spans.writeIndex(docs, "doc_id", "w", dir)
+    val inline = Spans.maskedCounts(
+      Spans.spanRelation(docs, "doc_id", "w").localCheckpoint())
+    val indexed = Spans.maskedCounts(Spans.fromIndex(spark, dir))
+
+    val a = inline.collect().map(_.toString).toSet
+    val b = indexed.collect().map(_.toString).toSet
+    assert(a.exists(_.contains("2")), "planted tail must mask positions — vacuous otherwise")
+    assert(a === b)
+
+    // the probe never re-tokenizes or re-hashes windows: the span relation
+    // comes entirely from the parquet index
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(!plan.contains("md5"), s"probe re-derives window hashes:\n$plan")
+    assert(plan.contains("FileScan parquet"), s"probe does not scan the index:\n$plan")
+  }
+
+  test("span index append: old-index + new-batch spans == one index over the union") {
+    import graft.text.Spans
+    val dir = tmp("span_index_inc")
+    val tail = " the quick brown fox jumps over the lazy dog while " +
+      "reading terms and conditions that apply to all subscribers of " +
+      "this newsletter today"
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        concat(col("text"), when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(tail)).otherwise(lit(""))).as("t"))
+      .withColumn("w", TextOps.tokens(col("t")))
+      .select(col("doc_id"), col("w"))
+    val oldDocs = docs.filter(col("doc_id") % 2 === 0)
+    val newDocs = docs.filter(col("doc_id") % 2 =!= 0)
+
+    Spans.writeIndex(oldDocs, "doc_id", "w", dir)
+    // ingest: the new batch appends its own span rows only
+    Spans.spanRelation(newDocs, "doc_id", "w")
+      .write.mode("append").parquet(dir)
+
+    val full = Spans.maskedCounts(
+      Spans.spanRelation(docs, "doc_id", "w").localCheckpoint())
+    val appended = Spans.maskedCounts(Spans.fromIndex(spark, dir))
+    assert(appended.collect().map(_.toString).toSet ===
+      full.collect().map(_.toString).toSet)
+  }
+
   test("IVF ingest append: old-index + appended batch probes == one index over the union") {
     val emb = Tables.embeddings(spark, sf)
       .select(col("vec_id"), col("embedding"))
