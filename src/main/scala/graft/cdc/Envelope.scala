@@ -81,10 +81,52 @@ object Envelope {
         (col("data").isNull || col("data.trans_id").isNull ||
           col("metadata.`transaction-id`").isNull))
 
+  /** Schema-drift detector: the envelope fields of a raw line that the
+    * FIXED schema does not cover — a renamed or newly added source column
+    * shows up here (as `data.<new-name>`) instead of being silently
+    * nulled out by `from_json` (the reference re-infers types on ingest,
+    * reference README.md:480-487; a fixed-schema engine must at least
+    * SURFACE the divergence). Per-row key scans over the line's three
+    * object levels — no shuffle; empty array = no drift. Corrupt lines
+    * (no JSON object at all) report no drift — they are the DLQ's
+    * responsibility, not the drift detector's. */
+  def driftFields: Column = {
+    def unknown(keysOf: Column, known: Seq[String], prefix: String): Column =
+      transform(
+        array_except(coalesce(keysOf, array()),
+          array(known.map(lit): _*)),
+        f => concat(lit(prefix), f))
+    concat(
+      unknown(json_object_keys(col("value")),
+        schema.fieldNames.toSeq, ""),
+      unknown(json_object_keys(get_json_object(col("value"), "$.data")),
+        dataSchema.fieldNames.toSeq, "data."),
+      unknown(json_object_keys(get_json_object(col("value"), "$.metadata")),
+        metadataSchema.fieldNames.toSeq, "metadata."))
+  }
+
+  /** [[driftFields]] as a side column over any DataFrame still carrying
+    * the raw `value` line. */
+  def withDrift(df: DataFrame): DataFrame =
+    df.withColumn("drift", driftFields)
+
+  /** Monitoring rollup: how often each unknown field occurs — the
+    * fixed-schema analog of the reference's inferred-mapping diff. One
+    * explode + one aggregation; run it over a micro-batch or the archive,
+    * not the hot path. */
+  def driftStats(df: DataFrame): DataFrame =
+    withDrift(df)
+      .select(explode(col("drift")).as("field"))
+      .groupBy("field").agg(count(lit(1)).as("n"))
+
   /** One DMS table-mapping selection rule (reference
-    * dms_aurora_mysql_to_kinesis.py:96-107): an object locator with SQL
-    * LIKE wildcards (`%` any run, `_` one char — the DMS wildcard
-    * grammar) plus an include/exclude action. */
+    * dms_aurora_mysql_to_kinesis.py:96-107): an object locator plus an
+    * include/exclude action. `%` (any run, including empty) is the ONLY
+    * wildcard — the documented DMS object-locator grammar; underscores
+    * are literal, so a no-wildcard locator matches exactly one name (the
+    * reference stack's own locators are exact names over a table CALLED
+    * retail_trans — SQL-LIKE `_` semantics would silently also match
+    * retailXtrans). */
   final case class SelectionRule(schemaName: String, tableName: String,
                                  action: String = "include") {
     require(action == "include" || action == "exclude",
@@ -94,14 +136,17 @@ object Envelope {
   /** S3 selection over a DMS rule LIST: a data record enters the pipeline
     * iff it matches at least one include locator and no exclude locator —
     * exclusions take precedence, the documented DMS resolution. Control
-    * records (record-type != data) are dropped here too. Wildcard match
-    * compiles to Catalyst `LIKE` — per-row, codegen'd, no shuffle. */
+    * records (record-type != data) are dropped here too. A no-wildcard
+    * locator compiles to an equality; a `%` pattern compiles to Catalyst
+    * `LIKE` with `_` escaped (literal) — per-row, codegen'd, no shuffle. */
   def selection(rules: Seq[SelectionRule]): Column = {
     require(rules.exists(_.action == "include"),
       "a DMS selection needs at least one include rule")
+    def m(c: Column, pat: String): Column =
+      if (pat.contains("%")) c.like(pat.replace("_", "\\_")) else c === pat
     def locator(r: SelectionRule): Column =
-      col("metadata.`schema-name`").like(r.schemaName) &&
-        col("metadata.`table-name`").like(r.tableName)
+      m(col("metadata.`schema-name`"), r.schemaName) &&
+        m(col("metadata.`table-name`"), r.tableName)
     val included = rules.filter(_.action == "include").map(locator)
       .reduce(_ || _)
     val excluded = rules.filter(_.action == "exclude").map(locator)

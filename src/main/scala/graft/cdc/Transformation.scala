@@ -1,0 +1,92 @@
+package graft.cdc
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** DMS table-mapping TRANSFORMATION rules (the S4 surface next to the
+  * reference's object-mapping block,
+  * reference cdk_stacks/dms_aurora_mysql_to_kinesis.py:108-117): a
+  * rule-driven record reshaper, mirroring how [[Envelope.SelectionRule]]
+  * models the selection surface. Each rule carries an object locator
+  * (schema/table/column, `%` wildcard — the DMS object-locator grammar)
+  * and an action; the list applies IN ORDER, each rule over the previous
+  * rule's output (precedence spec-pinned in CdcSpec).
+  *
+  * Supported actions (the DMS column/record surface):
+  *   - `rename`                → matching column gets the rule's `value`
+  *   - `remove-column`         → matching columns are dropped
+  *   - `add-prefix` / `remove-prefix` → prefix edits on matching names
+  *   - `convert-lowercase` / `convert-uppercase` → case edits
+  *   - `map-record-to-document` → wrap ALL current columns into one
+  *     `_doc` struct (the DMS document-mode record shape for
+  *     document/stream targets)
+  *
+  * Everything here is a driver-side rename/projection — zero shuffles,
+  * zero row-level compute; the physical plan under a rule list is
+  * identical to the hand-written projection it replaces. */
+object Transformation {
+
+  final case class TransformationRule(
+      target: String,            // "column" | "record"
+      action: String,
+      schemaName: String = "%",
+      tableName: String = "%",
+      columnName: String = "%",
+      value: String = "") {
+    private val columnActions = Set("rename", "remove-column", "add-prefix",
+      "remove-prefix", "convert-lowercase", "convert-uppercase")
+    require(
+      (target == "column" && columnActions(action)) ||
+        (target == "record" && action == "map-record-to-document"),
+      s"unsupported transformation rule: target='$target' action='$action'")
+    require(action != "rename" || !columnName.contains("%"),
+      "rename needs an exact column locator (a wildcard rename would " +
+        "collapse several columns onto one name)")
+    require(!Set("rename", "add-prefix", "remove-prefix")(action) ||
+      value.nonEmpty, s"action '$action' needs a non-empty value")
+  }
+
+  /** DMS object-locator match: `%` is the only wildcard (any run, including
+    * empty); every other character — underscores included — is literal.
+    * Driver-side (rules select column NAMES, not row data). */
+  private[graft] def locatorMatches(pattern: String, name: String): Boolean =
+    if (!pattern.contains("%")) pattern == name
+    else java.util.regex.Pattern.compile(
+      pattern.split("%", -1).map(java.util.regex.Pattern.quote).mkString(".*"))
+      .matcher(name).matches()
+
+  /** Apply a rule list to a flat per-table record DataFrame (a materialized
+    * snapshot, a shaped envelope — anything with one column per source
+    * attribute). `schemaName`/`tableName` identify the object the records
+    * belong to; rules whose locator misses it are inert. Rules apply in
+    * list order. */
+  def shape(records: DataFrame, schemaName: String, tableName: String,
+            rules: Seq[TransformationRule]): DataFrame =
+    rules.filter(r => locatorMatches(r.schemaName, schemaName) &&
+        locatorMatches(r.tableName, tableName))
+      .foldLeft(records)(applyRule)
+
+  private def applyRule(df: DataFrame,
+                        rule: TransformationRule): DataFrame = rule.action match {
+    case "map-record-to-document" =>
+      df.select(struct(df.columns.map(col).toIndexedSeq: _*).as("_doc"))
+    case "remove-column" =>
+      val keep = df.columns.filterNot(locatorMatches(rule.columnName, _))
+      require(keep.nonEmpty, "remove-column would drop every column")
+      df.select(keep.map(col).toIndexedSeq: _*)
+    case colAction =>
+      val renamed = df.columns.map { c =>
+        if (!locatorMatches(rule.columnName, c)) c
+        else colAction match {
+          case "rename"            => rule.value
+          case "add-prefix"        => rule.value + c
+          case "remove-prefix"     => c.stripPrefix(rule.value)
+          case "convert-lowercase" => c.toLowerCase
+          case "convert-uppercase" => c.toUpperCase
+        }
+      }
+      require(renamed.distinct.length == renamed.length,
+        s"rule $rule collides column names: ${renamed.mkString(", ")}")
+      df.toDF(renamed.toIndexedSeq: _*)
+  }
+}

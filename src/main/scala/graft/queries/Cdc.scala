@@ -139,6 +139,53 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- S4, rule-driven leg: DMS TRANSFORMATION rules applied as a
+    //      DataFrame reshaper (cdc/Transformation.scala) instead of a
+    //      hand-authored projection — rename-column, remove-column,
+    //      add-prefix, then map-record-to-document, in rule order, with a
+    //      locator-miss rule proving inertness. The rules compile to pure
+    //      renames/projections (zero shuffle, zero row compute); the
+    //      outbound JSON is gated like q49. CdcSpec pins rule precedence
+    //      and the '%'-only locator grammar. ----
+    gated("q105_transform_rules",
+      s"""SELECT trans_id,
+         |       to_json(struct_pack(trans_id := trans_id,
+         |                           c_customer_id := customer_id,
+         |                           event := event, sku := sku,
+         |                           amount := amount,
+         |                           ts := trans_datetime))::VARCHAR AS doc
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         data.amount AS amount, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      import graft.cdc.Transformation
+      import graft.cdc.Transformation.TransformationRule
+      val shaped = Transformation.shape(
+        Materialize.snapshot(Envelope.changelog(s, fx)),
+        "testdb", "retail_trans", Seq(
+          TransformationRule("column", "rename", "testdb", "retail_trans",
+            "trans_datetime", "ts"),
+          TransformationRule("column", "remove-column", "testdb",
+            "retail_trans", "device"),
+          TransformationRule("column", "add-prefix", "testdb",
+            "retail_trans", "customer%", "c_"),
+          // locator miss: a rule for another schema must be inert
+          TransformationRule("column", "remove-column", "otherdb", "%", "%"),
+          TransformationRule("record", "map-record-to-document", "testdb",
+            "retail_trans")))
+      shaped.select(col("_doc.trans_id").as("trans_id"),
+          to_json(col("_doc"), Map("ignoreNullFields" -> "false")).as("doc"))
+        .orderBy("trans_id")
+    },
+
     // ---- O35 companion: SCD type-2 history — every row version with its
     //      validity interval (valid_from = the change's timestamp,
     //      valid_to = the next change's, open for the current version) and

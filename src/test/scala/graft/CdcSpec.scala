@@ -28,6 +28,7 @@ class CdcSpec extends SparkTestBase {
       env("testdb", "retail_trans_eu"),     // wildcard include
       env("testdb", "retail_trans_backup"), // include hit, exclude wins
       env("testdb", "other_table"),         // no include hit
+      env("testdb", "retailXtrans"),        // one-char variant: never matched
       env("otherdb", "retail_trans"),       // schema miss
       env("testdb", "retail_trans", rt = "control")) // never selected
       .toDF("value"))
@@ -37,15 +38,17 @@ class CdcSpec extends SparkTestBase {
       .select(col("metadata.`table-name`")).as[String].collect().sorted
     assert(kept.toSeq === Seq("retail_trans", "retail_trans_eu"))
 
-    // `_` is the single-char wildcard (DMS LIKE grammar): retail_tran_
-    // matches retail_trans but not the longer shard name
-    val one = parsed.filter(Envelope.selection(
-      Seq(SelectionRule("testdb", "retail!_tran!_")))) // no escape support claimed
-    val underscore = parsed.filter(Envelope.selection(
-      Seq(SelectionRule("testdb", "retail_tran_"))))
-      .select(col("metadata.`table-name`")).as[String].collect().toSeq
-    assert(underscore === Seq("retail_trans"))
-    assert(one.count() === 0) // literal '!' never matches; no escape syntax
+    // '%' is the ONLY wildcard (DMS object-locator grammar); '_' is
+    // literal both in exact locators (equality match — retail_tran_ and
+    // retail_trans cannot cross-match, nor can retailXtrans) and inside
+    // '%' patterns (escaped in the LIKE): retail_trans_% selects the
+    // shards but NOT the bare table
+    assert(parsed.filter(Envelope.selection(
+      Seq(SelectionRule("testdb", "retail_tran_")))).count() === 0)
+    val shards = parsed.filter(Envelope.selection(
+      Seq(SelectionRule("testdb", "retail_trans_%"))))
+      .select(col("metadata.`table-name`")).as[String].collect().sorted
+    assert(shards.toSeq === Seq("retail_trans_backup", "retail_trans_eu"))
 
     // the defaulted single-table form IS a one-include rule list
     val a = parsed.filter(Envelope.selection()).count()
@@ -170,6 +173,94 @@ class CdcSpec extends SparkTestBase {
     val once = Materialize.snapshot(changelog)
     assert(doubled.exceptAll(once).count() === 0)
     assert(once.exceptAll(doubled).count() === 0)
+  }
+
+  test("schema drift is surfaced, not silently nulled: added/renamed fields are listed per record") {
+    import spark.implicits._
+    val lines = Seq(
+      // clean envelope: no drift
+      """{"data": {"trans_id": 1, "customer_id": "c", "event": "visit", "sku": "S", "amount": 1, "device": "pc", "trans_datetime": "2022-01-01 00:00:00"}, "metadata": {"timestamp": "2022-01-01T00:00:00.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 1}}""",
+      // a RENAMED source column (trans_datetime → txn_datetime): from_json
+      // nulls the old name; the new name must surface as drift
+      """{"data": {"trans_id": 2, "customer_id": "c", "event": "visit", "sku": "S", "amount": 1, "device": "pc", "txn_datetime": "2022-01-01 00:00:00"}, "metadata": {"timestamp": "2022-01-01T00:00:01.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 2}}""",
+      // an ADDED column + an unknown top-level and metadata field
+      """{"data": {"trans_id": 3, "customer_id": "c", "event": "visit", "sku": "S", "amount": 1, "device": "pc", "trans_datetime": "2022-01-01 00:00:00", "coupon_code": "X1"}, "metadata": {"timestamp": "2022-01-01T00:00:02.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": 3, "shard-id": "7"}, "trace": "abc"}""",
+      // not JSON at all: the DLQ's problem, not the drift detector's
+      "garbage line")
+    val parsed = Envelope.withDrift(
+      Envelope.parseLines(lines.toDF("value")))
+      .select(col("data.trans_id").as("id"), col("drift"))
+      .collect().map(r => Option(r.get(0)) -> r.getSeq[String](1).toSeq).toMap
+    assert(parsed(Some(1L)) === Seq.empty)
+    assert(parsed(Some(2L)) === Seq("data.txn_datetime"))
+    assert(parsed(Some(3L)).sorted === Seq("data.coupon_code",
+      "metadata.shard-id", "trace"))
+    assert(parsed(None) === Seq.empty)
+
+    // the monitoring rollup counts per unknown field
+    val stats = Envelope.driftStats(lines.toDF("value"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats === Map("data.txn_datetime" -> 1L, "data.coupon_code" -> 1L,
+      "metadata.shard-id" -> 1L, "trace" -> 1L))
+  }
+
+  test("transformation rules: list order, locator grammar, inert misses, loud collisions (S4)") {
+    import graft.cdc.Transformation
+    import graft.cdc.Transformation.TransformationRule
+    val df = spark.range(1).select(lit(1L).as("trans_id"),
+      lit("c1").as("customer_id"), lit("d").as("device"))
+
+    // rules apply IN LIST ORDER, each over the previous rule's output:
+    // rename-then-prefix prefixes the NEW name ...
+    val ab = Transformation.shape(df, "testdb", "retail_trans", Seq(
+      TransformationRule("column", "rename",
+        columnName = "customer_id", value = "cust"),
+      TransformationRule("column", "add-prefix",
+        columnName = "cust", value = "x_")))
+    assert(ab.columns.toSeq === Seq("trans_id", "x_cust", "device"))
+    // ... while prefix-then-rename finds no 'cust' column yet (inert)
+    val ba = Transformation.shape(df, "testdb", "retail_trans", Seq(
+      TransformationRule("column", "add-prefix",
+        columnName = "cust", value = "x_"),
+      TransformationRule("column", "rename",
+        columnName = "customer_id", value = "cust")))
+    assert(ba.columns.toSeq === Seq("trans_id", "cust", "device"))
+
+    // locator: '%' is the only wildcard; '_' literal; schema/table misses
+    // are inert; prefix/case edits; map-record-to-document wraps all
+    assert(Transformation.locatorMatches("retail_trans", "retail_trans"))
+    assert(!Transformation.locatorMatches("retail_tran_", "retail_trans"))
+    assert(!Transformation.locatorMatches("retail_trans", "retailXtrans"))
+    assert(Transformation.locatorMatches("retail%_eu", "retail_trans_eu"))
+    val shaped = Transformation.shape(df, "testdb", "retail_trans", Seq(
+      TransformationRule("column", "remove-column", "otherdb", "%", "%"),
+      TransformationRule("column", "remove-column",
+        "testdb", "retail_tran_", "%"),
+      TransformationRule("column", "convert-uppercase", columnName = "device"),
+      TransformationRule("column", "remove-prefix",
+        columnName = "customer%", value = "customer_"),
+      TransformationRule("record", "map-record-to-document")))
+    assert(shaped.columns.toSeq === Seq("_doc"))
+    assert(shaped.select(col("_doc.*")).columns.toSeq ===
+      Seq("trans_id", "id", "DEVICE"))
+    // row values pass through untouched
+    assert(shaped.select(col("_doc.id")).collect().head.getString(0) === "c1")
+
+    // misconfiguration is loud, at construction or application
+    intercept[IllegalArgumentException] { // wildcard rename
+      TransformationRule("column", "rename", columnName = "%", value = "x")
+    }
+    intercept[IllegalArgumentException] { // unknown action
+      TransformationRule("column", "drop-column")
+    }
+    intercept[IllegalArgumentException] { // rename onto an existing name
+      Transformation.shape(df, "t", "t", Seq(TransformationRule("column",
+        "rename", columnName = "device", value = "customer_id")))
+    }
+    intercept[IllegalArgumentException] { // removing every column
+      Transformation.shape(df, "t", "t", Seq(TransformationRule("column",
+        "remove-column", columnName = "%")))
+    }
   }
 
   test("op stats cover both noise tables and all three operations") {
