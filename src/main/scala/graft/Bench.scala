@@ -31,16 +31,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** Seconds, or -1.0 on failure. */
+    /** Seconds, or -1.0 on failure. NonFatal only: an OOM or interrupt
+      * must kill the bench loudly, not masquerade as one failed query. */
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, dir)
         .write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      catch { case scala.util.control.NonFatal(_) => return -1.0 }
       (System.nanoTime() - t0) / 1e9
     }
 
-    val names = SparkEntry.queries.keys.toSeq
+    // Dev smoke subset: SPARK_GRAFT_QUERIES="q90_dedup_pipeline,..." runs
+    // only the named queries (and skips the streaming legs) — used by the
+    // 100× scale smoke, never by the driver (env unset → full set).
+    val subset = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = subset match {
+      case Some(want) => SparkEntry.queries.keys.toSeq.filter(want)
+      case None       => SparkEntry.queries.keys.toSeq
+    }
     names.foreach(exec(_, "/root/testdata/sf0.001")) // warmup: JIT + codegen
 
     // min of two timed iterations — single-run numbers on a shared 32-way
@@ -61,26 +70,49 @@ object Bench {
 
     // Streaming replay throughput (reference comparison point: offered
     // load 0.33 rec/s with 5-10 min visibility, reference README.md:451).
-    // Full fixture through parse→dedup→dual-sink under AvailableNow; -1
-    // on failure so a broken stream can't silently vanish from the line.
-    val streamRecPerSec: Double = try {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val src = Files.createTempDirectory("bench_cdc_src").toString
-      val out = Files.createTempDirectory("bench_cdc_out").toString
-      Files.copy(Paths.get(Tables.cdcFixturePath),
-        Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    // Lines through parse→dedup→dual-sink under AvailableNow; -1 on
+    // failure OR timeout (an expired awaitTermination leaves the query
+    // running and the elapsed denominator covering a partial run — that
+    // must read as failure, not as a slow-but-plausible number). The line
+    // count is taken from the replay file itself, never hardcoded.
+    def replayThroughput(lines: Seq[String], tag: String): Double = try {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val src = Files.createTempDirectory(s"bench_cdc_src_$tag")
+      val out = Files.createTempDirectory(s"bench_cdc_out_$tag").toString
+      Files.write(src.resolve("cdc.jsonl"), lines.asJava)
       val sinks = graft.streaming.CdcStreamPipeline.Sinks(
         s"$out/serving", s"$out/archive", s"$out/error", s"$out/checkpoint")
-      val nRec = 613.0
       val t0 = System.nanoTime()
       val (main, dlq) = graft.streaming.CdcStreamPipeline.start(
-        spark.readStream.text(src), sinks,
+        spark.readStream.text(src.toString), sinks,
         org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      main.awaitTermination(300000); dlq.awaitTermination(300000)
-      nRec / ((System.nanoTime() - t0) / 1e9)
-    } catch { case _: Throwable => -1.0 }
+      val done = main.awaitTermination(300000) & dlq.awaitTermination(300000)
+      if (!done) { main.stop(); dlq.stop(); -1.0 }
+      else lines.size / ((System.nanoTime() - t0) / 1e9)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"streaming_rec_per_sec":${f(streamRecPerSec)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    val fixtureLines = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get(Tables.cdcFixturePath)).asScala.toSeq
+    }
+    // the 613-line fixture measures per-trigger overhead; a ~100k-line
+    // replay (163 fixture copies, each re-keyed to distinct transaction
+    // ids so dedup/serving state is genuinely 100k keys of work)
+    // measures steady-state throughput at a realistic batch size
+    val txRe = """"transaction-id": (\d+)""".r
+    val largeLines = (0 until 163).flatMap { i =>
+      if (i == 0) fixtureLines
+      else fixtureLines.map(l => txRe.replaceAllIn(l,
+        m => s""""transaction-id": ${m.group(1).toLong + i * 1000000L}"""))
+    }
+    val streamRecPerSec =
+      if (subset.isDefined) -1.0 else replayThroughput(fixtureLines, "small")
+    val streamLargeRecPerSec =
+      if (subset.isDefined) -1.0 else replayThroughput(largeLines, "large")
+
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

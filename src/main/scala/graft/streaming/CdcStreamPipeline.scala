@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.cdc.{Bootstrap, Envelope}
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -33,6 +33,44 @@ object CdcStreamPipeline {
   final case class Sinks(serving: String, archive: String, error: String,
                          checkpoint: String)
 
+  /** Firehose index-rotation periods (reference firehose.py:149:
+    * `index_rotation_period`, options NoRotation | OneHour | OneDay |
+    * OneWeek | OneMonth) as the archive sink's partition-derivation knob.
+    * `NoRotation` keeps the reference's DEPLOYED layout — Firehose's
+    * automatic hourly `YYYY/MM/dd/HH/` prefix (firehose.py:132-133) as
+    * year/month/day/hour partition columns; each rotated period derives
+    * ONE `rotation` partition key instead (the analog of the rotated
+    * index-name suffix), so a reader's period filter prunes directories
+    * the same way the hour filter does today. */
+  sealed trait Rotation {
+    /** The rotation partition key for an event-time column; None = the
+      * hourly four-column layout. */
+    private[streaming] def key(ts: Column): Option[Column]
+  }
+  object Rotation {
+    case object NoRotation extends Rotation {
+      def key(ts: Column): Option[Column] = None
+    }
+    case object OneHour extends Rotation {
+      def key(ts: Column): Option[Column] =
+        Some(date_format(ts, "yyyy-MM-dd-HH"))
+    }
+    case object OneDay extends Rotation {
+      def key(ts: Column): Option[Column] =
+        Some(date_format(ts, "yyyy-MM-dd"))
+    }
+    case object OneWeek extends Rotation {
+      // the week's Monday (date_trunc week) — a prunable calendar key
+      // without week-of-year pattern ambiguity
+      def key(ts: Column): Option[Column] =
+        Some(date_format(date_trunc("week", ts), "yyyy-MM-dd"))
+    }
+    case object OneMonth extends Rotation {
+      def key(ts: Column): Option[Column] =
+        Some(date_format(ts, "yyyy-MM"))
+    }
+  }
+
   /** Stateless front of the stream: the shared envelope parse
     * (Envelope.parseLines) + event time. Keeps the raw line for DLQ
     * routing of unparseable records. `try_to_timestamp`, not
@@ -57,8 +95,12 @@ object CdcStreamPipeline {
     * silently drop them as late data. */
   def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
             lateness: String = "1 hour",
-            rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules)
+            rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules,
+            rotation: Rotation = Rotation.NoRotation)
       : (StreamingQuery, StreamingQuery) = {
+    // fail an invalid rule set HERE, not inside foreachBatch at batch 0 —
+    // a misconfiguration must abort start(), never a running query
+    Envelope.selection(rules)
     val parsed = parseLines(lines)
 
     // Dedup key = (pk, transaction-id, event time) — the reference's `_id`
@@ -94,7 +136,8 @@ object CdcStreamPipeline {
       .withWatermark("event_ts", lateness)
       .dropDuplicatesWithinWatermark("sch", "tbl", "pk", "txid", "event_ts")
       .drop("sch", "tbl", "pk", "txid")
-      .writeStream.foreachBatch(sinkBatch(sinks, rules) _).trigger(trigger)
+      .writeStream.foreachBatch(sinkBatch(sinks, rules, rotation) _)
+      .trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
     val dlq = parsed
@@ -158,7 +201,8 @@ object CdcStreamPipeline {
     * persisted state (so a stale update replayed later cannot resurrect a
     * deleted key); the serving read path filters tombstones out. */
   def sinkBatch(sinks: Sinks,
-                rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules)
+                rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules,
+                rotation: Rotation = Rotation.NoRotation)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     batch.persist()
@@ -182,13 +226,28 @@ object CdcStreamPipeline {
       // compaction job (rewrite batch dirs older than the retention point
       // into plain hour partitions) bounds file-listing cost; at the
       // reference's 60 s trigger that is a daily ~1440-dir sweep.
-      good.withColumn("year", date_format(col("event_ts"), "yyyy"))
-        .withColumn("month", date_format(col("event_ts"), "MM"))
-        .withColumn("day", date_format(col("event_ts"), "dd"))
-        .withColumn("hour", date_format(col("event_ts"), "HH"))
-        .drop("value")
-        .write.partitionBy("year", "month", "day", "hour")
-        .mode("overwrite").parquet(s"${sinks.archive}/batch_id=$batchId")
+      // Schema drift rides along as a side column (S11's softer sibling):
+      // a renamed/added source field is invisible to the fixed from_json
+      // schema, so the archive records WHICH unknown fields each line
+      // carried (empty array = none) — surfaced for Envelope.driftStats
+      // monitoring instead of silently dropped with the raw line.
+      val archived = Envelope.withDrift(good)
+      // Partition derivation is the `rotation` knob (firehose.py:149):
+      // NoRotation = the deployed hourly prefix; a rotated period derives
+      // one calendar key. ArchiveCompaction's directory folding assumes
+      // the NoRotation layout — rotated archives compact per rotation dir.
+      (rotation.key(col("event_ts")) match {
+        case None =>
+          archived.withColumn("year", date_format(col("event_ts"), "yyyy"))
+            .withColumn("month", date_format(col("event_ts"), "MM"))
+            .withColumn("day", date_format(col("event_ts"), "dd"))
+            .withColumn("hour", date_format(col("event_ts"), "HH"))
+            .drop("value")
+            .write.partitionBy("year", "month", "day", "hour")
+        case Some(k) =>
+          archived.withColumn("rotation", k).drop("value")
+            .write.partitionBy("rotation")
+      }).mode("overwrite").parquet(s"${sinks.archive}/batch_id=$batchId")
 
       // S9: serving state merge (idempotent under redelivery: the merge is
       // a pure last-write-wins reduction over the union of old state and

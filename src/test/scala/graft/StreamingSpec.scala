@@ -117,6 +117,62 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streaming).count() === 0)
   }
 
+  test("rotation periods derive the documented archive layouts and prune on read (S12)") {
+    import graft.streaming.CdcStreamPipeline.Rotation
+    val batch = CdcStreamPipeline.parseLines(
+      spark.read.text(Tables.cdcFixturePath))
+    def dirsFor(rot: Rotation): (Seq[String], String) = {
+      val root = tmpDir(s"cdc_rot")
+      val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+        s"$root/checkpoint")
+      CdcStreamPipeline.sinkBatch(sinks, rotation = rot)(batch, 0L)
+      val dirs = new java.io.File(s"${sinks.archive}/batch_id=0").listFiles()
+        .map(_.getName).filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .sorted.toSeq
+      (dirs, sinks.archive)
+    }
+
+    // NoRotation = the reference's deployed hourly prefix (4-level)
+    val (hourDirs, _) = dirsFor(Rotation.NoRotation)
+    assert(hourDirs === Seq("year=2022"))
+
+    // each rotated period derives ONE calendar partition key; the fixture
+    // spans a single UTC hour on 2022-03-14 (a Monday)
+    assert(dirsFor(Rotation.OneHour)._1 === Seq("rotation=2022-03-14-14"))
+    assert(dirsFor(Rotation.OneDay)._1 === Seq("rotation=2022-03-14"))
+    assert(dirsFor(Rotation.OneWeek)._1 === Seq("rotation=2022-03-14"))
+    val (monthDirs, monthArchive) = dirsFor(Rotation.OneMonth)
+    assert(monthDirs === Seq("rotation=2022-03"))
+
+    // a period-bounded read prunes on the rotation key like the hour path
+    val pruned = spark.read.parquet(monthArchive)
+      .filter(col("rotation") === "2022-03")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(rotation"),
+      s"rotation filter not pushed to partition pruning:\n$plan")
+    assert(pruned.count() === 600)
+
+    // the archive carries the drift side column (empty on the clean
+    // fixture — drift surfacing itself is pinned in CdcSpec)
+    assert(pruned.columns.contains("drift"))
+    assert(pruned.filter(size(col("drift")) > 0).count() === 0)
+  }
+
+  test("an invalid rule set fails start(), not the running query at batch 0") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val root = tmpDir("cdc_badrules")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    intercept[IllegalArgumentException] {
+      CdcStreamPipeline.start(input.toDF(), sinks, Trigger.AvailableNow(),
+        rules = Seq(Envelope.SelectionRule("%", "%", action = "exclude")))
+    }
+    assert(spark.streams.active.isEmpty,
+      "no query may be left running after a failed start()")
+  }
+
   test("batch RETRY is exactly-once: re-running sinkBatch leaves identical state") {
     val root = tmpDir("cdc_retry")
     val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
