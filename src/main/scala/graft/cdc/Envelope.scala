@@ -127,10 +127,60 @@ object Envelope {
     * reference stack's own locators are exact names over a table CALLED
     * retail_trans — SQL-LIKE `_` semantics would silently also match
     * retailXtrans). */
+  /** One source-filter condition (the DMS `filter-conditions` grammar):
+    * `eq | noteq | ste (≤) | gte (≥) | between | null | notnull`.
+    * `value2` is the between end-value. */
+  final case class FilterCondition(op: String, value: String = "",
+                                   value2: String = "") {
+    require(Set("eq", "noteq", "ste", "gte", "between", "null", "notnull")(op),
+      s"filter-operator must be eq|noteq|ste|gte|between|null|notnull, got '$op'")
+    require(op == "null" || op == "notnull" || value.nonEmpty,
+      s"filter-operator '$op' needs a value")
+    require(op != "between" || value2.nonEmpty,
+      "between needs an end value (value2)")
+  }
+
+  /** A column filter on a selection rule (the reference task declares the
+    * empty list, dms_aurora_mysql_to_kinesis.py:105; this generalizes it).
+    * Conditions on ONE column OR together; several filters on a rule AND
+    * together — the documented DMS combination semantics. */
+  final case class SourceFilter(columnName: String,
+                                conditions: Seq[FilterCondition]) {
+    require(conditions.nonEmpty, "a source filter needs at least one condition")
+    require(dataSchema.fieldNames.contains(columnName),
+      s"filter column '$columnName' is not in the envelope row image " +
+        s"(${dataSchema.fieldNames.mkString(", ")})")
+  }
+
   final case class SelectionRule(schemaName: String, tableName: String,
-                                 action: String = "include") {
+                                 action: String = "include",
+                                 filters: Seq[SourceFilter] = Nil) {
     require(action == "include" || action == "exclude",
       s"rule-action must be include|exclude, got '$action'")
+  }
+
+  /** One source filter → a Column predicate over the row image. Values are
+    * cast to the COLUMN's declared type (the envelope DDL), so `amount`
+    * compares numerically and `trans_datetime` lexicographically — never
+    * string-vs-number coercion surprises. SQL three-valued logic applies:
+    * a NULL column fails every value comparison (`null`/`notnull` test
+    * nullness explicitly), so a filtered selection drops such records —
+    * the DMS behavior for rows a filter cannot accept. */
+  private def filterPredicate(f: SourceFilter): Column = {
+    val dt = dataSchema(f.columnName).dataType
+    val c = col(s"data.`${f.columnName}`")
+    def v(s: String): Column = lit(s).cast(dt)
+    f.conditions.map { cond =>
+      cond.op match {
+        case "eq"      => c === v(cond.value)
+        case "noteq"   => c =!= v(cond.value)
+        case "ste"     => c <= v(cond.value)
+        case "gte"     => c >= v(cond.value)
+        case "between" => c >= v(cond.value) && c <= v(cond.value2)
+        case "null"    => c.isNull
+        case "notnull" => c.isNotNull
+      }
+    }.reduce(_ || _)
   }
 
   /** S3 selection over a DMS rule LIST: a data record enters the pipeline
@@ -144,9 +194,16 @@ object Envelope {
       "a DMS selection needs at least one include rule")
     def m(c: Column, pat: String): Column =
       if (pat.contains("%")) c.like(pat.replace("_", "\\_")) else c === pat
-    def locator(r: SelectionRule): Column =
-      m(col("metadata.`schema-name`"), r.schemaName) &&
-        m(col("metadata.`table-name`"), r.tableName)
+    // coalesce: a rule either selects a record or it does not — a NULL
+    // filter comparison (null column value) means "not selected", and must
+    // not go three-valued through the include/exclude algebra (an exclude
+    // rule's NULL would otherwise null out `!excluded` and silently drop
+    // an included record from BOTH outcomes)
+    def locator(r: SelectionRule): Column = coalesce(
+      r.filters.map(filterPredicate).foldLeft(
+        m(col("metadata.`schema-name`"), r.schemaName) &&
+          m(col("metadata.`table-name`"), r.tableName))(_ && _),
+      lit(false))
     val included = rules.filter(_.action == "include").map(locator)
       .reduce(_ || _)
     val excluded = rules.filter(_.action == "exclude").map(locator)

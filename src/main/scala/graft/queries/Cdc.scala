@@ -70,6 +70,39 @@ object Cdc {
         .orderBy("txid", "op", "trans_id")
     },
 
+    // ---- S3, filter leg: DMS selection-rule SOURCE FILTERS (the
+    //      reference task declares the empty `filters` list,
+    //      dms_aurora_mysql_to_kinesis.py:105) — conditions on one column
+    //      OR together (between ∪ null keeps delete images whose row
+    //      image has no amount), separate filters AND together (noteq on
+    //      a NULL device is not-accepted, SQL three-valued semantics on
+    //      both engines). Values cast to the envelope DDL's column types;
+    //      compiles to one codegen'd predicate, no shuffle. ----
+    gated("q106_selection_filters",
+      s"""SELECT metadata."transaction-id" AS txid, metadata.operation AS op,
+         |       data.trans_id AS trans_id, CAST(data.amount AS BIGINT) AS amount,
+         |       data.device AS device
+         |FROM $readJson
+         |WHERE $selectionSql
+         |  AND ((data.amount BETWEEN 1 AND 3) OR data.amount IS NULL)
+         |  AND data.device <> 'tablet'
+         |ORDER BY txid, op, trans_id""") { (s, _) =>
+      val rules = Seq(Envelope.SelectionRule("testdb", "retail_trans",
+        filters = Seq(
+          Envelope.SourceFilter("amount", Seq(
+            Envelope.FilterCondition("between", "1", "3"),
+            Envelope.FilterCondition("null"))),
+          Envelope.SourceFilter("device", Seq(
+            Envelope.FilterCondition("noteq", "tablet"))))))
+      Envelope.parse(s, fx).filter(Envelope.selection(rules))
+        .select(col("metadata.`transaction-id`").as("txid"),
+          col("metadata.operation").as("op"),
+          col("data.trans_id").as("trans_id"),
+          col("data.amount").cast("long").as("amount"),
+          col("data.device").as("device"))
+        .orderBy("txid", "op", "trans_id")
+    },
+
     // ---- O35 (D-Q33): changelog → snapshot, last write per key wins,
     //      (timestamp, transaction-id) tie-break, delete = tombstone ----
     gated("q33_cdc_materialize",

@@ -175,6 +175,47 @@ class CdcSpec extends SparkTestBase {
     assert(once.exceptAll(doubled).count() === 0)
   }
 
+  test("selection source filters: OR within a filter, AND across filters, null never goes three-valued") {
+    import spark.implicits._
+    import Envelope.{FilterCondition, SelectionRule, SourceFilter}
+    def env(id: Long, amount: String, device: String) =
+      s"""{"data": {"trans_id": $id, "amount": $amount, "device": $device}, "metadata": {"timestamp": "2022-01-01T00:00:00.000000Z", "record-type": "data", "operation": "insert", "partition-key-type": "primary-key", "schema-name": "testdb", "table-name": "retail_trans", "transaction-id": $id}}"""
+    val parsed = Envelope.parseLines(Seq(
+      env(1, "150", "\"pc\""),        // in range, device ok      → kept
+      env(2, "999", "\"pc\""),        // out of range             → dropped
+      env(3, "null", "\"pc\""),       // null amount, null cond   → kept
+      env(4, "150", "\"tablet\""),    // device excluded          → dropped
+      env(5, "150", "null"))          // null device vs noteq     → dropped
+      .toDF("value"))
+    val rules = Seq(SelectionRule("testdb", "retail_trans", filters = Seq(
+      SourceFilter("amount", Seq(FilterCondition("between", "100", "500"),
+        FilterCondition("null"))),
+      SourceFilter("device", Seq(FilterCondition("noteq", "tablet"))))))
+    val kept = parsed.filter(Envelope.selection(rules))
+      .select(col("data.trans_id")).as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 3L))
+
+    // an EXCLUDE rule whose filter hits a null column must not null out
+    // the whole selection: record 5 (null device) is NOT excluded by a
+    // device-filtered exclude, so the include keeps it
+    val rules2 = Seq(SelectionRule("testdb", "%"),
+      SelectionRule("testdb", "retail_trans", action = "exclude",
+        filters = Seq(SourceFilter("device",
+          Seq(FilterCondition("eq", "tablet"))))))
+    val kept2 = parsed.filter(Envelope.selection(rules2))
+      .select(col("data.trans_id")).as[Long].collect().sorted
+    assert(kept2.toSeq === Seq(1L, 2L, 3L, 5L))
+
+    // misconfiguration is loud at construction
+    intercept[IllegalArgumentException] { FilterCondition("lt", "5") }
+    intercept[IllegalArgumentException] { FilterCondition("between", "1") }
+    intercept[IllegalArgumentException] { FilterCondition("eq") }
+    intercept[IllegalArgumentException] {
+      SourceFilter("no_such_column", Seq(FilterCondition("eq", "x")))
+    }
+    intercept[IllegalArgumentException] { SourceFilter("amount", Nil) }
+  }
+
   test("schema drift is surfaced, not silently nulled: added/renamed fields are listed per record") {
     import spark.implicits._
     val lines = Seq(

@@ -151,6 +151,30 @@ class PlanSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
   }
 
+  test("q105: transformation rules compile to projections — no exchange beyond the snapshot's one") {
+    val p = planOf("q105_transform_rules")
+    // the rule list (rename/remove/prefix/map-record-to-document) must be
+    // plan-invisible: exactly the materializer's single pk shuffle, and
+    // the renames visible in the OUTPUT json struct (the removed column
+    // still sits in from_json's fixed envelope parse schema — shared by
+    // design — so absence is asserted on the to_json side's field list)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"rules added an exchange:\n$p")
+    val out = "StructsToJsonEvaluator[^)]*\\)[^)]*StructType\\([^\\n]*"
+      .r.findFirstIn(p).getOrElse(fail(s"no to_json in plan:\n$p"))
+    assert(out.contains("StructField(c_customer_id") &&
+      out.contains("StructField(ts,"), s"renames missing from output:\n$out")
+    assert(!out.substring(0, out.indexOf("evaluate"))
+      .contains("StructField(device"), s"removed column in output:\n$out")
+  }
+
+  test("q106: selection filters fold into the scan-side predicate — no shuffle, no extra scan") {
+    val p = planOf("q106_selection_filters")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"a pure selection must not shuffle:\n$p")
+    assert("FileScan".r.findAllIn(p).size === 1, s"one scan expected:\n$p")
+  }
+
   test("q71: decontamination shuffles on doc_id ONLY at the final aggregate") {
     val p = planOf("q71_decontamination")
     // the join/distinct exchanges key on the shingle (uniform); the single
