@@ -107,6 +107,10 @@ object Bench {
       else fixtureLines.map(l => txRe.replaceAllIn(l,
         m => s""""transaction-id": ${m.group(1).toLong + i * 1000000L}"""))
     }
+    // one untimed replay first: the streaming path's codegen/state-store
+    // init otherwise lands in whichever timed figure runs first (measured
+    // 6× swing on the 613-line replay across bench invocations)
+    if (subset.isEmpty) replayThroughput(fixtureLines, "warmup")
     val streamRecPerSec =
       if (subset.isDefined) -1.0 else replayThroughput(fixtureLines, "small")
     val streamLargeRecPerSec =

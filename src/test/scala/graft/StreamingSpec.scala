@@ -156,6 +156,20 @@ class StreamingSpec extends SparkTestBase {
     // fixture — drift surfacing itself is pinned in CdcSpec)
     assert(pruned.columns.contains("drift"))
     assert(pruned.filter(size(col("drift")) > 0).count() === 0)
+
+    // compaction preserves a ROTATED layout: fold two batch dirs of the
+    // OneMonth archive into one; row count and rotation pruning survive
+    import graft.streaming.ArchiveCompaction
+    val sinks2 = Sinks(s"${monthArchive.stripSuffix("/archive")}/serving2",
+      monthArchive, s"${monthArchive.stripSuffix("/archive")}/error2", "")
+    CdcStreamPipeline.sinkBatch(sinks2, rotation = Rotation.OneMonth)(batch, 1L)
+    assert(ArchiveCompaction.compact(spark, monthArchive, 1L) === 2)
+    val compacted = spark.read.parquet(monthArchive)
+    assert(compacted.count() === 1200)
+    val plan2 = compacted.filter(col("rotation") === "2022-03")
+      .queryExecution.executedPlan.toString
+    assert(plan2.contains("PartitionFilters: [isnotnull(rotation"),
+      s"rotation pruning lost after compaction:\n$plan2")
   }
 
   test("an invalid rule set fails start(), not the running query at batch 0") {
