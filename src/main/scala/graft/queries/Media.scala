@@ -356,6 +356,81 @@ object Media {
     //      gate as q48/q48b, so the index WRITE→PROBE round trip is
     //      oracle-checked end-to-end (IndexSpec keeps the inline-parity
     //      and pruning plan assertions). ----
+    // ---- SemDeDup-style semantic dedup: IVF cells bound the quadratic
+    //      pair work (|corpus|²/nlist expected), survivor = no smaller-id
+    //      same-cell neighbor at cosine ≥ 0.97. Gate (q40/q97 pattern):
+    //      3 planted near-copies per block vector (component 0 + 0.001·i
+    //      — DOUBLE-exact on both engines); the oracle brute-forces the
+    //      SAME survivor rule over the 4·|block| members without cells,
+    //      and the cell-bucketed full-corpus leg contributes verdicts:
+    //      ≥95% of planted copies collapsed, ≥95% survivor agreement on
+    //      the block. A cross-cell split of a near-dup family is the
+    //      method's documented approximation — the verdict bounds it. ----
+    gated("q107_semantic_dedup",
+      """WITH base AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |       FROM embeddings),
+        |blk0 AS (SELECT vec_id, v FROM base WHERE vec_id < 100),
+        |planted AS (SELECT vec_id + 200000 * i AS vec_id,
+        |         list_concat([v[1] + CAST(0.001 AS DOUBLE) * i], v[2:]) AS v
+        |       FROM blk0, range(1, 4) t(i)),
+        |b AS (SELECT vec_id, v FROM blk0 UNION ALL SELECT vec_id, v FROM planted),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_sum(list_transform(v, x -> x*x))) AS nn FROM b),
+        |s AS (SELECT a.vec_id FROM n a WHERE NOT EXISTS (
+        |        SELECT 1 FROM n y WHERE y.vec_id < a.vec_id
+        |          AND list_sum(list_transform(list_zip(a.v, y.v), z -> z[1]*z[2]))
+        |              / (a.nn * y.nn) >= 0.97))
+        |SELECT CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_block,
+        |       CAST(COUNT(*) AS BIGINT) AS n_survivors,
+        |       CAST(1 AS BIGINT) AS removed_ok,
+        |       CAST(1 AS BIGINT) AS agree_ok
+        |FROM s""") { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val blk0 = base.filter(col("vec_id") < 100)
+      val planted = (1 to 3).map { i =>
+        blk0.select((col("vec_id") + 200000L * i).as("vec_id"),
+          transform(col("v"),
+            (x, j) => when(j === 0, x + lit(0.001 * i)).otherwise(x)).as("v"))
+      }.reduce(_ unionAll _)
+      val block = blk0.unionAll(planted).localCheckpoint()
+
+      // exact leg — the oracle's brute-force survivor rule over the block
+      val bn = block.select(col("vec_id"), col("v"),
+        VectorOps.l2(col("v")).as("nn")).localCheckpoint()
+      val exactSurv = bn.join(
+          bn.select(col("vec_id").as("y_id"), col("v").as("yv"),
+            col("nn").as("yn")),
+          col("y_id") < col("vec_id") &&
+            VectorOps.dot(col("v"), col("yv")) / (col("nn") * col("yn")) >= 0.97,
+          "left_anti")
+        .select(col("vec_id"))
+
+      // scale leg — IVF cells over the FULL corpus ∪ planted
+      val corpus = base.unionAll(planted).localCheckpoint()
+      val centroids = Ivf.train(corpus, "vec_id", "v",
+        nlist = 16, iters = 2, sampleMod = 7)
+      val cellSurv = graft.functions.SemDedup
+        .survivors(corpus, "vec_id", "v", centroids, tau = 0.97)
+      val blockCellSurv = cellSurv.filter((col("sd_id") % 200000) < 100)
+        .select(col("sd_id"))
+
+      val nBlock = block.count()
+      val nPlanted = nBlock - blk0.count()
+      val plantedLeft = cellSurv.filter(col("sd_id") >= 200000L).count()
+      exactSurv.join(blockCellSurv, col("vec_id") === col("sd_id"), "full_outer")
+        .agg(
+          sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_surv"),
+          sum(when(col("vec_id").isNotNull && col("sd_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .select(lit(nBlock).as("n_block"),
+          col("n_surv").as("n_survivors"),
+          lit(if ((nPlanted - plantedLeft) * 100 >= nPlanted * 95) 1L else 0L)
+            .as("removed_ok"),
+          (col("n_hit") * 100 >= col("n_surv") * 95).cast("long").as("agree_ok"))
+    },
+
     gated("q48c_ivf_indexed", annOracleSql) { (s, d) =>
       val (corpus, query) = plantedCorpus(s, d)
       val path = graft.GatedQuery.indexScratch(d, "ivf_q48c")

@@ -144,6 +144,33 @@ class TextVectorSpec extends SparkTestBase {
     }
   }
 
+  test("semantic dedup: survivor rule matches a hand-built model; cell-local = plan-bounded") {
+    import graft.functions.{Ivf, SemDedup}
+    import spark.implicits._
+    // two tight families far apart on the unit sphere + one loner:
+    // e1-family {1, 2} (near-identical), e2-family {10, 11, 12}, loner 20
+    def v(axis: Int, eps: Double): Seq[Double] =
+      Seq.tabulate(4)(j => (if (j == axis) 1.0 else 0.0) + eps * j)
+    val corpus = Seq(
+      (1L, v(0, 0.0)), (2L, v(0, 0.001)),
+      (10L, v(1, 0.0)), (11L, v(1, 0.001)), (12L, v(1, 0.002)),
+      (20L, v(2, 0.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val centroids = Ivf.train(corpus, "vec_id", "v", nlist = 3, iters = 2)
+    val surv = SemDedup.survivors(corpus, "vec_id", "v", centroids, tau = 0.97)
+      .select("sd_id").as[Long].collect().sorted
+    // lowest id per family survives; the loner is untouched
+    assert(surv.toSeq === Seq(1L, 10L, 20L))
+
+    // plan shape: the pair join shuffles on the cell key, never cross-cell
+    val plan = SemDedup.survivors(corpus, "vec_id", "v", centroids, 0.97)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"survivor rule must be an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cell-local dedup must never go all-pairs:\n$plan")
+  }
+
   test("trigram Jaccard is 1.0 on itself and within [0, 1]") {
     val g = docs.withColumn("w", TextOps.tokens(col("text")))
       .filter(size(col("w")) >= 3)
