@@ -1,6 +1,7 @@
 package graft.streaming
 
-import graft.text.TextOps
+import graft.text.{NearDup, TextOps}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -80,7 +81,8 @@ object DocIngest {
     * filters partition the input: every line reaches exactly one sink. */
   def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
             lateness: String = "1 hour", minToks: Int = 3,
-            maxToks: Int = 10000)
+            maxToks: Int = 10000, nearDupIndex: Option[String] = None,
+            nearDupThreshold: Double = 0.5)
       : (StreamingQuery, StreamingQuery, StreamingQuery) = {
     val parsed = parseLines(lines)
     val rejectReason =
@@ -92,7 +94,9 @@ object DocIngest {
       .withColumn("digest", md5(col("doc.text")))
       .withWatermark("event_ts", lateness)
       .dropDuplicatesWithinWatermark("digest")
-      .writeStream.foreachBatch(sinkBatch(sinks) _).trigger(trigger)
+      .writeStream
+      .foreachBatch(sinkBatch(sinks, nearDupIndex, nearDupThreshold) _)
+      .trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
     val rejects = parsed
@@ -115,16 +119,76 @@ object DocIngest {
     (main, rejects, dlq)
   }
 
-  /** Corpus write. Dedup already happened upstream in the stateful
+  /** Corpus write. EXACT dedup already happened upstream in the stateful
     * dropDuplicatesWithinWatermark (first arrival wins — deterministic
     * under retry because a retried micro-batch replays the same offsets
     * from the checkpoint); this stage writes exactly-once via batch-scoped
-    * overwrite, partitioned by the ingest-time split. */
-  def sinkBatch(sinks: Sinks)(batch: DataFrame, batchId: Long): Unit =
-    batch
+    * overwrite, partitioned by the ingest-time split.
+    *
+    * With `nearDupIndex` set, the batch also runs NEAR-dup dedup against
+    * the persisted MinHash index (the 100 TB steady state: the batch's
+    * bands join the index FILES — cost |batch|, never |corpus|²). A new
+    * document is dropped when it pairs above the threshold with an
+    * already-indexed document, or with a lower-id document of the same
+    * batch; dropped docs land in an auditable `<rejects>_neardup` sink
+    * and ONLY survivors append their signatures (batch-scoped dirs, so a
+    * retried micro-batch overwrites its own index contribution —
+    * exactly-once for the index too). */
+  def sinkBatch(sinks: Sinks, nearDupIndex: Option[String] = None,
+                nearDupThreshold: Double = 0.5)
+               (batch: DataFrame, batchId: Long): Unit = {
+    val rows = batch
       .select(col("doc.doc_id").as("doc_id"), col("doc.text").as("text"),
         col("doc.source").as("source"), col("event_ts"),
         col("digest"), splitCol.as("split"))
-      .write.partitionBy("split")
+    val accepted = nearDupIndex match {
+      case None => rows
+      case Some(idx) =>
+        val spark = batch.sparkSession
+        val docsW = rows
+          .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+          .filter(size(col("w")) >= 3) // shingle-less docs cannot near-dup
+        val newSig = NearDup.signatureRelation(docsW, "doc_id", "w")
+          .localCheckpoint()
+        val fs = new Path(idx).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        // only COMMITTED batch dirs count (_SUCCESS marker): a crash
+        // mid-write must not leave an unreadable root that crash-loops
+        // every retry, and an uncommitted dir holds no rows anyway.
+        // Reading our own batchId's committed dir on a retry is harmless:
+        // the drop rule is a pure function of (ids, signatures), so the
+        // outcome is identical either way.
+        val hasIndex = fs.exists(new Path(idx)) &&
+          fs.listStatus(new Path(idx)).exists(s => s.isDirectory &&
+            s.getPath.getName.startsWith("batch_id=") &&
+            fs.exists(new Path(s.getPath, "_SUCCESS")))
+        val index =
+          if (hasIndex)
+            spark.read.parquet(idx).select("id", "sh", "band_idx", "band_hash")
+          else newSig.limit(0)
+        val pairs = NearDup.incrementalPairs(index, newSig, nearDupThreshold)
+        // drop a NEW doc paired with an indexed doc (any id) or a
+        // lower-id batch-mate — deterministic survivor per family
+        val newIds = newSig.select(col("id")).distinct()
+        val dropped = pairs
+          .select(col("a_id").as("x"), col("b_id").as("y"))
+          .unionAll(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
+          .join(newIds.select(col("id").as("x")), Seq("x"), "left_semi")
+          .join(newIds.select(col("id").as("ny")), col("y") === col("ny"),
+            "left")
+          .filter(col("ny").isNull || col("y") < col("x"))
+          .select(col("x").as("doc_id")).distinct()
+          .localCheckpoint()
+        rows.join(dropped, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"),
+            lit("near_dup").as("reject_reason"))
+          .write.mode("overwrite")
+          .parquet(s"${sinks.rejects}_neardup/batch_id=$batchId")
+        newSig.join(dropped, newSig("id") === dropped("doc_id"), "left_anti")
+          .write.mode("overwrite").parquet(s"$idx/batch_id=$batchId")
+        rows.join(dropped, Seq("doc_id"), "left_anti")
+    }
+    accepted.write.partitionBy("split")
       .mode("overwrite").parquet(s"${sinks.corpus}/batch_id=$batchId")
+  }
 }

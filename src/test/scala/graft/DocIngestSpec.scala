@@ -119,5 +119,61 @@ class DocIngestSpec extends SparkTestBase {
     assert(spark.read.parquet(sinks.rejects).count() === 2)
   }
 
+  test("ingest-time near-dup: batch-mates and cross-batch copies route to the audit sink; index grows by survivors only") {
+    val src = tmpDir("doc_src4")
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    // batch 1: original + a near-copy batch-mate (different digest, same
+    // trigram neighborhood) + an unrelated doc
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      doc(30, base) + "\n" +
+        doc(31, base + " extra marker") + "\n" +
+        doc(32, "completely different second subject matter entirely " +
+          "about spark shuffles and partitions") + "\n")
+
+    val root = tmpDir("doc_out4")
+    val idx = s"$root/neardup_index"
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    def run(): Unit = {
+      val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
+        sinks, Trigger.AvailableNow(), nearDupIndex = Some(idx),
+        nearDupThreshold = 0.3)
+      main.awaitTermination(120000)
+      rejects.awaitTermination(120000)
+      dlq.awaitTermination(120000)
+    }
+    run()
+
+    // lower id survives; the batch-mate near-copy is audited, not written
+    val corpus1 = spark.read.parquet(sinks.corpus)
+      .select("doc_id").as[Long](longEnc).collect().toSet
+    assert(corpus1 === Set(30L, 32L))
+    val nd1 = spark.read.parquet(s"${sinks.rejects}_neardup")
+    assert(nd1.collect().map(r => (r.getLong(0), r.getString(2))).toSeq ===
+      Seq((31L, "near_dup")))
+    // index carries SURVIVOR signatures only
+    val indexed1 = spark.read.parquet(idx).select("id").as[Long](longEnc)
+      .collect().toSet
+    assert(indexed1 === Set(30L, 32L))
+
+    // batch 2 (same checkpoint — the stream resumes): another near-copy
+    // of doc 30 must be caught AGAINST THE INDEX, not any in-batch mate
+    Files.writeString(java.nio.file.Paths.get(s"$src/b.jsonl"),
+      doc(40, base + " trailing addition") + "\n" +
+        doc(41, "yet another fully unrelated document about watermark " +
+          "state eviction semantics") + "\n")
+    run()
+
+    val corpus2 = spark.read.parquet(sinks.corpus)
+      .select("doc_id").as[Long](longEnc).collect().toSet
+    assert(corpus2 === Set(30L, 32L, 41L))
+    val nd2 = spark.read.parquet(s"${sinks.rejects}_neardup")
+      .select("doc_id").as[Long](longEnc).collect().toSet
+    assert(nd2 === Set(31L, 40L))
+    val indexed2 = spark.read.parquet(idx).select("id").as[Long](longEnc)
+      .collect().toSet
+    assert(indexed2 === Set(30L, 32L, 41L))
+  }
+
   private def longEnc = org.apache.spark.sql.Encoders.scalaLong
 }
