@@ -125,6 +125,47 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- O35, stateful-operator form: the SAME flatMapGroupsWithState
+    //      code the stream runs (StatefulMaterialize.deltas), executed in
+    //      BATCH mode over the fixture — each key's changes fold through
+    //      updateKey once, the surviving live winners must equal the
+    //      window-form snapshot (q33) with the winner's provenance
+    //      attached. This puts the state machine itself under the DuckDB
+    //      oracle; StatefulMaterializeSpec keeps the incremental/eviction
+    //      behaviors only a stream can show. ----
+    gated("q108_stateful_snapshot",
+      s"""SELECT trans_id, CAST(amount AS BIGINT) AS amount, ts, txid
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.amount AS amount,
+         |         metadata."timestamp" AS ts,
+         |         metadata."transaction-id" AS txid,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      import graft.streaming.StatefulMaterialize
+      import graft.streaming.StatefulMaterialize.Change
+      val changes = Envelope.changelog(s, fx)
+        .select(col("data.trans_id").as("pk"),
+          col("metadata.timestamp").as("ts"),
+          col("metadata.`transaction-id`").as("txid"),
+          col("metadata.operation").as("op"),
+          col("data.amount").as("amount"),
+          col("metadata.`schema-name`").as("sch"),
+          col("metadata.`table-name`").as("tbl"))
+        .as[Change](org.apache.spark.sql.Encoders.product)
+      StatefulMaterialize.deltas(changes)
+        .filter(col("live"))
+        .select(col("pk").as("trans_id"),
+          col("amount").cast("long").as("amount"),
+          col("ts"), col("txid"))
+        .orderBy("trans_id")
+    },
+
     // ---- S4 object-mapping, outbound leg: re-shape the materialized
     //      snapshot into the Kinesis record envelope (map-record-to-record,
     //      reference dms_aurora_mysql_to_kinesis.py:108-117). Both engines
