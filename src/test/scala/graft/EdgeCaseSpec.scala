@@ -97,4 +97,46 @@ class EdgeCaseSpec extends SparkTestBase {
     val byName = a.unionByName(b).collect().map(r => (r.getInt(0), r.getString(1)))
     assert(byName.toSet === Set((1, "x"), (2, "y")))
   }
+
+  test("transformation rules: empty list and all-miss list are identity") {
+    import graft.cdc.Transformation
+    import graft.cdc.Transformation.TransformationRule
+    val df = Seq((1L, "x")).toDF("id", "v")
+    assert(Transformation.shape(df, "s", "t", Nil).columns.toSeq ===
+      Seq("id", "v"))
+    val missed = Transformation.shape(df, "s", "t", Seq(
+      TransformationRule("column", "remove-column", "other", "%", "%"),
+      TransformationRule("column", "remove-prefix",
+        columnName = "zz%", value = "zz")))
+    assert(missed.collect().toSeq === df.collect().toSeq)
+  }
+
+  test("span relation: documents shorter than the window emit no rows; window-length doc emits one") {
+    import graft.text.Spans
+    val docs = Seq(
+      (1L, (1 to 19).map(i => s"t$i")),   // 19 toks < window → nothing
+      (2L, (1 to 20).map(i => s"t$i")))   // exactly one window
+      .toDF("doc_id", "w")
+    val spans = Spans.spanRelation(docs, "doc_id", "w")
+    assert(spans.groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(2L -> 1L))
+    // the counts stage reports the short doc not at all (it holds no
+    // maskable position), and the 20-token doc as 20 unmasked tokens
+    val counts = Spans.maskedCounts(spans).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(counts.toSeq === Seq((2L, 20L, 0L)))
+  }
+
+  test("semantic dedup at an unreachable threshold drops nothing") {
+    import graft.functions.{Ivf, SemDedup}
+    val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
+      (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+    val cents = Ivf.train(corpus, "vec_id", "v", nlist = 2, iters = 1)
+    // tau > 1 can never be reached by a cosine — every vector survives
+    val surv = SemDedup.survivors(corpus, "vec_id", "v", cents, tau = 1.1)
+      .select("sd_id").collect().map(_.getLong(0)).sorted
+    assert(surv.toSeq === Seq(1L, 2L, 3L))
+  }
 }
