@@ -90,13 +90,15 @@ object ArchiveCompaction {
     if (!fs.exists(done)) {
       val union = spark.read.option("basePath", archive).parquet(
         sources.map(i => s"$archive/batch_id=$i"): _*)
-      // preserve whichever time layout the sink wrote (the Rotation knob):
-      // a rotated archive partitions on `rotation`, the deployed layout on
-      // the hourly four columns — pruning must survive compaction either way
+      // preserve whichever partition layout the sink wrote: the CDC
+      // archive's hourly four columns or its `rotation` key (the Rotation
+      // knob), and the DocIngest corpus's `split` — pruning must survive
+      // compaction for every sink that uses batch_id dirs
       val cols = union.columns.toSet
       val partCols =
-        if (cols.contains("rotation")) Seq("rotation")
-        else Seq("year", "month", "day", "hour").filter(cols)
+        (if (cols.contains("rotation")) Seq("rotation")
+         else Seq("year", "month", "day", "hour").filter(cols)) ++
+          Seq("split").filter(cols)
       union.drop("batch_id")
         .write.partitionBy(partCols: _*)
         .mode("overwrite").parquet(staging.toString)

@@ -175,5 +175,40 @@ class DocIngestSpec extends SparkTestBase {
     assert(indexed2 === Set(30L, 32L, 41L))
   }
 
+  test("corpus compaction folds batch dirs and keeps split partition pruning") {
+    import graft.streaming.ArchiveCompaction
+    val src = tmpDir("doc_src5")
+    // two files → two micro-batches → two batch_id dirs under the corpus
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      doc(50, "first corpus document with enough tokens") + "\n")
+    val root = tmpDir("doc_out5")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    def run(): Unit = {
+      val (m, r, d) = DocIngest.start(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(src),
+        sinks, Trigger.AvailableNow())
+      m.awaitTermination(120000); r.awaitTermination(120000)
+      d.awaitTermination(120000)
+    }
+    run()
+    Files.writeString(java.nio.file.Paths.get(s"$src/b.jsonl"),
+      doc(51, "second corpus document with enough tokens") + "\n")
+    run()
+
+    // ≥2 dirs: one per data batch, plus possibly a no-data batch's empty dir
+    val ids = ArchiveCompaction.batchIds(spark, sinks.corpus).sorted
+    assert(ids.size >= 2)
+    assert(ArchiveCompaction.compact(spark, sinks.corpus, ids.max) === ids.size)
+    val corpus = spark.read.parquet(sinks.corpus)
+    assert(corpus.count() === 2)
+    // split stayed a PHYSICAL partition: the filter pushes as a
+    // PartitionFilter (downstream train/val/test readers keep pruning)
+    val plan = corpus.filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"),
+      s"split pruning lost after compaction:\n$plan")
+  }
+
   private def longEnc = org.apache.spark.sql.Encoders.scalaLong
 }
