@@ -411,8 +411,11 @@ object Media {
       val corpus = base.unionAll(planted).localCheckpoint()
       val centroids = Ivf.train(corpus, "vec_id", "v",
         nlist = 16, iters = 2, sampleMod = 7)
+      // checkpoint: the survivor relation feeds BOTH the planted-left
+      // count and the block agreement join — one anti-join pass, not two
       val cellSurv = graft.functions.SemDedup
         .survivors(corpus, "vec_id", "v", centroids, tau = 0.97)
+        .localCheckpoint()
       val blockCellSurv = cellSurv.filter((col("sd_id") % 200000) < 100)
         .select(col("sd_id"))
 

@@ -137,6 +137,17 @@ object DocIngest {
   def sinkBatch(sinks: Sinks, nearDupIndex: Option[String] = None,
                 nearDupThreshold: Double = 0.5)
                (batch: DataFrame, batchId: Long): Unit = {
+    // the near-dup branch drives several actions over the batch (audit
+    // write, index append, corpus write) — persist so the source micro-
+    // batch parses once, same discipline as the CDC sinkBatch
+    if (nearDupIndex.isDefined) batch.persist()
+    try doSinkBatch(sinks, nearDupIndex, nearDupThreshold, batch, batchId)
+    finally if (nearDupIndex.isDefined) batch.unpersist()
+  }
+
+  private def doSinkBatch(sinks: Sinks, nearDupIndex: Option[String],
+                          nearDupThreshold: Double,
+                          batch: DataFrame, batchId: Long): Unit = {
     val rows = batch
       .select(col("doc.doc_id").as("doc_id"), col("doc.text").as("text"),
         col("doc.source").as("source"), col("event_ts"),
