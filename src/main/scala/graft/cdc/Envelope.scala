@@ -119,14 +119,6 @@ object Envelope {
       .select(explode(col("drift")).as("field"))
       .groupBy("field").agg(count(lit(1)).as("n"))
 
-  /** One DMS table-mapping selection rule (reference
-    * dms_aurora_mysql_to_kinesis.py:96-107): an object locator plus an
-    * include/exclude action. `%` (any run, including empty) is the ONLY
-    * wildcard — the documented DMS object-locator grammar; underscores
-    * are literal, so a no-wildcard locator matches exactly one name (the
-    * reference stack's own locators are exact names over a table CALLED
-    * retail_trans — SQL-LIKE `_` semantics would silently also match
-    * retailXtrans). */
   /** One source-filter condition (the DMS `filter-conditions` grammar):
     * `eq | noteq | ste (≤) | gte (≥) | between | null | notnull`.
     * `value2` is the between end-value. */
@@ -152,6 +144,14 @@ object Envelope {
         s"(${dataSchema.fieldNames.mkString(", ")})")
   }
 
+  /** One DMS table-mapping selection rule (reference
+    * dms_aurora_mysql_to_kinesis.py:96-107): an object locator plus an
+    * include/exclude action and optional source filters. `%` (any run,
+    * including empty) is the ONLY wildcard — the documented DMS
+    * object-locator grammar; underscores are literal, so a no-wildcard
+    * locator matches exactly one name (the reference stack's own locators
+    * are exact names over a table CALLED retail_trans — SQL-LIKE `_`
+    * semantics would silently also match retailXtrans). */
   final case class SelectionRule(schemaName: String, tableName: String,
                                  action: String = "include",
                                  filters: Seq[SourceFilter] = Nil) {

@@ -78,11 +78,13 @@ object Transformation {
       val renamed = df.columns.map { c =>
         if (!locatorMatches(rule.columnName, c)) c
         else colAction match {
-          case "rename"            => rule.value
-          case "add-prefix"        => rule.value + c
-          case "remove-prefix"     => c.stripPrefix(rule.value)
-          case "convert-lowercase" => c.toLowerCase
-          case "convert-uppercase" => c.toUpperCase
+          case "rename"        => rule.value
+          case "add-prefix"    => rule.value + c
+          case "remove-prefix" => c.stripPrefix(rule.value)
+          // Locale.ROOT: a default-locale case edit renames differently
+          // per deployment machine (tr-TR turns "device" into "DEVİCE")
+          case "convert-lowercase" => c.toLowerCase(java.util.Locale.ROOT)
+          case "convert-uppercase" => c.toUpperCase(java.util.Locale.ROOT)
         }
       }
       require(renamed.distinct.length == renamed.length,

@@ -39,11 +39,14 @@ object Cdc {
        |metadata: 'STRUCT("timestamp" VARCHAR, "record-type" VARCHAR, operation VARCHAR, "partition-key-type" VARCHAR, "schema-name" VARCHAR, "table-name" VARCHAR, "transaction-id" BIGINT)'})""".stripMargin
 
   /** DuckDB mirror of the wildcard rule list used by q101/q102:
-    * include testdb.retail_trans%, exclude %.%backup. */
+    * include testdb.retail_trans%, exclude %.%backup. `_` is escaped on
+    * both engines — Envelope.selection treats it as a LITERAL ('%' is the
+    * only DMS wildcard), so the oracle must too or a one-char table-name
+    * variant would diverge. The no-wildcard schema locator is equality. */
   private val wildcardSelectionSql =
     """metadata."record-type" = 'data'
-      |AND (metadata."schema-name" LIKE 'testdb'
-      |     AND metadata."table-name" LIKE 'retail_trans%')
+      |AND (metadata."schema-name" = 'testdb'
+      |     AND metadata."table-name" LIKE 'retail\_trans%' ESCAPE '\')
       |AND NOT (metadata."schema-name" LIKE '%'
       |         AND metadata."table-name" LIKE '%backup')""".stripMargin
 

@@ -416,12 +416,18 @@ object Media {
       val cellSurv = graft.functions.SemDedup
         .survivors(corpus, "vec_id", "v", centroids, tau = 0.97)
         .localCheckpoint()
-      val blockCellSurv = cellSurv.filter((col("sd_id") % 200000) < 100)
+      // membership is id-BOUNDED, not modulus-only: planted ids live in
+      // [200000, 800000), so replicated corpora (GenScaledData offsets
+      // ≡ 0 mod 200000) and natural ids ≥ 200000 can never be
+      // misclassified as planted/block members
+      val isPlanted = col("sd_id") >= 200000L && col("sd_id") < 800000L
+      val blockCellSurv = cellSurv
+        .filter(col("sd_id") < 100 || isPlanted)
         .select(col("sd_id"))
 
       val nBlock = block.count()
       val nPlanted = nBlock - blk0.count()
-      val plantedLeft = cellSurv.filter(col("sd_id") >= 200000L).count()
+      val plantedLeft = cellSurv.filter(isPlanted).count()
       exactSurv.join(blockCellSurv, col("vec_id") === col("sd_id"), "full_outer")
         .agg(
           sum(when(col("vec_id").isNotNull, 1L).otherwise(0L)).as("n_surv"),

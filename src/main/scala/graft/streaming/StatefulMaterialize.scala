@@ -76,15 +76,20 @@ object StatefulMaterialize {
         GroupStateTimeout.NoTimeout)(updateKey)
   }
 
-  /** Envelope `metadata.timestamp` → epoch millis, interpreted in UTC to
-    * match the pipeline's session timezone. Accepts both wire forms the
-    * envelope fixtures carry: `yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'` (the DMS
-    * ISO-8601 instant) and the space-separated SQL form. */
-  private[streaming] def tsMillis(ts: String): Long = {
+  /** Envelope `metadata.timestamp` → epoch millis. Accepts both wire
+    * forms the envelope fixtures carry: `yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'`
+    * (the DMS ISO-8601 instant — zone-explicit) and the space-separated
+    * SQL form, which is interpreted in `zone`. `zone` MUST be the Spark
+    * session timezone: the eviction deadline this feeds is compared
+    * against a watermark derived from `try_to_timestamp` of the SAME
+    * string, and the two clocks must agree or tombstones evict offset
+    * from the horizon (deltasEvicting captures the session zone so the
+    * coupling cannot drift). */
+  private[streaming] def tsMillis(ts: String, zone: java.time.ZoneId): Long = {
     val iso = ts.replace(' ', 'T')
     if (iso.endsWith("Z")) java.time.Instant.parse(iso).toEpochMilli
     else java.time.LocalDateTime.parse(iso)
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      .atZone(zone).toInstant.toEpochMilli
   }
 
   /** [[updateKey]] plus tombstone eviction via event-time timeout: a key
@@ -95,7 +100,8 @@ object StatefulMaterialize {
     * safe to drop once every change they could suppress would be filtered
     * as late data anyway (the exec's own late-row filter under an
     * event-time watermark). */
-  private[streaming] def updateKeyEvicting(latenessMs: Long)(
+  private[streaming] def updateKeyEvicting(latenessMs: Long,
+      zoneId: String)(
       key: (String, String, Long), changes: Iterator[Change],
       state: GroupState[KeyState]): Iterator[SnapshotDelta] = {
     if (state.hasTimedOut) {
@@ -111,7 +117,8 @@ object StatefulMaterialize {
         // watermark; an already-expired tombstone (late replay racing the
         // horizon) arms for the very next watermark tick instead.
         state.setTimeoutTimestamp(math.max(
-          tsMillis(s.ts) + latenessMs, state.getCurrentWatermarkMs() + 1))
+          tsMillis(s.ts, java.time.ZoneId.of(zoneId)) + latenessMs,
+          state.getCurrentWatermarkMs() + 1))
       }
       out
     }
@@ -126,12 +133,15 @@ object StatefulMaterialize {
     * replayed change old enough to need the tombstone's suppression is
     * older than the watermark and is dropped by the operator's late-row
     * filter before it can resurrect the key (StatefulMaterializeSpec pins
-    * exactly this). `ts` strings must be the envelope's UTC wire format. */
+    * exactly this). Zone-less `ts` strings are read in the SESSION
+    * timezone on both clocks — the watermark's (try_to_timestamp) and the
+    * timeout's (tsMillis) — so they can never drift apart. */
   def deltasEvicting(changes: Dataset[Change],
                      lateness: java.time.Duration): Dataset[SnapshotDelta] = {
     implicit val se = Encoders.product[KeyState]
     implicit val de = Encoders.product[SnapshotDelta]
     import org.apache.spark.sql.functions.{col, try_to_timestamp}
+    val zoneId = changes.sparkSession.sessionState.conf.sessionLocalTimeZone
     changes
       .withColumn("event_ts", try_to_timestamp(col("ts")))
       .withWatermark("event_ts", s"${lateness.toMillis} milliseconds")
@@ -139,6 +149,7 @@ object StatefulMaterialize {
       .groupByKey(c => (c.sch, c.tbl, c.pk))(
         Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong))
       .flatMapGroupsWithState(OutputMode.Update,
-        GroupStateTimeout.EventTimeTimeout)(updateKeyEvicting(lateness.toMillis))
+        GroupStateTimeout.EventTimeTimeout)(
+        updateKeyEvicting(lateness.toMillis, zoneId))
   }
 }

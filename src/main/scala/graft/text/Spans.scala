@@ -28,14 +28,22 @@ object Spans {
           i => md5(concat_ws(" ", slice(col(tokensCol), i + 1, lit(window)))))))
       .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
 
-  /** Persist the span relation as the corpus's substring-dedup index —
-    * computed once, appended per ingest batch (new documents append their
-    * own span rows; cross-batch repeats surface because [[maskedCounts]]
-    * groups over the whole relation). */
+  /** Persist the span relation as the corpus's substring-dedup index.
+    * OVERWRITES the path — the one-time build over the current corpus;
+    * ingest batches add their documents with [[appendToIndex]]. */
   def writeIndex(docs: DataFrame, idCol: String, tokensCol: String,
                  path: String, window: Int = 20): Unit =
     spanRelation(docs, idCol, tokensCol, window)
       .write.mode("overwrite").parquet(path)
+
+  /** Ingest path: append a NEW batch's span rows to an existing index —
+    * old rows never rewrite, and cross-batch repeats surface because
+    * [[maskedCounts]] groups over the whole relation (IndexSpec pins
+    * append == rebuild-over-union). */
+  def appendToIndex(docs: DataFrame, idCol: String, tokensCol: String,
+                    path: String, window: Int = 20): Unit =
+    spanRelation(docs, idCol, tokensCol, window)
+      .write.mode("append").parquet(path)
 
   /** The span relation back from a persisted index. */
   def fromIndex(spark: org.apache.spark.sql.SparkSession,

@@ -166,8 +166,7 @@ class IndexSpec extends SparkTestBase {
 
     Spans.writeIndex(oldDocs, "doc_id", "w", dir)
     // ingest: the new batch appends its own span rows only
-    Spans.spanRelation(newDocs, "doc_id", "w")
-      .write.mode("append").parquet(dir)
+    Spans.appendToIndex(newDocs, "doc_id", "w", dir)
 
     val full = Spans.maskedCounts(
       Spans.spanRelation(docs, "doc_id", "w").localCheckpoint())
