@@ -118,6 +118,43 @@ class StatefulMaterializeSpec extends SparkTestBase {
     }
   }
 
+  test("eviction clock follows the session timezone (zone-less timestamps, non-UTC session)") {
+    // the watermark (try_to_timestamp) and the timeout deadline (tsMillis)
+    // must read a zone-less stamp with the SAME zone — a UTC-pinned
+    // deadline under a non-UTC session would evict offset from the horizon
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      implicit val sqlCtx = spark.sqlContext
+      def ts(min: Int) = f"2023-01-01 10:$min%02d:00.000000"
+      val input = MemoryStream[Change]
+      val q = StatefulMaterialize
+        .deltasEvicting(input.toDS(), java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName("sm_evict_tz")
+        .outputMode("update").start()
+      def stateRows: Long = q.lastProgress.stateOperators.head.numRowsTotal
+      try {
+        input.addData(Change(1L, ts(0), 100L, "insert", Some(10)),
+          Change(1L, ts(2), 102L, "delete", None))
+        q.processAllAvailable()
+        assert(stateRows === 1L) // the tombstone
+        // watermark to minute 30 → past tombstoneTs + 10 min → evicted
+        input.addData(Change(3L, ts(40), 103L, "insert", Some(30)))
+        q.processAllAvailable()
+        assert(stateRows === 1L) // key 3 live; tombstone gone
+        // late replay cannot resurrect, same as the UTC case
+        val before = spark.table("sm_evict_tz").count()
+        input.addData(Change(1L, ts(5), 99L, "update", Some(77)))
+        q.processAllAvailable()
+        assert(spark.table("sm_evict_tz").count() === before)
+        assert(stateRows === 1L)
+      } finally {
+        q.stop()
+        spark.sql("DROP VIEW IF EXISTS sm_evict_tz")
+      }
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("evicting form matches the no-timeout form on the CDC fixture (parity)") {
     implicit val sqlCtx = spark.sqlContext
     val changes = graft.cdc.Envelope.changelog(spark, Tables.cdcFixturePath)
