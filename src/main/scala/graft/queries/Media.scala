@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
-import graft.functions.{Ann, Ivf, VectorOps}
+import graft.functions.{Ann, Ivf, Pq, VectorOps}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -448,6 +448,27 @@ object Media {
       val ivf = Ivf.ivfTopKIndexed(s, path, query, "embedding",
         k = 10, nprobe = 4)
       annVerdict(exactTop10(corpus, query), ivf)
+    },
+
+    // ---- O39 scale path #3: product quantization + ADC — the vector-
+    //      COMPRESSION serving path (a dim-64 float vector becomes 8
+    //      small ints; the ADC scan reads only the codes column and
+    //      scores with 8 table lookups per row, then exact-reranks the
+    //      top-100 candidates only). Same planted-neighbor gate as
+    //      q48/q48b/q48c: exact top-10 is the oracle-checked payload,
+    //      the PQ leg contributes the recall verdict (planted cosines
+    //      ≈ 1 sit far above the quantization error, measured 10/10 at
+    //      all three SFs). Encoding is a pure map-only projection —
+    //      zero shuffles — and training collects only m × ksub × dsub
+    //      means per Lloyd round; IndexSpec pins inline/indexed parity
+    //      and the pruned ADC ReadSchema on the persisted layout. ----
+    gated("q48d_pq_topk", annOracleSql) { (s, d) =>
+      val (corpus, query) = plantedCorpus(s, d)
+      val cb = Pq.train(corpus, "vec_id", "embedding",
+        m = 8, ksub = 16, iters = 2, sampleMod = 7)
+      val pq = Pq.adcTopK(corpus, query, "vec_id", "embedding",
+        k = 10, cb, rerankC = 100)
+      annVerdict(exactTop10(corpus, query), pq)
     },
 
     // ---- O39/O40: embedding-cosine near-dup at corpus scale — the

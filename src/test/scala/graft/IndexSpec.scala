@@ -197,4 +197,62 @@ class IndexSpec extends SparkTestBase {
       k = 10, nprobe = 4).collect().toSeq
     assert(appended === inline)
   }
+
+  test("persisted PQ index: ADC top-k == inline adcTopK; ADC scan column-prunes the raw vectors") {
+    import graft.functions.Pq
+    val dir = tmp("pq_index")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding"))
+
+    val cb = Pq.writeIndex(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, dir, iters = 2, sampleMod = 7)
+    // round-trip: the persisted codebooks ARE the trained ones, in order
+    assert(Pq.readCodebooks(spark, dir) === cb)
+
+    val inline = Pq.adcTopK(emb, query, "vec_id", "embedding",
+      k = 10, cb, rerankC = 50).collect().toSeq
+    val indexed = Pq.adcTopKIndexed(spark, dir, query, "embedding",
+      k = 10, rerankC = 50)
+    assert(indexed.collect().toSeq === inline)
+
+    // every persisted code vector is m entries, each in [0, ksub)
+    val bad = spark.read.parquet(s"$dir/codes")
+      .filter(size(col("codes")) =!= 8 ||
+        exists(col("codes"), c => c < 0 || c >= 16))
+      .count()
+    assert(bad === 0L, "malformed PQ codes in the persisted index")
+
+    // the compression must materialize in the plan: the ADC leg's scan
+    // reads (nn_id, codes) ONLY — raw vectors stay on disk until the
+    // rerank joins the O(rerankC) survivor ids
+    val plan = indexed.queryExecution.executedPlan.toString
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("cv")),
+      s"ADC scan did not column-prune the vectors:\n$plan")
+  }
+
+  test("PQ ingest append: old-index + appended batch == inline over the union with the same codebooks") {
+    import graft.functions.Pq
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"))
+    val oldVecs = emb.filter(col("vec_id") % 5 =!= 0)
+    val newVecs = emb.filter(col("vec_id") % 5 === 0)
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding"))
+
+    // incremental: train+write on the old corpus, append the new batch
+    val dirInc = tmp("pq_inc")
+    val cb = Pq.writeIndex(oldVecs, "vec_id", "embedding",
+      m = 8, ksub = 16, dirInc, iters = 2, sampleMod = 7)
+    Pq.appendToIndex(newVecs, "vec_id", "embedding", dirInc)
+
+    // oracle: the inline probe over the FULL corpus with the SAME
+    // codebooks (encoding is a pure function of vector + codebooks, so
+    // append-then-probe must equal encode-all-then-probe)
+    val inline = Pq.adcTopK(emb, query, "vec_id", "embedding",
+      k = 10, cb, rerankC = 50).collect().toSeq
+    val appended = Pq.adcTopKIndexed(spark, dirInc, query, "embedding",
+      k = 10, rerankC = 50).collect().toSeq
+    assert(appended === inline)
+  }
 }
