@@ -210,11 +210,19 @@ class IndexSpec extends SparkTestBase {
     // round-trip: the persisted codebooks ARE the trained ones, in order
     assert(Pq.readCodebooks(spark, dir) === cb)
 
-    val inline = Pq.adcTopK(emb, query, "vec_id", "embedding",
-      k = 10, cb, rerankC = 50).collect().toSeq
+    val inlineDf = Pq.adcTopK(emb, query, "vec_id", "embedding",
+      k = 10, cb, rerankC = 50)
+    val inline = inlineDf.collect().toSeq
     val indexed = Pq.adcTopKIndexed(spark, dir, query, "embedding",
       k = 10, rerankC = 50)
     assert(indexed.collect().toSeq === inline)
+
+    // encode + ADC + candidate selection is map-only: the codebooks are
+    // literal constants, so the whole inline path runs without a single
+    // data shuffle (broadcast/single-partition limit exchanges only)
+    val inlinePlan = inlineDf.queryExecution.executedPlan.toString
+    assert(!inlinePlan.contains("Exchange hashpartitioning"),
+      s"PQ encode/ADC must not shuffle data:\n$inlinePlan")
 
     // every persisted code vector is m entries, each in [0, ksub)
     val bad = spark.read.parquet(s"$dir/codes")

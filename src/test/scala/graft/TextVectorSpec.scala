@@ -178,4 +178,66 @@ class TextVectorSpec extends SparkTestBase {
     val self = g.select(TextOps.jaccard(col("tg"), col("tg")).as("j")).collect()
     self.foreach(r => assert(r.getDouble(0) === 1.0))
   }
+
+  test("PQ: vectors assembled from codebook entries reconstruct exactly; ADC tracks true cosine") {
+    import graft.functions.{Ivf, Pq}
+    import spark.implicits._
+    val (m, ksub) = (8, 16)
+    val cb = Pq.train(emb, "vec_id", "embedding", m, ksub, iters = 1)
+
+    // synthetic vectors lying ON the codebook: subspace s of vector i is
+    // codebook entry (i + s) % ksub — quantization error is exactly zero,
+    // so encode must pick a centroid IDENTICAL to the input sub-vector
+    // (tie-safe: a tied code implies a duplicate centroid vector)
+    val onBook = (0 until 12).map { i =>
+      (i.toLong, (0 until m).flatMap(s => cb(s)((i + s) % ksub)))
+    }.toDF("vec_id", "v")
+    val decoded = onBook
+      .select(col("vec_id"), col("v"),
+        Pq.codesExpr(col("v"), cb).as("codes"))
+      .collect()
+    decoded.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val codes = r.getSeq[Int](2)
+      assert(codes.size === m)
+      val recon = (0 until m).flatMap(s => cb(s)(codes(s)))
+      assert(recon === v, s"vec ${r.getLong(0)} did not reconstruct")
+    }
+
+    // ADC against real (off-book) vectors: the score is the exact dot of
+    // the query with the RECONSTRUCTED unit vector — within quantization
+    // error of true cosine, and far tighter than the planted-vs-natural
+    // similarity gap the q48d gate relies on
+    val qu = emb.filter(col("vec_id") === 7)
+      .select(Ivf.unit(col("embedding")).as("qu"))
+      .collect().head.getSeq[Double](0).toSeq
+    val lut = Pq.lut(qu, cb)
+    val checked = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        Pq.adcExpr(Pq.codesExpr(Ivf.unit(col("embedding")), cb), lut).as("adc"),
+        VectorOps.cosine(col("embedding").cast("array<double>"),
+          typedLit(qu)).as("cos"))
+      .collect()
+    assert(checked.nonEmpty)
+    checked.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 0.5,
+        s"ADC drifted implausibly far from cosine for vec ${r.getLong(0)}")
+    }
+    // and on-book rows score EXACTLY like their reconstruction: ADC of a
+    // zero-error encoding equals the subspace-dot sum of the input itself
+    val onBookAdc = onBook
+      .select(col("vec_id"), col("v"),
+        Pq.adcExpr(Pq.codesExpr(col("v"), cb), lut).as("adc"))
+      .collect()
+    onBookAdc.foreach { r =>
+      val v = r.getSeq[Double](1)
+      val dsub = v.size / m
+      val expected = (0 until m).map { s =>
+        (0 until dsub).foldLeft(0.0)((a, p) =>
+          a + qu(s * dsub + p) * v(s * dsub + p))
+      }.sum
+      assert(math.abs(r.getDouble(2) - expected) < 1e-12,
+        s"on-book ADC not exact for vec ${r.getLong(0)}")
+    }
+  }
 }
