@@ -4,7 +4,7 @@ import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import graft.functions.VectorOps
-import graft.text.{NearDup, Spans, TextOps}
+import graft.text.{Fuzzy, NearDup, Phrase, Spans, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline text/vector analysis (SURVEY.md O38/O39/O40
@@ -951,6 +951,67 @@ object Text {
       // index — Spans.writeIndex, parity-pinned by IndexSpec)
       val spans = Spans.spanRelation(t, "doc_id", "w").localCheckpoint()
       Spans.maskedCounts(spans).orderBy("doc_id")
+    },
+
+    // ---- Positional phrase search — the reference's serving store is a
+    //      SEARCH index (documents upserted into OpenSearch and queried
+    //      by content); this is that query surface engine-side. Postings
+    //      (doc_id, pos, term) materialize once and the phrase "merge
+    //      join" is a consecutive-position equi-join between the two
+    //      terms' posting lists — never a rescan of text, never a theta
+    //      join. At corpus scale the postings persist bucket-partitioned
+    //      (Phrase.writeIndex) and a probe prunes to the phrase terms'
+    //      directories; IndexSpec pins indexed == inline parity and the
+    //      bucket partition filter. ----
+    gated("q109_phrase_search",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(len(list_filter(range(1, len(w)),
+        |               i -> w[i] = 'merge' AND w[i+1] = 'join')) AS BIGINT)
+        |          AS n_hits
+        |      FROM t)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY doc_id""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      // both phrase terms probe the SAME posting relation — materialize
+      // it once (at corpus scale: the persisted bucket-partitioned index)
+      val post = Phrase.postings(toks, "doc_id", "w").localCheckpoint()
+      Phrase.phraseHits(post, Seq("merge", "join")).orderBy("doc_id")
+    },
+
+    // ---- Fuzzy term match (OpenSearch `fuzziness` surface): misspelled
+    //      query terms resolve to vocabulary terms within edit distance
+    //      1 via SymSpell delete-neighborhood blocking — an equi-join on
+    //      one-char-deletion keys, exact levenshtein filter on the
+    //      collision set only, never |queries| × |vocab|. 'mrege' is
+    //      distance 2 from 'merge' (transposition = 2 edits in plain
+    //      Levenshtein) and correctly matches nothing on BOTH engines —
+    //      the planted negative. Doc counts ride along from the same
+    //      posting vocabulary the phrase index serves. ----
+    gated("q110_fuzzy_match",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |v AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |      FROM (SELECT doc_id, unnest(w) AS term FROM t)
+        |      GROUP BY term),
+        |q AS (SELECT unnest(['mrege', 'jon', 'windw', 'scann']) AS q_term)
+        |SELECT q.q_term, v.term, v.n_docs
+        |FROM q JOIN v ON levenshtein(q.q_term, v.term) <= 1
+        |ORDER BY q_term, term""") { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val vocab = Phrase.postings(toks, "doc_id", "w")
+        .groupBy("term").agg(countDistinct(col("doc_id")).as("n_docs"))
+      val q = Seq("mrege", "jon", "windw", "scann").toDF("q_term")
+      Fuzzy.fuzzyPairs(q, "q_term", vocab, "term")
+        .join(vocab, "term")
+        .select(col("q_term"), col("term"), col("n_docs"))
+        .orderBy("q_term", "term")
     }
   )
 

@@ -263,4 +263,36 @@ class IndexSpec extends SparkTestBase {
       k = 10, rerankC = 50).collect().toSeq
     assert(appended === inline)
   }
+
+  test("persisted phrase index: hits == inline; probe prunes to the terms' buckets; k-term chain counts overlaps") {
+    import graft.text.Phrase
+    val dir = tmp("phrase_index")
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("w"))
+
+    Phrase.writeIndex(toks, "doc_id", "w", dir, nBuckets = 64)
+    val inline = Phrase
+      .phraseHits(Phrase.postings(toks, "doc_id", "w"), Seq("merge", "join"))
+      .collect().map(_.toString).toSet
+    val indexed = Phrase.phraseHitsIndexed(spark, dir, Seq("merge", "join"),
+      nBuckets = 64)
+    assert(inline.nonEmpty, "corpus must contain the phrase — vacuous otherwise")
+    assert(indexed.collect().map(_.toString).toSet === inline)
+
+    // directory pruning: the term buckets become a PARTITION filter
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket IN (...) did not become a partition filter:\n$plan")
+
+    // k>2 chain + overlapping occurrences + duplicate phrase terms, on a
+    // planted relation: "a b a b a" contains "a b a" at positions 0 and 2
+    import spark.implicits._
+    val planted = Seq((1L, Seq("a", "b", "a", "b", "a")),
+      (2L, Seq("a", "b", "b")), (3L, Seq("x", "a", "b", "a")))
+      .toDF("doc_id", "w")
+    val got = Phrase
+      .phraseHits(Phrase.postings(planted, "doc_id", "w"), Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+  }
 }

@@ -179,6 +179,31 @@ class TextVectorSpec extends SparkTestBase {
     self.foreach(r => assert(r.getDouble(0) === 1.0))
   }
 
+  test("fuzzy delete-neighborhood join == brute-force levenshtein ≤ 1 over the vocabulary") {
+    import graft.text.Fuzzy
+    import spark.implicits._
+    val vocab = docs
+      .select(explode(TextOps.tokens(col("text"))).as("term")).distinct()
+    // queries = the vocabulary itself (distance-0 identity pairs) plus
+    // planted misspellings at distance 1 ('jion' of 'join'... no:
+    // transposition is 2 — a deliberate negative) and gibberish
+    val queries = vocab.select(col("term").as("q"))
+      .unionAll(Seq("jion", "joi", "scn", "xqzt").toDF("q"))
+      .localCheckpoint()
+
+    val got = Fuzzy.fuzzyPairs(queries, "q", vocab, "term")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exp = queries.crossJoin(vocab)
+      .filter(levenshtein(col("q"), col("term")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(exp.nonEmpty, "vocabulary must self-match — vacuous otherwise")
+    assert(got === exp,
+      s"blocking missed ${(exp -- got).take(5)} / invented ${(got -- exp).take(5)}")
+    assert(got.contains(("joi", "join")), "planted deletion must match")
+    assert(!got.exists(_._1 == "jion"),
+      "transposition is distance 2 and must NOT match")
+  }
+
   test("PQ: vectors assembled from codebook entries reconstruct exactly; ADC tracks true cosine") {
     import graft.functions.{Ivf, Pq}
     import spark.implicits._
