@@ -1005,8 +1005,11 @@ object Text {
       import s.implicits._
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      // the vocabulary feeds BOTH the delete-key join and the n_docs
+      // payload join — materialize it once (one corpus scan, not two)
       val vocab = Phrase.postings(toks, "doc_id", "w")
         .groupBy("term").agg(countDistinct(col("doc_id")).as("n_docs"))
+        .localCheckpoint()
       val q = Seq("mrege", "jon", "windw", "scann").toDF("q_term")
       Fuzzy.fuzzyPairs(q, "q_term", vocab, "term")
         .join(vocab, "term")
