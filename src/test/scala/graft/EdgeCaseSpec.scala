@@ -127,6 +127,42 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(counts.toSeq === Seq((2L, 20L, 0L)))
   }
 
+  test("phrase search: single term counts occurrences, phrases never cross doc bounds, empty phrase rejected") {
+    import graft.text.Phrase
+    val docs = Seq((1L, Seq("a", "b", "a")), (2L, Seq("c")))
+      .toDF("doc_id", "w")
+    val post = Phrase.postings(docs, "doc_id", "w")
+    // single-term phrase = occurrence count
+    assert(Phrase.phraseHits(post, Seq("a")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 2L))
+    // absent term, and a phrase spanning two documents' tokens: no rows
+    assert(Phrase.phraseHits(post, Seq("zz")).count() === 0L)
+    assert(Phrase.phraseHits(post, Seq("c", "a")).count() === 0L)
+    intercept[IllegalArgumentException](Phrase.phraseHits(post, Nil))
+  }
+
+  test("fuzzy: single-char terms collide on the empty delete key but only distance ≤ 1 pairs survive") {
+    import graft.text.Fuzzy
+    val a = Seq("a", "b", "xy").toDF("qa")
+    val b = Seq("c", "ab", "x", "zz").toDF("tb")
+    val got = Fuzzy.fuzzyPairs(a, "qa", b, "tb").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // every single-char × single-char pair is distance 1 (substitution);
+    // "xy"–"x" is one deletion; "zz" is ≥ 2 from everything on the left
+    assert(got === Set(("a", "c"), ("a", "ab"), ("a", "x"),
+      ("b", "c"), ("b", "ab"), ("b", "x"), ("xy", "x")))
+  }
+
+  test("PQ: dimension not divisible by m and ksub beyond the corpus are rejected") {
+    import graft.functions.Pq
+    val three = Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(0.0, 1.0, 0.0)))
+      .toDF("id", "v")
+    intercept[IllegalArgumentException](
+      Pq.train(three, "id", "v", m = 2, ksub = 2, iters = 1))
+    intercept[IllegalArgumentException](
+      Pq.train(three, "id", "v", m = 3, ksub = 16, iters = 1))
+  }
+
   test("semantic dedup at an unreachable threshold drops nothing") {
     import graft.functions.{Ivf, SemDedup}
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),

@@ -312,4 +312,65 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("fuzzy blocking finds exactly the levenshtein ≤ 1 pairs, for random edit pairs") {
+    import graft.text.Fuzzy
+    import spark.implicits._
+    // short strings over a 5-letter alphabet: distance-1 pairs arise both
+    // naturally (collisions are common) and by planted single edits
+    val strGen = for {
+      n <- Gen.choose(1, 8)
+      cs <- Gen.listOfN(n, Gen.choose('a', 'e'))
+    } yield cs.mkString
+    val mutGen = for {
+      s <- strGen
+      op <- Gen.oneOf("ins", "del", "sub")
+      pos <- Gen.choose(0, math.max(0, s.length - 1))
+      c <- Gen.choose('a', 'e')
+    } yield op match {
+      case "ins" => s.substring(0, pos) + c + s.substring(pos)
+      case "del" => if (s.length <= 1) s else s.substring(0, pos) + s.substring(pos + 1)
+      case _     => s.updated(pos, c)
+    }
+    def lev(x: String, y: String): Int = {
+      val d = Array.tabulate(x.length + 1, y.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val as = samples(strGen, 60).distinct
+    val bs = (samples(strGen, 30) ++ samples(mutGen, 40)).distinct
+    val got = Fuzzy.fuzzyPairs(as.toDF("qa"), "qa", bs.toDF("tb"), "tb")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val exp = (for { x <- as; y <- bs if lev(x, y) <= 1 } yield (x, y)).toSet
+    assert(exp.nonEmpty, "generators must yield close pairs — vacuous otherwise")
+    assert(got === exp,
+      s"missed ${(exp -- got).take(5)} / invented ${(got -- exp).take(5)}")
+  }
+
+  test("phrase hits == sliding-window scan model, for random token streams") {
+    import graft.text.Phrase
+    import spark.implicits._
+    val tokGen = Gen.oneOf("a", "b", "c")
+    val docGen = Gen.choose(0, 15).flatMap(n => Gen.listOfN(n, tokGen))
+    val phraseGen = Gen.choose(1, 3).flatMap(k => Gen.listOfN(k, tokGen))
+    val phrases = samples(phraseGen, 8)
+    val pool = samples(docGen, 200)
+    phrases.zipWithIndex.foreach { case (phrase, round) =>
+      val docs = pool.slice(round * 25, round * 25 + 25).zipWithIndex
+        .map { case (w, i) => (i.toLong, w) }
+      val got = Phrase
+        .phraseHits(Phrase.postings(docs.toDF("doc_id", "w"), "doc_id", "w"),
+          phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exp = docs.map { case (id, w) =>
+        id -> (0 to w.length - phrase.length)
+          .count(i => w.slice(i, i + phrase.length) == phrase).toLong
+      }.filter(_._2 > 0).toMap
+      assert(got === exp, s"round $round phrase $phrase")
+    }
+  }
 }
