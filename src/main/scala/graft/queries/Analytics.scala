@@ -614,6 +614,49 @@ object Analytics {
             pmod(col("p_partkey"), lit(1024L)),
             col("p_size").cast("long")).as("zkey"))
         .orderBy("p_partkey")
+    },
+
+    // ---- Count-Min sketch (operators/CountMin): the MERGEABLE frequency
+    //      sketch next to HLL (q11b) and Misra-Gries (q98). The sketch is
+    //      a (depth, bucket, cnt) relation — build collapses map-side to
+    //      ≤ depth×width cells per partition before its one shuffle,
+    //      merge is a cell-wise sum (per-shard/per-day sketches fold),
+    //      estimates join depth×1 probe cells, never the corpus. Gate
+    //      (q11b verdict pattern): the exact top-10 user counts are the
+    //      oracle-checked payload; the sketch leg contributes verdicts —
+    //      est ≥ exact (overestimate by construction, a hard invariant)
+    //      and est ≤ exact + 4·N/width (the CMS error bound with 4×
+    //      headroom; deterministic here — fixed data, fixed seeds).
+    //      PropertySpec pins merge additivity and exactness at
+    //      width ≫ distinct keys. ----
+    gated("q111_cms_heavy",
+      """WITH e AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |           FROM events GROUP BY user_id
+        |           ORDER BY n_exact DESC, user_id LIMIT 10)
+        |SELECT user_id, n_exact,
+        |       CAST(1 AS BIGINT) AS ge_ok, CAST(1 AS BIGINT) AS bound_ok
+        |FROM e ORDER BY n_exact DESC, user_id""") { (s, d) =>
+      import graft.operators.CountMin
+      val width = 1024
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("user_id")).limit(10)
+        .localCheckpoint()
+      val sketch = CountMin.build(ev, "user_id", width = width)
+      val est = CountMin.estimate(sketch, top.select("user_id"), "user_id",
+        width = width)
+      // N from the sketch itself (any depth row sums to it) — no second
+      // pass over the data
+      val n = sketch.filter(col("depth") === 0)
+        .agg(sum("cnt")).collect().head.getLong(0)
+      val joined = top.join(est, "user_id").localCheckpoint()
+      val verdict = broadcast(joined.agg(
+        min((col("est") >= col("n_exact")).cast("long")).as("ge_ok"),
+        max(col("est") - col("n_exact")).as("excess")))
+      joined.crossJoin(verdict)
+        .select(col("user_id"), col("n_exact"), col("ge_ok"),
+          (col("excess") <= lit(4.0 * n / width)).cast("long").as("bound_ok"))
+        .orderBy(col("n_exact").desc, col("user_id"))
     }
   )
 }

@@ -313,6 +313,37 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("count-min: overestimate invariant, merge additivity, exactness at width ≫ keys") {
+    import graft.operators.CountMin
+    import spark.implicits._
+    samples(Gen.listOfN(300, Gen.choose(0L, 40L)), 6).foreach { xs =>
+      val df = xs.toDF("k")
+      val exact = xs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val keys = exact.keys.toSeq.toDF("k")
+
+      // width ≫ distinct keys: estimates are exact (no all-depth collision
+      // among ≤ 41 keys in 4 × 4096 cells — deterministic, fixed seeds)
+      val big = CountMin.estimate(CountMin.build(df, "k", 4, 4096),
+          keys, "k", 4, 4096)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, c) => assert(big(k) === c, s"key $k") }
+
+      // tiny width: collisions guaranteed, but never an UNDER-estimate
+      val small = CountMin.estimate(CountMin.build(df, "k", 4, 8),
+          keys, "k", 4, 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      exact.foreach { case (k, c) => assert(small(k) >= c, s"key $k") }
+
+      // merge additivity: split sketches fold to the whole-data sketch
+      val (a, b) = xs.splitAt(xs.size / 2)
+      def cells(s: org.apache.spark.sql.DataFrame) = s.collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+      assert(cells(CountMin.merge(CountMin.build(a.toDF("k"), "k", 4, 8),
+        CountMin.build(b.toDF("k"), "k", 4, 8)))
+        === cells(CountMin.build(df, "k", 4, 8)))
+    }
+  }
+
   test("fuzzy blocking finds exactly the levenshtein ≤ 1 pairs, for random edit pairs") {
     import graft.text.Fuzzy
     import spark.implicits._
