@@ -342,6 +342,16 @@ class PropertySpec extends SparkTestBase {
         CountMin.build(b.toDF("k"), "k", 4, 8)))
         === cells(CountMin.build(df, "k", 4, 8)))
     }
+
+    // the ×depth fan-out collapses map-side: exactly one exchange, with
+    // a partial HashAggregate below it — the shuffle carries sketch
+    // cells, never data rows
+    val plan = CountMin.build(Seq(1L, 2L).toDF("k"), "k", 4, 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"sketch build must shuffle once:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"no partial aggregation below the exchange:\n$plan")
   }
 
   test("fuzzy blocking finds exactly the levenshtein ≤ 1 pairs, for random edit pairs") {
