@@ -99,13 +99,19 @@ object Bench {
     }
     // the 613-line fixture measures per-trigger overhead; a ~100k-line
     // replay (163 fixture copies, each re-keyed to distinct transaction
-    // ids so dedup/serving state is genuinely 100k keys of work)
+    // ids AND distinct primary keys, so dedup state and the serving
+    // last-write-wins merge both carry genuinely ~100k keys of work)
     // measures steady-state throughput at a realistic batch size
     val txRe = """"transaction-id": (\d+)""".r
+    val pkRe = """"trans_id": (\d+)""".r
     val largeLines = (0 until 163).flatMap { i =>
       if (i == 0) fixtureLines
-      else fixtureLines.map(l => txRe.replaceAllIn(l,
-        m => s""""transaction-id": ${m.group(1).toLong + i * 1000000L}"""))
+      else fixtureLines.map { l =>
+        val t = txRe.replaceAllIn(l,
+          m => s""""transaction-id": ${m.group(1).toLong + i * 1000000L}""")
+        pkRe.replaceAllIn(t,
+          m => s""""trans_id": ${m.group(1).toLong + i * 1000000L}""")
+      }
     }
     // one untimed replay first: the streaming path's codegen/state-store
     // init otherwise lands in whichever timed figure runs first (measured

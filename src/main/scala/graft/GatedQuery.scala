@@ -22,10 +22,14 @@ object GatedQuery {
     GatedQuery(name, build, None)
 
   /** Scratch directory for queries that exercise a PERSISTED index's
-    * write→probe round trip (q40c, q48c): deterministic per (sf dir, index
-    * name) so a re-run overwrites its own files, and under java.io.tmpdir
-    * so the repo and testdata trees are never written. */
+    * write→probe round trip (q40c, q48c): deterministic per (JVM, sf dir,
+    * index name) — re-runs within a process overwrite their own files,
+    * while concurrent processes (a Verify racing a Bench) get disjoint
+    * trees instead of overwriting each other's index mid-probe — and
+    * under java.io.tmpdir so the repo and testdata trees are never
+    * written. */
   def indexScratch(sfDir: String, name: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+      s"p${ProcessHandle.current().pid()}/" +
       s"${new java.io.File(sfDir).getName}/$name"
 }

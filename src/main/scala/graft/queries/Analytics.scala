@@ -642,7 +642,11 @@ object Analytics {
       val top = ev.groupBy("user_id").agg(count(lit(1)).as("n_exact"))
         .orderBy(col("n_exact").desc, col("user_id")).limit(10)
         .localCheckpoint()
+      // the sketch feeds BOTH the N collect and the estimate join —
+      // materialize it once (≤ depth×width rows) so the build's pass
+      // over the events table runs a single time
       val sketch = CountMin.build(ev, "user_id", width = width)
+        .localCheckpoint()
       val est = CountMin.estimate(sketch, top.select("user_id"), "user_id",
         width = width)
       // N from the sketch itself (any depth row sums to it) — no second

@@ -950,7 +950,7 @@ object Text {
       // per-window md5 run a single time (at corpus scale: the persisted
       // index — Spans.writeIndex, parity-pinned by IndexSpec)
       val spans = Spans.spanRelation(t, "doc_id", "w").localCheckpoint()
-      Spans.maskedCounts(spans).orderBy("doc_id")
+      Spans.maskedCounts(spans, window = 20).orderBy("doc_id")
     },
 
     // ---- Positional phrase search — the reference's serving store is a

@@ -46,6 +46,17 @@ object StatefulMaterialize {
                 state: GroupState[KeyState]): Iterator[SnapshotDelta] = {
     var cur = state.getOption
     changes.foreach { c =>
+      // winner ordering is LEXICOGRAPHIC (the engine-wide fixed-width
+      // stamp contract — same rule as the batch materializer), which is
+      // chronological only within ONE wire form; a stream mixing the
+      // ISO-'T' and space-separated forms for a key would mis-order
+      // silently ('T' > ' '), so reject it loudly at the first collision
+      cur.foreach { s =>
+        require(c.ts.length == s.ts.length &&
+            (c.ts.length <= 10 || c.ts.charAt(10) == s.ts.charAt(10)),
+          s"mixed timestamp wire forms for key $key: '${s.ts}' vs '${c.ts}' — " +
+            "use one fixed-width form per stream (ordering is lexicographic)")
+      }
       val candidate = KeyState(c.ts, c.txid, c.op != "delete", c.amount)
       if (cur.forall(s => newer((c.ts, c.txid), (s.ts, s.txid))))
         cur = Some(candidate)

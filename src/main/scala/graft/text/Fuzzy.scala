@@ -41,12 +41,15 @@ object Fuzzy {
     * cost tracks |vocab|, not corpus size. */
   def fuzzyPairs(a: DataFrame, aCol: String,
                  b: DataFrame, bCol: String): DataFrame = {
-    val ak = a.select(col(aCol)).distinct()
-      .select(col(aCol), explode(deleteKeys(col(aCol))).as("__k"))
-    val bk = b.select(col(bCol)).distinct()
-      .select(col(bCol), explode(deleteKeys(col(bCol))).as("__k"))
+    // internal names keep the join unambiguous when aCol == bCol (e.g.
+    // a vocabulary matched against another vocabulary's 'term' column)
+    val ak = a.select(col(aCol).as("__a")).distinct()
+      .select(col("__a"), explode(deleteKeys(col("__a"))).as("__k"))
+    val bk = b.select(col(bCol).as("__b")).distinct()
+      .select(col("__b"), explode(deleteKeys(col("__b"))).as("__k"))
     ak.join(bk, "__k")
-      .select(col(aCol), col(bCol)).distinct()
-      .filter(levenshtein(col(aCol), col(bCol)) <= 1)
+      .select(col("__a"), col("__b")).distinct()
+      .filter(levenshtein(col("__a"), col("__b")) <= 1)
+      .select(col("__a").as(aCol), col("__b").as(bCol))
   }
 }

@@ -55,8 +55,13 @@ object Spans {
     * covered by any window repeated in ≥ 2 distinct documents. The
     * repeated-set semi-join and the ×window position explode touch only
     * hit rows; n_toks = last window start + window (the spans alone carry
-    * it — no second pass over the corpus text). */
-  def maskedCounts(spans: DataFrame, window: Int = 20): DataFrame = {
+    * it — no second pass over the corpus text).
+    *
+    * `window` is deliberately NOT defaulted: it must equal the window the
+    * span relation was BUILT with (spanRelation/writeIndex), and the
+    * relation does not carry it — a silently-defaulted mismatch would
+    * mis-count every document. */
+  def maskedCounts(spans: DataFrame, window: Int): DataFrame = {
     val rep = spans.groupBy("h")
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= 2).select("h")

@@ -122,7 +122,7 @@ class EdgeCaseSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(2L -> 1L))
     // the counts stage reports the short doc not at all (it holds no
     // maskable position), and the 20-token doc as 20 unmasked tokens
-    val counts = Spans.maskedCounts(spans).collect()
+    val counts = Spans.maskedCounts(spans, window = 20).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(counts.toSeq === Seq((2L, 20L, 0L)))
   }
@@ -151,6 +151,14 @@ class EdgeCaseSpec extends SparkTestBase {
     // "xy"–"x" is one deletion; "zz" is ≥ 2 from everything on the left
     assert(got === Set(("a", "c"), ("a", "ab"), ("a", "x"),
       ("b", "c"), ("b", "ab"), ("b", "x"), ("xy", "x")))
+
+    // both sides naming the same column (vocabulary vs vocabulary) must
+    // work, not throw AMBIGUOUS_REFERENCE
+    val sameName = Fuzzy.fuzzyPairs(
+        Seq("a", "xy").toDF("term"), "term",
+        Seq("x", "zz").toDF("term"), "term")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sameName === Set(("a", "x"), ("xy", "x")))
   }
 
   test("PQ: dimension not divisible by m and ksub beyond the corpus are rejected") {

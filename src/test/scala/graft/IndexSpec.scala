@@ -134,8 +134,8 @@ class IndexSpec extends SparkTestBase {
 
     Spans.writeIndex(docs, "doc_id", "w", dir)
     val inline = Spans.maskedCounts(
-      Spans.spanRelation(docs, "doc_id", "w").localCheckpoint())
-    val indexed = Spans.maskedCounts(Spans.fromIndex(spark, dir))
+      Spans.spanRelation(docs, "doc_id", "w").localCheckpoint(), window = 20)
+    val indexed = Spans.maskedCounts(Spans.fromIndex(spark, dir), window = 20)
 
     val a = inline.collect().map(_.toString).toSet
     val b = indexed.collect().map(_.toString).toSet
@@ -169,8 +169,8 @@ class IndexSpec extends SparkTestBase {
     Spans.appendToIndex(newDocs, "doc_id", "w", dir)
 
     val full = Spans.maskedCounts(
-      Spans.spanRelation(docs, "doc_id", "w").localCheckpoint())
-    val appended = Spans.maskedCounts(Spans.fromIndex(spark, dir))
+      Spans.spanRelation(docs, "doc_id", "w").localCheckpoint(), window = 20)
+    val appended = Spans.maskedCounts(Spans.fromIndex(spark, dir), window = 20)
     assert(appended.collect().map(_.toString).toSet ===
       full.collect().map(_.toString).toSet)
   }

@@ -29,6 +29,19 @@ class StatefulMaterializeSpec extends SparkTestBase {
     }
   }
 
+  test("mixed timestamp wire forms for one key are rejected loudly") {
+    // winner ordering is lexicographic under the fixed-width stamp
+    // contract; 'T' > ' ' would silently prefer a stale ISO-form change
+    // over a newer space-form one, so the collision must throw instead
+    val ds = Seq(
+      Change(1L, "2023-01-01T09:00:00.000000Z", 1L, "delete", None),
+      Change(1L, "2023-01-01 10:00:00.000000", 2L, "insert", Some(5))).toDS()
+    val e = intercept[Exception](StatefulMaterialize.deltas(ds).collect())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("mixed timestamp wire forms")), e.toString)
+  }
+
   test("last-write-wins across triggers with tie-break and tombstones") {
     val out = runBatches(Seq(
       // batch 0: two keys inserted
