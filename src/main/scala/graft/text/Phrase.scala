@@ -97,7 +97,7 @@ object Phrase {
 /** Driver-side twin of Spark's xxhash64(string, seed=42) for resolving a
   * probe term's bucket without a Spark job (the [[graft.functions.Ivf]]
   * probe-resolution rule: O(parameters) driver work, never data rows). */
-private[text] object TermHash {
+private[graft] object TermHash {
   def xx64(s: String): Long =
     org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
       org.apache.spark.unsafe.types.UTF8String.fromString(s),

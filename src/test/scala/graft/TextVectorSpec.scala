@@ -204,6 +204,25 @@ class TextVectorSpec extends SparkTestBase {
       "transposition is distance 2 and must NOT match")
   }
 
+  test("phrase bucket resolution: driver-side xxhash64 twin matches the column expression term-for-term") {
+    import graft.text.Phrase
+    import spark.implicits._
+    // phraseHitsIndexed prunes partitions with DRIVER-computed buckets;
+    // if the twin ever drifted from Spark's xxhash64 the probe would
+    // silently read the wrong directories — pin the parity directly
+    val terms = docs
+      .select(explode(TextOps.tokens(col("text"))).as("term")).distinct()
+    val rows = terms
+      .select(col("term"), Phrase.bucketOf(col("term"), 64).as("b"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val driver = math.floorMod(
+        graft.text.TermHash.xx64(r.getString(0)), 64L).toInt
+      assert(driver === r.getInt(1), s"term '${r.getString(0)}'")
+    }
+  }
+
   test("PQ: vectors assembled from codebook entries reconstruct exactly; ADC tracks true cosine") {
     import graft.functions.{Ivf, Pq}
     import spark.implicits._
