@@ -99,9 +99,10 @@ object Bench {
     }
     // the 613-line fixture measures per-trigger overhead; a ~100k-line
     // replay (163 fixture copies, each re-keyed to distinct transaction
-    // ids AND distinct primary keys, so dedup state and the serving
-    // last-write-wins merge both carry genuinely ~100k keys of work)
-    // measures steady-state throughput at a realistic batch size
+    // ids AND distinct primary keys: dedup state carries ~100k tx ids,
+    // the serving last-write-wins merge ~41k pks — 163 × the fixture's
+    // 250 distinct trans_ids) measures steady-state throughput at a
+    // realistic batch size
     val txRe = """"transaction-id": (\d+)""".r
     val pkRe = """"trans_id": (\d+)""".r
     val largeLines = (0 until 163).flatMap { i =>

@@ -28,8 +28,28 @@ object GatedQuery {
     * trees instead of overwriting each other's index mid-probe — and
     * under java.io.tmpdir so the repo and testdata trees are never
     * written. */
-  def indexScratch(sfDir: String, name: String): String =
+  def indexScratch(sfDir: String, name: String): String = {
+    registerScratchCleanup()
     s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
       s"p${ProcessHandle.current().pid()}/" +
       s"${new java.io.File(sfDir).getName}/$name"
+  }
+
+  // per-pid isolation would otherwise leak a full index tree per JVM run
+  // into tmp; delete this process's tree on exit (best-effort — an OS tmp
+  // reaper covers kill -9)
+  private val scratchHooked = new java.util.concurrent.atomic.AtomicBoolean
+  private def registerScratchCleanup(): Unit =
+    if (scratchHooked.compareAndSet(false, true)) {
+      val root = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_index/" +
+          s"p${ProcessHandle.current().pid()}")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(): Unit
+        }
+        rm(root)
+      }))
+    }
 }

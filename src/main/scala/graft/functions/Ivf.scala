@@ -168,10 +168,19 @@ object Ivf {
         VectorOps.l2(col(vecCol)).as("cn"), unit(col(vecCol)).as("vu")),
       "nn_id", "vu", centroids, keep = Seq("cv", "cn"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    writeCentroids(spark, centroids, path)
+    centroids
+  }
+
+  /** Persist centroids as (cell, cvec) rows under `path/centroids` —
+    * shared by [[writeIndex]] and [[IvfPq.writeIndex]]. */
+  private[functions] def writeCentroids(
+      spark: org.apache.spark.sql.SparkSession,
+      centroids: Seq[Seq[Double]], path: String): Unit = {
+    import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    centroids
   }
 
   /** Ingest path: assign a NEW batch of vectors to the index's EXISTING

@@ -45,6 +45,9 @@ object IvfPq {
       .join(cdf, "cell")
       .withColumn("res",
         zip_with(Ivf.unit(col("cv")), col("cvec"), (x, c) => x - c))
+      // cvec is dead once the residual exists (constant per cell and
+      // broadcast-resident) — drop it before materializing the corpus
+      .select("nn_id", "cell", "cv", "cn", "res")
       .localCheckpoint() // feeds codebook training AND the encode pass
     val cb = Pq.train(assigned, "nn_id", "res", m, ksub, iters,
       sampleMod, unit = false)
@@ -52,13 +55,8 @@ object IvfPq {
       .withColumn("codes", Pq.codesExpr(col("res"), cb))
       .select("nn_id", "codes", "cn", "cv", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
-    centroids.zipWithIndex.map { case (c, i) => (i, c) }
-      .toDF("cell", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    cb.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.map { case (c, j) => (s, j, c) }
-    }.toDF("sub", "code", "cvec")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Ivf.writeCentroids(spark, centroids, path)
+    Pq.writeCodebooks(spark, cb, path)
     (centroids, cb)
   }
 
@@ -90,15 +88,9 @@ object IvfPq {
       .orderBy(col("adc").desc, col("nn_id"))
       .limit(rerankC)
       .select(col("nn_id").as("cand_id"))
-    val q = broadcast(query.select(col(vecCol).as("qv"),
-      VectorOps.l2(col(vecCol)).as("qn")))
-    cells.select(col("nn_id"), col("cv"), col("cn"))
+    val vecs = cells.select(col("nn_id"), col("cv"), col("cn"))
       .join(broadcast(cand), col("nn_id") === col("cand_id"))
-      .crossJoin(q)
-      .withColumn("sim",
-        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-      .select(col("nn_id"), col("sim"))
-      .orderBy(col("sim").desc, col("nn_id"))
-      .limit(k)
+      .select("nn_id", "cv", "cn")
+    Pq.rerank(vecs, query, vecCol, k)
   }
 }

@@ -171,9 +171,10 @@ object Pq {
     rerank(cand, query, vecCol, k)
   }
 
-  /** Exact cosine top-k over an O(rerankC)-row candidate set. */
-  private def rerank(cand: DataFrame, query: DataFrame, vecCol: String,
-                     k: Int): DataFrame = {
+  /** Exact cosine top-k over an O(rerankC)-row candidate set carrying
+    * (nn_id, cv, cn) — shared by the PQ paths and [[IvfPq]]. */
+  private[functions] def rerank(cand: DataFrame, query: DataFrame,
+                                vecCol: String, k: Int): DataFrame = {
     val q = broadcast(query.select(col(vecCol).as("qv"),
       VectorOps.l2(col(vecCol)).as("qn")))
     cand.crossJoin(q)
@@ -202,11 +203,19 @@ object Pq {
       .withColumn("codes", codesExpr(col("vu"), cb))
       .select("nn_id", "codes", "cn", "cv")
       .write.mode("overwrite").parquet(s"$path/codes")
+    writeCodebooks(spark, cb, path)
+    cb
+  }
+
+  /** Persist codebooks as (sub, code, cvec) rows under `path/codebooks`
+    * — shared by [[writeIndex]] and [[IvfPq.writeIndex]]. */
+  private[functions] def writeCodebooks(spark: SparkSession, cb: Codebooks,
+                                        path: String): Unit = {
+    import spark.implicits._
     cb.zipWithIndex.flatMap { case (book, s) =>
       book.zipWithIndex.map { case (c, j) => (s, j, c) }
     }.toDF("sub", "code", "cvec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    cb
   }
 
   /** Ingest path: encode a NEW batch with the index's EXISTING codebooks

@@ -647,8 +647,7 @@ object Analytics {
       // over the events table runs a single time
       val sketch = CountMin.build(ev, "user_id", width = width)
         .localCheckpoint()
-      val est = CountMin.estimate(sketch, top.select("user_id"), "user_id",
-        width = width)
+      val est = CountMin.estimate(sketch, top.select("user_id"), "user_id")
       // N from the sketch itself (any depth row sums to it) — no second
       // pass over the data
       val n = sketch.filter(col("depth") === 0)

@@ -38,11 +38,14 @@ object Fuzzy {
   /** Term pairs of `a` × `b` within edit distance 1, as
     * `(aCol, bCol)` — distinct pairs, exact-filtered. Each side is
     * deduplicated to its vocabulary before keys explode, so the join
-    * cost tracks |vocab|, not corpus size. */
+    * cost tracks |vocab|, not corpus size. When both sides name the
+    * same column (vocabulary vs vocabulary), the right column comes
+    * back as `<bCol>_b` so the result stays addressable by name. */
   def fuzzyPairs(a: DataFrame, aCol: String,
                  b: DataFrame, bCol: String): DataFrame = {
     // internal names keep the join unambiguous when aCol == bCol (e.g.
     // a vocabulary matched against another vocabulary's 'term' column)
+    val outB = if (aCol == bCol) s"${bCol}_b" else bCol
     val ak = a.select(col(aCol).as("__a")).distinct()
       .select(col("__a"), explode(deleteKeys(col("__a"))).as("__k"))
     val bk = b.select(col(bCol).as("__b")).distinct()
@@ -50,6 +53,6 @@ object Fuzzy {
     ak.join(bk, "__k")
       .select(col("__a"), col("__b")).distinct()
       .filter(levenshtein(col("__a"), col("__b")) <= 1)
-      .select(col("__a").as(aCol), col("__b").as(bCol))
+      .select(col("__a").as(aCol), col("__b").as(outB))
   }
 }

@@ -153,12 +153,15 @@ class EdgeCaseSpec extends SparkTestBase {
       ("b", "c"), ("b", "ab"), ("b", "x"), ("xy", "x")))
 
     // both sides naming the same column (vocabulary vs vocabulary) must
-    // work, not throw AMBIGUOUS_REFERENCE
+    // work, with the right side disambiguated so the result stays
+    // addressable by name, not just position
     val sameName = Fuzzy.fuzzyPairs(
         Seq("a", "xy").toDF("term"), "term",
         Seq("x", "zz").toDF("term"), "term")
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(sameName === Set(("a", "x"), ("xy", "x")))
+    assert(sameName.columns.toSeq === Seq("term", "term_b"))
+    assert(sameName.select(col("term"), col("term_b")).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("a", "x"), ("xy", "x")))
   }
 
   test("PQ: dimension not divisible by m and ksub beyond the corpus are rejected") {

@@ -323,14 +323,12 @@ class PropertySpec extends SparkTestBase {
 
       // width ≫ distinct keys: estimates are exact (no all-depth collision
       // among ≤ 41 keys in 4 × 4096 cells — deterministic, fixed seeds)
-      val big = CountMin.estimate(CountMin.build(df, "k", 4, 4096),
-          keys, "k", 4, 4096)
+      val big = CountMin.estimate(CountMin.build(df, "k", 4, 4096), keys, "k")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       exact.foreach { case (k, c) => assert(big(k) === c, s"key $k") }
 
       // tiny width: collisions guaranteed, but never an UNDER-estimate
-      val small = CountMin.estimate(CountMin.build(df, "k", 4, 8),
-          keys, "k", 4, 8)
+      val small = CountMin.estimate(CountMin.build(df, "k", 4, 8), keys, "k")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       exact.foreach { case (k, c) => assert(small(k) >= c, s"key $k") }
 
