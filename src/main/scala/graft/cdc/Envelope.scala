@@ -79,7 +79,13 @@ object Envelope {
       col("metadata.`timestamp`").isNull ||
       (col("metadata.`record-type`") === "data" &&
         (col("data").isNull || col("data.trans_id").isNull ||
-          col("metadata.`transaction-id`").isNull))
+          col("metadata.`transaction-id`").isNull ||
+          // a data record with no operation is undecidable downstream:
+          // `op =!= 'delete'` goes three-valued and the row would vanish
+          // from serving without reaching the DLQ (a delete-by-omission),
+          // while the stateful materializer would treat it as live —
+          // route it to the DLQ like the other broken data records
+          col("metadata.`operation`").isNull))
 
   /** Schema-drift detector: the envelope fields of a raw line that the
     * FIXED schema does not cover — a renamed or newly added source column
@@ -169,7 +175,22 @@ object Envelope {
   private def filterPredicate(f: SourceFilter): Column = {
     val dt = dataSchema(f.columnName).dataType
     val c = col(s"data.`${f.columnName}`")
-    def v(s: String): Column = lit(s).cast(dt)
+    // values validate DRIVER-side at Column-build time: a lazy
+    // lit(s).cast(dt) passes start()'s eager selection(rules) check and
+    // then throws CAST_INVALID_INPUT (ANSI) inside foreachBatch at batch
+    // 0 — crash-looping the running query the eager check exists to
+    // protect. Numeric columns are the only non-string envelope types.
+    def v(s: String): Column = {
+      val ok = dt match {
+        case org.apache.spark.sql.types.LongType    => s.trim.toLongOption.isDefined
+        case org.apache.spark.sql.types.IntegerType => s.trim.toIntOption.isDefined
+        case _ => true
+      }
+      require(ok, s"source filter on '${f.columnName}' (${dt.simpleString}): " +
+        s"value '$s' is not castable — fix the rule, it would otherwise " +
+        "fail the stream at batch 0")
+      lit(s).cast(dt)
+    }
     f.conditions.map { cond =>
       cond.op match {
         case "eq"      => c === v(cond.value)

@@ -23,10 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Reconcile {
 
-  /** Per-row content digest: rolling poly-hash of the '|'-joined row
-    * rendering (concat_ws skips NULLs identically on both engines). */
+  /** Per-row content digest: rolling poly-hash over the concatenation of
+    * each column's md5 hex (NULL → 32 zeros). The fixed-width per-column
+    * rendering makes the digest injective up to md5 collisions — a
+    * '|'-joined rendering was not: concat_ws silently skips NULLs, so
+    * ("a", NULL) and (NULL, "a") rendered identically, and a value
+    * containing the delimiter forged column boundaries — either way a
+    * corrupted replica could digest equal to the truth. */
   def digest(cols: Seq[Column]): Column =
-    call_function("rolling_hash", concat_ws("|", cols: _*))
+    call_function("rolling_hash",
+      concat(cols.map(c => coalesce(md5(c.cast("string")), lit("0" * 32))): _*))
 
   /** Reconcile `left` (the replica) against `right` (the recomputed
     * source of truth) on integer key `key`: per bucket (key mod
@@ -46,7 +52,12 @@ object Reconcile {
       .groupBy("bucket")
       .agg(
         sum(when(col("k").isNotNull, 1L).otherwise(0L)).as("n_rows"),
-        sum(coalesce(col("ldg"), lit(0L))).as("checksum"),
+        // DECIMAL(38,0) accumulator: digests average ~5e8, so a BIGINT
+        // sum overflows past ~1.8e10 rows per bucket — exactly the
+        // 100 TB table this operator exists for (ANSI would throw;
+        // non-ANSI would wrap while the recomputing engine does not)
+        sum(coalesce(col("ldg"), lit(0L))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum"),
         sum(when(col("k").isNotNull && col("rk").isNotNull &&
           col("ldg") =!= col("rdg"), 1L).otherwise(0L)).as("n_mismatch"),
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),

@@ -326,10 +326,13 @@ object Cdc {
     //      counts + content checksums; the oracle recomputes the bucket
     //      checksums from ITS OWN snapshot, so a drift in either
     //      materialization path (or in the digest) flips the gate.
-    //      n_mismatch/n_missing/n_extra pinned 0. Checksum = SUM of the
-    //      poly-31 mod 1e9+7 row hash (q44's cross-engine fold): ≤ 1e9
-    //      per row, so the BIGINT sum is exact far beyond any fixture
-    //      size. ----
+    //      n_mismatch/n_missing/n_extra pinned 0. Digest = poly-31 mod
+    //      1e9+7 fold (q44's cross-engine hash) over the concatenation
+    //      of per-column md5 hex renderings (NULL → 32 zeros) — fixed
+    //      width per column, so NULL-skips and delimiter forgery cannot
+    //      make different rows digest equal. Checksum = DECIMAL(38,0)
+    //      sum of the digests (a BIGINT sum overflows past ~1.8e10 rows
+    //      per bucket — the 100 TB design point). ----
     gated("q93_reconcile",
       s"""WITH snap AS (
          |  SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
@@ -347,14 +350,19 @@ object Cdc {
          |d AS (SELECT trans_id % 4 AS bucket,
          |        list_reduce(list_prepend(CAST(0 AS BIGINT),
          |          list_transform(list_filter(string_split(
-         |            concat_ws('|', trans_id, customer_id, event, sku,
-         |                      amount, device, trans_datetime), ''),
+         |            COALESCE(md5(CAST(trans_id AS VARCHAR)), repeat('0', 32))
+         |              || COALESCE(md5(customer_id), repeat('0', 32))
+         |              || COALESCE(md5(event), repeat('0', 32))
+         |              || COALESCE(md5(sku), repeat('0', 32))
+         |              || COALESCE(md5(CAST(amount AS VARCHAR)), repeat('0', 32))
+         |              || COALESCE(md5(device), repeat('0', 32))
+         |              || COALESCE(md5(trans_datetime), repeat('0', 32)), ''),
          |            x -> x <> ''), x -> CAST(ascii(x) AS BIGINT))),
          |          (acc, x) -> (acc * 31 + x) % 1000000007) AS dg
          |      FROM snap)
          |SELECT CAST(bucket AS BIGINT) AS bucket,
          |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |       CAST(SUM(dg) AS BIGINT) AS checksum,
+         |       CAST(SUM(dg) AS DECIMAL(38,0)) AS checksum,
          |       CAST(0 AS BIGINT) AS n_mismatch,
          |       CAST(0 AS BIGINT) AS n_missing,
          |       CAST(0 AS BIGINT) AS n_extra

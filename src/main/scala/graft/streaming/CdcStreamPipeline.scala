@@ -129,6 +129,14 @@ object CdcStreamPipeline {
     // would swallow a sibling table's change as a redelivery.
     val main = parsed
       .filter(!Envelope.corrupt && col("event_ts").isNotNull)
+      // selection BEFORE the watermark/dedup: the rules are per-row and
+      // stateless, and an unselected record reaches neither sink — so
+      // letting it through would only occupy dedup state and the
+      // stateful shuffle for the full lateness horizon for zero benefit
+      // (a fan-in where the selected table is a small traffic fraction
+      // would otherwise inflate state by the unselected majority).
+      // sinkBatch keeps its own (idempotent) filter for direct callers.
+      .filter(Envelope.selection(rules))
       .withColumn("sch", col("metadata.`schema-name`"))
       .withColumn("tbl", col("metadata.`table-name`"))
       .withColumn("pk", col("data.trans_id"))
@@ -313,8 +321,11 @@ object CdcStreamPipeline {
                            serving: String): Seq[Long] = {
     val root = new Path(serving)
     if (!fs.exists(root)) Seq.empty
+    // toLongOption: a stray non-numeric `v=` entry (operator debris) must
+    // be ignored, not crash-loop every micro-batch from this parse
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption)
   }
 
   private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,

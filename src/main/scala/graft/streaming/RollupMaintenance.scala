@@ -91,8 +91,11 @@ object RollupMaintenance {
                            dir: String): Seq[Long] = {
     val root = new Path(dir)
     if (!fs.exists(root)) Seq.empty
+    // toLongOption: stray non-numeric `v=` debris is ignored, not a
+    // crash loop (CdcStreamPipeline.listVersions applies the same rule)
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.stripPrefix("v=").toLong)
+      .filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption)
   }
 
   private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,

@@ -104,6 +104,14 @@ class CdcSpec extends SparkTestBase {
     val c = parsed.filter(Envelope.corrupt).count()
     val nc = parsed.filter(!Envelope.corrupt).count()
     assert(c + nc === lines.size.toLong)
+
+    // a data record with NO operation is corrupt (DLQ), not a silent
+    // delete-by-omission: `op =!= 'delete'` would go three-valued and
+    // drop it from serving while the stateful materializer kept it live
+    val noOp = Envelope.parseLines(Seq(
+      """{"data": {"trans_id": 9}, "metadata": {"record-type": "data", "timestamp": "2022-01-01T00:00:00.000000Z", "transaction-id": 5, "schema-name": "testdb", "table-name": "retail_trans"}}""")
+      .toDF("value"))
+    assert(noOp.filter(Envelope.corrupt).count() === 1)
   }
 
   test("materialized snapshot equals a sequential fold of the changelog") {
@@ -214,6 +222,14 @@ class CdcSpec extends SparkTestBase {
       SourceFilter("no_such_column", Seq(FilterCondition("eq", "x")))
     }
     intercept[IllegalArgumentException] { SourceFilter("amount", Nil) }
+    // a type-invalid value must fail at selection() build (what start()
+    // calls eagerly), not as an ANSI cast error at batch 0 of a running
+    // stream
+    intercept[IllegalArgumentException] {
+      Envelope.selection(Seq(SelectionRule("testdb", "retail_trans",
+        filters = Seq(SourceFilter("amount",
+          Seq(FilterCondition("eq", "12x")))))))
+    }
   }
 
   test("schema drift is surfaced, not silently nulled: added/renamed fields are listed per record") {

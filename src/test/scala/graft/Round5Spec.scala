@@ -56,6 +56,24 @@ class Round5Spec extends SparkTestBase {
     assert(rep(999999L % 4)._3 == 1L, "extra not in the phantom key's bucket")
   }
 
+  test("reconcile digest is injective over NULL swaps and delimiter-bearing values") {
+    // ("a", NULL) vs (NULL, "a") rendered identically under the old
+    // '|'-join (concat_ws skips NULLs) and certified a corrupted replica
+    // healthy; same for values forging the delimiter ("a|b", NULL) vs
+    // ("a", "b"). The per-column md5 rendering must flag BOTH as
+    // mismatches.
+    val truth = Seq((1L, Option("a"), Option.empty[String]),
+        (2L, Option("a|b"), Option.empty[String]))
+      .toDF("k", "c1", "c2")
+    val replica = Seq((1L, Option.empty[String], Option("a")),
+        (2L, Option("a"), Option("b")))
+      .toDF("k", "c1", "c2")
+    val rep = Reconcile.reconcile(replica, truth, "k", Seq("c1", "c2"),
+        buckets = 1)
+      .select("n_mismatch").collect()(0).getLong(0)
+    assert(rep === 2L, "NULL-swap / delimiter forgery must not digest equal")
+  }
+
   test("heavy hitters: MG candidates ⊇ exact heavy hitters, exact() == model, random streams") {
     val streams = Gen.listOfN(400,
       Gen.frequency((6, Gen.oneOf("a", "b")), (4, Gen.choose(0, 50).map("w" + _))))
