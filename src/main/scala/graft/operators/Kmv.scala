@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** KMV (k-minimum-values) / bottom-k sketch as a RELATION — the mergeable
+  * SAMPLING sketch completing the approximate shelf next to HLL (distinct
+  * counts, q11b), Misra-Gries (top-k items, q98) and Count-Min
+  * (frequencies, q111). Per group, the sketch keeps the k DISTINCT keys
+  * with the smallest hash values; because the hash is a pure function of
+  * the key, that set is simultaneously
+  *   - a uniform random sample of the group's distinct keys that is
+  *     REPRODUCIBLE and append-stable (re-running over a grown corpus
+  *     never swaps an old survivor for a different equal-rank one — the
+  *     q66 determinism contract, in bottom-k form: fixed SIZE per group
+  *     instead of fixed RATE), and
+  *   - a distinct-cardinality estimator: k keys occupying the hash-ring
+  *     prefix [0, h_k] witness ≈ (k-1)/h_k keys on the whole ring
+  *     (Bar-Yossef et al., "Counting distinct elements in a data
+  *     stream", RANDOM 2002).
+  *
+  * Why a relation: every sketch property is a plan property.
+  *   - BUILD is the exact-distinct pass every dedup operator already
+  *     pays (map-side-combined, q35's shape) followed by a rank-filter
+  *     window that Spark executes as WindowGroupLimit — each map task
+  *     truncates to ≤ k rows per group BEFORE the exchange, so the
+  *     second shuffle carries sketch rows, not distinct keys;
+  *   - MERGE exploits that bottom-k is a semilattice:
+  *     bottomK(A ∪ B) = bottomK(bottomK(A) ∪ bottomK(B)) — per-shard /
+  *     per-day sketches fold by re-ranking their union (≤ k·shards rows,
+  *     never the data); a key present in several shards hashes
+  *     identically everywhere, so the union dedupes by (grp, key);
+  *   - ESTIMATE reads k and h_k off the sketch rows alone.
+  *
+  * The hash is md5 hex — deterministic, session-independent, and
+  * rendered identically by other engines, so a bottom-k sample is
+  * bit-reproducible cross-engine (the q63/q66 mechanism). The sketch
+  * carries its own `k` column so merges can never silently fold
+  * sketches built with different k (the CountMin width lesson). */
+object Kmv {
+
+  /** Hash-ring position of a key: md5 hex of its string rendering. */
+  def hashOf(key: Column): Column = md5(key.cast("string"))
+
+  /** First 13 hex chars = 52 bits → exact in a double: position in [0,1). */
+  private def frac(h: Column): Column =
+    conv(substring(h, 1, 13), 16, 10).cast("long") / lit(4503599627370496.0)
+
+  private def bottomK(withH: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("grp").orderBy(col("h"), col("key"))
+    withH.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .withColumn("k", lit(k))
+      .select("grp", "key", "h", "rn", "k")
+  }
+
+  /** Build the sketch `(grp, key, h, rn, k)` — the k distinct keys with
+    * the smallest hashes per group, rn ∈ 1..k in hash order. Groups with
+    * fewer than k distinct keys keep all of them (and the estimator
+    * returns their exact count). */
+  def build(df: DataFrame, groupCol: String, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the estimator reads the k-th minimum), got $k")
+    val pairs = df.select(col(groupCol).as("grp"), col(keyCol).as("key"))
+      .where(col("key").isNotNull)
+      .distinct()
+    bottomK(pairs.withColumn("h", hashOf(col("key"))), k)
+  }
+
+  /** Fold sketches built with the SAME k into one — re-rank the deduped
+    * union (bottom-k is a semilattice). Mismatched k fails loudly. */
+  def merge(sketches: DataFrame*): DataFrame = {
+    val all = sketches.reduce(_ unionAll _)
+    val r = all.agg(countDistinct(col("k")).as("nk"), max(col("k")).as("k"))
+      .collect().head
+    require(r.getLong(0) == 1L,
+      s"sketches built with ${r.getLong(0)} different k values — merge " +
+        "only sketches sharing k")
+    bottomK(all.select("grp", "key", "h").dropDuplicates("grp", "key"),
+      r.getInt(1))
+  }
+
+  /** Distinct-count estimate per group, from sketch rows alone: exact
+    * when the group yielded fewer than k keys (the sketch IS its
+    * distinct set), else (k-1)/h_k. Relative standard error ≈
+    * 1/sqrt(k-2). */
+  def estimateDistinct(sketch: DataFrame): DataFrame =
+    sketch.groupBy("grp")
+      .agg(count(lit(1)).as("n_keys"), max(col("k")).as("kk"),
+        max(frac(col("h"))).as("hk"))
+      .select(col("grp"),
+        when(col("n_keys") < col("kk"), col("n_keys").cast("double"))
+          .otherwise((col("kk") - lit(1)).cast("double") / col("hk"))
+          .as("est"))
+}

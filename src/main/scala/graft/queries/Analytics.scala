@@ -660,6 +660,56 @@ object Analytics {
         .select(col("user_id"), col("n_exact"), col("ge_ok"),
           (col("excess") <= lit(4.0 * n / width)).cast("long").as("bound_ok"))
         .orderBy(col("n_exact").desc, col("user_id"))
+    },
+
+    // ---- KMV / bottom-k sketch (operators/Kmv), sample leg: the k
+    //      distinct keys with the smallest md5 hashes per group — a
+    //      uniform per-group sample of FIXED SIZE (q66 keeps a fixed
+    //      RATE) that is reproducible, append-stable, and mergeable
+    //      across shards (bottom-k is a semilattice). The hash is a pure
+    //      cross-engine function, so the gate is EXACT: both engines
+    //      must pick the same 4 docs per language in the same order.
+    //      Scale: the distinct pass is map-side-combined; the rank
+    //      filter runs as WindowGroupLimit (PlanSpec-pinned), so the
+    //      window exchange carries ≤ k rows per group per task. ----
+    gated("q112_kmv_sample",
+      """WITH d AS (SELECT DISTINCT lang, doc_id FROM documents
+        |           WHERE doc_id IS NOT NULL),
+        |r AS (SELECT lang, doc_id,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM d)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id
+        |FROM r WHERE rn <= 4 ORDER BY lang, rn""") { (s, d) =>
+      graft.operators.Kmv.build(Tables.documents(s, d), "lang", "doc_id", k = 4)
+        .select(col("grp").as("lang"), col("rn").cast("long").as("rn"),
+          col("key").as("doc_id"))
+        .orderBy("lang", "rn")
+    },
+
+    // ---- KMV estimator leg (q11b verdict pattern): the same sketch at
+    //      k = 256 estimates per-language distinct doc counts as
+    //      (k-1)/h_k. The exact counts are the oracle-checked payload;
+    //      the sketch contributes a within-tolerance verdict (relative
+    //      standard error ≈ 1/sqrt(k-2) ≈ 6.3%; measured worst 8.8% at
+    //      sf0.1 and EXACT at sf ≤ 0.01 where every language has < k
+    //      distinct docs — the sketch is then the distinct set itself —
+    //      so the 0.20 bound carries > 2× headroom; deterministic hash,
+    //      fixed data). ----
+    gated("q112b_kmv_distinct",
+      """SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_exact,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      import graft.operators.Kmv
+      val docs = Tables.documents(s, d)
+      val est = Kmv.estimateDistinct(Kmv.build(docs, "lang", "doc_id", k = 256))
+      docs.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("d_exact"))
+        .join(est, col("lang") === col("grp"))
+        .select(col("lang"), col("d_exact"),
+          (abs(col("est") - col("d_exact")) <= col("d_exact") * lit(0.20))
+            .cast("long").as("est_ok"))
+        .orderBy("lang")
     }
   )
 }

@@ -39,6 +39,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q112: KMV build bounds the window exchange (WindowGroupLimit) over a partial-agg distinct") {
+    val p = planOf("q112_kmv_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"bottom-k lost its map-side group limit:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"distinct pass lost its partial aggregation:\n$p")
+  }
+
   test("q20: global sort+limit compiles to TakeOrderedAndProject") {
     assert(planOf("q20_global_sort_limit").contains("TakeOrderedAndProject"))
   }

@@ -412,4 +412,59 @@ class PropertySpec extends SparkTestBase {
       assert(got === exp, s"round $round phrase $phrase")
     }
   }
+
+  test("KMV bottom-k: model parity, merge semilattice, estimator bounds, random keys") {
+    import graft.operators.Kmv
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    samples(Gen.listOfN(400, Gen.zip(Gen.oneOf("g1", "g2"),
+      Gen.choose(0L, 120L))), 6).foreach { xs =>
+      val df = xs.toDF("grp", "key")
+      val sk = Kmv.build(df, "grp", "key", k = 8).localCheckpoint()
+
+      // sample == the Scala model: per group, the 8 distinct keys with
+      // the smallest md5 hex renderings, in hash order
+      val got = sk.collect()
+        .map(r => (r.getString(0), r.getInt(3)) -> r.getLong(1)).toMap
+      val exp = xs.distinct.groupBy(_._1).flatMap { case (g, ks) =>
+        ks.map(_._2).distinct.sortBy(k => (md5hex(k.toString), k)).take(8)
+          .zipWithIndex.map { case (k, i) => (g, i + 1) -> k }
+      }
+      assert(got === exp)
+
+      // semilattice: folding per-shard sketches == sketching the union
+      // (shards overlap: a key on both sides must dedupe, not double-fill)
+      val (a, b) = xs.splitAt(xs.size / 3)
+      val merged = Kmv.merge(Kmv.build(a.toDF("grp", "key"), "grp", "key", 8),
+        Kmv.build(b.toDF("grp", "key"), "grp", "key", 8))
+      assert(merged.collect().map(r => (r.getString(0), r.getInt(3)) -> r.getLong(1)).toMap
+        === got, "merge of shard sketches must equal the whole-data sketch")
+
+      // estimator: k ≥ distinct → exact; k = 8 over ≤ 121 keys → the
+      // 4σ bound (σ ≈ 1/sqrt(k-2) ≈ 41%) holds for every sampled stream
+      val exactD = xs.distinct.groupBy(_._1).map { case (g, ks) =>
+        g -> ks.map(_._2).distinct.size.toDouble
+      }
+      val estBig = Kmv.estimateDistinct(Kmv.build(df, "grp", "key", 1000))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exactD.foreach { case (g, d) => assert(estBig(g) === d, s"k≫d must be exact ($g)") }
+      val est8 = Kmv.estimateDistinct(sk)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exactD.foreach { case (g, d) =>
+        assert(math.abs(est8(g) - d) <= 4.0 / math.sqrt(6.0) * d + 1.0,
+          s"group $g: est ${est8(g)} vs exact $d out of 4σ")
+      }
+    }
+
+    // mismatched k folds into garbage ranks — must fail loudly
+    val s1 = Kmv.build(Seq(("g", 1L)).toDF("grp", "key"), "grp", "key", 4)
+    val s2 = Kmv.build(Seq(("g", 2L)).toDF("grp", "key"), "grp", "key", 8)
+    intercept[IllegalArgumentException] { Kmv.merge(s1, s2).collect() }
+    // (plan shape — WindowGroupLimit + partial distinct agg — is pinned
+    // on the real parquet-backed gate in PlanSpec: tiny LocalRelations
+    // legitimately skip the group-limit rule)
+  }
 }
