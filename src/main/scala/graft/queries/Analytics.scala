@@ -710,6 +710,65 @@ object Analytics {
           (abs(col("est") - col("d_exact")) <= col("d_exact") * lit(0.20))
             .cast("long").as("est_ok"))
         .orderBy("lang")
+    },
+
+    // ---- Priority sampling (operators/PrioritySample), sample leg: the
+    //      WEIGHTED counterpart of q112 — keep the k keys with the
+    //      highest priority w/u per group, the length-/quality-weighted
+    //      corpus subsample. No transcendentals (exponential-reservoir
+    //      ranks on u^(1/w) — not bit-portable, the q81 lesson): w/u is
+    //      ONE IEEE division, correctly rounded identically on both
+    //      engines, so the gate pins the EXACT sample — both engines
+    //      must draw the same 8 docs per language in the same order.
+    //      Same plan shape as q112 (WindowGroupLimit, PlanSpec). ----
+    gated("q114_priority_sample",
+      """WITH d AS (SELECT lang, doc_id, MAX(n_chars) AS w FROM documents
+        |           WHERE doc_id IS NOT NULL AND n_chars > 0
+        |           GROUP BY lang, doc_id),
+        |r AS (SELECT lang, doc_id, w,
+        |        row_number() OVER (PARTITION BY lang
+        |          ORDER BY CAST(w AS DOUBLE) /
+        |            (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+        |              / 4503599627370496.0) DESC, doc_id) AS rn
+        |      FROM d)
+        |SELECT lang, CAST(rn AS BIGINT) AS rn, doc_id, CAST(w AS BIGINT) AS w
+        |FROM r WHERE rn <= 8 ORDER BY lang, rn""") { (s, d) =>
+      import graft.operators.PrioritySample
+      PrioritySample.sample(
+          PrioritySample.build(Tables.documents(s, d), "lang", "doc_id",
+            "n_chars", k = 8))
+        .select(col("grp").as("lang"), col("rn").cast("long").as("rn"),
+          col("key").as("doc_id"), col("w").cast("long").as("w"))
+        .orderBy("lang", "rn")
+    },
+
+    // ---- Priority-sampling estimator leg (q11b verdict pattern): with
+    //      τ = the (k+1)-th priority, Σ max(w, τ) over the top k is an
+    //      UNBIASED estimate of the group's total weight (DLT, JACM
+    //      2007) — total character counts per language from 256 sample
+    //      rows. Exact totals are the oracle payload; the verdict pins
+    //      |est − Σw| ≤ 0.25·Σw (measured worst 8.1% at sf0.1 and 11.2%
+    //      on the 10× replicated corpus; exact at sf ≤ 0.01 where every
+    //      language has ≤ k docs — deterministic hash, fixed data). ----
+    gated("q114b_priority_total",
+      """SELECT lang, CAST(SUM(w) AS BIGINT) AS w_total,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM (SELECT lang, doc_id, MAX(n_chars) AS w FROM documents
+        |      WHERE doc_id IS NOT NULL AND n_chars > 0
+        |      GROUP BY lang, doc_id)
+        |GROUP BY lang ORDER BY lang""") { (s, d) =>
+      import graft.operators.PrioritySample
+      val docs = Tables.documents(s, d)
+      val est = PrioritySample.estimateTotal(
+        PrioritySample.build(docs, "lang", "doc_id", "n_chars", k = 256))
+      docs.filter(col("doc_id").isNotNull && col("n_chars") > 0)
+        .groupBy("lang", "doc_id").agg(max(col("n_chars")).as("w"))
+        .groupBy(col("lang")).agg(sum(col("w")).as("w_total"))
+        .join(est, col("lang") === col("grp"))
+        .select(col("lang"), col("w_total"),
+          (abs(col("est") - col("w_total")) <= col("w_total") * lit(0.25))
+            .cast("long").as("est_ok"))
+        .orderBy("lang")
     }
   )
 }

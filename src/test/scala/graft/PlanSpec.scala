@@ -39,12 +39,14 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("q112: KMV build bounds the window exchange (WindowGroupLimit) over a partial-agg distinct") {
-    val p = planOf("q112_kmv_sample")
-    assert(p.contains("WindowGroupLimit"),
-      s"bottom-k lost its map-side group limit:\n$p")
-    assert("HashAggregate".r.findAllIn(p).size >= 2,
-      s"distinct pass lost its partial aggregation:\n$p")
+  test("q112/q114: sketch builds bound the window exchange (WindowGroupLimit) over a partial agg") {
+    Seq("q112_kmv_sample", "q114_priority_sample").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q lost its map-side group limit:\n$p")
+      assert("HashAggregate".r.findAllIn(p).size >= 2,
+        s"$q: consolidation pass lost its partial aggregation:\n$p")
+    }
   }
 
   test("q20: global sort+limit compiles to TakeOrderedAndProject") {

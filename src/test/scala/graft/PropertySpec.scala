@@ -467,4 +467,70 @@ class PropertySpec extends SparkTestBase {
     // on the real parquet-backed gate in PlanSpec: tiny LocalRelations
     // legitimately skip the group-limit rule)
   }
+
+  test("priority sampling: model parity, merge semilattice, DLT estimator, random weights") {
+    import graft.operators.PrioritySample
+    import spark.implicits._
+    def u(key: Long): Double = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(key.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13), 16) / math.pow(2, 52)
+
+    samples(Gen.listOfN(300, Gen.zip(Gen.oneOf("g1", "g2"),
+      Gen.zip(Gen.choose(0L, 80L), Gen.choose(1L, 50L)))), 6).foreach { xs =>
+      val rows = xs.map { case (g, (k, w)) => (g, k, w) }
+      val df = rows.toDF("grp", "key", "w")
+      val sk = PrioritySample.build(df, "grp", "key", "w", k = 8)
+        .localCheckpoint()
+
+      // model: per group, consolidate to max(w) per key, rank by w/u
+      // desc (key tie-break), keep k+1
+      val model = rows.groupBy(_._1).flatMap { case (g, rs) =>
+        rs.groupBy(_._2).view.mapValues(_.map(_._3).max).toSeq
+          .sortBy { case (k, w) => (-(w.toDouble / u(k)), k) }.take(9)
+          .zipWithIndex.map { case ((k, w), i) => (g, i + 1) -> ((k, w.toDouble)) }
+      }
+      val got = sk.collect()
+        .map(r => (r.getString(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap
+      assert(got === model)
+
+      // semilattice: shard sketches fold to the whole-data sketch, with
+      // overlapping shards (same key+weight on both sides must dedupe)
+      val (a, b) = rows.splitAt(rows.size / 3)
+      val merged = PrioritySample.merge(
+        PrioritySample.build(a.toDF("grp", "key", "w"), "grp", "key", "w", 8),
+        PrioritySample.build((b ++ a.take(20)).toDF("grp", "key", "w"),
+          "grp", "key", "w", 8))
+      assert(merged.collect()
+        .map(r => (r.getString(0), r.getInt(3)) -> ((r.getLong(1), r.getDouble(2))))
+        .toMap === got, "merge of shard sketches must equal the whole-data sketch")
+
+      // estimator: k ≥ distinct → exact; k = 8 over ≤ 81 keys stays
+      // within a generous 4σ-style envelope for every sampled stream
+      val exactW = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.groupBy(_._2).view.mapValues(_.map(_._3).max).values.map(_.toDouble).sum
+      }
+      val estBig = PrioritySample.estimateTotal(
+          PrioritySample.build(df, "grp", "key", "w", 1000))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exactW.foreach { case (g, w) =>
+        assert(math.abs(estBig(g) - w) < 1e-6, s"k≫n must be exact ($g)") }
+      val est8 = PrioritySample.estimateTotal(sk)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      exactW.foreach { case (g, w) =>
+        assert(math.abs(est8(g) - w) <= 0.8 * w,
+          s"group $g: est ${est8(g)} vs exact $w out of envelope")
+      }
+    }
+
+    // mismatched k must fail loudly
+    val p1 = PrioritySample.build(Seq(("g", 1L, 2L)).toDF("grp", "key", "w"),
+      "grp", "key", "w", 4)
+    val p2 = PrioritySample.build(Seq(("g", 2L, 2L)).toDF("grp", "key", "w"),
+      "grp", "key", "w", 8)
+    intercept[IllegalArgumentException] {
+      PrioritySample.merge(p1, p2).collect()
+    }
+  }
 }
