@@ -179,13 +179,14 @@ object Envelope {
     // lit(s).cast(dt) passes start()'s eager selection(rules) check and
     // then throws CAST_INVALID_INPUT (ANSI) inside foreachBatch at batch
     // 0 — crash-looping the running query the eager check exists to
-    // protect. Numeric columns are the only non-string envelope types.
+    // protect. The actual ANSI cast is evaluated here rather than
+    // per-type checks, so every type dataSchema can ever hold stays
+    // covered (a widened DecimalType column would silently dodge an
+    // enumerated LongType/IntegerType match).
     def v(s: String): Column = {
-      val ok = dt match {
-        case org.apache.spark.sql.types.LongType    => s.trim.toLongOption.isDefined
-        case org.apache.spark.sql.types.IntegerType => s.trim.toIntOption.isDefined
-        case _ => true
-      }
+      import org.apache.spark.sql.catalyst.expressions.{Cast, EvalMode, Literal}
+      val ok = scala.util.Try(
+        Cast(Literal(s), dt, Some("UTC"), EvalMode.ANSI).eval()).isSuccess
       require(ok, s"source filter on '${f.columnName}' (${dt.simpleString}): " +
         s"value '$s' is not castable — fix the rule, it would otherwise " +
         "fail the stream at batch 0")
@@ -245,13 +246,18 @@ object Envelope {
     selection(Seq(SelectionRule(schemaName, tableName)))
 
   /** Parsed + selected changelog of retail_trans from the checked-in
-    * fixture — the batch entry point for D-Q32/33/34. */
+    * fixture — the batch entry point for D-Q32/33/34. Corrupt records
+    * (including data records with no operation) are EXCLUDED — the batch
+    * counterpart of the stream's DLQ split, so Materialize can never see
+    * the null-operation rows whose three-valued `op =!= 'delete'` would
+    * silently drop them while the stateful materializer kept them live. */
   def changelog(spark: SparkSession, path: String): DataFrame =
-    parse(spark, path).filter(selection()).drop("value")
+    parse(spark, path).filter(!corrupt && selection()).drop("value")
 
   /** Parsed + selected changelog over an existing line DataFrame — works
     * for batch AND streaming inputs (from_json/filter are per-row, so the
-    * same plan runs under either execution mode). */
+    * same plan runs under either execution mode). Excludes corrupt
+    * records like the path-based overload. */
   def changelog(lines: DataFrame): DataFrame =
-    parseLines(lines).filter(selection()).drop("value")
+    parseLines(lines).filter(!corrupt && selection()).drop("value")
 }

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
   */
 object Materialize {
 
-  /** Latest non-delete row image per primary key. Input: a parsed, selected
-    * changelog (Envelope.changelog). Output columns: data.* flattened. */
+  /** Latest non-delete row image per primary key. Input: a parsed,
+    * selected, CORRUPT-FREE changelog (Envelope.changelog enforces all
+    * three) — a null-operation record here would go three-valued in the
+    * delete filter and silently vanish, which is exactly what the
+    * changelog's `!corrupt` filter routes to the DLQ instead. Output
+    * columns: data.* flattened. */
   def snapshot(changelog: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("data.trans_id"))
       .orderBy(col("metadata.timestamp").desc, col("metadata.`transaction-id`").desc)

@@ -63,9 +63,13 @@ object CountMin {
 
   /** Fold sketches built with the SAME (depth, width) into one — counts
     * are additive, so merge is a cell-wise sum. Mismatched widths fail
-    * loudly instead of folding into garbage cells. */
+    * loudly instead of folding into garbage cells; an all-empty union
+    * (every shard had zero rows) merges to the empty sketch. The union
+    * is checkpointed so the width check and the cell sum execute each
+    * input's build aggregation ONCE (the Kmv.merge rule). */
   def merge(sketches: DataFrame*): DataFrame = {
-    val all = sketches.reduce(_ unionAll _)
+    val all = sketches.reduce(_ unionAll _).localCheckpoint()
+    if (all.isEmpty) return all
     params(all) // loud width-mismatch check
     all.groupBy("depth", "bucket", "width").agg(sum("cnt").as("cnt"))
       .select("depth", "bucket", "cnt", "width")

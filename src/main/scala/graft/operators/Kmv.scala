@@ -43,8 +43,10 @@ object Kmv {
   /** Hash-ring position of a key: md5 hex of its string rendering. */
   def hashOf(key: Column): Column = md5(key.cast("string"))
 
-  /** First 13 hex chars = 52 bits → exact in a double: position in [0,1). */
-  private def frac(h: Column): Column =
+  /** First 13 hex chars = 52 bits → exact in a double: position in [0,1).
+    * Shared with PrioritySample — both operators' cross-engine gates pin
+    * this exact conversion, so there is exactly one copy of it. */
+  private[operators] def frac(h: Column): Column =
     conv(substring(h, 1, 13), 16, 10).cast("long") / lit(4503599627370496.0)
 
   private def bottomK(withH: DataFrame, k: Int): DataFrame = {
@@ -68,11 +70,16 @@ object Kmv {
   }
 
   /** Fold sketches built with the SAME k into one — re-rank the deduped
-    * union (bottom-k is a semilattice). Mismatched k fails loudly. */
+    * union (bottom-k is a semilattice). Mismatched k fails loudly; an
+    * all-empty union (every shard had zero rows) merges to the empty
+    * sketch. The union is checkpointed so the k-check and the re-rank
+    * execute each input sketch's build lineage ONCE, not twice — sketch
+    * rows are ≤ k·groups·shards, the builds above them are not. */
   def merge(sketches: DataFrame*): DataFrame = {
-    val all = sketches.reduce(_ unionAll _)
+    val all = sketches.reduce(_ unionAll _).localCheckpoint()
     val r = all.agg(countDistinct(col("k")).as("nk"), max(col("k")).as("k"))
       .collect().head
+    if (r.getLong(0) == 0L) return all
     require(r.getLong(0) == 1L,
       s"sketches built with ${r.getLong(0)} different k values — merge " +
         "only sketches sharing k")

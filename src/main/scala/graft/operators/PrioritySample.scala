@@ -37,10 +37,9 @@ import org.apache.spark.sql.functions._
   * width lesson). */
 object PrioritySample {
 
-  /** Hash position u ∈ [0, 1): first 52 bits of md5, exact in a double. */
-  private def fracOf(key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 13), 16, 10).cast("long") /
-      lit(4503599627370496.0)
+  /** Hash position u ∈ [0, 1): first 52 bits of md5, exact in a double
+    * (Kmv's conversion — one copy, both gates pin its exact bits). */
+  private def fracOf(key: Column): Column = Kmv.frac(Kmv.hashOf(key))
 
   /** Build the sketch `(grp, key, w, rn, k)`: the k+1 keys with the
     * highest priorities w / u per group, rn ∈ 1..k+1 in priority order
@@ -73,11 +72,14 @@ object PrioritySample {
 
   /** Fold sketches built with the SAME k — re-rank the deduped union
     * (a key present in several shards hashes and weighs identically,
-    * so dedupe keeps max(w) like build). Mismatched k fails loudly. */
+    * so dedupe keeps max(w) like build). Mismatched k fails loudly; an
+    * all-empty union merges to the empty sketch. Checkpointed like
+    * Kmv.merge: the k-check and the re-rank run the input builds ONCE. */
   def merge(sketches: DataFrame*): DataFrame = {
-    val all = sketches.reduce(_ unionAll _)
+    val all = sketches.reduce(_ unionAll _).localCheckpoint()
     val r = all.agg(countDistinct(col("k")).as("nk"), max(col("k")).as("k"))
       .collect().head
+    if (r.getLong(0) == 0L) return all
     require(r.getLong(0) == 1L,
       s"sketches built with ${r.getLong(0)} different k values — merge " +
         "only sketches sharing k")

@@ -703,12 +703,16 @@ object Analytics {
       import graft.operators.Kmv
       val docs = Tables.documents(s, d)
       val est = Kmv.estimateDistinct(Kmv.build(docs, "lang", "doc_id", k = 256))
+      // left + null-safe: a group whose keys are all NULL has no sketch
+      // row (build drops null keys) but the exact side still emits it
+      // with d_exact = 0 — est coalesces to 0 so the verdict holds
+      // instead of the inner join silently dropping what the oracle keeps
       docs.groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).as("d_exact"))
-        .join(est, col("lang") === col("grp"))
+        .join(est, col("lang") <=> col("grp"), "left")
         .select(col("lang"), col("d_exact"),
-          (abs(col("est") - col("d_exact")) <= col("d_exact") * lit(0.20))
-            .cast("long").as("est_ok"))
+          (abs(coalesce(col("est"), lit(0.0)) - col("d_exact")) <=
+            col("d_exact") * lit(0.20)).cast("long").as("est_ok"))
         .orderBy("lang")
     },
 
@@ -761,13 +765,14 @@ object Analytics {
       val docs = Tables.documents(s, d)
       val est = PrioritySample.estimateTotal(
         PrioritySample.build(docs, "lang", "doc_id", "n_chars", k = 256))
+      // left + null-safe for the same reason as q112b (NULL lang groups)
       docs.filter(col("doc_id").isNotNull && col("n_chars") > 0)
         .groupBy("lang", "doc_id").agg(max(col("n_chars")).as("w"))
         .groupBy(col("lang")).agg(sum(col("w")).as("w_total"))
-        .join(est, col("lang") === col("grp"))
+        .join(est, col("lang") <=> col("grp"), "left")
         .select(col("lang"), col("w_total"),
-          (abs(col("est") - col("w_total")) <= col("w_total") * lit(0.25))
-            .cast("long").as("est_ok"))
+          (abs(coalesce(col("est"), lit(0.0)) - col("w_total")) <=
+            col("w_total") * lit(0.25)).cast("long").as("est_ok"))
         .orderBy("lang")
     }
   )

@@ -112,6 +112,18 @@ class CdcSpec extends SparkTestBase {
       """{"data": {"trans_id": 9}, "metadata": {"record-type": "data", "timestamp": "2022-01-01T00:00:00.000000Z", "transaction-id": 5, "schema-name": "testdb", "table-name": "retail_trans"}}""")
       .toDF("value"))
     assert(noOp.filter(Envelope.corrupt).count() === 1)
+
+    // and the BATCH path enforces it too: changelog() excludes corrupt
+    // records, so Materialize never sees the null-op row — batch snapshot
+    // and the (DLQ-fed) stateful materializer agree on excluding it
+    val mixed = Envelope.changelog(Seq(
+      """{"data": {"trans_id": 9}, "metadata": {"record-type": "data", "timestamp": "2022-01-01T00:00:00.000000Z", "transaction-id": 5, "schema-name": "testdb", "table-name": "retail_trans"}}""",
+      """{"data": {"trans_id": 10, "customer_id": "c", "event": "visit", "sku": "s", "amount": 1, "device": "pc", "trans_datetime": "2022-01-01 00:00:00"}, "metadata": {"record-type": "data", "operation": "insert", "timestamp": "2022-01-01T00:00:00.000000Z", "transaction-id": 6, "schema-name": "testdb", "table-name": "retail_trans"}}""")
+      .toDF("value"))
+    assert(mixed.count() === 1, "changelog must exclude corrupt records")
+    val snap = Materialize.snapshot(mixed).select("trans_id").collect().map(_.getLong(0))
+    assert(snap.toSeq === Seq(10L),
+      "the null-op row must be DLQ-excluded, not silently delete-by-omission")
   }
 
   test("materialized snapshot equals a sequential fold of the changelog") {

@@ -532,5 +532,17 @@ class PropertySpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       PrioritySample.merge(p1, p2).collect()
     }
+
+    // merging legitimately-empty shard sketches (a day with zero rows)
+    // is the empty sketch, not an error — for all three sketch families
+    import graft.operators.{CountMin, Kmv}
+    val noRows = Seq.empty[(String, Long, Long)].toDF("grp", "key", "w")
+    assert(PrioritySample.merge(
+      PrioritySample.build(noRows, "grp", "key", "w", 4),
+      PrioritySample.build(noRows, "grp", "key", "w", 4)).count() === 0)
+    assert(Kmv.merge(Kmv.build(noRows, "grp", "key", 4),
+      Kmv.build(noRows, "grp", "key", 4)).count() === 0)
+    assert(CountMin.merge(CountMin.build(noRows.filter(col("key") > 0), "key"),
+      CountMin.build(noRows.filter(col("key") > 0), "key")).count() === 0)
   }
 }
