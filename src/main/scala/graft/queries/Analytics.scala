@@ -774,6 +774,42 @@ object Analytics {
           (abs(coalesce(col("est"), lit(0.0)) - col("w_total")) <=
             col("w_total") * lit(0.25)).cast("long").as("est_ok"))
         .orderBy("lang")
+    },
+
+    // ---- HLL sketch (operators/Hll): the PERSISTABLE distinct-count
+    //      sketch — q11b answers one approx-distinct query inline; this
+    //      makes the sketch a first-class binary column (DataSketches
+    //      HLL), so per-shard sketches persist to parquet and roll up
+    //      WITHOUT re-scanning data. The gate exercises exactly that
+    //      path: the corpus is split into two disjoint shards, each
+    //      builds its own sketch, and the estimate reads the FOLDED
+    //      sketch — so build, merge, and estimate are all oracle-gated.
+    //      Exact counts are the payload (q11b verdict pattern; the
+    //      register blob is DataSketches-specific, not cross-engine);
+    //      the verdict pins |est − exact| ≤ 0.10·exact (RSE ≈ 1.6% at
+    //      lgK = 12; measured via tools/HllErr: worst 2.91% at sf0.1,
+    //      2.99% at 10×, 2.86% at 100×, and EXACT at sf ≤ 0.01 where
+    //      groups stay in sparse mode — > 3× headroom at every scale;
+    //      deterministic: registers are per-bucket maxima of a fixed
+    //      hash set, identical under any shard split). ----
+    gated("q115_hll_distinct",
+      """SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_exact,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      import graft.operators.Hll
+      val docs = Tables.documents(s, d)
+      val shard = pmod(abs(hash(col("doc_id"))), lit(2))
+      val est = Hll.estimateDistinct(Hll.merge(
+        Hll.build(docs.filter(shard === 0), "lang", "doc_id"),
+        Hll.build(docs.filter(shard === 1), "lang", "doc_id")))
+      // left + null-safe for the same reason as q112b (NULL lang groups)
+      docs.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("d_exact"))
+        .join(est, col("lang") <=> col("grp"), "left")
+        .select(col("lang"), col("d_exact"),
+          (abs(coalesce(col("est"), lit(0.0)) - col("d_exact")) <=
+            col("d_exact") * lit(0.10)).cast("long").as("est_ok"))
+        .orderBy("lang")
     }
   )
 }

@@ -545,4 +545,57 @@ class PropertySpec extends SparkTestBase {
     assert(CountMin.merge(CountMin.build(noRows.filter(col("key") > 0), "key"),
       CountMin.build(noRows.filter(col("key") > 0), "key")).count() === 0)
   }
+
+  test("HLL sketch: merge == rebuild, parquet round-trip, accuracy, loud lgK mismatch") {
+    import graft.operators.Hll
+    import spark.implicits._
+    // 750 distinct keys per group, each seen multiple times
+    val rows = (1L to 4000L).map(i => (if (i % 2 == 0) "g1" else "g2", i % 1500))
+    val df = rows.toDF("grp", "key")
+
+    val whole = Hll.build(df, "grp", "key").localCheckpoint()
+    // map-side combine is the scale contract: one sketch per group
+    // leaves each task, keys never cross the exchange
+    assert(Hll.build(df, "grp", "key").queryExecution.executedPlan.toString
+      .contains("partial_hll_sketch_agg"),
+      "HLL build must partial-aggregate before the shuffle")
+    val exact = df.distinct().groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val estW = Hll.estimateDistinct(whole).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    exact.foreach { case (g, d) =>
+      assert(math.abs(estW(g) - d) <= 0.05 * d,
+        s"group $g: est ${estW(g)} vs exact $d out of 5%")
+    }
+
+    // merge of shards == rebuild over the union: registers are
+    // per-bucket maxima of the same hash set, identical under any split
+    val (a, b) = rows.splitAt(rows.size / 3)
+    val estOf = (sk: org.apache.spark.sql.DataFrame) =>
+      Hll.estimateDistinct(sk).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(estOf(Hll.merge(
+        Hll.build(a.toDF("grp", "key"), "grp", "key"),
+        Hll.build(b.toDF("grp", "key"), "grp", "key"))) === estW,
+      "merged shard sketches must estimate exactly like the whole-data sketch")
+
+    // the 100 TB story: yesterday's sketch persists to parquet and today's
+    // batch folds into it FROM DISK — no re-scan of yesterday's data
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll").toString
+    Hll.build(a.toDF("grp", "key"), "grp", "key")
+      .write.mode("overwrite").parquet(dir)
+    assert(estOf(Hll.merge(spark.read.parquet(dir),
+        Hll.build(b.toDF("grp", "key"), "grp", "key"))) === estW,
+      "a parquet round-trip must not change the fold")
+
+    // mismatched precision must fail loudly at the driver
+    val s1 = Hll.build(Seq(("g", 1L)).toDF("grp", "key"), "grp", "key", lgK = 12)
+    val s2 = Hll.build(Seq(("g", 2L)).toDF("grp", "key"), "grp", "key", lgK = 14)
+    intercept[IllegalArgumentException] { Hll.merge(s1, s2).collect() }
+
+    // empty merge → empty sketch, like the other three families
+    val none = Seq.empty[(String, Long)].toDF("grp", "key")
+    assert(Hll.merge(Hll.build(none, "grp", "key"),
+      Hll.build(none, "grp", "key")).count() === 0)
+  }
 }
