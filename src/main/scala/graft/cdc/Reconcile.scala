@@ -55,9 +55,13 @@ object Reconcile {
         // DECIMAL(38,0) accumulator: digests average ~5e8, so a BIGINT
         // sum overflows past ~1.8e10 rows per bucket — exactly the
         // 100 TB table this operator exists for (ANSI would throw;
-        // non-ANSI would wrap while the recomputing engine does not)
+        // non-ANSI would wrap while the recomputing engine does not).
+        // Rendered as STRING at the boundary: wide-decimal surface
+        // renderings diverge across engines/versions, and a checksum is
+        // compared, never arithmetic'd, downstream.
         sum(coalesce(col("ldg"), lit(0L))
-          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("checksum"),
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("string").as("checksum"),
         sum(when(col("k").isNotNull && col("rk").isNotNull &&
           col("ldg") =!= col("rdg"), 1L).otherwise(0L)).as("n_mismatch"),
         sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_missing"),

@@ -332,7 +332,9 @@ object Cdc {
     //      width per column, so NULL-skips and delimiter forgery cannot
     //      make different rows digest equal. Checksum = DECIMAL(38,0)
     //      sum of the digests (a BIGINT sum overflows past ~1.8e10 rows
-    //      per bucket — the 100 TB design point). ----
+    //      per bucket — the 100 TB design point), rendered VARCHAR at
+    //      the boundary so wide-decimal surface renderings can never
+    //      diverge across engine versions. ----
     gated("q93_reconcile",
       s"""WITH snap AS (
          |  SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
@@ -362,7 +364,7 @@ object Cdc {
          |      FROM snap)
          |SELECT CAST(bucket AS BIGINT) AS bucket,
          |       CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |       CAST(SUM(dg) AS DECIMAL(38,0)) AS checksum,
+         |       CAST(CAST(SUM(dg) AS DECIMAL(38,0)) AS VARCHAR) AS checksum,
          |       CAST(0 AS BIGINT) AS n_mismatch,
          |       CAST(0 AS BIGINT) AS n_missing,
          |       CAST(0 AS BIGINT) AS n_extra

@@ -462,8 +462,14 @@ object Extended {
           // second truncation (unix_timestamp) disagrees with the oracle
           // whenever the two fractional parts straddle a second boundary
           when(col("cu").isNull, -1L)
-            .otherwise(floor((unix_micros(col("first_purchase")) -
-              unix_micros(col("first_click"))) / 1000000.0).cast("long"))
+            // .cast("timestamp"): the driver-regenerated parquet carries
+            // timestamp[us] with isAdjustedToUTC=false, which Spark 4
+            // reads as TIMESTAMP_NTZ — and unix_micros strictly requires
+            // TIMESTAMP. Session TZ is pinned UTC, so the NTZ wall-clock
+            // reinterprets exactly; the cast is semantics-preserving under
+            // either testdata flavor.
+            .otherwise(floor((unix_micros(col("first_purchase").cast("timestamp")) -
+              unix_micros(col("first_click").cast("timestamp"))) / 1000000.0).cast("long"))
             .as("secs_to_convert"))
         .orderBy("user_id")
     },

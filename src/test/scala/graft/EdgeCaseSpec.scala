@@ -174,6 +174,38 @@ class EdgeCaseSpec extends SparkTestBase {
       Pq.train(three, "id", "v", m = 3, ksub = 16, iters = 1))
   }
 
+  test("testdata temporal types match what the query board assumes") {
+    // The driver regenerates /root/testdata between rounds, and the
+    // parquet temporal flavor has ALREADY drifted once (round 7:
+    // TIMESTAMP(NANOS) → timestamp[us] isAdjustedToUTC=false, i.e.
+    // Spark TIMESTAMP_NTZ — which silently broke q80's strict-TIMESTAMP
+    // unix_micros call). Pin the accepted flavors here so the NEXT regen
+    // fails loudly with a message naming the drift instead of surfacing
+    // as an AnalysisException deep inside one query. Both flavors are
+    // equivalent under the pinned-UTC session; anything else is not.
+    import org.apache.spark.sql.types.{TimestampType, TimestampNTZType}
+    val ok = Set[org.apache.spark.sql.types.DataType](
+      TimestampType, TimestampNTZType)
+    for ((tbl, colName, df) <- Seq(
+        ("events", "ts", Tables.events(spark, sf)),
+        ("orders", "o_orderdate", Tables.orders(spark, sf)),
+        ("lineitem", "l_shipdate", Tables.lineitem(spark, sf)))) {
+      val dt = df.schema(colName).dataType
+      assert(ok.contains(dt),
+        s"TESTDATA DRIFT: $tbl.$colName is $dt, expected TIMESTAMP or " +
+          "TIMESTAMP_NTZ. The driver regenerated /root/testdata with a " +
+          "new temporal flavor; audit every strict-TIMESTAMP call site " +
+          "(grep unix_micros|unix_millis|to_utc_timestamp) and the " +
+          "Tables.events nanos branch before trusting the board.")
+    }
+    // unix_micros is the one strict-TIMESTAMP function family in the
+    // repo; the q80 site guards with .cast("timestamp"). Assert the
+    // guarded expression analyzes against the CURRENT testdata flavor.
+    val probe = Tables.events(spark, sf)
+      .select(unix_micros(col("ts").cast("timestamp")).as("us")).limit(1)
+    assert(probe.collect().nonEmpty, "unix_micros(cast) must analyze+run")
+  }
+
   test("semantic dedup at an unreachable threshold drops nothing") {
     import graft.functions.{Ivf, SemDedup}
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
