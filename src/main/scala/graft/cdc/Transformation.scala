@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   *   - `map-record-to-document` → wrap ALL current columns into one
   *     `_doc` struct (the DMS document-mode record shape for
   *     document/stream targets)
+  *   - `change-data-type`       → matching columns cast to `dataType`
+  *     (a Spark SQL type string — the DMS rule's `data-type` block)
+  *   - `add-column`             → new column named `value`, computed by
+  *     the SQL `expression` over the CURRENT (post-prior-rules) columns,
+  *     cast to `dataType` when given (the DMS add-column rule action)
   *
-  * Everything here is a driver-side rename/projection — zero shuffles,
-  * zero row-level compute; the physical plan under a rule list is
-  * identical to the hand-written projection it replaces. */
+  * Everything here compiles to a single projection — zero shuffles; the
+  * rename/remove/prefix/case actions are pure metadata edits, and
+  * `change-data-type`/`add-column` are codegen'd column expressions, so
+  * the physical plan under a rule list is identical to the hand-written
+  * projection it replaces. */
 object Transformation {
 
   final case class TransformationRule(
@@ -32,9 +39,12 @@ object Transformation {
       schemaName: String = "%",
       tableName: String = "%",
       columnName: String = "%",
-      value: String = "") {
+      value: String = "",
+      expression: String = "",   // add-column only: SQL over current cols
+      dataType: String = "") {   // change-data-type / add-column cast
     private val columnActions = Set("rename", "remove-column", "add-prefix",
-      "remove-prefix", "convert-lowercase", "convert-uppercase")
+      "remove-prefix", "convert-lowercase", "convert-uppercase",
+      "change-data-type", "add-column")
     require(
       (target == "column" && columnActions(action)) ||
         (target == "record" && action == "map-record-to-document"),
@@ -42,8 +52,12 @@ object Transformation {
     require(action != "rename" || !columnName.contains("%"),
       "rename needs an exact column locator (a wildcard rename would " +
         "collapse several columns onto one name)")
-    require(!Set("rename", "add-prefix", "remove-prefix")(action) ||
+    require(!Set("rename", "add-prefix", "remove-prefix", "add-column")(action) ||
       value.nonEmpty, s"action '$action' needs a non-empty value")
+    require(action != "change-data-type" || dataType.nonEmpty,
+      "change-data-type needs a target dataType")
+    require(action != "add-column" || expression.nonEmpty,
+      "add-column needs a SQL expression")
   }
 
   /** DMS object-locator match: `%` is the only wildcard (any run, including
@@ -74,6 +88,17 @@ object Transformation {
       val keep = df.columns.filterNot(locatorMatches(rule.columnName, _))
       require(keep.nonEmpty, "remove-column would drop every column")
       df.select(keep.map(col).toIndexedSeq: _*)
+    case "change-data-type" =>
+      df.select(df.columns.map { c =>
+        if (locatorMatches(rule.columnName, c)) col(c).cast(rule.dataType).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
+    case "add-column" =>
+      require(!df.columns.contains(rule.value),
+        s"add-column '${rule.value}' collides with an existing column")
+      val e = expr(rule.expression)
+      df.withColumn(rule.value,
+        if (rule.dataType.nonEmpty) e.cast(rule.dataType) else e)
     case colAction =>
       val renamed = df.columns.map { c =>
         if (!locatorMatches(rule.columnName, c)) c

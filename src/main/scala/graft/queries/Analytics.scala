@@ -810,6 +810,55 @@ object Analytics {
           (abs(coalesce(col("est"), lit(0.0)) - col("d_exact")) <=
             col("d_exact") * lit(0.10)).cast("long").as("est_ok"))
         .orderBy("lang")
+    },
+
+    // ---- Sketch-shelf rollup, END-TO-END THROUGH DISK: the 90-day-
+    //      rollup story the Hll scaladoc promises, exercised through the
+    //      persisted form — the corpus splits into three disjoint shards
+    //      (stand-ins for daily partitions), each shard's HLL and KMV
+    //      sketch relations are WRITTEN TO PARQUET, and the estimates
+    //      read the sketches merged FROM DISK — never the data. At
+    //      100 TB this is the whole point of the shelf: a day's sketch
+    //      rows are KBs (groups × 2^lgK registers / ≤ k rows per group),
+    //      so the 90-day distinct-users rollup folds 90 KB-scale
+    //      relations instead of re-scanning a quarter of the lake.
+    //      Exact counts are the oracle payload (q11b verdict pattern);
+    //      tolerances are q115's (HLL, 0.10) and q112b's (KMV, 0.20),
+    //      both with measured > 2× headroom. Estimates are deterministic
+    //      (register maxima / bottom-k of a fixed hash set are shard-
+    //      split-invariant), and IndexSpec pins disk-merged == inline-
+    //      merged exactly. ----
+    gated("q117_sketch_rollup",
+      """SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d_exact,
+        |       CAST(1 AS BIGINT) AS hll_ok, CAST(1 AS BIGINT) AS kmv_ok
+        |FROM documents GROUP BY lang ORDER BY lang""") { (s, d) =>
+      import graft.operators.{Hll, Kmv}
+      val docs = Tables.documents(s, d)
+      val root = graft.GatedQuery.indexScratch(d, "sketch_shelf_q117")
+      val shard = pmod(abs(hash(col("doc_id"))), lit(3))
+      (0 until 3).foreach { i =>
+        Hll.build(docs.filter(shard === i), "lang", "doc_id")
+          .write.mode("overwrite").parquet(s"$root/hll/shard$i")
+        Kmv.build(docs.filter(shard === i), "lang", "doc_id", k = 256)
+          .write.mode("overwrite").parquet(s"$root/kmv/shard$i")
+      }
+      val hllEst = Hll.estimateDistinct(Hll.merge(
+        (0 until 3).map(i => s.read.parquet(s"$root/hll/shard$i")): _*))
+      val kmvEst = Kmv.estimateDistinct(Kmv.merge(
+        (0 until 3).map(i => s.read.parquet(s"$root/kmv/shard$i")): _*))
+      // left + null-safe for the same reason as q112b (NULL lang groups)
+      docs.groupBy(col("lang"))
+        .agg(countDistinct(col("doc_id")).as("d_exact"))
+        .join(hllEst.select(col("grp").as("hg"), col("est").as("hest")),
+          col("lang") <=> col("hg"), "left")
+        .join(kmvEst.select(col("grp").as("kg"), col("est").as("kest")),
+          col("lang") <=> col("kg"), "left")
+        .select(col("lang"), col("d_exact"),
+          (abs(coalesce(col("hest"), lit(0.0)) - col("d_exact")) <=
+            col("d_exact") * lit(0.10)).cast("long").as("hll_ok"),
+          (abs(coalesce(col("kest"), lit(0.0)) - col("d_exact")) <=
+            col("d_exact") * lit(0.20)).cast("long").as("kmv_ok"))
+        .orderBy("lang")
     }
   )
 }

@@ -263,6 +263,52 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- S4, typed-rule leg: the DMS `change-data-type` and `add-column`
+    //      rule actions (the rest of the column-rule surface next to the
+    //      reference's object-mapping block,
+    //      reference cdk_stacks/dms_aurora_mysql_to_kinesis.py:108-117).
+    //      Rules apply IN ORDER over the previous rule's output, so the
+    //      added columns see the POST-cast `amount` — the oracle encodes
+    //      exactly that ordering. A locator-miss typed rule proves
+    //      inertness. Everything compiles to one codegen'd projection:
+    //      zero shuffle, plan identical to the hand-written select. ----
+    gated("q116_transform_typed",
+      s"""SELECT trans_id,
+         |       CAST(amount AS BIGINT) AS amount,
+         |       CAST(CAST(amount AS BIGINT) * 100 AS BIGINT) AS amount_cents,
+         |       CAST(substr(trans_datetime, 1, 10) AS DATE) AS day
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.amount AS amount,
+         |         data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      import graft.cdc.Transformation
+      import graft.cdc.Transformation.TransformationRule
+      val shaped = Transformation.shape(
+        Materialize.snapshot(Envelope.changelog(s, fx)),
+        "testdb", "retail_trans", Seq(
+          TransformationRule("column", "change-data-type", "testdb",
+            "retail_trans", "amount", dataType = "bigint"),
+          TransformationRule("column", "add-column", "testdb",
+            "retail_trans", value = "amount_cents",
+            expression = "amount * 100", dataType = "bigint"),
+          TransformationRule("column", "add-column", "testdb",
+            "retail_trans", value = "day",
+            expression = "substr(trans_datetime, 1, 10)", dataType = "date"),
+          // locator miss: a typed rule for another schema must be inert
+          TransformationRule("column", "change-data-type", "otherdb", "%",
+            "%", dataType = "string")))
+      shaped.select(col("trans_id"), col("amount"), col("amount_cents"),
+          col("day"))
+        .orderBy("trans_id")
+    },
+
     // ---- O35 companion: SCD type-2 history — every row version with its
     //      validity interval (valid_from = the change's timestamp,
     //      valid_to = the next change's, open for the current version) and

@@ -332,6 +332,61 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("typed transformation rules: change-data-type and add-column honor list order (S4)") {
+    import graft.cdc.Transformation
+    import graft.cdc.Transformation.TransformationRule
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val df = spark.range(1).select(lit(1L).as("trans_id"),
+      lit(7).cast("int").as("amount"), lit("2023-01-16 12:00:00").as("dt"))
+
+    // cast-then-add: the added expression sees the POST-cast column type
+    val typed = Transformation.shape(df, "testdb", "retail_trans", Seq(
+      TransformationRule("column", "change-data-type", "testdb",
+        "retail_trans", "amount", dataType = "bigint"),
+      TransformationRule("column", "add-column", "testdb", "retail_trans",
+        value = "cents", expression = "amount * 100", dataType = "bigint"),
+      // locator-missed typed rule is inert
+      TransformationRule("column", "change-data-type", "otherdb", "%",
+        "%", dataType = "string")))
+    assert(typed.schema("amount").dataType === LongType)
+    assert(typed.schema("cents").dataType === LongType)
+    assert(typed.select("cents").head.getLong(0) === 700L)
+    assert(typed.schema("dt").dataType === StringType) // miss left alone
+
+    // add-then-rename: a later rule sees the ADDED column (list order)
+    val addedThenRenamed = Transformation.shape(df, "testdb",
+      "retail_trans", Seq(
+        TransformationRule("column", "add-column", columnName = "%",
+          value = "day", expression = "substr(dt, 1, 10)"),
+        TransformationRule("column", "rename", columnName = "day",
+          value = "event_day")))
+    assert(addedThenRenamed.columns.toSeq ===
+      Seq("trans_id", "amount", "dt", "event_day"))
+    assert(addedThenRenamed.select("event_day").head.getString(0) ===
+      "2023-01-16")
+
+    // wildcard change-data-type casts EVERY matching column
+    val widened = Transformation.shape(df, "t", "t", Seq(
+      TransformationRule("column", "change-data-type",
+        columnName = "%", dataType = "string")))
+    assert(widened.schema.fields.forall(_.dataType === StringType))
+
+    // misconfiguration is loud
+    intercept[IllegalArgumentException] { // no dataType
+      TransformationRule("column", "change-data-type", columnName = "amount")
+    }
+    intercept[IllegalArgumentException] { // no expression
+      TransformationRule("column", "add-column", value = "x")
+    }
+    intercept[IllegalArgumentException] { // no name
+      TransformationRule("column", "add-column", expression = "1")
+    }
+    intercept[IllegalArgumentException] { // add-column onto existing name
+      Transformation.shape(df, "t", "t", Seq(TransformationRule("column",
+        "add-column", value = "amount", expression = "1")))
+    }
+  }
+
   test("op stats cover both noise tables and all three operations") {
     val stats = Materialize.opStats(Envelope.parse(spark, Tables.cdcFixturePath))
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))

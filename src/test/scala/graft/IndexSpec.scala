@@ -325,4 +325,41 @@ class IndexSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 2L, 3L -> 1L))
   }
+
+  test("sketch shelf through disk: parquet-roundtripped HLL/KMV merge == inline merge, exactly") {
+    import graft.operators.{Hll, Kmv}
+    val docs = Tables.documents(spark, sf)
+    val shard = pmod(abs(hash(col("doc_id"))), lit(2))
+    val shards = Seq(docs.filter(shard === 0), docs.filter(shard === 1))
+
+    def ests(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+      df.collect().map(r => ("" + r.get(0)) -> r.getDouble(1)).toMap
+
+    // HLL: registers are bytes in a binary column — the parquet roundtrip
+    // must preserve them bit-for-bit, so the folded estimate is EXACTLY
+    // the inline one (not within-tolerance: identical)
+    val hllInline = ests(Hll.estimateDistinct(
+      Hll.merge(shards.map(Hll.build(_, "lang", "doc_id")): _*)))
+    val hllDir = tmp("hll_shelf")
+    shards.zipWithIndex.foreach { case (s0, i) =>
+      Hll.build(s0, "lang", "doc_id")
+        .write.mode("overwrite").parquet(s"$hllDir/shard$i") }
+    val hllDisk = ests(Hll.estimateDistinct(Hll.merge(
+      (0 until 2).map(i => spark.read.parquet(s"$hllDir/shard$i")): _*)))
+    assert(hllInline.nonEmpty && hllDisk === hllInline,
+      s"disk-merged HLL diverged: $hllDisk vs $hllInline")
+
+    // KMV: sketch rows are (grp, key, h, rn, k) — deterministic md5
+    // bottom-k, so disk-merge == inline-merge row-for-row
+    val kmvInline = ests(Kmv.estimateDistinct(
+      Kmv.merge(shards.map(Kmv.build(_, "lang", "doc_id", k = 64)): _*)))
+    val kmvDir = tmp("kmv_shelf")
+    shards.zipWithIndex.foreach { case (s0, i) =>
+      Kmv.build(s0, "lang", "doc_id", k = 64)
+        .write.mode("overwrite").parquet(s"$kmvDir/shard$i") }
+    val kmvDisk = ests(Kmv.estimateDistinct(Kmv.merge(
+      (0 until 2).map(i => spark.read.parquet(s"$kmvDir/shard$i")): _*)))
+    assert(kmvInline.nonEmpty && kmvDisk === kmvInline,
+      s"disk-merged KMV diverged: $kmvDisk vs $kmvInline")
+  }
 }
