@@ -99,4 +99,45 @@ object Kmv {
         when(col("n_keys") < col("kk"), col("n_keys").cast("double"))
           .otherwise((col("kk") - lit(1)).cast("double") / col("hk"))
           .as("est"))
+
+  /** Set-overlap estimate per group from two sketches built with the
+    * same k — `(grp, jaccard_est, inter_est)`. This is the corpus-
+    * decontamination screen at 100 TB: "how much does my train shard
+    * overlap this eval set" answered from two KB-scale sketch relations,
+    * never a join of the full key sets.
+    *
+    * Mechanism (Beyer et al., "On synopses for distinct value estimation
+    * under multiset operations", SIGMOD 2007): bottom-k of A ∪ B is
+    * computable from the two sketches alone (semilattice), and each of
+    * its members is hash-uniform over A ∪ B; membership of such a member
+    * in A is decidable from A's SKETCH (a key of A among the k smallest
+    * hashes of the union is necessarily among the k smallest of A), so
+    * the fraction present in BOTH sketches estimates J(A, B), and
+    * J · D̂(A ∪ B) estimates the intersection size. Exact whenever both
+    * groups hold < k distinct keys (the sketches are the sets). Standard
+    * error of the Jaccard ratio ≈ sqrt(J(1−J)/k). Deterministic: the md5
+    * ring makes both the union sketch and the membership tests pure
+    * functions of the key sets.
+    *
+    * Scale shape: every join here is sketch-rows × sketch-rows
+    * (≤ k·groups each side — broadcast-scale by construction); the
+    * underlying data is never touched. */
+  def estimateOverlap(a: DataFrame, b: DataFrame): DataFrame = {
+    val u = merge(a, b) // validates matching k; ≤ k rows per group
+    val aKeys = a.select(col("grp").as("ag"), col("key").as("ak"))
+    val bKeys = b.select(col("grp").as("bg"), col("key").as("bk"))
+    val flagged = u
+      .join(aKeys, col("grp") <=> col("ag") && col("key") === col("ak"), "left")
+      .join(bKeys, col("grp") <=> col("bg") && col("key") === col("bk"), "left")
+      .select(col("grp"),
+        (col("ak").isNotNull && col("bk").isNotNull).cast("long").as("both"))
+    val dU = estimateDistinct(u).select(col("grp").as("ug"), col("est"))
+    flagged.groupBy("grp")
+      .agg(count(lit(1)).as("n_u"), sum(col("both")).as("n_both"))
+      .join(dU, col("grp") <=> col("ug"), "left")
+      .select(col("grp"),
+        (col("n_both").cast("double") / col("n_u")).as("jaccard_est"),
+        (col("n_both").cast("double") / col("n_u") * col("est"))
+          .as("inter_est"))
+  }
 }

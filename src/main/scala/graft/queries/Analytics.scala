@@ -859,6 +859,59 @@ object Analytics {
           (abs(coalesce(col("kest"), lit(0.0)) - col("d_exact")) <=
             col("d_exact") * lit(0.20)).cast("long").as("kmv_ok"))
         .orderBy("lang")
+    },
+
+    // ---- KMV set-overlap leg (operators/Kmv.estimateOverlap): the
+    //      decontamination SCREEN at scale — estimate train/eval corpus
+    //      overlap per group from two KB-scale sketches (Beyer et al.,
+    //      SIGMOD 2007) instead of joining the full key sets (q71 is the
+    //      exact full-join decontamination; this is the cheap triage that
+    //      decides whether to run it). Two overlapping doc subsets
+    //      (doc_id % 3 ≠ 0 vs % 2 ≠ 0 — every lang keeps a ~1/3 overlap);
+    //      exact per-lang union/intersection counts are the oracle
+    //      payload, and the verdict pins |Ĵ − J| ≤ 0.10 ABSOLUTE (J is a
+    //      ratio; SE ≈ sqrt(J(1−J)/k) ≈ 0.031 at k = 256; measured worst
+    //      0.045 at sf0.1 via the engine-independent md5 model, exact at
+    //      sf ≤ 0.01 where every lang's union holds < k keys — and the
+    //      md5 ring makes Ĵ deterministic at any scale). ----
+    gated("q118_kmv_overlap",
+      """WITH a AS (SELECT DISTINCT lang, doc_id FROM documents
+        |           WHERE doc_id IS NOT NULL AND doc_id % 3 <> 0),
+        |b AS (SELECT DISTINCT lang, doc_id FROM documents
+        |      WHERE doc_id IS NOT NULL AND doc_id % 2 <> 0),
+        |cu AS (SELECT lang, COUNT(*) AS n_union
+        |       FROM (SELECT * FROM a UNION SELECT * FROM b) GROUP BY lang),
+        |ci AS (SELECT lang, COUNT(*) AS n_inter
+        |       FROM (SELECT * FROM a INTERSECT SELECT * FROM b) GROUP BY lang)
+        |SELECT cu.lang, CAST(cu.n_union AS BIGINT) AS n_union,
+        |       CAST(COALESCE(ci.n_inter, 0) AS BIGINT) AS n_inter,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM cu LEFT JOIN ci ON cu.lang IS NOT DISTINCT FROM ci.lang
+        |ORDER BY cu.lang""") { (s, d) =>
+      import graft.operators.Kmv
+      val docs = Tables.documents(s, d).filter(col("doc_id").isNotNull)
+      val aDocs = docs.filter(col("doc_id") % 3 =!= 0)
+      val bDocs = docs.filter(col("doc_id") % 2 =!= 0)
+      val aSet = aDocs.select("lang", "doc_id").distinct()
+      val bSet = bDocs.select("lang", "doc_id").distinct()
+      val nU = aSet.union(bSet).distinct()
+        .groupBy("lang").agg(count(lit(1)).as("n_union"))
+      val nI = aSet.intersect(bSet)
+        .groupBy("lang").agg(count(lit(1)).as("n_inter"))
+        .select(col("lang").as("il"), col("n_inter"))
+      val ov = Kmv.estimateOverlap(
+          Kmv.build(aDocs, "lang", "doc_id", k = 256),
+          Kmv.build(bDocs, "lang", "doc_id", k = 256))
+        .select(col("grp").as("og"), col("jaccard_est"))
+      nU.join(nI, col("lang") <=> col("il"), "left")
+        .join(ov, col("lang") <=> col("og"), "left")
+        .select(col("lang"), col("n_union"),
+          coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          (abs(coalesce(col("jaccard_est"), lit(0.0)) -
+            coalesce(col("n_inter"), lit(0L)).cast("double") /
+              col("n_union").cast("double")) <= lit(0.10))
+            .cast("long").as("est_ok"))
+        .orderBy("lang")
     }
   )
 }

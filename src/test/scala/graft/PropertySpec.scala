@@ -468,6 +468,58 @@ class PropertySpec extends SparkTestBase {
     // legitimately skip the group-limit rule)
   }
 
+  test("KMV overlap estimator: exact below k, model parity above k, random set pairs") {
+    import graft.operators.Kmv
+    import spark.implicits._
+
+    // k ≥ distinct: the sketches ARE the sets — Ĵ must equal J exactly,
+    // across identical / disjoint / partial-overlap / one-sided groups
+    val aS = Seq("id" -> 1L, "id" -> 2L, "dj" -> 1L, "pa" -> 1L,
+      "pa" -> 2L, "pa" -> 3L, "only_a" -> 9L)
+    val bS = Seq("id" -> 1L, "id" -> 2L, "dj" -> 2L, "pa" -> 3L,
+      "pa" -> 4L)
+    val ovExact = Kmv.estimateOverlap(
+        Kmv.build(aS.toDF("grp", "key"), "grp", "key", 64),
+        Kmv.build(bS.toDF("grp", "key"), "grp", "key", 64))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    assert(ovExact("id") === ((1.0, 2.0)))              // identical sets
+    assert(ovExact("dj") === ((0.0, 0.0)))              // disjoint
+    assert(ovExact("pa")._1 === 0.25)                   // |∩|=1, |∪|=4
+    assert(ovExact("pa")._2 === 1.0)
+    assert(ovExact("only_a") === ((0.0, 0.0)))          // B has no group
+
+    // above k: Ĵ == the literature model computed in Scala — the
+    // fraction of bottom-k(A ∪ B) present in both sets — for random
+    // overlapping pairs (membership via the sketch must agree with
+    // membership via the set: the sub-sketch property)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    samples(Gen.zip(Gen.listOfN(150, Gen.choose(0L, 99L)),
+      Gen.listOfN(150, Gen.choose(50L, 149L))), 5).foreach { case (xa, xb) =>
+      val (sa, sb) = (xa.distinct.toSet, xb.distinct.toSet)
+      val k = 16
+      val ov = Kmv.estimateOverlap(
+          Kmv.build(xa.map("g" -> _).toDF("grp", "key"), "grp", "key", k),
+          Kmv.build(xb.map("g" -> _).toDF("grp", "key"), "grp", "key", k))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val bottomU = (sa ++ sb).toSeq
+        .sortBy(x => (md5hex(x.toString), x)).take(k)
+      val jModel = bottomU.count(x => sa(x) && sb(x)).toDouble / bottomU.size
+      assert(ov("g") === jModel,
+        s"overlap estimate must equal the bottom-k(A∪B) membership model")
+    }
+
+    // mismatched k propagates merge's loud failure
+    intercept[IllegalArgumentException] {
+      Kmv.estimateOverlap(
+        Kmv.build(Seq(("g", 1L)).toDF("grp", "key"), "grp", "key", 4),
+        Kmv.build(Seq(("g", 2L)).toDF("grp", "key"), "grp", "key", 8))
+        .collect()
+    }
+  }
+
   test("priority sampling: model parity, merge semilattice, DLT estimator, random weights") {
     import graft.operators.PrioritySample
     import spark.implicits._
