@@ -123,9 +123,13 @@ object Kmv {
     * (≤ k·groups each side — broadcast-scale by construction); the
     * underlying data is never touched. */
   def estimateOverlap(a: DataFrame, b: DataFrame): DataFrame = {
-    val u = merge(a, b) // validates matching k; ≤ k rows per group
-    val aKeys = a.select(col("grp").as("ag"), col("key").as("ak"))
-    val bKeys = b.select(col("grp").as("bg"), col("key").as("bk"))
+    // checkpoint FIRST: the union sketch and both membership joins read
+    // each input — uncheckpointed, each read would re-execute the
+    // sketch's whole build lineage (i.e. re-scan the corpus twice more)
+    val (ac, bc) = (a.localCheckpoint(), b.localCheckpoint())
+    val u = merge(ac, bc) // validates matching k; ≤ k rows per group
+    val aKeys = ac.select(col("grp").as("ag"), col("key").as("ak"))
+    val bKeys = bc.select(col("grp").as("bg"), col("key").as("bk"))
     val flagged = u
       .join(aKeys, col("grp") <=> col("ag") && col("key") === col("ak"), "left")
       .join(bKeys, col("grp") <=> col("bg") && col("key") === col("bk"), "left")

@@ -206,6 +206,26 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(probe.collect().nonEmpty, "unix_micros(cast) must analyze+run")
   }
 
+  test("Verify.runAll surfaces a failing query as _failed.json, never a silently shorter board") {
+    // Round 7's q80 vanished from CORRECTNESS because the old Verify
+    // caught failures to stderr only; this pins the loud path.
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("verify_loud").toString
+    val good = (s: org.apache.spark.sql.SparkSession, _: String) =>
+      s.range(3).toDF("v")
+    val bad = (_: org.apache.spark.sql.SparkSession, _: String) =>
+      throw new RuntimeException("boom: planted failure")
+    val failed = Verify.runAll(spark, sf, out,
+      Seq("good_q" -> good, "bad_q" -> bad), Map("good_q" -> "SELECT 1"))
+    assert(failed.keySet === Set("bad_q"))
+    val fj = Files.readString(Paths.get(s"$out/_failed.json"))
+    assert(fj.contains("bad_q") && fj.contains("boom"),
+      s"_failed.json must name the query and the error, got: $fj")
+    assert(Files.exists(Paths.get(s"$out/good_q")),
+      "a failure must not stop the surviving queries from dumping")
+    assert(Files.exists(Paths.get(s"$out/oracle_sql.json")))
+  }
+
   test("semantic dedup at an unreachable threshold drops nothing") {
     import graft.functions.{Ivf, SemDedup}
     val corpus = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.001)),
