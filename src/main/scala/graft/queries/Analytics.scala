@@ -912,6 +912,62 @@ object Analytics {
               col("n_union").cast("double")) <= lit(0.10))
             .cast("long").as("est_ok"))
         .orderBy("lang")
+    },
+
+    // ---- Quantile-sample sketch (operators/QuantileSample): the
+    //      MERGEABLE quantile relation completing the shelf — q54
+    //      answers exact percentiles by sorting each group, q54b's
+    //      approx_percentile answers one query inline; this makes the
+    //      uniform hash-rank row sample a first-class relation, so
+    //      per-shard samples persist and a 90-day p99 rolls up from
+    //      ≤ k sample rows per group (the q117 shelf pattern). The gate
+    //      builds two disjoint shard samples and estimates off the
+    //      MERGED sketch. Exact interpolated percentiles are the oracle
+    //      payload (the q54 cross-engine agreement); the verdict pins
+    //      the estimate's RANK displacement — |F(v̂) − q| ≤ 0.10 where
+    //      F is the group's exact CDF (DKW: SE ≈ sqrt(q(1−q)/k) ≈ 0.031
+    //      at q = 0.5, k = 256; measured via the engine-independent md5
+    //      model: worst 0.046 at sf0.1, 0.043 at 10× — > 2× headroom,
+    //      not corpus-size-tuned; md5 ring → deterministic, exact below
+    //      k rows). ----
+    gated("q119_quantile_sample",
+      """SELECT event_type, CAST(COUNT(value) AS BIGINT) AS n,
+        |       CAST(CAST(ROUND(quantile_cont(value, 0.5), 2) AS DECIMAL(18,2)) AS VARCHAR) AS p50,
+        |       CAST(CAST(ROUND(quantile_cont(value, 0.9), 2) AS DECIMAL(18,2)) AS VARCHAR) AS p90,
+        |       CAST(1 AS BIGINT) AS est_ok
+        |FROM events WHERE value IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      import graft.operators.QuantileSample
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      val shard = pmod(abs(hash(col("event_id"))), lit(2))
+      val sk = QuantileSample.merge(
+        QuantileSample.build(ev.filter(shard === 0), "event_type",
+          "event_id", "value", k = 256),
+        QuantileSample.build(ev.filter(shard === 1), "event_type",
+          "event_id", "value", k = 256))
+      val est = QuantileSample.estimateQuantiles(sk, Seq(0.5, 0.9))
+        .groupBy("grp")
+        .agg(max(when(col("q") === 0.5, col("est"))).as("e50"),
+          max(when(col("q") === 0.9, col("est"))).as("e90"))
+      val exact = ev.groupBy("event_type")
+        .agg(count(col("value")).as("n"),
+          expr("percentile(value, 0.5)").as("x50"),
+          expr("percentile(value, 0.9)").as("x90"))
+      // the estimates' exact rank positions, one conditional-count pass
+      val cdf = ev.join(est, col("event_type") <=> col("grp"), "left")
+        .groupBy(col("event_type").as("ct"))
+        .agg((sum(when(col("value") <= col("e50"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("f50"),
+          (sum(when(col("value") <= col("e90"), 1L).otherwise(0L))
+            .cast("double") / count(lit(1))).as("f90"))
+      exact.join(cdf, col("event_type") <=> col("ct"), "left")
+        .select(col("event_type"), col("n"),
+          decStr(round(col("x50"), 2)).as("p50"),
+          decStr(round(col("x90"), 2)).as("p90"),
+          ((abs(col("f50") - lit(0.5)) <= lit(0.10)) &&
+            (abs(col("f90") - lit(0.9)) <= lit(0.10)))
+            .cast("long").as("est_ok"))
+        .orderBy("event_type")
     }
   )
 }

@@ -49,6 +49,15 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("q119: quantile-sample builds truncate map-side (WindowGroupLimit × both shard builds)") {
+    // two shard builds merge into one sketch — each build's rank filter
+    // must truncate to ≤ k rows per group before its exchange, or the
+    // shuffle carries the events table instead of sample rows
+    val p = planOf("q119_quantile_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      s"q119 lost a shard build's map-side group limit:\n$p")
+  }
+
   test("q20: global sort+limit compiles to TakeOrderedAndProject") {
     assert(planOf("q20_global_sort_limit").contains("TakeOrderedAndProject"))
   }

@@ -468,6 +468,75 @@ class PropertySpec extends SparkTestBase {
     // legitimately skip the group-limit rule)
   }
 
+  test("quantile sample: model parity, merge semilattice, exact below k, random streams") {
+    import graft.operators.QuantileSample
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+
+    samples(Gen.listOfN(300, Gen.zip(Gen.oneOf("g1", "g2"),
+      Gen.zip(Gen.choose(0L, 4000L), Gen.choose(-50.0, 50.0)))), 5)
+      .foreach { xs0 =>
+        // unique row keys per group (build dedups (grp, key); the model
+        // must see the same row set)
+        val xs = xs0.map { case (g, (id, v)) => (g, id, v) }
+          .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq
+        val df = xs.toDF("grp", "key", "v")
+        val k = 16
+        val sk = QuantileSample.build(df, "grp", "key", "v", k)
+          .localCheckpoint()
+
+        // sample == the Scala model: k rows with smallest md5(key)
+        val got = sk.collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+        val exp = xs.groupBy(_._1).flatMap { case (g, rows) =>
+          rows.sortBy(t => (md5hex(t._2.toString), t._2)).take(k)
+            .map(t => (g, t._2) -> t._3)
+        }
+        assert(got === exp)
+
+        // merge of shard sketches == whole-data sketch (semilattice)
+        val (a, b) = xs.splitAt(xs.size / 3)
+        val merged = QuantileSample.merge(
+          QuantileSample.build(a.toDF("grp", "key", "v"), "grp", "key", "v", k),
+          QuantileSample.build(b.toDF("grp", "key", "v"), "grp", "key", "v", k))
+        assert(merged.collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+          === got)
+
+        // estimate == nearest-rank of the sample values (the model);
+        // with k ≥ all rows the sample IS the group → exact data quantile
+        for ((sketch, label) <- Seq(
+            (sk, "k=16"),
+            (QuantileSample.build(df, "grp", "key", "v", 10000), "k≫n"))) {
+          val est = QuantileSample
+            .estimateQuantiles(sketch, Seq(0.25, 0.5, 0.9))
+            .collect()
+            .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
+            .toMap
+          val sample = sketch.collect()
+            .map(r => (r.getString(0), r.getDouble(3)))
+            .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+          sample.foreach { case (g, vs) =>
+            Seq(0.25, 0.5, 0.9).foreach { q =>
+              val r = math.max(1, math.ceil(q * vs.size).toInt)
+              assert(est((g, q)) === vs(r - 1), s"$label group $g q=$q")
+            }
+          }
+        }
+      }
+
+    // mismatched k fails loudly
+    intercept[IllegalArgumentException] {
+      QuantileSample.merge(
+        QuantileSample.build(Seq(("g", 1L, 1.0)).toDF("grp", "key", "v"),
+          "grp", "key", "v", 4),
+        QuantileSample.build(Seq(("g", 2L, 2.0)).toDF("grp", "key", "v"),
+          "grp", "key", "v", 8)).collect()
+    }
+  }
+
   test("KMV overlap estimator: exact below k, model parity above k, random set pairs") {
     import graft.operators.Kmv
     import spark.implicits._
