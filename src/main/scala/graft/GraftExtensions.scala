@@ -13,6 +13,10 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
   * (SURVEY.md §4 extension ladder, tier (b)/(c)). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // As-of join: custom LogicalPlan → SparkPlan (plans/AsOfJoin.scala),
+    // the §4 ladder's tier (c) — whole-operator semantics the built-in
+    // operators can't express without a quadratic pair blow-up.
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),

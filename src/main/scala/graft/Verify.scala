@@ -55,6 +55,11 @@ object Verify {
 
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Dev-only subset filter (comma-separated names) so one new query can
+    // be oracle-checked without replaying the whole board; unset = all.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def keep(n: String) = only.forall(_.contains(n))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -65,7 +70,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val failed = runAll(spark, sfDir, outDir,
-      SparkEntry.queries.toSeq, SparkEntry.oracleSql)
+      SparkEntry.queries.toSeq.filter(t => keep(t._1)),
+      SparkEntry.oracleSql.filter(t => keep(t._1)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -968,6 +968,85 @@ object Analytics {
             (abs(col("f90") - lit(0.9)) <= lit(0.10)))
             .cast("long").as("est_ok"))
         .orderBy("event_type")
+    },
+
+    // ---- BM25 ranking (S13's scoring half, the modern default next to
+    //      q91's tf-idf): top-10 docs for {fast, join, merge} under
+    //      Okapi BM25 with k1 = 1.2, b = 0.75. Both factors are exact
+    //      integer rationals — the log-free idf odds (N − df + ½)/(df + ½)
+    //      scaled by 2 to clear the halves, and the saturation term
+    //      tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl)) scaled by 10·sumdl (avgdl
+    //      = sumdl/N folds in exactly) — so each per-term score is two
+    //      correctly-rounded IEEE divisions of exact-integer doubles and
+    //      one multiply, summed left-to-right: bit-identical cross-engine
+    //      with no libm call. tf = 0 terms contribute an exact 0 (zero
+    //      numerator, positive denominator — no division hazard).
+    //      Scale: tf extraction map-only; (N, sumdl, df_t) is one tiny
+    //      agg broadcast back; top-10 is TakeOrdered, no global sort. ----
+    gated("q120_bm25",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |        CAST(len(list_filter(w, x -> x = 'fast')) AS BIGINT) AS tf_f,
+        |        CAST(len(list_filter(w, x -> x = 'join')) AS BIGINT) AS tf_j,
+        |        CAST(len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS tf_m
+        |      FROM t WHERE len(w) > 0),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |        CAST(SUM(CASE WHEN tf_f > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_f,
+        |        CAST(SUM(CASE WHEN tf_j > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_j,
+        |        CAST(SUM(CASE WHEN tf_m > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_m
+        |      FROM s),
+        |r AS (SELECT s.doc_id,
+        |        (CAST(2*g.n - 2*g.df_f + 1 AS DOUBLE) / CAST(2*g.df_f + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_f * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_f * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |      + (CAST(2*g.n - 2*g.df_j + 1 AS DOUBLE) / CAST(2*g.df_j + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_j * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_j * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |      + (CAST(2*g.n - 2*g.df_m + 1 AS DOUBLE) / CAST(2*g.df_m + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_m * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_m * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |          AS score,
+        |        s.tf_f + s.tf_j + s.tf_m AS anytf
+        |      FROM s CROSS JOIN g)
+        |SELECT doc_id,
+        |       CAST(CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS VARCHAR) AS score
+        |FROM r WHERE anytf > 0
+        |ORDER BY ROUND(score, 6) DESC, doc_id
+        |LIMIT 10""") { (s, d) =>
+      def tfc(term: String) =
+        size(filter(col("w"), x => x === term)).cast("long")
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"), size(col("w")).cast("long").as("dl"),
+          tfc("fast").as("tf_f"), tfc("join").as("tf_j"),
+          tfc("merge").as("tf_m"))
+      val g = broadcast(t.agg(
+        count(lit(1)).as("n"), sum(col("dl")).as("sumdl"),
+        sum(when(col("tf_f") > 0, 1L).otherwise(0L)).as("df_f"),
+        sum(when(col("tf_j") > 0, 1L).otherwise(0L)).as("df_j"),
+        sum(when(col("tf_m") > 0, 1L).otherwise(0L)).as("df_m")))
+      // mirrors the oracle's operation tree exactly: per term, two
+      // correctly-rounded divisions of exact-integer doubles and one
+      // multiply; the three terms sum left-to-right
+      def term(tf: String, df: String) =
+        ((lit(2) * col("n") - lit(2) * col(df) + lit(1)).cast("double") /
+          (lit(2) * col(df) + lit(1)).cast("double")) *
+          ((lit(22) * col(tf) * col("sumdl")).cast("double") /
+            (lit(10) * col(tf) * col("sumdl") + lit(3) * col("sumdl") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+      val score = round(
+        term("tf_f", "df_f") + term("tf_j", "df_j") + term("tf_m", "df_m"), 6)
+      t.crossJoin(g)
+        .filter(col("tf_f") + col("tf_j") + col("tf_m") > 0)
+        .select(col("doc_id"), score.as("sc"))
+        .orderBy(col("sc").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
     }
   )
 }

@@ -198,6 +198,44 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // ---- O9: as-of join, CUSTOM OPERATOR form (plans/AsOfJoin.scala —
+    //      logical node + planner strategy + co-partitioned sort-merge
+    //      exec injected via GraftExtensions). Same semantics as the
+    //      q09/q09b compositions but with NO pair materialization: one
+    //      hash exchange + one sort per side, then a single forward merge
+    //      pass with O(1) state — the shape that survives dense per-key
+    //      histories at 100 TB, where the range-join form's (purchase ×
+    //      in-window clicks) intermediate is quadratic. Clicks dedupe to
+    //      unique (user, ts) first so the survivor is pinned on BOTH
+    //      engines; oracle = DuckDB's native ASOF JOIN. ----
+    gated("q121_asof_custom",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+        |      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+        |SELECT event_id, click_id FROM (
+        |  SELECT p.event_id,
+        |         CASE WHEN c.ts > p.ts - INTERVAL 1 HOUR
+        |              THEN c.click_id END AS click_id
+        |  FROM p ASOF JOIN c
+        |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+        |WHERE click_id IS NOT NULL
+        |ORDER BY event_id""") { (s, d) =>
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val c = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .agg(max(col("event_id")).as("click_id"))
+      graft.operators.AsOf.join(p, c,
+          leftOn = Seq(p.col("p_user")), rightOn = Seq(c.col("c_user")),
+          leftTs = p.col("p_ts"), rightTs = c.col("c_ts"),
+          toleranceUs = Some(3600L * 1000000L), leftOuter = false)
+        .select(col("event_id"), col("click_id"))
+        .orderBy("event_id")
+    },
+
     // ---- O10: two-phase hash aggregation (TPC-H Q1 shape) ----
     gated("q10_hash_agg",
       """SELECT l_returnflag, l_linestatus,
