@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -53,55 +52,17 @@ object RollupMaintenance {
 
   /** Fold one micro-batch into the persisted rollup at `rollupDir`.
     * Call from the stream's foreachBatch with the batch's parsed good
-    * rows. Idempotent per batchId via the version protocol. */
+    * rows. Idempotent per batchId via VersionedState's commit protocol. */
   def update(rollupDir: String, batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val fs = new Path(rollupDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val target = new Path(s"$rollupDir/v=$batchId")
-    if (fs.exists(target)) return // retried batch, already folded in
-    val old = latestVersion(fs, rollupDir)
-      .map(v => spark.read.parquet(s"$rollupDir/v=$v"))
-    val merged = merge(old, partial(batch))
-    val staging = new Path(s"$rollupDir/.staging-$batchId")
-    merged.write.mode("overwrite").parquet(staging.toString)
-    if (fs.exists(target)) fs.delete(staging, true)
-    else require(fs.rename(staging, target),
-      s"rename $staging -> $target failed")
-    // prune: stale staging from crashed earlier batches + old versions
-    // (keep a short read horizon, same rationale as the serving merge)
-    fs.listStatus(new Path(rollupDir)).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith(".staging-") &&
-        p.getName.stripPrefix(".staging-").toLongOption.exists(_ < batchId))
-      .foreach(p => fs.delete(p, true))
-    listVersions(fs, rollupDir).filter(_ < batchId).sorted.dropRight(4)
-      .foreach(v => fs.delete(new Path(s"$rollupDir/v=$v"), true))
+    if (VersionedState.committed(spark, rollupDir, batchId)) return
+    val merged = merge(
+      VersionedState.latestSnapshot(spark, rollupDir), partial(batch))
+    VersionedState.commit(merged, rollupDir, batchId)
   }
 
   /** Newest complete rollup state. */
-  def snapshot(spark: SparkSession, rollupDir: String): DataFrame = {
-    val fs = new Path(rollupDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, rollupDir).getOrElse(
+  def snapshot(spark: SparkSession, rollupDir: String): DataFrame =
+    VersionedState.latestSnapshot(spark, rollupDir).getOrElse(
       throw new IllegalStateException(s"no rollup state under $rollupDir"))
-    spark.read.parquet(s"$rollupDir/v=$v")
-  }
-
-  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
-                           dir: String): Seq[Long] = {
-    val root = new Path(dir)
-    if (!fs.exists(root)) Seq.empty
-    // toLongOption: stray non-numeric `v=` debris is ignored, not a
-    // crash loop (CdcStreamPipeline.listVersions applies the same rule)
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .flatMap(_.stripPrefix("v=").toLongOption)
-  }
-
-  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
-                            dir: String): Option[Long] =
-    listVersions(fs, dir) match {
-      case Nil => None
-      case vs => Some(vs.max)
-    }
 }

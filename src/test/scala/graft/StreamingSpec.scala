@@ -495,6 +495,45 @@ class StreamingSpec extends SparkTestBase {
     assert(perTable === Map("retail_trans" -> 600L, "retail_trans_eu" -> 117L))
   }
 
+  test("incremental sketch maintenance estimates equal one-shot build and survive batch retry") {
+    import graft.streaming.SketchMaintenance
+    import graft.operators.Hll
+    import org.apache.spark.sql.DataFrame
+    val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
+    val src = tmpDir("cdc_sketch_src")
+    (0 until 6).foreach { i =>
+      Files.write(Paths.get(s"$src/part$i.jsonl"),
+        (i until lines.size by 6).map(lines.get).mkString("\n").getBytes)
+    }
+    val shelf = tmpDir("cdc_sketch_state") + "/sketch"
+    def good(df: DataFrame) = CdcStreamPipeline.parseLines(df)
+      .filter(!Envelope.corrupt && col("event_ts").isNotNull)
+      .filter(Envelope.selection())
+      .select(col("metadata.`table-name`").as("tbl"),
+        col("data.customer_id").as("cust"))
+    val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        SketchMaintenance.update(shelf, good(b), id, "tbl", "cust")
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("cdc_sketch_ckpt")).start()
+    q.awaitTermination(120000)
+
+    // 6 incremental register folds estimate EXACTLY like one build over
+    // everything delivered (HLL union is a semilattice on registers)
+    def estMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val served = estMap(SketchMaintenance.estimates(spark, shelf))
+    val oneShot = estMap(Hll.estimateDistinct(
+      Hll.build(good(spark.read.text(src)), "tbl", "cust")))
+    assert(served === oneShot)
+    assert(served.nonEmpty && served.values.forall(_ > 0.0))
+
+    // retried final batch: registers and estimates must not change
+    SketchMaintenance.update(shelf, good(spark.read.text(src)), 5L,
+      "tbl", "cust")
+    assert(estMap(SketchMaintenance.estimates(spark, shelf)) === served)
+  }
+
   test("archive compaction folds batch dirs into one, preserves rows and hour pruning, resumes after a crash") {
     import graft.streaming.ArchiveCompaction
     // many small batches: one file per trigger over a 6-way split
