@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.Text.all ++
       graft.queries.Media.all ++
       graft.queries.Analytics.all ++
-      graft.queries.Series.all
+      graft.queries.Series.all ++
+      graft.queries.Graph.all
 
   /** Flagship query on /root/testdata/sf0.001 (TPC-H Q1 shape, D-Q10);
     * driver smoke-checks rows>0. */

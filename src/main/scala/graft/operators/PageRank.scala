@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Damped PageRank over an edge list — the graph-centrality step a
+  * training-data pipeline runs over derived relation graphs (document
+  * link/citation graphs for quality priors a la CommonCrawl harmonic
+  * ranks, co-purchase graphs for recommendation features). The reference
+  * surfaces the serve-side analytics purpose (reference `README.md:2-4`);
+  * this is its iterative-graph generalization, built the way every
+  * iterative Spark job must be built.
+  *
+  * Arithmetic is EXACT integer fixed-point so results are reproducible
+  * across engines and cluster sizes: ranks carry scale 1e12, the damping
+  * factor is the rational 17/20 (0.85) and the teleport term
+  * (3·S)/(20·N) (0.15/N), every division is integral `div` (truncation
+  * == floor for the all-positive values here). Float PageRank would make
+  * the per-node sums order-dependent and the result nondeterministic
+  * under shuffle — unacceptable for an oracle-gated operator and for
+  * repeatable feature generation.
+  *
+  * Scale shape (the part that must survive 100 TB):
+  *   - edges join degrees ONCE, get hash-partitioned by `src` ONCE, and
+  *     persist; every iteration reuses that layout, so the big relation
+  *     is never re-shuffled — only the small rank relation (|V| rows)
+  *     moves per iteration, plus the partial-aggregated contribution
+  *     shuffle on `dst` (map-side combine halves it).
+  *   - the driver loop carries no data: N is the single scalar collected;
+  *     rank tables stay distributed.
+  *   - `localCheckpoint` after every iteration truncates lineage — an
+  *     unbroken 5-iteration plan is a 5-deep self-join tree that Catalyst
+  *     re-analyzes (and task retry re-executes) from the source; at
+  *     production iteration counts that is exponential planning cost. On
+  *     a real cluster with lossy executors, swap for reliable
+  *     `checkpoint` to a cluster-visible dir — same call site.
+  *
+  * Contract: `edges(src, dst)` directed, string node ids; every node of
+  * interest must appear as a `src` at least once (no dangling-mass
+  * redistribution is modeled — symmetrize bipartite relations as the
+  * callers do and the condition holds by construction). */
+object PageRank {
+
+  val Scale: Long = 1000000000000L // 1e12 fixed-point scale
+
+  /** Rank relation `(node, r)` after `iters` damped iterations.
+    * r sums to ~Scale (minus integer-truncation dust, bounded by
+    * iters·(|V| + |E|) ulps — at scale 1e12 that is noise, and the SAME
+    * noise on every engine). */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // the one big relation, laid out once: (src, dst, outdeg(src))
+    val e = edges.join(deg, "src").repartition(col("src")).persist()
+    val n = deg.count() // O(1) driver scalar, the only collect
+    require(n > 0, "pagerank: empty edge list")
+    val base = 3L * Scale / (20L * n) // teleport term 0.15/N, exact
+    var ranks = deg
+      .select(col("src").as("node"), lit(Scale / n).as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      ranks = e
+        .join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(expr("(17 * sum(r div d)) div 20").as("damped"))
+        .select(col("dst").as("node"), (lit(base) + col("damped")).as("r"))
+        .localCheckpoint()
+    }
+    e.unpersist()
+    ranks
+  }
+}

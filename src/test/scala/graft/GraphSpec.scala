@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+/** PageRank operator invariants (queries/Graph.scala, q122): exact
+  * parity with a driver-side integer model, known fixed points, mass
+  * conservation, and the iterative-lineage pin. */
+class GraphSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Driver-side exact model of operators/PageRank.run — same integer
+    * fixed-point arithmetic, pure Scala Maps. */
+  private def model(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
+    val S = PageRank.Scale
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = deg.size.toLong
+    val base = 3L * S / (20L * n)
+    var r = deg.keys.map(_ -> S / n).toMap
+    for (_ <- 1 to iters) {
+      val contrib = edges.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = contrib.map { case (v, c) => v -> (base + 17L * c / 20L) }
+    }
+    r
+  }
+
+  private def run(edges: Seq[(String, String)], iters: Int): Map[String, Long] =
+    PageRank.run(edges.toDF("src", "dst"), iters)
+      .collect().map(row => row.getString(0) -> row.getLong(1)).toMap
+
+  test("pagerank: exact parity with the driver-side integer model on a random graph") {
+    val rnd = new scala.util.Random(47)
+    val nodes = (0 until 40).map(i => s"n$i")
+    // random directed graph, symmetrized so every node is a src
+    val base = (0 until 300).map(_ => (nodes(rnd.nextInt(40)), nodes(rnd.nextInt(40))))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = base ++ base.map(_.swap)
+    assert(run(edges, 5) === model(edges, 5))
+  }
+
+  test("pagerank: uniform rank is the fixed point of a directed cycle") {
+    // 5 nodes, outdeg 1 each; S/n and the damped update are exact at n=5,
+    // so every iteration must reproduce S/n on the nose
+    val edges = (0 until 5).map(i => (s"c$i", s"c${(i + 1) % 5}"))
+    val r = run(edges, 7)
+    val expect = PageRank.Scale / 5
+    assert(r.values.toSet === Set(expect))
+  }
+
+  test("pagerank: star center outranks leaves; mass is conserved up to truncation dust") {
+    val leaves = (1 to 12).map(i => s"l$i")
+    val edges = leaves.map(l => (l, "hub")) ++ leaves.map(l => ("hub", l))
+    val r = run(edges, 5)
+    assert(leaves.map(r).toSet.size === 1) // symmetric leaves tie exactly
+    assert(r("hub") > r(leaves.head))
+    val mass = r.values.sum
+    // each iteration can only lose dust: <= 1 ulp per edge (div d), per
+    // node (div 20 twice, base) — generous bound, exact-zero not required
+    val maxLoss = 5L * (edges.size + 3L * (leaves.size + 1))
+    assert(mass <= PageRank.Scale && mass >= PageRank.Scale - maxLoss)
+  }
+
+  test("pagerank: lineage is truncated per iteration (no join tower in the result plan)") {
+    val edges = (0 until 6).map(i => (s"a$i", s"a${(i + 1) % 6}"))
+    val df = PageRank.run(edges.toDF("src", "dst"), 4)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // localCheckpoint per iteration => the result reads an RDD scan, not a
+    // 4-deep join/aggregate tower re-derived from the source
+    assert(!plan.contains("Join"), s"expected checkpointed lineage, got:\n$plan")
+  }
+
+  test("q122 shape: top-20 rows, all-supplier heads carry the co-sourcing mass") {
+    val df = SparkEntry.queries("q122_pagerank")(spark, sf)
+    val rows = df.collect()
+    assert(rows.length === 20)
+    // ranks strictly positive and sorted desc with the declared tie-break
+    val ranks = rows.map(_.getLong(1))
+    assert(ranks.forall(_ > 0) && ranks.sameElements(ranks.sortBy(-_)))
+  }
+}
