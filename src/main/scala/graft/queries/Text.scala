@@ -4,7 +4,7 @@ import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import graft.functions.VectorOps
-import graft.text.{Fuzzy, NearDup, Phrase, Spans, TextOps}
+import graft.text.{Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline text/vector analysis (SURVEY.md O38/O39/O40
@@ -1015,6 +1015,44 @@ object Text {
         .join(vocab, "term")
         .select(col("q_term"), col("term"), col("n_docs"))
         .orderBy("q_term", "term")
+    },
+
+    // ---- O37/O40: EXACT Jaccard similarity join at τ = 1/2 over trigram
+    //      shingle sets — the prefix-filtered exact path beside the
+    //      approximate MinHash one (q40): recall 1.0 by theorem, no
+    //      all-pairs leg anywhere (text/SimJoin.scala scale notes). The
+    //      oracle verifies by a token-join (intersection counts via
+    //      shared shingles), a THIRD formulation — both engines must
+    //      agree pair-for-pair and count-for-count. Threshold decided by
+    //      integer cross-multiplication on both sides, so J == τ
+    //      boundary pairs cannot flip on float rounding; the reported j
+    //      is one IEEE division, identical cross-engine. ----
+    gated("q123_simjoin_prefix",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS s
+        |      FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |       FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(i AS BIGINT) AS i,
+        |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb,
+        |       CAST(CAST(ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4)
+        |            AS DECIMAL(9,4)) AS VARCHAR) AS j
+        |FROM ov JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE 2 * i >= sa.n + sb.n - i
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val sets = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      SimJoin.jaccardJoin(sets, 1, 2)
+        .withColumn("j",
+          dec4Str(round(col("i").cast("double") /
+            (col("na") + col("nb") - col("i")), 4)))
+        .orderBy("a_id", "b_id")
     }
   )
 

@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity self-join via prefix filtering (the AllPairs/
+  * PPJoin family, Bayardo et al. WWW'07 / Xiao et al. WWW'08 — public
+  * literature): all pairs with Jaccard ≥ τ, with NO all-pairs work and
+  * NO approximation. The exact counterpart of the MinHash-LSH path
+  * (text/NearDup.scala): LSH trades recall for speed; prefix filtering
+  * keeps recall 1.0 and prunes with a theorem instead of a hash.
+  *
+  * Principle: order every set by one GLOBAL token order (rarest-first by
+  * document frequency, ties on the token) and keep only each set's first
+  * |s| − ⌈τ·|s|⌉ + 1 tokens (its "prefix"). Any two sets with
+  * J ≥ τ share ≥ ⌈τ·max(|a|,|b|)⌉ tokens (J ≥ τ forces overlap
+  * i ≥ τ(|a|+|b|)/(1+τ) ≥ τ·max), and by pigeonhole on the shared global
+  * order two sets overlapping that much MUST collide inside these
+  * prefixes — so joining on prefix tokens alone loses nothing, and the
+  * exact verify runs only on surviving candidates.
+  *
+  * Scale shape: the candidate join carries |prefix| ≈ (1−τ)·|tokens|
+  * rows per set, keyed by token — rarest-first ordering pushes hot
+  * tokens OUT of prefixes, which is what keeps the token-key join from
+  * exploding on stopwords (the failure mode of a naive token join).
+  * Verify re-joins the two set arrays per candidate and intersects in
+  * O(|a|+|b|) — candidates, not pairs, bound the work. The threshold
+  * compare is integer cross-multiplication (τ = tNum/tDen), so boundary
+  * pairs (J == τ) are decided exactly — no float epsilon at the cut. */
+object SimJoin {
+
+  /** All pairs of `sets(id, set)` (set = DISTINCT tokens, any orderable
+    * type; id any orderable type) with Jaccard(a, b) ≥ tNum/tDen.
+    * Returns (a_id, b_id, i, na, nb): intersection and set sizes —
+    * callers derive J = i / (na + nb − i). */
+  def jaccardJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
+    val tok = sets.select(col("id"), explode(col("set")).as("w"))
+    // global rarity order: document frequency, ties broken on the token
+    // itself — any total order is correct; rarest-first is the fast one
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
+    val prefix = tok.join(dfreq, "w")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy("dfreq", "w")))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("id")))
+      // keep first n − ⌈τ·n⌉ + 1 under the global order
+      .filter(col("pos") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
+      .select(col("id"), col("w"))
+    val cand = prefix.select(col("id").as("a_id"), col("w"))
+      .join(prefix.select(col("id").as("b_id"), col("w")), "w")
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val sa = sets.select(col("id").as("a_id"), col("set").as("seta"),
+      size(col("set")).as("na"))
+    val sb = sets.select(col("id").as("b_id"), col("set").as("setb"),
+      size(col("set")).as("nb"))
+    cand.join(sa, "a_id").join(sb, "b_id")
+      .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
+      // J ≥ τ ⟺ i·tDen ≥ (na + nb − i)·tNum, decided in integers
+      .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
+      .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+  }
+}

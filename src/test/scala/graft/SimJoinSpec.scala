@@ -1,0 +1,73 @@
+package graft
+
+import graft.text.{SimJoin, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Prefix-filtered exact similarity join (text/SimJoin.scala, q123):
+  * recall-1.0 parity against brute force, exact boundary decisions, and
+  * the pruning that is the operator's whole point. */
+class SimJoinSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  /** Brute-force all-pairs exact Jaccard — the spec SimJoin must equal. */
+  private def brute(sets: Seq[(Long, Seq[String])], tNum: Int, tDen: Int): Set[(Long, Long, Long)] =
+    (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = sa.toSet.intersect(sb.toSet).size.toLong
+      if i * tDen >= (sa.size + sb.size - i) * tNum
+    } yield (a, b, i)).toSet
+
+  private def run(sets: Seq[(Long, Seq[String])], tNum: Int, tDen: Int): Set[(Long, Long, Long)] =
+    SimJoin.jaccardJoin(sets.toDF("id", "set"), tNum, tDen)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("simjoin: parity with brute force on random token sets across thresholds") {
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 60).map(i => f"t$i%02d")
+    val sets = (0L until 80L).map { id =>
+      val n = 4 + rnd.nextInt(12)
+      id -> rnd.shuffle(vocab).take(n).distinct
+    }
+    for ((tn, td) <- Seq((1, 2), (3, 10), (4, 5)))
+      assert(run(sets, tn, td) === brute(sets, tn, td), s"tau=$tn/$td")
+  }
+
+  test("simjoin: J == tau boundary pair is INCLUDED (integer cross-multiplication, no float cut)") {
+    // |a|=|b|=3, i=2 -> J = 2/4 = 1/2 exactly
+    val sets = Seq(1L -> Seq("x", "y", "p"), 2L -> Seq("x", "y", "q"))
+    assert(run(sets, 1, 2) === Set((1L, 2L, 2L)))
+    // and excluded one notch above: tau = 51/100 > 1/2
+    assert(run(sets, 51, 100) === Set.empty[(Long, Long, Long)])
+  }
+
+  test("simjoin: disjoint and identical sets behave at the extremes") {
+    val sets = Seq(1L -> Seq("a", "b"), 2L -> Seq("c", "d"), 3L -> Seq("a", "b"))
+    assert(run(sets, 1, 1) === Set((1L, 3L, 2L))) // tau=1: only exact duplicates
+  }
+
+  test("simjoin: prefix relation is strictly smaller than the token relation (pruning is real)") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      .localCheckpoint()
+    val tokRows = docs.select(explode(col("set"))).count()
+    // re-derive the prefix row count the operator keeps at tau=1/2:
+    // n - ceil(n/2) + 1 = floor(n/2) + 1 tokens per set
+    val prefixRows = docs
+      .select((expr("size(set) div 2") + lit(1)).as("p"))
+      .agg(sum(col("p"))).first().getLong(0)
+    assert(prefixRows * 3 < tokRows * 2, // prefixes carry < 2/3 of the tokens
+      s"prefix $prefixRows vs tokens $tokRows")
+  }
+
+  test("q123 matches the q45 family: every reported pair really clears tau on raw trigram sets") {
+    val rows = SparkEntry.queries("q123_simjoin_prefix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (i, na, nb) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(2 * i >= na + nb - i, s"pair ${r.getLong(0)}-${r.getLong(1)} below tau")
+    }
+  }
+}
