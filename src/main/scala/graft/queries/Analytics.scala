@@ -1047,6 +1047,37 @@ object Analytics {
         .limit(10)
         .select(col("doc_id"),
           col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+    },
+
+    // ---- Mergeable Misra-Gries summary (operators/MgSummary): the
+    //      frequent-items entry on the sketch shelf. The single-batch
+    //      build (exact counts → one MG compression, deterministic
+    //      tie-break on (c desc, item)) is fully SQL-expressible, so the
+    //      gate is EXACT: both engines must keep the same ≤ k counters
+    //      with the same post-subtraction values and the same group
+    //      totals. The streaming fold (FrequentItemsMaintenance) and the
+    //      PODS'12 merge bound are pinned in FrequentItemsSpec. Scale:
+    //      the exact-counts agg is the only pass over the data; the
+    //      compression windows run over ≤ distinct-items rows, and state
+    //      is groups × (k+1) rows forever. ----
+    gated("q124_mg_summary",
+      """WITH counts AS (SELECT event_type AS grp, user_id AS item, COUNT(*) AS c
+        |                FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type AS tgrp, CAST(COUNT(*) AS BIGINT) AS n
+        |        FROM events GROUP BY 1),
+        |rk AS (SELECT grp, item, c,
+        |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY c DESC, item) AS rk
+        |       FROM counts),
+        |s AS (SELECT grp AS sgrp, MAX(CASE WHEN rk = 9 THEN c ELSE 0 END) AS s
+        |      FROM rk GROUP BY 1)
+        |SELECT rk.grp, rk.item, CAST(rk.c - s.s AS BIGINT) AS c, tot.n
+        |FROM rk JOIN s ON rk.grp = s.sgrp JOIN tot ON rk.grp = tot.tgrp
+        |WHERE rk.rk <= 8 AND rk.c > s.s
+        |ORDER BY grp, item""") { (s, d) =>
+      import graft.operators.MgSummary
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      MgSummary.candidates(MgSummary.build(ev, "event_type", "user_id", 8))
+        .orderBy("grp", "item")
     }
   )
 }
