@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multi-hop reachability (bounded transitive closure) by frontier BFS —
+  * the recursive-query capability Spark SQL lacks (no WITH RECURSIVE),
+  * re-expressed as the iterative driver loop every distributed BFS uses:
+  * provenance closure ("everything downstream of these suppliers"),
+  * dependency cones, contamination spread through derived datasets.
+  * Third member of the iterative family: CC propagates labels to a
+  * fixpoint, PageRank iterates a fixed count, BFS expands a FRONTIER
+  * that empties.
+  *
+  * Min-depth semantics: a node's depth is the FIRST hop count at which
+  * it is reached (the left-anti join against the visited set per hop
+  * guarantees it — a node never re-enters the frontier, which is also
+  * what makes BFS terminate on cyclic graphs without re-walking them).
+  *
+  * Scale shape: the edge relation is hash-partitioned on `src` once and
+  * persisted — every hop's frontier join reuses that layout, shuffling
+  * only the frontier (which is bounded by |V| total across ALL hops,
+  * since each node enters once). The driver loop carries one scalar
+  * (frontier size) per hop; visited/frontier localCheckpoint per hop
+  * keeps lineage flat. Against 100 TB edge lists this is the standard
+  * BSP traversal shape (Pregel's BFS without the framework). */
+object Reachability {
+
+  /** `(node, depth)` for every node within `maxHops` of `seeds`.
+    * `edges(src, dst)` directed; `seeds(node)`; depth = min hops. */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 0, s"bfs: maxHops must be >= 0, got $maxHops")
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(col("src")).persist()
+    var visited = seeds.select(col("node"), lit(0).as("depth"))
+      .distinct().localCheckpoint()
+    var frontier = visited.select(col("node"))
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        .withColumn("depth", lit(hop))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("node"))
+    }
+    e.unpersist()
+    visited
+  }
+}

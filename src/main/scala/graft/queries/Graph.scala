@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.gated
-import graft.operators.PageRank
+import graft.operators.{PageRank, Reachability}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relations derived from the base tables — the
@@ -74,6 +74,51 @@ object Graph {
         .select(col("node"), col("r").cast("long").as("rank"))
         .orderBy(desc("rank"), col("node"))
         .limit(20)
+    },
+
+    // ---- Bounded transitive closure: the provenance cone downstream of
+    //      three suppliers through the typed supplier→part→order→customer
+    //      edge relation, with min-hop depths — Spark has no WITH
+    //      RECURSIVE, so the oracle IS DuckDB's recursive CTE and the
+    //      engine answers with frontier BFS (operators/Reachability).
+    //      Output aggregates the closure per (depth, node kind) so the
+    //      gate pins the whole reachable set (counts + extremal ids)
+    //      without dumping 16k rows. ----
+    gated("q125_reachability",
+      """WITH RECURSIVE
+        |edges AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR),
+        |                  'o' || CAST(l_orderkey AS VARCHAR) FROM lineitem
+        |  UNION ALL
+        |  SELECT DISTINCT 'o' || CAST(o_orderkey AS VARCHAR),
+        |                  'c' || CAST(o_custkey AS VARCHAR) FROM orders),
+        |reach(node, depth) AS (
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR), 0 FROM supplier WHERE s_suppkey < 3
+        |  UNION
+        |  SELECT e.dst, r.depth + 1 FROM reach r JOIN edges e ON e.src = r.node
+        |  WHERE r.depth < 3),
+        |md AS (SELECT node, MIN(depth) AS depth FROM reach GROUP BY node)
+        |SELECT depth, substr(node, 1, 1) AS kind, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(node) AS first_node, MAX(node) AS last_node
+        |FROM md GROUP BY depth, kind ORDER BY depth, kind""") { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      def tag(p: String, c: String) = concat(lit(p), col(c).cast("string"))
+      val edges = li.select(tag("s", "l_suppkey").as("src"),
+          tag("p", "l_partkey").as("dst")).distinct()
+        .unionByName(li.select(tag("p", "l_partkey").as("src"),
+          tag("o", "l_orderkey").as("dst")).distinct())
+        .unionByName(Tables.orders(s, d).select(
+          tag("o", "o_orderkey").as("src"), tag("c", "o_custkey").as("dst")))
+      val seeds = Tables.supplier(s, d).filter(col("s_suppkey") < 3)
+        .select(tag("s", "s_suppkey").as("node"))
+      Reachability.bfs(edges, seeds, maxHops = 3)
+        .groupBy(col("depth"), substring(col("node"), 1, 1).as("kind"))
+        .agg(count(lit(1)).as("n"), min(col("node")).as("first_node"),
+          max(col("node")).as("last_node"))
+        .orderBy("depth", "kind")
     }
   )
 }

@@ -71,6 +71,25 @@ class GraphSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"expected checkpointed lineage, got:\n$plan")
   }
 
+  test("bfs: min-depth semantics on a diamond with a shortcut edge") {
+    // a→b→d and a→d: d must be depth 1, not 2; e unreachable
+    val edges = Seq(("a", "b"), ("b", "d"), ("a", "d"), ("d", "c"), ("e", "e"))
+      .toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val got = graft.operators.Reachability.bfs(edges, seeds, 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got === Map("a" -> 0, "b" -> 1, "d" -> 1, "c" -> 2))
+  }
+
+  test("bfs: cycles terminate (frontier empties) and maxHops truncates the cone") {
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val full = graft.operators.Reachability.bfs(cyc, Seq("a").toDF("node"), 10)
+    assert(full.count() === 3) // each node entered exactly once despite the cycle
+    val cut = graft.operators.Reachability.bfs(cyc, Seq("a").toDF("node"), 1)
+    assert(cut.collect().map(r => r.getString(0) -> r.getInt(1)).toMap ===
+      Map("a" -> 0, "b" -> 1))
+  }
+
   test("q122 shape: top-20 rows, all-supplier heads carry the co-sourcing mass") {
     val df = SparkEntry.queries("q122_pagerank")(spark, sf)
     val rows = df.collect()
