@@ -131,6 +131,83 @@ object Series {
           (coalesce(sum("btot").over(wOff), lit(0L)) + col("lmax")).as("cand"))
         .groupBy("event_type").agg(max("cand").as("peak"))
         .orderBy("event_type")
+    },
+
+    // ---- Linear interpolation over the date spine — the numeric
+    //      companion to q94's LOCF: missing days take the straight line
+    //      between the flanking observed days. All arithmetic is exact
+    //      integer cents; the one division truncates toward zero on BOTH
+    //      engines (DuckDB `//` and Spark `div` agree, verified on
+    //      negative slopes) — a decimal or double division here would
+    //      hang the gate on cross-engine rounding of ties, and a
+    //      floor-vs-truncate mismatch flips every falling segment by one
+    //      cent. Edges (no flanking point on one side) stay
+    //      NULL, flagged 2. Scale: identical shape to q94 — calendar
+    //      spine broadcast, sparse side pre-aggregated, two window
+    //      passes over days × types rows. ----
+    gated("q126_interpolate",
+      """WITH bounds AS (SELECT CAST(min(ts) AS DATE) AS lo,
+        |                       CAST(max(ts) AS DATE) AS hi FROM events),
+        |spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS day
+        |          FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events),
+        |daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                 CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS vc
+        |          FROM events WHERE user_id % 499 = 2
+        |          GROUP BY 1, 2),
+        |g AS (SELECT t.event_type, s.day, d.vc
+        |      FROM spine s CROSS JOIN types t
+        |      LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = s.day),
+        |w AS (SELECT event_type, day, vc,
+        |        last_value(vc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+        |        last_value(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+        |        first_value(vc IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(CASE WHEN vc IS NOT NULL THEN day END IGNORE NULLS) OVER (
+        |          PARTITION BY event_type ORDER BY day
+        |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+        |      FROM g)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        |  CAST(CASE WHEN vc IS NOT NULL THEN vc
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         pv + (nv - pv) * date_diff('day', pd, day) // date_diff('day', pd, nd)
+        |       ELSE NULL END AS BIGINT) AS v_cents,
+        |  CAST(CASE WHEN vc IS NOT NULL THEN 0
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 1 ELSE 2 END AS BIGINT) AS filled
+        |FROM w ORDER BY event_type, day""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      val daily = ev.filter(pmod(col("user_id"), lit(499)) === 2)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg((sumDec2(col("value")) * 100).cast("long").as("vc"))
+      val spine = ev.agg(to_date(min("ts")).as("lo"), to_date(max("ts")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      val types = ev.select("event_type").distinct()
+      val before = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val after = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val obsDay = when(col("vc").isNotNull, col("day"))
+      val w = spine.crossJoin(broadcast(types))
+        .join(daily, Seq("event_type", "day"), "left")
+        .withColumn("pv", last(col("vc"), ignoreNulls = true).over(before))
+        .withColumn("pd", last(obsDay, ignoreNulls = true).over(before))
+        .withColumn("nv", first(col("vc"), ignoreNulls = true).over(after))
+        .withColumn("nd", first(obsDay, ignoreNulls = true).over(after))
+      // both engines truncate toward zero (DuckDB `//`, Spark `div`) —
+      // verified on negative slopes, so the same expression is exact
+      val interp = col("pv") +
+        expr("((nv - pv) * datediff(day, pd)) div datediff(nd, pd)")
+      w.select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          when(col("vc").isNotNull, col("vc"))
+            .when(col("pv").isNotNull && col("nv").isNotNull, interp)
+            .otherwise(lit(null)).cast("long").as("v_cents"),
+          when(col("vc").isNotNull, lit(0L))
+            .when(col("pv").isNotNull && col("nv").isNotNull, lit(1L))
+            .otherwise(lit(2L)).as("filled"))
+        .orderBy("event_type", "day")
     }
   )
 }
