@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.gated
-import graft.operators.{PageRank, Reachability}
+import graft.operators.{PageRank, Reachability, Triangles}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over relations derived from the base tables — the
@@ -119,6 +119,65 @@ object Graph {
         .agg(count(lit(1)).as("n"), min(col("node")).as("first_node"),
           max(col("node")).as("last_node"))
         .orderBy("depth", "kind")
+    },
+
+    // ---- Co-occurrence mining: parts bought together, the basket
+    //      self-join every recommender/feature pipeline starts from.
+    //      Scale: the pair explosion is bounded per basket (the join key
+    //      is the order), partial aggregation combines map-side, top-20
+    //      is a TakeOrdered — the hazard at 100 TB is a HOT basket, and
+    //      the mitigation is the same salting/AQE-skew split the engine
+    //      pins in SkewSpec, not a different plan. ----
+    gated("q127_copurchase",
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem)
+        |SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        |GROUP BY 1, 2 ORDER BY c DESC, pa, pb LIMIT 20""") { (s, d) =>
+      val basket = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val a = basket.select(col("ok"), col("pk").as("pa"))
+      val b = basket.select(col("ok").as("ok2"), col("pk").as("pb"))
+      a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+
+    // ---- Triangle counting (operators/Triangles): per-node triangle
+    //      participation over the 300 strongest supplier co-sourcing
+    //      edges (top by shared-part count — a deterministic, scale-free
+    //      sparsification; the raw co-sourcing graph is complete).
+    //      The engine orients by (degree, node) and wedge-joins — each
+    //      triangle enumerated once, out-neighborhoods bounded O(√E);
+    //      the oracle enumerates with three id-ordered joins. Orientation
+    //      changes the join sizes, never the counts, so the two agree
+    //      exactly. ----
+    gated("q128_triangles",
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |w AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS n
+        |      FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+        |edges AS (SELECT u, v FROM w ORDER BY n DESC, u, v LIMIT 300),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT node, CAST(COUNT(*) AS BIGINT) AS tri
+        |FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |      UNION ALL SELECT c FROM tri)
+        |GROUP BY node ORDER BY tri DESC, node LIMIT 10""") { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val strongest = e0.as("x").join(e0.as("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("u"), col("v"))
+        .limit(300)
+        .select(col("u"), col("v"))
+      Triangles.perNode(strongest)
+        .orderBy(col("tri").desc, col("node"))
+        .limit(10)
     }
   )
 }

@@ -90,6 +90,29 @@ class GraphSpec extends SparkTestBase {
       Map("a" -> 0, "b" -> 1))
   }
 
+  test("triangles: parity with brute force on random graphs; K4 and cycle cases") {
+    def brute(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val und = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .filter(e => e._1 != e._2).distinct.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq
+      val tris = for {
+        a <- nodes; b <- nodes if a < b; c <- nodes if b < c
+        if und((a, b)) && und((b, c)) && und((a, c))
+      } yield Seq(a, b, c)
+      tris.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    }
+    def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.operators.Triangles.perNode(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: every node in C(3,2)=3 triangles; C4 (square): none
+    val k4 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
+    assert(run(k4) === Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    assert(run(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))) === Map.empty)
+    val rnd = new scala.util.Random(47)
+    val edges = (0 until 200).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    assert(run(edges) === brute(edges))
+  }
+
   test("q122 shape: top-20 rows, all-supplier heads carry the co-sourcing mass") {
     val df = SparkEntry.queries("q122_pagerank")(spark, sf)
     val rows = df.collect()
