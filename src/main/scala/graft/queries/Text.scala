@@ -1053,6 +1053,35 @@ object Text {
           dec4Str(round(col("i").cast("double") /
             (col("na") + col("nb") - col("i")), 4)))
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- Sorted-neighborhood blocking (operators/SortedNeighborhood):
+    //      the third candidate family beside LSH buckets (q40) and
+    //      prefix tokens (q123) — block on the sortable text OPENING,
+    //      verify with edit distance over the same 80-char prefix. Finds
+    //      the same 25 planted near-dup pairs as q123 through a
+    //      completely different mechanism (window-in-sort-order vs
+    //      set-overlap theorem), which is exactly the cross-check an ER
+    //      pipeline wants. The engine's global sequence is the two-level
+    //      range-partition + offset shape (no single-task global
+    //      window); the oracle can afford DuckDB's plain ROW_NUMBER. ----
+    gated("q129_sorted_neighbor",
+      """WITH r AS (SELECT doc_id AS id, substr(text, 1, 80) AS key,
+        |                  ROW_NUMBER() OVER (ORDER BY substr(text, 1, 80), doc_id) AS rn
+        |           FROM documents)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |       CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5
+        |WHERE levenshtein(a.key, b.key) <= 8
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      import graft.operators.SortedNeighborhood
+      val recs = Tables.documents(s, d)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 80).as("key"))
+      SortedNeighborhood.candidates(recs, w = 5)
+        .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("long"))
+        .filter(col("dist") <= 8)
+        .select(col("a_id"), col("b_id"), col("dist"))
+        .orderBy("a_id", "b_id")
     }
   )
 

@@ -62,6 +62,35 @@ class SimJoinSpec extends SparkTestBase {
       s"prefix $prefixRows vs tokens $tokRows")
   }
 
+  test("sorted-neighborhood: pairs equal the single-window model regardless of partitioning") {
+    import graft.operators.SortedNeighborhood
+    val rnd = new scala.util.Random(47)
+    val recs = (0L until 300L).map(i => (i, f"k${rnd.nextInt(100)}%03d-$i"))
+    def model(w: Int): Set[(Long, Long, Long)] = {
+      val sorted = recs.sortBy { case (id, k) => (k, id) }
+      (for {
+        (a, ia) <- sorted.zipWithIndex; (b, ib) <- sorted.zipWithIndex
+        if ib > ia && ib <= ia + w
+      } yield (a._1, b._1, (ib - ia).toLong)).toSet
+    }
+    for (w <- Seq(1, 5)) {
+      val got = SortedNeighborhood.candidates(recs.toDF("id", "key"), w)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(4))).toSet
+      assert(got === model(w), s"w=$w")
+    }
+  }
+
+  test("sorted-neighborhood: the global sequence never runs through a single-task window") {
+    import graft.operators.SortedNeighborhood
+    val recs = (0L until 50L).map(i => (i, s"key$i"))
+    val plan = SortedNeighborhood.candidates(recs.toDF("id", "key"), 3)
+      .queryExecution.executedPlan.toString
+    // an empty partitionBy would appear as "Window [...]" with no
+    // partition spec and a SinglePartition exchange above it
+    assert(!plan.contains("SinglePartition"),
+      s"global window collapsed to one task:\n$plan")
+  }
+
   test("q123 matches the q45 family: every reported pair really clears tau on raw trigram sets") {
     val rows = SparkEntry.queries("q123_simjoin_prefix")(spark, sf).collect()
     assert(rows.nonEmpty)
