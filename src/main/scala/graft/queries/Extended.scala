@@ -519,6 +519,49 @@ object Extended {
         // (l_orderkey, l_linenumber) is NOT unique in the synthetic data
         // (746 dup keys at sf0.01) — v completes the total order
         .orderBy("l_orderkey", "l_linenumber", "metric", "v")
+    },
+
+    // ---- O15/O16 completeness: the distribution window functions.
+    //      percent_rank and cume_dist are each ONE IEEE division of
+    //      small exact integers ((rank−1)/(n−1), k/n) — identical
+    //      cross-engine; the ROUND→DECIMAL render relies on both
+    //      engines rounding doubles half-AWAY-from-zero (verified:
+    //      DuckDB ROUND(1/32·2⁻⁵ ties) == Spark HALF_UP), and no group
+    //      under the filter is 2ᵏ+1 rows so no representable tie
+    //      exists anyway. nth_value pins the full-partition frame. ----
+    gated("q130_window_dist",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(CAST(ROUND(PERCENT_RANK() OVER w, 4) AS DECIMAL(9,4)) AS VARCHAR) AS pr,
+        |  CAST(CAST(ROUND(CUME_DIST() OVER w, 4) AS DECIMAL(9,4)) AS VARCHAR) AS cd,
+        |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_ok
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d).filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec4Str(round(percent_rank().over(w), 4)).as("pr"),
+          dec4Str(round(cume_dist().over(w), 4)).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(full).as("second_ok"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // ---- O10 completeness: bitwise aggregates — bit_and/bit_or/bit_xor
+    //      are associative-commutative integer folds, exact on any
+    //      shuffle order (xor in particular is the order-free set
+    //      digest, the same role md5-sum plays in q93's reconcile). ----
+    gated("q131_bit_aggs",
+      """SELECT event_type, BIT_AND(user_id) AS ba, BIT_OR(user_id) AS bo,
+        |       BIT_XOR(user_id) AS bx
+        |FROM events GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(bit_and(col("user_id")).as("ba"), bit_or(col("user_id")).as("bo"),
+          bit_xor(col("user_id")).as("bx"))
+        .orderBy("event_type")
     }
   )
 }
