@@ -51,6 +51,9 @@ object SortedNeighborhood {
     val seq = local.join(
         broadcast(offsets.toDF("pid", "off")), Seq("pid"))
       .select(col("id"), col("key"), (col("lrn") + col("off")).as("rn"))
+      // read by both band-join sides — materialize, or the range
+      // exchange + rank window run twice
+      .localCheckpoint()
     val bkt = expr(s"(rn - 1) div $w")
     val a = seq.select(col("id").as("a_id"), col("key").as("a_key"),
         col("rn").as("a_rn"), explode(array(bkt, bkt + 1)).as("bkt"))

@@ -66,6 +66,9 @@ object SimJoin {
       .filter(col("pos") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
       .select(col("id"), col("n"), col("w"))
+      // both sides of the candidate self-join read this relation —
+      // materialize it or the dfreq join + rank window run twice
+      .localCheckpoint()
     // candidate pairs: share a prefix fingerprint AND pass the length
     // filter (J ≥ τ forces τ·max(na,nb) ≤ min(na,nb)) — the filter runs
     // inside the join so size-incompatible pairs never reach distinct()

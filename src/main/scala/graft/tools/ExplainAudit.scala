@@ -33,7 +33,13 @@ object ExplainAudit {
     "q84_argmax",              // max_by/min_by two-phase, no window sort
     "q86_snapshot_diff",       // PK-keyed windows + full-outer SMJ
     "q89_rollup_reuse",        // two-level agg, both phases partial+final
-    "q90_dedup_pipeline")      // composed dedup stages, no driver fold
+    "q90_dedup_pipeline",      // composed dedup stages, no driver fold
+    "q122_pagerank",           // checkpointed lineage: scan, not a join tower
+    "q123_simjoin_prefix",     // long-fingerprint joins, prefix-pruned
+    "q125_reachability",       // frontier scan joins, no recursive blow-up
+    "q127_copurchase",         // basket join + partial agg + TakeOrdered
+    "q128_triangles",          // one checkpointed edge set, 3 hash joins
+    "q129_sorted_neighbor")    // range exchange, no SinglePartition window
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

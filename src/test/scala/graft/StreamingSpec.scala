@@ -628,6 +628,54 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(col("category").isNull).count() === 0)
   }
 
+  test("streaming as-of enrichment: the custom AsOf exec runs per micro-batch in foreachBatch") {
+    // enrich each change with the price-list version in force AT ITS
+    // event time — the classic as-of enrichment, composed from the
+    // custom LogicalPlan/SparkPlan (plans/AsOfJoin) inside foreachBatch,
+    // proving the tier-(c) operator participates in streaming plans
+    import spark.implicits._
+    import graft.operators.AsOf
+    val rates = Seq( // the fixture's changes all land on 2022-03-14
+      ("2022-03-14 00:00:00", 100L),
+      ("2022-03-14 08:00:00", 110L),
+      ("2022-03-14 16:00:00", 125L))
+      .toDF("since", "rate")
+      .select(to_timestamp(col("since")).as("since"), col("rate"),
+        lit(1).as("k"))
+    val src = tmpDir("cdc_asof_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+    val q = Envelope.changelog(spark.readStream.text(src))
+      .select(col("data.trans_id").as("trans_id"),
+        to_timestamp(col("data.trans_datetime")).as("ts"), lit(1).as("k"))
+      .writeStream.outputMode("append").trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val enriched = AsOf.join(batch, rates,
+          leftOn = Seq(batch("k")), rightOn = Seq(rates("k")),
+          leftTs = batch("ts"), rightTs = rates("since"),
+          leftOuter = true)
+        out.synchronized {
+          out ++= enriched.collect().map(r =>
+            (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4)))
+        }
+        ()
+      }.start()
+    q.awaitTermination(120000)
+
+    // batch reference: same as-of join over the whole changelog at once
+    val ref = Envelope.changelog(spark, Tables.cdcFixturePath)
+      .select(col("data.trans_id").as("trans_id"),
+        to_timestamp(col("data.trans_datetime")).as("ts"), lit(1).as("k"))
+    val want = AsOf.join(ref, rates,
+        leftOn = Seq(ref("k")), rightOn = Seq(rates("k")),
+        leftTs = ref("ts"), rightTs = rates("since"), leftOuter = true)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(4)) -1L else r.getLong(4)))
+    assert(out.size === want.length)
+    assert(out.sorted.toSeq === want.sorted.toSeq)
+    // the fixture spans the rate changes → more than one rate in force
+    assert(out.map(_._2).toSet.size > 1)
+  }
+
   test("stream-stream interval join: purchases attribute to clicks within 30 min, watermark-bounded state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
