@@ -1082,6 +1082,56 @@ object Text {
         .filter(col("dist") <= 8)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- Statistical fluency scoring (the CCNet/KenLM quality-filter
+    //      idea with an exact-arithmetic core): train bigram conditional
+    //      probabilities on the 80% held-in slice, score held-out docs
+    //      by their mean scaled conditional probability — log-free, so
+    //      every factor is ONE integer division (scaled 1e6, truncating
+    //      on both engines) and the gate is exact. Unseen bigrams score
+    //      0 (the filter's whole point: gibberish gets no mass).
+    //      Scale: the model is vocabulary²-bounded count relations (not
+    //      corpus-bounded); scoring shuffles eval bigrams by bigram key
+    //      into a hash join against the model, then one per-doc agg —
+    //      the same shape as a broadcast-model filter when the model
+    //      fits, declared as joins so Catalyst/AQE picks. ----
+    gated("q132_lm_fluency",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |bg AS (SELECT doc_id, unnest([{'a': w[i], 'ab': w[i] || ' ' || w[i+1]}
+        |                              for i in range(1, len(w))]) AS g
+        |       FROM t WHERE len(w) >= 2),
+        |flat AS (SELECT doc_id, g.a AS a, g.ab AS ab FROM bg),
+        |cb AS (SELECT ab, COUNT(*) AS cab FROM flat WHERE doc_id % 10 < 8 GROUP BY ab),
+        |cu AS (SELECT a, COUNT(*) AS ca FROM flat WHERE doc_id % 10 < 8 GROUP BY a)
+        |SELECT f.doc_id,
+        |       CAST(SUM(COALESCE((1000000 * cb.cab) // cu.ca, 0)) // COUNT(*) AS BIGINT) AS fluency
+        |FROM flat f LEFT JOIN cb ON f.ab = cb.ab LEFT JOIN cu ON f.a = cu.a
+        |WHERE f.doc_id % 10 >= 8
+        |GROUP BY f.doc_id ORDER BY f.doc_id""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+      // bigram occurrences (doc_id, a, ab), one row per position — the
+      // relation feeds model building AND scoring; materialize once
+      val flat = toks.select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, size(w) - 1),
+            |  (x, i) -> struct(x AS a,
+            |                   concat(x, ' ', element_at(w, i + 2)) AS ab))"""
+            .stripMargin)).as("g"))
+        .select(col("doc_id"), col("g.a").as("a"), col("g.ab").as("ab"))
+        .localCheckpoint()
+      val train = flat.filter(pmod(col("doc_id"), lit(10)) < 8)
+      val cb = train.groupBy("ab").agg(count(lit(1)).as("cab"))
+      val cu = train.groupBy("a").agg(count(lit(1)).as("ca"))
+      flat.filter(pmod(col("doc_id"), lit(10)) >= 8)
+        .join(cb, Seq("ab"), "left")
+        .join(cu, Seq("a"), "left")
+        .groupBy("doc_id")
+        .agg(expr("sum(coalesce((1000000 * cab) div ca, 0)) div count(1)")
+          .cast("long").as("fluency"))
+        .orderBy("doc_id")
     }
   )
 

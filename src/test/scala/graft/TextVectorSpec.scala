@@ -284,4 +284,18 @@ class TextVectorSpec extends SparkTestBase {
         s"on-book ADC not exact for vec ${r.getLong(0)}")
     }
   }
+
+  test("q132 fluency: a mean of scaled conditional probabilities stays in [0, 1e6]") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q132_lm_fluency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // each addend is (1e6·c(ab)) div c(a) ≤ 1e6 since c(ab) ≤ c(a); a
+    // mean of such terms cannot leave the scale — and the corpus is
+    // self-similar enough that held-out docs must score above zero
+    rows.foreach { r =>
+      val f = r.getLong(1)
+      assert(f >= 0 && f <= 1000000L, s"doc ${r.getLong(0)}: fluency $f")
+    }
+    assert(rows.map(_.getLong(1)).max > 0)
+  }
 }
