@@ -563,6 +563,34 @@ object Media {
         .select(col("n_exact"),
           (col("n_hits") * 100 >= col("n_exact") * 95).cast("long").as("recall_ok"),
           (col("n_hits") === col("n_lsh")).cast("long").as("subset_ok"))
+    },
+
+    // ---- Distributed exact second-moment (gram) matrix — the training
+    //      half of PCA whitening (functions/Pca): elements quantized to
+    //      micro-units through an EXPLICIT double promotion (float32
+    //      arithmetic would diverge between engines) and an EXPLICIT
+    //      trunc (Spark's double→long cast truncates toward zero,
+    //      DuckDB's ROUNDS — 2080/2080 cells off without it), so every
+    //      product and sum is exact integer arithmetic on any shuffle
+    //      order.
+    //      Scale: upper-triangle products explode per row and partial
+    //      aggregation combines map-side — the exchange carries ≤
+    //      d(d+1)/2 rows per partition no matter the corpus size; the
+    //      d×d result is the O(parameters) collect the driver-side
+    //      Jacobi eigensolver consumes (PcaSpec). ----
+    gated("q133_embed_moments",
+      """WITH q AS (SELECT [CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |                   for x in embedding] AS v FROM embeddings),
+        |idx AS (SELECT unnest(range(1, 65)) AS i),
+        |pairs AS (SELECT a.i AS i, b.i AS j FROM idx a JOIN idx b ON a.i <= b.i)
+        |SELECT p.i, p.j, CAST(SUM(q.v[p.i] * q.v[p.j]) AS BIGINT) AS m
+        |FROM q CROSS JOIN pairs p
+        |GROUP BY p.i, p.j ORDER BY p.i, p.j""") { (s, d) =>
+      import graft.functions.Pca
+      Pca.momentRelation(Tables.embeddings(s, d), "embedding", 64)
+        .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+          col("m"))
+        .orderBy("i", "j")
     }
   )
 
