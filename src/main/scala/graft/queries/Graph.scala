@@ -178,6 +178,50 @@ object Graph {
       Triangles.perNode(strongest)
         .orderBy(col("tri").desc, col("node"))
         .limit(10)
+    },
+
+    // ---- Personalized PageRank: proximity to suppliers s0/s1 through
+    //      the co-sourcing graph (random-walk-with-restart, the
+    //      related-entities primitive). Seeds hold the restart mass;
+    //      every other node ranks by how much seed mass random walks
+    //      deliver to it. Same exact integer fixed-point as q122; the
+    //      oracle folds the seed restart with a union inside each
+    //      iteration's aggregation, exactly like the engine. ----
+    gated("q135_ppr",
+      s"""WITH pairs AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |edges AS (
+         |  SELECT 'p' || CAST(pk AS VARCHAR) AS src, 's' || CAST(sk AS VARCHAR) AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT 's' || CAST(sk AS VARCHAR), 'p' || CAST(pk AS VARCHAR) FROM pairs),
+         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+         |seeds AS (SELECT 's0' AS node UNION ALL SELECT 's1'),
+         |r0 AS (SELECT node, $S // 2 AS r FROM seeds),
+         |${(0 until 4).map(i => pprStep(s"r$i", s"r${i + 1}")).mkString(",\n")}
+         |SELECT node, r FROM r4 ORDER BY r DESC, node LIMIT 15""") { (s, d) =>
+      import s.implicits._
+      val pairs = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val edges = pairs
+        .select(concat(lit("p"), col("pk").cast("string")).as("src"),
+          concat(lit("s"), col("sk").cast("string")).as("dst"))
+        .unionAll(pairs.select(
+          concat(lit("s"), col("sk").cast("string")).as("src"),
+          concat(lit("p"), col("pk").cast("string")).as("dst")))
+      PageRank.personalized(edges, Seq("s0", "s1").toDF("node"), 4)
+        .orderBy(desc("r"), col("node"))
+        .limit(15)
     }
   )
+
+  /** One personalized-iteration step: contributions union the seed
+    * restart, then one group-sum (HUGEINT → BIGINT cast at the fold). */
+  private def pprStep(prev: String, next: String): String =
+    s"""$next AS (
+       |  SELECT node, CAST(SUM(r) AS BIGINT) AS r FROM (
+       |    SELECT e.dst AS node, (17 * SUM($prev.r // deg.d)) // 20 AS r
+       |    FROM edges e JOIN $prev ON e.src = $prev.node JOIN deg ON e.src = deg.src
+       |    GROUP BY e.dst
+       |    UNION ALL SELECT node, (3 * $S) // (20 * 2) FROM seeds) u
+       |  GROUP BY node)""".stripMargin
 }

@@ -1132,6 +1132,47 @@ object Text {
         .agg(expr("sum(coalesce((1000000 * cab) div ca, 0)) div count(1)")
           .cast("long").as("fluency"))
         .orderBy("doc_id")
+    },
+
+    // ---- The EXACT dedup pipeline end-to-end, every stage oracle-true:
+    //      prefix-filtered Jaccard pairs (q123) → pointer-jumping
+    //      connected components (q78's operator) → per-cluster canonical
+    //      survivor. The exact counterpart of q90's MinHash pipeline —
+    //      pairwise matches are only EDGES; the deletion unit is the
+    //      transitive cluster (the 3-member cluster here merges two
+    //      pairs that never matched each other directly). The oracle
+    //      rebuilds components with a recursive transitive-closure CTE —
+    //      a third formulation of the same semantics. ----
+    gated("q134_dedup_exact",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS s
+        |      FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |       FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM ov JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id WHERE 2*i >= sa.n + sb.n - i),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM e
+        |                UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |lbl AS (SELECT u, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       MIN(u) AS keep, MAX(u) AS last_member
+        |FROM lbl GROUP BY cluster ORDER BY cluster""") { (s, d) =>
+      import graft.operators.ConnectedComponents
+      val sets = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      val pairs = SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("a_id"), col("b_id"))
+      ConnectedComponents.run(pairs)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep"),
+          max(col("id")).as("last_member"))
+        .orderBy("cluster")
     }
   )
 

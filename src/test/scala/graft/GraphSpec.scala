@@ -71,6 +71,35 @@ class GraphSpec extends SparkTestBase {
     assert(!plan.contains("Join"), s"expected checkpointed lineage, got:\n$plan")
   }
 
+  test("personalized pagerank: parity with a driver model; seeds dominate; proximity orders") {
+    val S = PageRank.Scale
+    def model(edges: Seq[(String, String)], seeds: Seq[String], iters: Int): Map[String, Long] = {
+      val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = 3L * S / (20L * seeds.size)
+      var r: Map[String, Long] = seeds.map(_ -> S / seeds.size).toMap
+      for (_ <- 1 to iters) {
+        val contrib = edges.filter(e => r.contains(e._1)).groupBy(_._2).view
+          .mapValues(es => 17L * es.map { case (u, _) => r(u) / deg(u) }.sum / 20L)
+        r = (contrib.keySet ++ seeds).map { v =>
+          v -> (contrib.getOrElse(v, 0L) + (if (seeds.contains(v)) base else 0L))
+        }.toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 30).map(i => s"n$i")
+    val base = (0 until 150).map(_ => (nodes(rnd.nextInt(30)), nodes(rnd.nextInt(30))))
+      .filter(e => e._1 != e._2).distinct
+    val edges = base ++ base.map(_.swap)
+    val seeds = Seq("n0", "n1")
+    val got = PageRank.personalized(edges.toDF("src", "dst"), seeds.toDF("node"), 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === model(edges, seeds, 4))
+    // restart mass keeps seeds above every non-seed on a sparse graph
+    val nonSeedMax = (got -- seeds).values.max
+    assert(seeds.forall(s => got(s) > nonSeedMax))
+  }
+
   test("bfs: min-depth semantics on a diamond with a shortcut edge") {
     // a→b→d and a→d: d must be depth 1, not 2; e unreachable
     val edges = Seq(("a", "b"), ("b", "d"), ("a", "d"), ("d", "c"), ("e", "e"))
