@@ -591,6 +591,37 @@ object Media {
         .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
           col("m"))
         .orderBy("i", "j")
+    },
+
+    // ---- Johnson-Lindenstrauss ±1 random projection (functions/
+    //      RandomProjection): 64 → 16 dims with the sign matrix derived
+    //      from md5(k:j) — a pure function of the coordinates, so the
+    //      engine (driver-side Java md5, shipped as a literal into
+    //      codegen HOFs, map-only) and the oracle (the same md5 inline
+    //      in SQL) must produce the SAME matrix and, with exact
+    //      micro-unit integers, the same projections to the last unit.
+    //      JLSpec pins the distance-preservation property the lemma
+    //      promises. ----
+    gated("q136_jl_project",
+      """WITH q AS (SELECT vec_id, [CAST(trunc(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+        |                          for x in embedding] AS v
+        |           FROM embeddings WHERE vec_id < 100),
+        |ks AS (SELECT unnest(range(1, 17)) AS k),
+        |js AS (SELECT unnest(range(1, 65)) AS j),
+        |sgn AS (SELECT k, j,
+        |          CASE WHEN CAST('0x' || substr(md5(CAST(k AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1) AS BIGINT) % 2 = 0
+        |          THEN 1 ELSE -1 END AS s
+        |        FROM ks CROSS JOIN js)
+        |SELECT q.vec_id, sgn.k, CAST(SUM(sgn.s * q.v[sgn.j]) AS BIGINT) AS y
+        |FROM q CROSS JOIN sgn GROUP BY q.vec_id, sgn.k
+        |ORDER BY vec_id, k""") { (s, d) =>
+      import graft.functions.RandomProjection
+      Tables.embeddings(s, d).filter(col("vec_id") < 100)
+        .select(col("vec_id"),
+          posexplode(RandomProjection.project("embedding", 64, 16)))
+        .select(col("vec_id"), (col("pos") + 1).cast("long").as("k"),
+          col("col").as("y"))
+        .orderBy("vec_id", "k")
     }
   )
 

@@ -58,6 +58,30 @@ class PcaSpec extends SparkTestBase {
     }
   }
 
+  test("jl projection: pairwise distances preserved within the lemma's tolerance") {
+    import graft.functions.RandomProjection
+    val emb = Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 60)
+      .select(col("vec_id"), col("embedding"),
+        RandomProjection.project("embedding", 64, 16).as("y"))
+      .collect()
+      .map(r => (r.getSeq[Float](1).map(_.toDouble * 1e6).toArray,
+        r.getSeq[Long](2).map(_.toDouble).toArray))
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val ratios = for {
+      (i, ix) <- emb.zipWithIndex; j <- emb.drop(ix + 1)
+      orig = d2(i._1, j._1) if orig > 0
+    } yield (d2(i._2, j._2) / 16.0) / orig // E[|y|²] = k·|x|² for ±1 JL
+    // k = 16 is small, so the tolerance is loose — but the MEDIAN ratio
+    // must hug 1 and no pair may collapse to zero or blow past 4x
+    val sorted = ratios.sorted
+    val median = sorted(sorted.length / 2)
+    assert(math.abs(median - 1.0) < 0.35, s"median ratio $median")
+    assert(sorted.head > 0.05 && sorted.last < 5.0,
+      s"extremes ${sorted.head} .. ${sorted.last}")
+  }
+
   test("whiten: distributed projection equals the driver-side reference row-for-row") {
     val emb = Tables.embeddings(spark, sf).localCheckpoint()
     val k = 4
