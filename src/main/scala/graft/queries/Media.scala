@@ -622,6 +622,60 @@ object Media {
         .select(col("vec_id"), (col("pos") + 1).cast("long").as("k"),
           col("col").as("y"))
         .orderBy("vec_id", "k")
+    },
+
+    // ---- Retrieval evaluation harness: precision@10 / recall@10 /
+    //      reciprocal rank for 20 query vectors against the corpus,
+    //      relevance = same label. Every metric is an exact rational in
+    //      basis points (truncating integer division on both engines) —
+    //      the evaluation loop a retrieval pipeline runs after every
+    //      index build, as a first-class gated query. Ranking ties
+    //      break on vec_id; the cosine uses q46's exact formulation so
+    //      both engines order identical IEEE doubles. Scale: queries
+    //      broadcast (the q74 batch-top-k shape), one corpus pass, the
+    //      window partitions by query. ----
+    gated("q137_retrieval_eval",
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |n AS (SELECT vec_id, label, v, sqrt(list_sum(list_transform(v, x -> x*x))) AS nn FROM e),
+        |lc AS (SELECT label, COUNT(*) AS nl FROM embeddings GROUP BY label),
+        |p AS (SELECT q.vec_id AS q_id, q.label AS q_label, b.vec_id AS b_id, b.label AS b_label,
+        |             ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        |               ORDER BY list_sum(list_transform(list_zip(q.v, b.v), z -> z[1]*z[2]))/(q.nn*b.nn) DESC, b.vec_id) AS rn
+        |      FROM n q JOIN n b ON q.vec_id < 20 AND b.vec_id <> q.vec_id),
+        |m AS (SELECT q_id, q_label,
+        |        SUM(CASE WHEN rn <= 10 AND b_label = q_label THEN 1 ELSE 0 END) AS hits,
+        |        MIN(CASE WHEN b_label = q_label THEN rn END) AS first_rank
+        |      FROM p GROUP BY q_id, q_label)
+        |SELECT m.q_id AS vec_id, CAST(m.hits AS BIGINT) AS hits,
+        |       CAST(m.hits * 1000 AS BIGINT) AS prec_bp,
+        |       CAST((m.hits * 10000) // (lc.nl - 1) AS BIGINT) AS recall_bp,
+        |       CAST(COALESCE(10000 // m.first_rank, 0) AS BIGINT) AS rr_bp
+        |FROM m JOIN lc ON m.q_label = lc.label ORDER BY vec_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding"), VectorOps.l2(col("embedding")).as("nn"))
+      val q = broadcast(e.filter(col("vec_id") < 20).select(
+        col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"), col("nn").as("qn")))
+      val rn = row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id")))
+      val m = q.join(e, col("vec_id") =!= col("q_id"))
+        .withColumn("sim",
+          VectorOps.dot(col("qe"), col("embedding")) / (col("qn") * col("nn")))
+        .withColumn("rn", rn)
+        .groupBy("q_id", "q_label")
+        .agg(
+          sum(when(col("rn") <= 10 && col("label") === col("q_label"), 1L)
+            .otherwise(0L)).as("hits"),
+          min(when(col("label") === col("q_label"), col("rn"))).as("first_rank"))
+      val lc = Tables.embeddings(s, d).groupBy("label")
+        .agg(count(lit(1)).as("nl"))
+      m.join(lc, col("q_label") === col("label"))
+        .select(col("q_id").as("vec_id"), col("hits"),
+          (col("hits") * 1000).as("prec_bp"),
+          expr("(hits * 10000) div (nl - 1)").as("recall_bp"),
+          coalesce(expr("10000 div first_rank"), lit(0L)).as("rr_bp"))
+        .orderBy("vec_id")
     }
   )
 
