@@ -63,6 +63,32 @@ class FrequentItemsSpec extends SparkTestBase {
     }
   }
 
+  test("quantile maintenance: incremental folds == one-shot build over everything delivered") {
+    import graft.streaming.QuantileMaintenance
+    import graft.operators.QuantileSample
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 3000).map(i =>
+      (if (i % 2 == 0) "a" else "b", i.toLong, rnd.nextDouble() * 100))
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test-qm-${System.nanoTime()}"
+    rows.grouped(1000).zipWithIndex.foreach { case (b, id) =>
+      QuantileMaintenance.update(dir, b.toDF("grp", "key", "v"), id.toLong,
+        "grp", "key", "v", k = 64)
+    }
+    val qs = Seq(0.5, 0.95)
+    val streamed = QuantileMaintenance.estimates(spark, dir, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    val oneShot = QuantileSample.estimateQuantiles(
+        QuantileSample.build(rows.toDF("grp", "key", "v"), "grp", "key", "v", 64), qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(streamed === oneShot) // the semilattice makes this EXACT equality
+    // retried final batch changes nothing
+    QuantileMaintenance.update(dir, rows.grouped(1000).toSeq.last.toDF("grp", "key", "v"),
+      2L, "grp", "key", "v", k = 64)
+    val after = QuantileMaintenance.estimates(spark, dir, qs)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(after === streamed)
+  }
+
   test("maintenance: versioned fold through disk; retried batch is a no-op") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-test-mg-${System.nanoTime()}"
     val batches = stream(7, 3000).grouped(1000).toSeq
