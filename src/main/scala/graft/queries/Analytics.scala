@@ -1078,6 +1078,30 @@ object Analytics {
       val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
       MgSummary.candidates(MgSummary.build(ev, "event_type", "user_id", 8))
         .orderBy("grp", "item")
+    },
+
+    // ---- 2D skyline / Pareto front (operators/Skyline): parts on the
+    //      cheapest-price-for-largest-size frontier. The ORACLE runs the
+    //      textbook quadratic NOT EXISTS dominance join; the engine runs
+    //      the Kung '75 sort + strict-prefix-max collapse (two-level,
+    //      never a single-task window) — two formulations of the same
+    //      semantics, agreeing row-for-row. Duplicate points survive
+    //      together (no strict dominance between equals). ----
+    gated("q138_skyline",
+      """SELECT p_partkey, CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR) AS price,
+        |       CAST(p_size AS BIGINT) AS size
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_partkey""") { (s, d) =>
+      import graft.operators.Skyline
+      Skyline.pareto2(Tables.part(s, d), "p_retailprice", "p_size")
+        .select(col("p_partkey"),
+          decStr(col("p_retailprice")).as("price"),
+          col("p_size").cast("long").as("size"))
+        .orderBy("p_partkey")
     }
   )
 }

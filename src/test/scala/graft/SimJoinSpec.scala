@@ -91,6 +91,24 @@ class SimJoinSpec extends SparkTestBase {
       s"global window collapsed to one task:\n$plan")
   }
 
+  test("skyline: parity with the quadratic dominance model; duplicate frontier points survive together") {
+    import graft.operators.Skyline
+    def brute(pts: Seq[(Long, Double, Long)]): Set[Long] =
+      pts.filter { p =>
+        !pts.exists(q => q._2 <= p._2 && q._3 >= p._3 &&
+          (q._2 < p._2 || q._3 > p._3))
+      }.map(_._1).toSet
+    val rnd = new scala.util.Random(47)
+    val pts = (0L until 400L).map(i =>
+      (i, (rnd.nextInt(50) / 2.0), rnd.nextInt(40).toLong)) ++
+      Seq((9001L, 0.5, 39L), (9002L, 0.5, 39L)) // duplicate frontier point
+    val got = Skyline.pareto2(pts.toDF("id", "x", "y"), "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    val want = brute(pts)
+    assert(got === want)
+    assert(got.contains(9001L) === got.contains(9002L)) // together or not at all
+  }
+
   test("q123 matches the q45 family: every reported pair really clears tau on raw trigram sets") {
     val rows = SparkEntry.queries("q123_simjoin_prefix")(spark, sf).collect()
     assert(rows.nonEmpty)
