@@ -33,4 +33,35 @@ class BucketingSpec extends SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS bkt_customer")
     }
   }
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    // the archive layout (partitionBy day) joined to a filtered dim must
+    // scan only the dim's days — at 100 TB the difference between
+    // reading 3 partitions and 3 years. Static pruning can't do it (the
+    // day set is only known after the dim filter runs); DPP injects the
+    // runtime subquery into the scan's partition filters.
+    import java.nio.file.Files
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-dpp").toString
+    Tables.events(spark, sf)
+      .withColumn("day", to_date(col("ts")))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val fact = spark.read.parquet(dir)
+    val nDays = fact.select("day").distinct().count()
+    assert(nDays > 3, s"fixture has only $nDays days")
+    // DPP's planner heuristic wants a SELECTIVE PREDICATE on the dim
+    // side (a limit/checkpoint doesn't qualify) — filter on 3 literal
+    // days, the shape a real dim lookup has
+    val keep = fact.select("day").distinct().orderBy("day").limit(3)
+      .collect().map(_.getDate(0))
+    val dim = fact.select("day").distinct()
+      .filter(col("day").isin(keep.toIndexedSeq: _*))
+      .withColumn("tag", lit("keep"))
+    val joined = fact.join(dim, Seq("day"))
+      .groupBy("day").agg(count(lit(1)).as("c"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic pruning subquery in the fact scan:\n$plan")
+    assert(joined.count() === 3)
+  }
 }
