@@ -208,6 +208,42 @@ object Series {
             .when(col("pv").isNotNull && col("nv").isNotNull, lit(1L))
             .otherwise(lit(2L)).as("filled"))
         .orderBy("event_type", "day")
+    },
+
+    // ---- EWMA (α = 1/2) as an ORDERED FOLD — the recurrence
+    //      e_i = (e_{i−1} + c_i) div 2 is inherently sequential, which
+    //      no window frame expresses; the relational form is
+    //      collect-sort-fold: per-user histories collect into an array
+    //      ordered by (ts, event_id), and a codegen `aggregate` HOF
+    //      folds it left-to-right — EXACTLY the order DuckDB's
+    //      list(… ORDER BY) + list_reduce uses, and α = 1/2 on
+    //      non-negative integer cents keeps every step a truncating
+    //      shift, identical cross-engine. Scale: state per group is the
+    //      group's history (bounded here by per-user event counts; an
+    //      unbounded stream would fold per-chunk with carried seeds —
+    //      the same two-level discipline as q95's sweep). ----
+    gated("q139_ewma",
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events WHERE value >= 0),
+        |g AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS cs FROM c GROUP BY user_id)
+        |SELECT user_id, CAST(len(cs) AS BIGINT) AS n,
+        |       CAST(list_reduce(cs, (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma
+        |FROM g ORDER BY user_id""") { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("value") >= 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+        .groupBy("user_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, cents))), s -> s.cents)")
+          .as("cs"))
+        .select(col("user_id"), size(col("cs")).cast("long").as("n"),
+          // DuckDB's init-less list_reduce seeds with the first element —
+          // mirror it: fold the tail onto head
+          expr("aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1), " +
+            "(acc, x) -> (acc + x) div 2)").as("ewma"))
+        .orderBy("user_id")
     }
   )
 }
