@@ -244,6 +244,47 @@ object Series {
           expr("aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1), " +
             "(acc, x) -> (acc + x) div 2)").as("ewma"))
         .orderBy("user_id")
+    },
+
+    // ---- Per-group linear trend, exact: ordinary least squares over
+    //      (day index, daily cents) reported as the integer rational
+    //      num/den = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²) plus a scaled
+    //      truncating quotient — every sum is exact BIGINT (day indexes
+    //      are calendar-small, cents are bounded), so the slope gate is
+    //      exact with NO float anywhere; truncation toward zero agrees
+    //      cross-engine on both signs. Scale: one partial-aggregated
+    //      pass builds the five moments per group — the classic
+    //      "regression as an aggregate" shape, never a per-pair join. ----
+    gated("q140_trend",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(SUM(CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+        |               FROM events GROUP BY 1, 2),
+        |x0 AS (SELECT MIN(day) AS d0 FROM daily),
+        |pts AS (SELECT event_type, date_diff('day', x0.d0, day) AS x, y FROM daily CROSS JOIN x0),
+        |s AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |             SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        |      FROM pts GROUP BY event_type)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n*sxy - sx*sy AS BIGINT) AS num,
+        |       CAST(n*sxx - sx*sx AS BIGINT) AS den,
+        |       CAST((1000000 * (n*sxy - sx*sy)) // (n*sxx - sx*sx) AS BIGINT) AS slope_micro
+        |FROM s ORDER BY event_type""") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("y"))
+      val d0 = daily.agg(min("day").as("d0"))
+      val pts = daily.crossJoin(broadcast(d0))
+        .select(col("event_type"), datediff(col("day"), col("d0")).as("x"),
+          col("y"))
+      pts.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+        .select(col("event_type"), col("n"),
+          expr("n * sxy - sx * sy").as("num"),
+          expr("n * sxx - sx * sx").as("den"),
+          expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
+            .as("slope_micro"))
+        .orderBy("event_type")
     }
   )
 }
