@@ -238,4 +238,41 @@ class EdgeCaseSpec extends SparkTestBase {
       .select("sd_id").collect().map(_.getLong(0)).sorted
     assert(surv.toSeq === Seq(1L, 2L, 3L))
   }
+
+  test("round-8 operators: degenerate inputs are sane or loud, never silently wrong") {
+    import graft.operators.{MgSummary, PageRank, Reachability, Skyline, SortedNeighborhood, Triangles}
+    import graft.text.{Bpe, SimJoin}
+    // simjoin: singleton corpus and tau=1 self — no pairs, no crash
+    assert(SimJoin.jaccardJoin(
+      Seq((1L, Seq("a", "b"))).toDF("id", "set"), 1, 2).count() === 0)
+    // pagerank: empty edges is LOUD (a silent empty rank relation would
+    // read as 'no important nodes')
+    intercept[IllegalArgumentException] {
+      PageRank.run(Seq.empty[(String, String)].toDF("src", "dst"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      PageRank.personalized(Seq(("a", "b")).toDF("src", "dst"),
+        Seq.empty[String].toDF("node"), 3)
+    }
+    // bfs: seeds with no outgoing edges → just the seeds at depth 0
+    val lone = Reachability.bfs(Seq(("x", "y")).toDF("src", "dst"),
+      Seq("z").toDF("node"), 3)
+    assert(lone.collect().map(r => (r.getString(0), r.getInt(1))).toSeq === Seq(("z", 0)))
+    // triangles: a single edge has none; empty result, not a crash
+    assert(Triangles.perNode(Seq((1L, 2L)).toDF("u", "v")).count() === 0)
+    // skyline: a single row is its own frontier
+    assert(Skyline.pareto2(Seq((1L, 5.0, 3L)).toDF("id", "x", "y"), "x", "y")
+      .count() === 1)
+    // sorted-neighborhood: w=1 on two rows yields exactly the one pair
+    assert(SortedNeighborhood.candidates(
+      Seq((1L, "aa"), (2L, "ab")).toDF("id", "key"), 1).count() === 1)
+    // MG: k=1 keeps at most one counter per group plus the sentinel
+    val mg = MgSummary.build(
+      Seq(("g", "a"), ("g", "a"), ("g", "b")).toDF("grp", "item"), "grp", "item", 1)
+    assert(mg.filter(col("item").isNotNull).count() <= 1)
+    assert(mg.filter(col("item").isNull).select("c").first().getLong(0) === 3L)
+    // BPE: zero merges segments to characters; empty word list trains nothing
+    assert(Bpe.train(Map.empty, 5) === Seq.empty)
+    assert(Bpe.segment("ab", Seq.empty) === Seq("a", "b", Bpe.Eow))
+  }
 }
