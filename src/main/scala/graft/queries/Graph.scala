@@ -211,6 +211,51 @@ object Graph {
       PageRank.personalized(edges, Seq("s0", "s1").toDF("node"), 4)
         .orderBy(desc("r"), col("node"))
         .limit(15)
+    },
+
+    // ---- Association rules over baskets (support ≥ 2): confidence and
+    //      lift for every qualifying part pair, all exact rationals —
+    //      conf(a→b) = c(ab)/c(a) in basis points, lift =
+    //      n·c(ab)/(c(a)·c(b)) in ppm, truncating division both
+    //      engines. The market-basket classic on top of q127's pair
+    //      counts: one basket self-join with partial aggregation, two
+    //      broadcast-sized item joins, one scalar basket count — no
+    //      all-pairs leg (the HAVING support floor is what keeps rule
+    //      output from exploding on a hot catalog at 100 TB). ----
+    gated("q141_assoc_rules",
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT COUNT(DISTINCT ok) AS n FROM basket),
+        |item AS (SELECT pk, COUNT(*) AS c FROM basket GROUP BY pk),
+        |pair AS (SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS cab
+        |         FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pair.pa, pair.pb, CAST(pair.cab AS BIGINT) AS cab,
+        |       CAST((10000 * pair.cab) // ca.c AS BIGINT) AS conf_ab_bp,
+        |       CAST((10000 * pair.cab) // cb.c AS BIGINT) AS conf_ba_bp,
+        |       CAST((1000000 * pair.cab * nb.n) // (ca.c * cb.c) AS BIGINT) AS lift_ppm
+        |FROM pair JOIN item ca ON pair.pa = ca.pk JOIN item cb ON pair.pb = cb.pk
+        |CROSS JOIN nb
+        |ORDER BY pa, pb""") { (s, d) =>
+      val basket = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // feeds pair counts, item counts, AND n
+      val item = basket.groupBy("pk").agg(count(lit(1)).as("c"))
+      val nb = basket.select(countDistinct(col("ok")).as("n"))
+      val pair = basket.select(col("ok"), col("pk").as("pa"))
+        .join(basket.select(col("ok").as("ok2"), col("pk").as("pb")),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+      pair
+        .join(item.select(col("pk").as("pa"), col("c").as("ca")), "pa")
+        .join(item.select(col("pk").as("pb"), col("c").as("cb")), "pb")
+        .crossJoin(broadcast(nb))
+        .select(col("pa"), col("pb"), col("cab"),
+          expr("(10000 * cab) div ca").as("conf_ab_bp"),
+          expr("(10000 * cab) div cb").as("conf_ba_bp"),
+          expr("(1000000 * cab * n) div (ca * cb)").as("lift_ppm"))
+        .orderBy("pa", "pb")
     }
   )
 
