@@ -256,6 +256,52 @@ object Graph {
           expr("(10000 * cab) div cb").as("conf_ba_bp"),
           expr("(1000000 * cab * n) div (ca * cb)").as("lift_ppm"))
         .orderBy("pa", "pb")
+    },
+
+    // ---- Local clustering coefficient: cc(v) = 2·tri(v)/(d(v)·(d(v)−1))
+    //      in exact ppm over the q128 graph — triangles and degrees are
+    //      both relations the engine already builds; the coefficient is
+    //      one integer division. Top-20 most-clustered supplier
+    //      neighborhoods (community-density ranking). ----
+    gated("q142_clustering_coeff",
+      """WITH e0 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+        |w AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS n
+        |      FROM e0 a JOIN e0 b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+        |edges AS (SELECT u, v FROM w ORDER BY n DESC, u, v LIMIT 300),
+        |deg AS (SELECT dn AS dnode, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        |          SELECT u AS dn FROM edges UNION ALL SELECT v FROM edges) GROUP BY dn),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tc AS (SELECT tn AS tnode, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        |         SELECT a AS tn FROM tri UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) GROUP BY tn)
+        |SELECT deg.dnode AS node, deg.d, COALESCE(tc.t, 0) AS tri,
+        |       CAST((2000000 * COALESCE(tc.t, 0)) // (deg.d * (deg.d - 1)) AS BIGINT) AS cc_ppm
+        |FROM deg LEFT JOIN tc ON deg.dnode = tc.tnode
+        |WHERE deg.d >= 2
+        |ORDER BY cc_ppm DESC, node LIMIT 20""") { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val strongest = e0.as("x").join(e0.as("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("u"), col("v"))
+        .limit(300)
+        .select(col("u"), col("v"))
+        .localCheckpoint() // feeds degrees AND the triangle operator
+      val deg = strongest.select(col("u").as("node"))
+        .unionAll(strongest.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      deg.join(Triangles.perNode(strongest).withColumnRenamed("node", "tnode"),
+          col("node") === col("tnode"), "left")
+        .filter(col("d") >= 2)
+        .select(col("node"), col("d"), coalesce(col("tri"), lit(0L)).as("tri"),
+          expr("(2000000 * coalesce(tri, 0L)) div (d * (d - 1))").as("cc_ppm"))
+        .orderBy(desc("cc_ppm"), col("node"))
+        .limit(20)
     }
   )
 
