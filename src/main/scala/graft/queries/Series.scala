@@ -285,6 +285,36 @@ object Series {
           expr("(1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx)")
             .as("slope_micro"))
         .orderBy("event_type")
+    },
+
+    // ---- Sequential path mining: the top-10 3-step behavioral paths
+    //      across all user journeys — q85's transition matrix extended
+    //      to order-3 n-grams over event SEQUENCES (the same
+    //      collect-sort machinery as q139's fold, the same trigram
+    //      machinery as the text shingles, TextOps.trigramsAll).
+    //      Exact counts, TakeOrdered top-10. Scale: per-user sequences
+    //      bound the collect; the path vocabulary is |event_types|³
+    //      regardless of corpus size, so the count aggregation shuffles
+    //      a constant-cardinality relation. ----
+    gated("q143_event_paths",
+      """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS sq
+        |           FROM events GROUP BY user_id),
+        |p AS (SELECT unnest([sq[i] || ' ' || sq[i+1] || ' ' || sq[i+2]
+        |                    for i in range(1, len(sq)-1)]) AS path
+        |      FROM s WHERE len(sq) >= 3)
+        |SELECT path, CAST(COUNT(*) AS BIGINT) AS c
+        |FROM p GROUP BY path ORDER BY c DESC, path LIMIT 10""") { (s, d) =>
+      import graft.text.TextOps
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(expr(
+          "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
+          .as("sq"))
+        .filter(size(col("sq")) >= 3)
+        .select(explode(TextOps.trigramsAll(col("sq"))).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("path"))
+        .limit(10)
     }
   )
 }
