@@ -39,21 +39,33 @@ object SortedNeighborhood {
     val parted = recs.select(col("id"), col("key"))
       .repartitionByRange(col("key"), col("id"))
       .withColumn("pid", spark_partition_id())
+    // Pinned BEFORE the counts collect: repartitionByRange samples a
+    // fresh seed per job, so without the pin the offsets (one job) would
+    // join against a RE-EXECUTION of the range exchange (second job)
+    // whose boundaries — and therefore pids — can differ once sampling
+    // is partial at scale; global ranks would silently shift. Same
+    // pattern as Skyline.pareto2. Also saves the rank window running
+    // twice (once for counts, once for seq).
     val local = parted.withColumn("lrn",
       row_number().over(Window.partitionBy("pid").orderBy("key", "id")))
+      .localCheckpoint()
     // one count per partition → prefix-sum offsets (O(partitions) driver)
     val counts = local.groupBy("pid").agg(max("lrn").as("cnt"))
       .orderBy("pid").collect().map(r => (r.getInt(0), r.getInt(1).toLong))
-    if (counts.isEmpty) return recs.sparkSession.emptyDataFrame
+    if (counts.isEmpty)
+      // schema-shaped empty relation — a zero-column emptyDataFrame would
+      // throw AnalysisException in callers referencing a_id/gap (q129)
+      return recs.select(col("id").as("a_id"), col("key").as("a_key"),
+        col("id").as("b_id"), col("key").as("b_key"), lit(0L).as("gap"))
+        .filter(lit(false))
     val offsets = counts.zip(
       counts.map(_._2).scanLeft(0L)(_ + _)
     ).map { case ((pid, _), off) => (pid, off) }.toSeq
+    // local is pinned above, so the two band-join reads of seq only
+    // replay a broadcast join over checkpointed blocks — cheap
     val seq = local.join(
         broadcast(offsets.toDF("pid", "off")), Seq("pid"))
       .select(col("id"), col("key"), (col("lrn") + col("off")).as("rn"))
-      // read by both band-join sides — materialize, or the range
-      // exchange + rank window run twice
-      .localCheckpoint()
     val bkt = expr(s"(rn - 1) div $w")
     val a = seq.select(col("id").as("a_id"), col("key").as("a_key"),
         col("rn").as("a_rn"), explode(array(bkt, bkt + 1)).as("bkt"))

@@ -13,8 +13,9 @@ import org.apache.spark.sql.functions._
   *
   * Everything gated is exact integer fixed-point (see
   * operators/PageRank.scala) — the oracle unrolls the same iterations as
-  * CTEs with DuckDB's `//` floor division (== Spark's `div` truncation
-  * for the all-positive ranks), so both engines agree to the last unit.
+  * CTEs with DuckDB's `//` truncating division (truncation toward zero,
+  * == floor only because every rank here is positive; Spark's `div`
+  * truncates identically), so both engines agree to the last unit.
   */
 object Graph {
 
@@ -254,7 +255,12 @@ object Graph {
         .select(col("pa"), col("pb"), col("cab"),
           expr("(10000 * cab) div ca").as("conf_ab_bp"),
           expr("(10000 * cab) div cb").as("conf_ba_bp"),
-          expr("(1000000 * cab * n) div (ca * cb)").as("lift_ppm"))
+          // through DECIMAL(38,0): 10^6·cab·n in Long wraps silently at
+          // ~10^12 baskets·cooccurrences (DuckDB would promote to
+          // HUGEINT and diverge); decimal keeps the product exact and
+          // IntegralDivide still lands on BIGINT
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * cab * n) div (ca * cb)")
+            .as("lift_ppm"))
         .orderBy("pa", "pb")
     },
 

@@ -104,7 +104,11 @@ object Bpe {
         val m = bc.value
         it.map(w => (w, segment(w, m).length.toLong))
       }.toDF("word", "n")
-    occ.join(perWord, "word")
-      .groupBy("id").agg(sum(col("n")).as("n_tokens"))
+    // left-join back to the full id set: a document whose text tokenizes
+    // to zero words must still report n_tokens = 0, not vanish
+    val perDoc = occ.join(perWord, "word")
+      .groupBy("id").agg(sum(col("n")).as("n"))
+    df.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n"), lit(0L)).as("n_tokens"))
   }
 }

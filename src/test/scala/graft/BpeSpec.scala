@@ -45,6 +45,15 @@ class BpeSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("tokenCounts: a doc with zero words reports n_tokens = 0, not absence") {
+    val docs = Seq((1L, "low tide"), (2L, ""), (3L, "    "))
+    val merges = Bpe.train(Map("low" -> 1L, "tide" -> 1L), 5)
+    val got = Bpe.tokenCounts(docs.toDF("doc_id", "text"), "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(2L) === 0L && got(3L) === 0L && got(1L) > 0L)
+  }
+
   test("tokenCounts: segmentation work is vocabulary-bounded (per distinct word, not per occurrence)") {
     // 200 occurrences of 3 distinct words: the distinct-word relation the
     // segmenter runs over must have 3 rows — pinned via the plan's

@@ -266,6 +266,14 @@ class EdgeCaseSpec extends SparkTestBase {
     // sorted-neighborhood: w=1 on two rows yields exactly the one pair
     assert(SortedNeighborhood.candidates(
       Seq((1L, "aa"), (2L, "ab")).toDF("id", "key"), 1).count() === 1)
+    // sorted-neighborhood on EMPTY input: keeps the declared 5-column
+    // schema (a zero-column emptyDataFrame would make downstream
+    // a_key/gap references throw AnalysisException, as q129's
+    // levenshtein verify does)
+    val snEmpty = SortedNeighborhood.candidates(
+      Seq.empty[(Long, String)].toDF("id", "key"), 2)
+    assert(snEmpty.columns.toSeq === Seq("a_id", "a_key", "b_id", "b_key", "gap"))
+    assert(snEmpty.filter(length(col("a_key")) >= 0).count() === 0)
     // MG: k=1 keeps at most one counter per group plus the sentinel
     val mg = MgSummary.build(
       Seq(("g", "a"), ("g", "a"), ("g", "b")).toDF("grp", "item"), "grp", "item", 1)
