@@ -4,7 +4,7 @@ import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import graft.functions.VectorOps
-import graft.text.{Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}
+import graft.text.{Bpe, Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline text/vector analysis (SURVEY.md O38/O39/O40
@@ -23,6 +23,14 @@ object Text {
   private val enMarkers = Seq("the", "a", "fast")
   private val deMarkers = Seq("customer", "key", "join")
   private val esMarkers = Seq("slow", "agg", "merge")
+
+  /** BPE training-collect cap (policy bound on the driver map; the corpus
+    * vocabulary here is far smaller, so the cap never bites at test SFs —
+    * BpeSpec proves it bites when the corpus exceeds it) and merge count
+    * for the q144 gates. Declared BEFORE `all` — object-init order makes
+    * a later val read as 0 inside the query literals. */
+  val BpeCap = 10000
+  val BpeMerges = 12
 
   val all: Seq[GatedQuery] = Seq(
 
@@ -1173,8 +1181,108 @@ object Text {
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep"),
           max(col("id")).as("last_member"))
         .orderBy("cluster")
+    },
+
+    // ---- O38/BPE: the trained tokenizer's final vocabulary state —
+    //      word, corpus count, and the piece sequence after BpeMerges
+    //      greedy merges. The oracle REPLAYS the whole training loop as
+    //      an unrolled CTE chain (one argmax + one left-to-right
+    //      re-segmentation per stage), so the gate certifies every merge
+    //      decision, tie-break, and overlap rule cross-engine — not just
+    //      a baked answer. ----
+    gated("q144b_bpe_train", s"""WITH ${bpeChain(BpeMerges)}
+      |SELECT wc.word, wc.cnt, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+      |       STRING_AGG(p.sym, '|' ORDER BY p.pos) AS pieces
+      |FROM wc JOIN s$BpeMerges p ON wc.word = p.word
+      |GROUP BY wc.word, wc.cnt ORDER BY wc.word""") { (s, d) =>
+      import s.implicits._
+      val words = Bpe.topWords(Tables.documents(s, d), "text", BpeCap)
+      val (_, state) = Bpe.trainFull(words, BpeMerges)
+      // vocabulary-bounded driver relation (≤ BpeCap rows) — the same
+      // O(parameters) shape as the k-means/PQ codebook gates
+      state.toSeq
+        .map { case (w, syms) =>
+          (w, words(w), syms.length.toLong, syms.mkString("|")) }
+        .sortBy(_._1)
+        .toDF("word", "cnt", "n_pieces", "pieces")
+    },
+
+    // ---- O38/BPE: per-document subword token counts under the trained
+    //      tokenizer — the "how many tokens is this corpus" contract an
+    //      LLM-data pipeline budgets with. Training-vocab words read
+    //      their piece count off the trained state (both engines replay
+    //      the identical loop); zero-word docs report 0, not absence. ----
+    gated("q144_bpe_tokens", s"""WITH ${bpeChain(BpeMerges)},
+      |plen AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      |         FROM s$BpeMerges GROUP BY word),
+      |occ AS (SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w
+      |        FROM documents),
+      |cs AS (SELECT o.doc_id, SUM(p.n) AS s
+      |       FROM occ o JOIN plen p ON o.w = p.word GROUP BY 1)
+      |SELECT d.doc_id, CAST(COALESCE(c.s, 0) AS BIGINT) AS n_tokens
+      |FROM documents d LEFT JOIN cs c ON d.doc_id = c.doc_id
+      |ORDER BY d.doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = Bpe.topWords(docs, "text", BpeCap)
+      val (merges, state) = Bpe.trainFull(words, BpeMerges)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges, state)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
     }
   )
+
+  /** Unrolled BPE-training CTE chain for the DuckDB oracle: `wc` is the
+    * capped word-frequency relation (same (cnt DESC, word) cap order as
+    * Bpe.topWords), `s0` the char+`</w>` initial segmentation, and each
+    * stage k picks the max-count adjacent symbol pair (ties broken
+    * lexicographically, exactly Bpe.train's minBy) then re-segments with
+    * the same greedy LEFT-TO-RIGHT non-overlapping rule as
+    * Bpe.applyMerge: islands of consecutive match positions keep only
+    * their odd ranks (match at p consumes p+1, so p+1's match is void). */
+  private def bpeChain(n: Int): String = {
+    val head =
+      s"""wc AS MATERIALIZED (
+         |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+         |    SELECT UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w FROM documents) t
+         |  WHERE w <> '' GROUP BY 1 ORDER BY cnt DESC, word LIMIT $BpeCap),
+         |s0 AS MATERIALIZED (
+         |  SELECT word, pos,
+         |         CASE WHEN pos <= LENGTH(word) THEN SUBSTR(word, pos, 1)
+         |              ELSE '</w>' END AS sym
+         |  FROM (SELECT word, UNNEST(GENERATE_SERIES(1, LENGTH(word) + 1)) AS pos
+         |        FROM wc) g)""".stripMargin
+    val stages = (0 until n).map { k =>
+      s"""b$k AS MATERIALIZED (
+         |  SELECT a.sym AS x, b.sym AS y
+         |  FROM s$k a JOIN s$k b ON a.word = b.word AND b.pos = a.pos + 1
+         |  JOIN wc ON a.word = wc.word
+         |  GROUP BY 1, 2 ORDER BY SUM(wc.cnt) DESC, x, y LIMIT 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT word, pos FROM (
+         |    SELECT word, pos,
+         |           ROW_NUMBER() OVER (PARTITION BY word, isl ORDER BY pos) AS r
+         |    FROM (SELECT a.word, a.pos,
+         |                 a.pos - ROW_NUMBER() OVER (PARTITION BY a.word
+         |                                            ORDER BY a.pos) AS isl
+         |          FROM s$k a JOIN s$k b ON a.word = b.word AND b.pos = a.pos + 1
+         |          CROSS JOIN b$k
+         |          WHERE a.sym = b$k.x AND b.sym = b$k.y) i) j
+         |  WHERE r % 2 = 1),
+         |s${k + 1} AS MATERIALIZED (
+         |  SELECT word, ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+         |         sym FROM (
+         |    SELECT s.word, s.pos,
+         |           CASE WHEN m.pos IS NOT NULL THEN s.sym || nx.sym
+         |                ELSE s.sym END AS sym
+         |    FROM s$k s
+         |    LEFT JOIN m$k m ON s.word = m.word AND s.pos = m.pos
+         |    LEFT JOIN s$k nx ON s.word = nx.word AND nx.pos = s.pos + 1
+         |    WHERE NOT EXISTS (SELECT 1 FROM m$k d
+         |                      WHERE d.word = s.word AND d.pos = s.pos - 1)) u)"""
+        .stripMargin
+    }
+    (head +: stages).mkString(",\n")
+  }
 
   /** Shared oracle for q40/q40c: exact trigram-Jaccard pair count over the
     * planted block, recall/subset verdicts pinned true. */

@@ -33,16 +33,25 @@ object Bpe {
 
   /** Train `numMerges` merges from (word → count). Pure driver-side
     * function over the vocabulary-bounded map. */
-  def train(words: Map[String, Long], numMerges: Int): Seq[Merge] = {
-    var vocab: Map[Vector[String], Long] = words.map { case (w, c) =>
-      (w.map(_.toString).toVector :+ Eow) -> c
+  def train(words: Map[String, Long], numMerges: Int): Seq[Merge] =
+    trainFull(words, numMerges)._1
+
+  /** Train and ALSO return the final per-word segmentation state — for a
+    * training-vocabulary word, its token sequence is already decided by
+    * training, so encoding it again with `segment` is redundant work (and
+    * the state is what a replayed oracle computes step for step). */
+  def trainFull(words: Map[String, Long], numMerges: Int)
+      : (Seq[Merge], Map[String, Vector[String]]) = {
+    var state: Map[String, Vector[String]] = words.map { case (w, _) =>
+      w -> (w.map(_.toString).toVector :+ Eow)
     }
     val merges = Seq.newBuilder[Merge]
     var done = false
     var i = 0
     while (i < numMerges && !done) {
       val counts = scala.collection.mutable.HashMap.empty[Merge, Long]
-      vocab.foreach { case (syms, c) =>
+      state.foreach { case (w, syms) =>
+        val c = words(w)
         syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
           counts.update(p, counts.getOrElse(p, 0L) + c)
         }
@@ -51,11 +60,25 @@ object Bpe {
       else {
         val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
         merges += best
-        vocab = vocab.map { case (syms, c) => (applyMerge(syms, best), c) }
+        state = state.map { case (w, syms) => w -> applyMerge(syms, best) }
         i += 1
       }
     }
-    merges.result()
+    (merges.result(), state)
+  }
+
+  /** Distributed word-frequency top-K: the training collect is bounded by
+    * POLICY (k), not by corpus luck — a 100 TB corpus with a 10^9-word
+    * long-tail vocabulary still hands the driver at most k entries.
+    * Deterministic order (cnt DESC, word ASC) so the trained tokenizer is
+    * reproducible whatever k cuts off. */
+  def topWords(df: DataFrame, textCol: String, k: Int): Map[String, Long] = {
+    require(k >= 1, s"bpe vocab cap must be >= 1, got $k")
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(k)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
   }
 
   private def applyMerge(syms: Vector[String], m: Merge): Vector[String] = {
@@ -93,16 +116,22 @@ object Bpe {
     * justified: BPE application is inherently iterative per word), then
     * joins back to occurrences. */
   def tokenCounts(df: DataFrame, idCol: String, textCol: String,
-                  merges: Seq[Merge]): DataFrame = {
+                  merges: Seq[Merge],
+                  state: Map[String, Vector[String]] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val occ = df.select(col(idCol).as("id"),
       explode(TextOps.tokens(col(textCol))).as("word"))
     val bc = spark.sparkContext.broadcast(merges)
+    val bs = spark.sparkContext.broadcast(state)
     val perWord = occ.select("word").distinct().as[String]
       .mapPartitions { it =>
         val m = bc.value
-        it.map(w => (w, segment(w, m).length.toLong))
+        val st = bs.value
+        // training-vocab words read their length straight off the trained
+        // state; only out-of-vocabulary words pay the greedy merge loop
+        it.map(w => (w,
+          st.get(w).fold(segment(w, m).length.toLong)(_.length.toLong)))
       }.toDF("word", "n")
     // left-join back to the full id set: a document whose text tokenizes
     // to zero words must still report n_tokens = 0, not vanish

@@ -45,6 +45,23 @@ class BpeSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("topWords: the training collect is bounded by the cap, highest-count words first") {
+    // 50 distinct words, cap 5 — the driver map must hold exactly the cap,
+    // and exactly the most frequent words (ties lexicographic)
+    val docs = (0 until 50).map(i => (i.toLong, (s"w$i " * (i + 1)).trim))
+    val top = Bpe.topWords(docs.toDF("doc_id", "text"), "text", 5)
+    assert(top.size === 5)
+    assert(top.keySet === Set("w49", "w48", "w47", "w46", "w45"))
+    assert(top("w49") === 50L)
+  }
+
+  test("trainFull: state agrees with per-word greedy segmentation on this corpus") {
+    val (merges, state) = Bpe.trainFull(toy, 10)
+    state.foreach { case (w, syms) =>
+      assert(syms === Bpe.segment(w, merges).toVector, s"state vs encode diverged for $w")
+    }
+  }
+
   test("tokenCounts: a doc with zero words reports n_tokens = 0, not absence") {
     val docs = Seq((1L, "low tide"), (2L, ""), (3L, "    "))
     val merges = Bpe.train(Map("low" -> 1L, "tide" -> 1L), 5)
