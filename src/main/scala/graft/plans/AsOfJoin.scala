@@ -13,9 +13,10 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * needed until now (everything else composed from built-ins or scalar
   * `Expression`s).
   *
-  * Semantics (the reference's "latest state at event time" lookup,
-  * reference `streaming_data_pipeline.py:1-30`'s enrich-on-read shape;
-  * also DuckDB's `ASOF JOIN`): for each left row, the single right row
+  * Semantics (the reference's "latest state at event time" lookup: the
+  * OpenSearch serving index holds the most recent replicated doc per
+  * key, reference `firehose.py:114-116` / `README.md:455-457`; also
+  * DuckDB's `ASOF JOIN`): for each left row, the single right row
   * with equal keys and the LARGEST right timestamp `<=` the left
   * timestamp, optionally within `toleranceUs` microseconds. Inner (drop
   * unmatched left rows) or left-outer (null-pad).

@@ -236,6 +236,50 @@ object Relational {
         .orderBy("event_id")
     },
 
+    // ---- O9: custom as-of exec, LEFT-OUTER + TIE-BREAK paths (the
+    //      null-bind projection at plans/AsOfJoin.scala and the
+    //      rightTieBreak sort key). The testdata has no duplicate
+    //      (user, ts) clicks, so ties are PLANTED: every 7th user's
+    //      clicks gain a same-timestamp twin with a LARGER event_id —
+    //      the result is wrong unless the tie-break picks max(event_id).
+    //      The oracle pre-aggregates the same survivor and uses DuckDB's
+    //      native ASOF LEFT JOIN, with out-of-tolerance matches nulled
+    //      on both engines. ----
+    gated("q121b_asof_custom_outer",
+      """WITH p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase'),
+        |raw AS (SELECT event_id, user_id, ts FROM events
+        |        WHERE event_type = 'click'
+        |        UNION ALL
+        |        SELECT event_id + 5000000, user_id, ts FROM events
+        |        WHERE event_type = 'click' AND user_id % 7 = 0),
+        |c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+        |      FROM raw GROUP BY user_id, ts)
+        |SELECT p.event_id,
+        |       CASE WHEN c.ts > p.ts - INTERVAL 1 HOUR
+        |            THEN c.click_id END AS click_id
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY event_id""") { (s, d) =>
+      val e = Tables.events(s, d)
+      val p = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val rawClicks = e.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("c_user"), col("ts").as("c_ts"))
+      val c = rawClicks.unionAll(
+        rawClicks.filter(pmod(col("c_user"), lit(7)) === 0)
+          .withColumn("click_id", col("click_id") + lit(5000000L)))
+      graft.operators.AsOf.join(p, c,
+          leftOn = Seq(p.col("p_user")), rightOn = Seq(c.col("c_user")),
+          leftTs = p.col("p_ts"), rightTs = c.col("c_ts"),
+          rightTieBreak = Seq(c.col("click_id")),
+          toleranceUs = Some(3600L * 1000000L), leftOuter = true)
+        .select(col("event_id"), col("click_id"))
+        .orderBy("event_id")
+    },
+
     // ---- O10: two-phase hash aggregation (TPC-H Q1 shape) ----
     gated("q10_hash_agg",
       """SELECT l_returnflag, l_linestatus,
