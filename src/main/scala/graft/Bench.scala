@@ -172,13 +172,19 @@ object Bench {
       if (subset.isDefined) -1.0 else replayThroughput(largeLines, "large")
 
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
-    // Sidecar copy first, then the metric line as the ABSOLUTE last
-    // stdout output (after spark.stop()): round 7's artifact recorded
-    // `parsed: null` because the driver's structured extraction missed
-    // the line inside a 2000-char log tail — the sidecar preserves the
-    // round's per-query data for diffing even if stdout capture clips.
+    // Sidecar first, then the metric line as the ABSOLUTE last stdout
+    // output (after spark.stop()): round 7's artifact recorded `parsed:
+    // null` because the driver's structured extraction missed the line
+    // inside a 2000-char log tail. The stdout line stays clipped to the
+    // 40 slowest (driver keeps ~2000 chars of stdout), but the sidecar
+    // carries EVERY registered query — both iterations plus the min — so
+    // any query can be diffed across rounds without a re-run.
+    val allQ = names.sorted.map { n =>
+      "\"" + n + s"""":{"r1":${f(r1(n))},"r2":${f(r2(n))},"min":${f(results.toMap.apply(n))}}"""
+    }.mkString("{", ",", "}")
+    val sidecar = line.dropRight(1) + s""","queries_full":$allQ}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"), line + "\n")
+      java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"), sidecar + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
     streamSpark.stop() // the query-phase session is already stopped
     println(line)
