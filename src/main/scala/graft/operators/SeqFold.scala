@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Ordered per-key sequence folds with BOUNDED memory — the scale path
+  * for inherently sequential recurrences (EWMA, n-gram path mining) that
+  * no window frame expresses.
+  *
+  * Why not collect-sort-fold (the q139/q143 shape through round 8): a
+  * `collect_list` per key materializes the key's WHOLE history as one
+  * array value — at 100 TB a hot key's multi-GB history must fit a
+  * single aggregation buffer, which is exactly the OOM the watermark /
+  * chunking disciplines elsewhere in this repo exist to avoid.
+  *
+  * Why not a chunked fold with composed summaries: the EWMA step
+  * e' = (e + c) div 2 DOES compose — by the exact integer identity
+  * floor((floor(a/b) + c) / d) = floor((a + b·c) / (b·d)), a chunk of
+  * length L collapses to e' = (e + Σ cᵢ·2^(i−1)) div 2^L — but the
+  * composed numerator carries 2^L-scaled weights, so bounded arithmetic
+  * (even DECIMAL(38)) caps L at ~120 before overflow: the associative
+  * scan exists mathematically but not in fixed-width integers. The
+  * recurrence is inherently sequential in bounded arithmetic.
+  *
+  * The honest scale shape is therefore a STREAMED sorted fold:
+  * `flatMapSortedGroups` sorts each partition with Spark's spillable
+  * external sorter (same machinery as sort-merge join — disk-backed, no
+  * whole-history array), then hands each key an ORDERED ITERATOR the
+  * fold consumes with O(1) state — per-(key,chunk) local work with the
+  * carried seed implicit in the accumulator, chunk boundaries being
+  * whatever the sorter spilled. One shuffle on the key, identical to
+  * the collect form's aggregation exchange. */
+object SeqFold {
+
+  /** Exact integer EWMA (α = 1/2) per user over (ts, event_id)-ordered
+    * cents: e₁ = c₁, eᵢ = (eᵢ₋₁ + cᵢ) div 2 — DuckDB's init-less
+    * `list_reduce` seeding, truncating division (all values
+    * non-negative here, so truncation == floor on both engines).
+    * Input columns: user_id (long), ts, event_id, cents (long, ≥ 0).
+    * Output: (user_id, n, ewma) — one row per user with ≥ 1 event. */
+  def ewmaCents(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+        var n = 0L
+        var acc = 0L
+        it.foreach { r =>
+          val c = r.getAs[Long]("cents")
+          acc = if (n == 0L) c else (acc + c) / 2
+          n += 1
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((uid, n, acc))
+      }
+      .toDF("user_id", "n", "ewma")
+  }
+
+  /** Ordered trigram paths per user: for each user's (ts, event_id)-
+    * ordered event_type sequence, emit every consecutive 3-step path as
+    * "a b c" — O(1) state (a 2-token ring), users with < 3 events emit
+    * nothing. Input columns: user_id (long), ts, event_id, event_type. */
+  def orderedTrigrams(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (_, it) =>
+        var p1: String = null // t-2
+        var p2: String = null // t-1
+        it.flatMap { r =>
+          val cur = r.getAs[String]("event_type")
+          val out =
+            if (p1 != null) p1 + " " + p2 + " " + cur :: Nil else Nil
+          p1 = p2
+          p2 = cur
+          out
+        }
+      }
+      .toDF("path")
+  }
+}

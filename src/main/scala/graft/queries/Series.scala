@@ -211,17 +211,15 @@ object Series {
     },
 
     // ---- EWMA (α = 1/2) as an ORDERED FOLD — the recurrence
-    //      e_i = (e_{i−1} + c_i) div 2 is inherently sequential, which
-    //      no window frame expresses; the relational form is
-    //      collect-sort-fold: per-user histories collect into an array
-    //      ordered by (ts, event_id), and a codegen `aggregate` HOF
-    //      folds it left-to-right — EXACTLY the order DuckDB's
-    //      list(… ORDER BY) + list_reduce uses, and α = 1/2 on
-    //      non-negative integer cents keeps every step a truncating
-    //      shift, identical cross-engine. Scale: state per group is the
-    //      group's history (bounded here by per-user event counts; an
-    //      unbounded stream would fold per-chunk with carried seeds —
-    //      the same two-level discipline as q95's sweep). ----
+    //      e_i = (e_{i−1} + c_i) div 2 is inherently sequential (and
+    //      provably non-composable in bounded integers: the exact chunk
+    //      summary carries 2^L-scaled weights — see
+    //      operators/SeqFold.scala), which no window frame expresses.
+    //      The scale shape is a STREAMED sorted-group fold: the key's
+    //      history arrives as a spillable sorted iterator and the fold
+    //      holds O(1) state — never a whole-history array in one
+    //      aggregation buffer. Order and α = 1/2 truncating arithmetic
+    //      match DuckDB's list(… ORDER BY) + list_reduce exactly. ----
     gated("q139_ewma",
       """WITH c AS (SELECT user_id, ts, event_id,
         |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
@@ -230,19 +228,11 @@ object Series {
         |SELECT user_id, CAST(len(cs) AS BIGINT) AS n,
         |       CAST(list_reduce(cs, (acc, x) -> (acc + x) // 2) AS BIGINT) AS ewma
         |FROM g ORDER BY user_id""") { (s, d) =>
-      Tables.events(s, d)
-        .filter(col("value") >= 0)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
-        .groupBy("user_id")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(ts, event_id, cents))), s -> s.cents)")
-          .as("cs"))
-        .select(col("user_id"), size(col("cs")).cast("long").as("n"),
-          // DuckDB's init-less list_reduce seeds with the first element —
-          // mirror it: fold the tail onto head
-          expr("aggregate(slice(cs, 2, size(cs) - 1), element_at(cs, 1), " +
-            "(acc, x) -> (acc + x) div 2)").as("ewma"))
+      graft.operators.SeqFold.ewmaCents(
+        Tables.events(s, d)
+          .filter(col("value") >= 0)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents")))
         .orderBy("user_id")
     },
 
@@ -289,13 +279,14 @@ object Series {
 
     // ---- Sequential path mining: the top-10 3-step behavioral paths
     //      across all user journeys — q85's transition matrix extended
-    //      to order-3 n-grams over event SEQUENCES (the same
-    //      collect-sort machinery as q139's fold, the same trigram
-    //      machinery as the text shingles, TextOps.trigramsAll).
-    //      Exact counts, TakeOrdered top-10. Scale: per-user sequences
-    //      bound the collect; the path vocabulary is |event_types|³
-    //      regardless of corpus size, so the count aggregation shuffles
-    //      a constant-cardinality relation. ----
+    //      to order-3 n-grams over event SEQUENCES. Emission is a
+    //      STREAMED sorted-group scan (operators/SeqFold.scala): each
+    //      user's ordered journey arrives as a spillable iterator and a
+    //      2-token ring emits trigrams with O(1) state — no per-user
+    //      sequence array. Exact counts, TakeOrdered top-10; the path
+    //      vocabulary is |event_types|³ regardless of corpus size, so
+    //      the count aggregation shuffles a constant-cardinality
+    //      relation. ----
     gated("q143_event_paths",
       """WITH s AS (SELECT user_id, list(event_type ORDER BY ts, event_id) AS sq
         |           FROM events GROUP BY user_id),
@@ -304,14 +295,10 @@ object Series {
         |      FROM s WHERE len(sq) >= 3)
         |SELECT path, CAST(COUNT(*) AS BIGINT) AS c
         |FROM p GROUP BY path ORDER BY c DESC, path LIMIT 10""") { (s, d) =>
-      import graft.text.TextOps
-      Tables.events(s, d)
-        .groupBy("user_id")
-        .agg(expr(
-          "transform(sort_array(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)")
-          .as("sq"))
-        .filter(size(col("sq")) >= 3)
-        .select(explode(TextOps.trigramsAll(col("sq"))).as("path"))
+      graft.operators.SeqFold.orderedTrigrams(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")))
         .groupBy("path").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("path"))
         .limit(10)

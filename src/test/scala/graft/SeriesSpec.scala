@@ -21,6 +21,41 @@ class SeriesSpec extends SparkTestBase {
     assert(rows.head.getLong(1) === cs.length.toLong)
   }
 
+  test("SeqFold: streamed sorted fold == whole-history fold, across partitionings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic pseudo-random histories with ts TIES (event_id breaks
+    // them) and key skew (key 0 holds half the rows) — the chunked/
+    // streamed fold must equal the driver's whole-history fold no matter
+    // where the external sorter's chunk boundaries fall
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 4000).map { i =>
+      val k = if (i % 2 == 0) 0L else (i % 13).toLong
+      (k, new java.sql.Timestamp(1700000000000L + rng.nextInt(50) * 1000L),
+        i.toLong, rng.nextInt(100000).toLong)
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = rows.toDF("user_id", "ts", "event_id", "cents")
+        .repartition(parts)
+      val got = graft.operators.SeqFold.ewmaCents(df)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = rows.groupBy(_._1).map { case (k, g) =>
+        val cs = g.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+        k -> (cs.length.toLong, cs.tail.foldLeft(cs.head)((a, x) => (a + x) / 2))
+      }
+      assert(got === want, s"parts=$parts")
+      val paths = graft.operators.SeqFold.orderedTrigrams(
+          df.withColumn("event_type", concat(lit("e"), pmod(col("cents"), lit(3)))))
+        .groupBy("path").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val wantPaths = rows.groupBy(_._1).toSeq.flatMap { case (_, g) =>
+        g.sortBy(t => (t._2.getTime, t._3)).map(t => s"e${t._4 % 3}")
+          .sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.groupBy(identity).map { case (p, o) => p -> o.size.toLong }
+      assert(paths === wantPaths, s"paths parts=$parts")
+    }
+  }
+
   test("q126: interpolated points lie on the segment between their flanking observations") {
     val rows = SparkEntry.queries("q126_interpolate")(spark, sf).collect()
     assert(rows.nonEmpty)
