@@ -19,8 +19,9 @@ import org.apache.spark.sql.functions._
   * standard big-graph CC shape (hashed exchanges on node id, no global
   * structure on any single executor). The driver loop carries only the
   * single `changed` count per round — the label table itself never leaves
-  * the cluster; per-round localCheckpoint keeps the lineage (and recompute
-  * cost) flat.
+  * the cluster; per-round checkpointing keeps the lineage (and recompute
+  * cost) flat — local blocks by default, Checkpoint.Reliable(dir) for
+  * lossy-executor clusters (operators/Checkpoint.scala).
   *
   * Duplicate-cluster semantics downstream: keep min(id) per cluster (the
   * q64 canonical-winner idea applied transitively), drop the rest. */
@@ -32,17 +33,17 @@ object ConnectedComponents {
     * distance halves per round, so 20 rounds cover diameters up to ~2^20.
     * Throws (rather than silently returning split clusters, which would
     * corrupt downstream dedup) if the fixpoint is not reached. */
-  def run(edges: DataFrame, maxIters: Int = 20): DataFrame = {
+  def run(edges: DataFrame, maxIters: Int = 20,
+          strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     val e = edges.toDF("a", "b")
     // no distinct: duplicate edges only feed extra rows into min() aggs,
     // which tolerate them — dedup here would cost an exchange per run
-    val sym = e.union(e.select(col("b"), col("a"))).localCheckpoint()
+    val sym = Checkpoint(e.union(e.select(col("b"), col("a"))), strategy)
     // init fused with the first hop: label = min(self, neighbors) in one
     // aggregation, saving a whole join round
-    var labels = sym.groupBy(col("a").as("id"))
+    var labels = Checkpoint(sym.groupBy(col("a").as("id"))
       .agg(min(col("b")).as("nb"))
-      .select(col("id"), least(col("id"), col("nb")).as("label"))
-      .localCheckpoint()
+      .select(col("id"), least(col("id"), col("nb")).as("label")), strategy)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIters) {
@@ -57,13 +58,12 @@ object ConnectedComponents {
       // (2) jump: label(id) <- label(label(id)); label values are node
       // ids (min-propagation only ever copies ids), and label(j) <= j, so
       // the looked-up label can only improve
-      val next = hopped.as("x")
+      val next = Checkpoint(hopped.as("x")
         .join(hopped.select(col("id").as("jid"), col("mid").as("jl")),
           col("x.mid") === col("jid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.mid"), coalesce(col("jl"), col("x.mid"))).as("label"),
-          col("x.prev").as("prev"))
-        .localCheckpoint()
+          col("x.prev").as("prev")), strategy)
       changed = next.filter(col("label") < col("prev")).count()
       labels = next.drop("prev")
       i += 1

@@ -31,9 +31,12 @@ import org.apache.spark.sql.functions._
   *   - `localCheckpoint` after every iteration truncates lineage — an
   *     unbroken 5-iteration plan is a 5-deep self-join tree that Catalyst
   *     re-analyzes (and task retry re-executes) from the source; at
-  *     production iteration counts that is exponential planning cost. On
-  *     a real cluster with lossy executors, swap for reliable
-  *     `checkpoint` to a cluster-visible dir — same call site.
+  *     production iteration counts that is exponential planning cost.
+  *     WHERE the cut materializes is the `strategy` parameter
+  *     (operators/Checkpoint.scala): executor-local blocks by default;
+  *     on a real 1000-executor cluster, where executors are lost as a
+  *     matter of course mid-loop, pass Checkpoint.Reliable(dir) and the
+  *     same call sites write recoverable checkpoints to DFS.
   *
   * Contract: `edges(src, dst)` directed, string node ids; every node of
   * interest must appear as a `src` at least once (no dangling-mass
@@ -47,7 +50,8 @@ object PageRank {
     * r sums to ~Scale (minus integer-truncation dust, bounded by
     * iters·(|V| + |E|) ulps — at scale 1e12 that is noise, and the SAME
     * noise on every engine). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int,
+          strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     // the one big relation, laid out once: (src, dst, outdeg(src))
@@ -55,16 +59,15 @@ object PageRank {
     val n = deg.count() // O(1) driver scalar, the only collect
     require(n > 0, "pagerank: empty edge list")
     val base = 3L * Scale / (20L * n) // teleport term 0.15/N, exact
-    var ranks = deg
-      .select(col("src").as("node"), lit(Scale / n).as("r"))
-      .localCheckpoint()
+    var ranks = Checkpoint(deg
+      .select(col("src").as("node"), lit(Scale / n).as("r")), strategy)
     for (_ <- 1 to iters) {
-      ranks = e
+      ranks = Checkpoint(e
         .join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(expr("(17 * sum(r div d)) div 20").as("damped"))
-        .select(col("dst").as("node"), (lit(base) + col("damped")).as("r"))
-        .localCheckpoint()
+        .select(col("dst").as("node"), (lit(base) + col("damped")).as("r")),
+        strategy)
     }
     e.unpersist()
     ranks
@@ -80,25 +83,25 @@ object PageRank {
     * until the walk saturates. The per-iteration union-then-sum folds
     * the seed restart into the same hash aggregation that combines
     * contributions — no extra pass. */
-  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int): DataFrame = {
+  def personalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+                   strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val e = edges.join(deg, "src").repartition(col("src")).persist()
-    val sd = seeds.select(col("node")).distinct().localCheckpoint()
+    val sd = Checkpoint(seeds.select(col("node")).distinct(), strategy)
     val ns = sd.count()
     require(ns > 0, "personalized pagerank: empty seed set")
     val base = 3L * Scale / (20L * ns)
-    var ranks = sd.select(col("node"), lit(Scale / ns).as("r")).localCheckpoint()
+    var ranks = Checkpoint(sd.select(col("node"), lit(Scale / ns).as("r")), strategy)
     for (_ <- 1 to iters) {
       val damped = e
         .join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(expr("(17 * sum(r div d)) div 20").as("r"))
         .select(col("dst").as("node"), col("r"))
-      ranks = damped
+      ranks = Checkpoint(damped
         .unionByName(sd.select(col("node"), lit(base).as("r")))
-        .groupBy("node").agg(sum(col("r")).as("r"))
-        .localCheckpoint()
+        .groupBy("node").agg(sum(col("r")).as("r")), strategy)
     }
     e.unpersist()
     ranks

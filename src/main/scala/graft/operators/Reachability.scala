@@ -21,19 +21,21 @@ import org.apache.spark.sql.functions._
   * persisted — every hop's frontier join reuses that layout, shuffling
   * only the frontier (which is bounded by |V| total across ALL hops,
   * since each node enters once). The driver loop carries one scalar
-  * (frontier size) per hop; visited/frontier localCheckpoint per hop
-  * keeps lineage flat. Against 100 TB edge lists this is the standard
+  * (frontier size) per hop; visited/frontier checkpoint per hop keeps
+  * lineage flat — local blocks by default, Checkpoint.Reliable(dir) for
+  * lossy-executor clusters (operators/Checkpoint.scala). Against 100 TB edge lists this is the standard
   * BSP traversal shape (Pregel's BFS without the framework). */
 object Reachability {
 
   /** `(node, depth)` for every node within `maxHops` of `seeds`.
     * `edges(src, dst)` directed; `seeds(node)`; depth = min hops. */
-  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+  def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+          strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(maxHops >= 0, s"bfs: maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"))
       .repartition(col("src")).persist()
-    var visited = seeds.select(col("node"), lit(0).as("depth"))
-      .distinct().localCheckpoint()
+    var visited = Checkpoint(seeds.select(col("node"), lit(0).as("depth"))
+      .distinct(), strategy)
     var frontier = visited.select(col("node"))
     var hop = 0
     while (hop < maxHops && !frontier.isEmpty) {
@@ -43,9 +45,9 @@ object Reachability {
         .join(visited.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .withColumn("depth", lit(hop))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
-      frontier = next.select(col("node"))
+      val nextM = Checkpoint(next, strategy)
+      visited = Checkpoint(visited.unionByName(nextM), strategy)
+      frontier = nextM.select(col("node"))
     }
     e.unpersist()
     visited

@@ -40,6 +40,30 @@ class GraphSpec extends SparkTestBase {
     assert(run(edges, 5) === model(edges, 5))
   }
 
+  test("checkpoint strategy: Local and Reliable(dir) produce identical results (pagerank, cc, bfs)") {
+    import graft.operators.{Checkpoint, ConnectedComponents, Reachability}
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val rel = Checkpoint.Reliable(dir)
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 20).map(i => s"m$i")
+    val base = (0 until 80).map(_ => (nodes(rnd.nextInt(20)), nodes(rnd.nextInt(20))))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (base ++ base.map(_.swap)).toDF("src", "dst")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.get(0) -> r.get(1)).toMap
+    assert(m(PageRank.run(edges, 3)) === m(PageRank.run(edges, 3, rel)))
+    val seeds = Seq("m0").toDF("node")
+    assert(m(Reachability.bfs(edges, seeds, 3)) ===
+      m(Reachability.bfs(edges, seeds, 3, rel)))
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L), (9L, 9L)).toDF("a", "b")
+    assert(m(ConnectedComponents.run(pairs)) ===
+      m(ConnectedComponents.run(pairs, strategy = rel)))
+    // reliable mode actually wrote checkpoint data under the dir
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "Reliable strategy wrote nothing under its dir")
+  }
+
   test("pagerank: uniform rank is the fixed point of a directed cycle") {
     // 5 nodes, outdeg 1 each; S/n and the damped update are exact at n=5,
     // so every iteration must reproduce S/n on the nose
