@@ -53,7 +53,11 @@ object PageRank {
   def run(edges: DataFrame, iters: Int,
           strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // materialized once: deg feeds the edge layout, the node count, AND
+    // the initial ranks — unpinned it re-runs the (possibly expensive)
+    // upstream edge derivation three times before iteration 1
+    val deg = Checkpoint(
+      edges.groupBy("src").agg(count(lit(1)).as("d")), strategy)
     // the one big relation, laid out once: (src, dst, outdeg(src))
     val e = edges.join(deg, "src").repartition(col("src")).persist()
     val n = deg.count() // O(1) driver scalar, the only collect
@@ -61,13 +65,17 @@ object PageRank {
     val base = 3L * Scale / (20L * n) // teleport term 0.15/N, exact
     var ranks = Checkpoint(deg
       .select(col("src").as("node"), lit(Scale / n).as("r")), strategy)
-    for (_ <- 1 to iters) {
-      ranks = Checkpoint(e
+    for (i <- 1 to iters) {
+      val step = e
         .join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(expr("(17 * sum(r div d)) div 20").as("damped"))
-        .select(col("dst").as("node"), (lit(base) + col("damped")).as("r")),
-        strategy)
+        .select(col("dst").as("node"), (lit(base) + col("damped")).as("r"))
+      // cut every OTHER round (and at the end): a depth-2 lineage stays
+      // cheap to re-plan, and halving the eager materializations shaves
+      // the per-iteration constant that dominates small-|V| runs
+      ranks = if (i % 2 == 0 || i == iters) Checkpoint(step, strategy)
+              else step
     }
     e.unpersist()
     ranks
