@@ -54,6 +54,12 @@ object Cdc {
     Envelope.SelectionRule("testdb", "retail_trans%"),
     Envelope.SelectionRule("%", "%backup", action = "exclude"))
 
+  /** Point-in-time cut for the q150 time-travel gate: the fixture's
+    * median envelope timestamp (fixed-width ISO-8601, so lexicographic
+    * compare == temporal on both engines — same invariant the LWW
+    * ordering already relies on). */
+  private val timeTravelCut = "2022-03-14T14:01:14.260960Z"
+
   val all: Seq[GatedQuery] = Seq(
 
     // ---- O34/O25 (D-Q32): envelope parse + selection-rule filter ----
@@ -126,6 +132,86 @@ object Cdc {
       Materialize.snapshot(Envelope.changelog(s, fx))
         .withColumn("amount", col("amount").cast("long"))
         .orderBy("trans_id")
+    },
+
+    // ---- O35, TIME TRAVEL: the snapshot as of a point mid-stream —
+    //      replay only envelopes with ts ≤ cut, then the same
+    //      last-write-wins materialization. What the serving index
+    //      looked like BEFORE later updates/deletes landed: rows later
+    //      deleted are still live here, later amount updates not yet
+    //      applied. Any historical state is reconstructible from the
+    //      archived changelog (reference: the S3 archive retains every
+    //      envelope, cdk_stacks/firehose.py:131-135); the cut is one
+    //      pushed-down predicate, so at 100 TB the time-travel scan
+    //      reads only pre-cut partitions of a ts-partitioned archive. ----
+    gated("q150_cdc_time_travel",
+      s"""SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         CAST(data.amount AS BIGINT) AS amount,
+         |         data.device AS device, data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql
+         |    AND metadata."timestamp" <= '$timeTravelCut')
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY trans_id""") { (s, _) =>
+      Materialize.snapshot(Envelope.changelog(s, fx)
+          .filter(col("metadata.timestamp") <= lit(timeTravelCut)))
+        .withColumn("amount", col("amount").cast("long"))
+        .orderBy("trans_id")
+    },
+
+    // ---- O32's batch twin, oracle-gated: late-arrival classification.
+    //      An envelope is LATE if its event time is below the running
+    //      high-water mark of everything that arrived before it (arrival
+    //      order = (transaction-id, ts, trans_id), the shard's delivery
+    //      order proxy; delay-0 watermark). This gates the same
+    //      event-time-vs-watermark comparison the streaming pipeline's
+    //      withWatermark drop applies — there spec-tested
+    //      (StreamingSpec), here cell-checked against DuckDB. Scale: the
+    //      fixture is ONE shard, so the high-water-mark window is a
+    //      single ordered pass; a multi-shard deployment partitions the
+    //      window by shard (watermarks are per-shard in Kinesis,
+    //      reference cdk_stacks/kds.py:23-27) and takes the min across
+    //      shards exactly as Spark's watermark tracker does. ----
+    gated("q151_late_classify",
+      s"""WITH src AS (
+         |  SELECT data.trans_id AS tid, metadata."timestamp" AS ts,
+         |         metadata."transaction-id" AS txid,
+         |         metadata.operation AS op
+         |  FROM $readJson WHERE $selectionSql),
+         |w AS (SELECT op, ts,
+         |             MAX(ts) OVER (ORDER BY txid, ts, tid
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING
+         |                           AND 1 PRECEDING) AS hwm
+         |      FROM src)
+         |SELECT op,
+         |       CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts < hwm
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS late,
+         |       CAST(SUM(CASE WHEN hwm IS NULL OR ts >= hwm
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS on_time
+         |FROM w GROUP BY op ORDER BY op""") { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("txid", "ts", "tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Envelope.changelog(s, fx)
+        .select(col("data.trans_id").as("tid"),
+          col("metadata.timestamp").as("ts"),
+          col("metadata.`transaction-id`").as("txid"),
+          col("metadata.operation").as("op"))
+        .withColumn("hwm", max(col("ts")).over(w))
+        .groupBy("op")
+        .agg(
+          sum(when(col("hwm").isNotNull && col("ts") < col("hwm"), 1)
+            .otherwise(0)).as("late"),
+          sum(when(col("hwm").isNull || col("ts") >= col("hwm"), 1)
+            .otherwise(0)).as("on_time"))
+        .orderBy("op")
     },
 
     // ---- O35, stateful-operator form: the SAME flatMapGroupsWithState

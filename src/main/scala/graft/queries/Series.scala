@@ -302,6 +302,91 @@ object Series {
         .groupBy("path").agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("path"))
         .limit(10)
+    },
+
+    // ---- Gap-based sessionization: a >30-minute silence starts a new
+    //      session — the batch twin of the O31 session window (q31
+    //      gates the streaming session_window; this gates the
+    //      analytical lag-and-cumsum form on history). All arithmetic
+    //      in epoch MICROSECONDS (exact integers on both engines; a
+    //      'seconds' date_diff would count boundary crossings in DuckDB
+    //      but truncate in Spark). Scale: one hash exchange on user_id,
+    //      then two spillable window passes over each user's history —
+    //      no collect, no array. ----
+    gated("q145_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS um,
+        |         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+        |                OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |              > 1800000000 THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, um,
+        |             SUM(brk) OVER (PARTITION BY user_id ORDER BY um, event_id
+        |                            ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM x)
+        |SELECT user_id, CAST(sess AS BIGINT) AS session_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events,
+        |       CAST((MAX(um) - MIN(um)) // 1000000 AS BIGINT) AS dur_s,
+        |       MIN(event_id) AS first_event
+        |FROM s GROUP BY user_id, sess
+        |ORDER BY user_id, session_idx""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("um", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"))
+        .withColumn("brk",
+          when(col("um") - lag(col("um"), 1).over(w) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess").as("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(MAX(um) - MIN(um)) div 1000000").as("dur_s"),
+          min(col("event_id")).as("first_event"))
+        .select(col("user_id"), col("session_idx").cast("long"),
+          col("n_events"), col("dur_s"), col("first_event"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // ---- EXACT per-group percentiles (percentile_disc semantics: the
+    //      value at position ⌈p·n⌉ of the sorted group) — the SLO/
+    //      latency-report primitive where approx sketches (q115 HLL,
+    //      QuantileSample) trade exactness for one pass; this is the
+    //      exact path, gated cell-for-cell. Position arithmetic is all
+    //      integer (⌈p·n⌉ = (p·n + 99) div 100), the selected CENTS
+    //      value is tie-order-invariant (event_id only breaks rank
+    //      ties, never changes the value at a position). Scale: one
+    //      hash exchange on the group key + a spillable per-group sort
+    //      window; groups sort in parallel and nothing collects. ----
+    gated("q148_percentile_exact",
+      """WITH c AS (SELECT event_type, event_id,
+        |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT event_type, cents,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY cents, event_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM c)
+        |SELECT event_type,
+        |       MAX(CASE WHEN rn = (50*n + 99) // 100 THEN cents END) AS p50,
+        |       MAX(CASE WHEN rn = (90*n + 99) // 100 THEN cents END) AS p90,
+        |       MAX(CASE WHEN rn = (99*n + 99) // 100 THEN cents END) AS p99,
+        |       CAST(MAX(n) AS BIGINT) AS n
+        |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+      val cw = Window.partitionBy("event_type")
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(cw))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("rn") === expr("(50*n + 99) div 100"), col("cents"))).as("p50"),
+          max(when(col("rn") === expr("(90*n + 99) div 100"), col("cents"))).as("p90"),
+          max(when(col("rn") === expr("(99*n + 99) div 100"), col("cents"))).as("p99"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1228,6 +1228,143 @@ object Text {
       Bpe.tokenCounts(docs, "doc_id", "text", merges, state)
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
+    },
+
+    // ---- O40: ASYMMETRIC containment join — |a∩b|/|a| ≥ 2/3 over
+    //      trigram sets, the subsumption/quotation relation Jaccard
+    //      can't see (a short doc quoted inside a long one has tiny J
+    //      but containment ≈ 1). Engine: probe-prefix vs inverted-index
+    //      prefix filtering (SimJoin.containmentJoin), exact integer
+    //      threshold; oracle: all-pairs list_intersect arithmetic. ----
+    gated("q146_containment",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                                    for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(len(list_intersect(a.tg, b.tg)) AS BIGINT) AS i,
+        |       CAST(len(a.tg) AS BIGINT) AS na,
+        |       CAST(len(b.tg) AS BIGINT) AS nb
+        |FROM g a JOIN g b ON a.doc_id <> b.doc_id
+        |WHERE 3 * len(list_intersect(a.tg, b.tg)) >= 2 * len(a.tg)
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val sets = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      SimJoin.containmentJoin(sets, 2, 3)
+        .orderBy("a_id", "b_id")
+    },
+
+    // ---- O38: TF-IDF key-term extraction — top-3 terms per document by
+    //      tf · idf, the keyword/tag primitive of every retrieval and
+    //      corpus-exploration pipeline. idf is the EXACT integer
+    //      (10^6 · N) div df (a float log-idf would make cross-engine
+    //      boundary ranks nondeterministic; the div preserves the
+    //      rarest-first order log would induce on equal tf). Scale: tf
+    //      is one partial-aggregated groupBy on (doc, term); df derives
+    //      from tf (vocabulary-sized); the idf join is vocabulary-keyed;
+    //      top-3 per doc is a rank window the optimizer turns into
+    //      WindowGroupLimit — no global sort of the score relation. ----
+    gated("q147_keyterms",
+      """WITH t AS (SELECT doc_id, unnest(list_filter(string_split(lower(text), ' '),
+        |                                 x -> x <> '')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY w),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.w AS term,
+        |              tf.tf * ((1000000 * nn.n) // df.df) AS score
+        |       FROM tf JOIN df ON tf.w = df.w CROSS JOIN nn),
+        |r AS (SELECT doc_id, term, CAST(score AS BIGINT) AS score,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                                ORDER BY score DESC, term) AS rk
+        |      FROM sc)
+        |SELECT doc_id, term, score, CAST(rk AS BIGINT) AS rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("n"))
+      import org.apache.spark.sql.expressions.Window
+      val rk = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "w").crossJoin(broadcast(nn))
+        .select(col("doc_id"), col("w").as("term"),
+          expr("tf * ((1000000 * n) div df)").as("score"))
+        .withColumn("rk", row_number().over(rk).cast("long"))
+        .filter(col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    },
+
+    // ---- Golden-record survivorship: the step AFTER q134's clustering
+    //      that entity resolution actually ships — one canonical row per
+    //      duplicate cluster with field-level merge rules (mode per
+    //      attribute, ties to the lexicographic min; canonical id =
+    //      min member). The oracle rebuilds clusters with the recursive
+    //      transitive-closure CTE and the same explicit mode ranking
+    //      (DuckDB's mode() leaves ties unspecified — the rank window
+    //      pins them). Scale: per-attribute modes are partial-aggregated
+    //      (cluster, attr) counts + a rank window over attribute
+    //      cardinality — never a per-cluster collect. ----
+    gated("q149_golden_record",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS s
+        |      FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |       FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM ov JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id WHERE 2*i >= sa.n + sb.n - i),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM e
+        |                UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |lbl AS (SELECT u, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u),
+        |mem AS (SELECT lbl.cluster, d.doc_id, d.lang, d.source
+        |        FROM lbl JOIN documents d ON lbl.u = d.doc_id),
+        |lm AS (SELECT cluster, lang FROM (
+        |         SELECT cluster, lang, ROW_NUMBER() OVER (PARTITION BY cluster
+        |                  ORDER BY COUNT(*) DESC, lang) AS r
+        |         FROM mem GROUP BY cluster, lang) WHERE r = 1),
+        |sm AS (SELECT cluster, source FROM (
+        |         SELECT cluster, source, ROW_NUMBER() OVER (PARTITION BY cluster
+        |                  ORDER BY COUNT(*) DESC, source) AS r
+        |         FROM mem GROUP BY cluster, source) WHERE r = 1)
+        |SELECT mem.cluster AS cluster, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       MIN(mem.doc_id) AS keep, MAX(lm.lang) AS lang,
+        |       MAX(sm.source) AS source
+        |FROM mem JOIN lm ON mem.cluster = lm.cluster
+        |         JOIN sm ON mem.cluster = sm.cluster
+        |GROUP BY mem.cluster ORDER BY mem.cluster""") { (s, d) =>
+      import graft.operators.ConnectedComponents
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val sets = docs
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      val pairs = SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("a_id"), col("b_id"))
+      val mem = ConnectedComponents.run(pairs)
+        .join(docs.select(col("doc_id"), col("lang"), col("source")),
+          col("id") === col("doc_id"))
+        .select(col("cluster"), col("doc_id"), col("lang"), col("source"))
+        .localCheckpoint() // feeds the count agg AND two mode rankings
+      def mode(attr: String) = mem.groupBy(col("cluster"), col(attr))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("cluster").orderBy(col("c").desc, col(attr))))
+        .filter(col("r") === 1)
+        .select(col("cluster"), col(attr))
+      mem.groupBy("cluster")
+        .agg(count(lit(1)).as("n_members"), min(col("doc_id")).as("keep"))
+        .join(mode("lang"), "cluster")
+        .join(mode("source"), "cluster")
+        .orderBy("cluster")
     }
   )
 

@@ -45,6 +45,59 @@ object SimJoin {
     * pair's union collide — P ≈ |union|²·2⁻⁶⁴ ≈ 1e-13 per pair, the
     * standard PPJoin-implementation trade. Set SIZES are taken from the
     * pre-hash arrays, so na/nb are exact regardless. */
+  /** ASYMMETRIC containment join: all ordered pairs (a, b), a ≠ b, with
+    * |a∩b| / |a| ≥ tNum/tDen — "is most of document a inside document
+    * b", the subsumption/quotation relation Jaccard can't express (a
+    * tweet quoted inside an article has tiny Jaccard but containment
+    * ≈ 1). Returns (a_id, b_id, i, na, nb).
+    *
+    * Prefix filtering adapts: containment bounds only the PROBE side's
+    * uncovered tokens (≥ τ·|a| of a must appear in b), so a's prefix
+    * under the global rarest-first order is still |a| − ⌈τ·|a|⌉ + 1
+    * tokens — but b contributes its FULL token list (nothing bounds
+    * which of b's tokens overlap). That asymmetry is the classic
+    * probe-prefix-vs-inverted-index shape: the b side IS an inverted
+    * index, and rarest-first probe prefixes are what keep its hot
+    * (stopword) postings out of the candidate join. Length filter:
+    * |b| ≥ ⌈τ·|a|⌉ (the intersection can't exceed |b|), applied inside
+    * the join. Verify and threshold are exact integer cross-multiplies
+    * over 64-bit fingerprints (same collision note as jaccardJoin). */
+  def containmentJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
+    val mat = sets.select(col("id"), col("set")).localCheckpoint()
+    val tok = mat.select(col("id"), size(col("set")).as("n"),
+      explode(col("set")).as("w0"))
+      .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
+      .localCheckpoint() // probe prefixes AND the inverted index read it
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
+    val probe = tok.join(dfreq, "w")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy("dfreq", "w")))
+      .filter(col("pos") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
+      .select(col("id").as("a_id"), col("n").as("pna"), col("w"))
+    val cand = probe
+      .join(tok.select(col("id").as("b_id"), col("n").as("pnb"), col("w")), "w")
+      .filter(col("a_id") =!= col("b_id") &&
+        col("pnb") * tDen >= col("pna") * tNum)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val fp = mat.select(col("id"),
+      expr("array_distinct(transform(set, x -> xxhash64(x)))").as("fps"),
+      size(col("set")).as("n"))
+    cand
+      .join(fp.select(col("id").as("a_id"), col("fps").as("seta"),
+        col("n").as("na")), "a_id")
+      .join(fp.select(col("id").as("b_id"), col("fps").as("setb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
+      // |a∩b|/|a| ≥ τ ⟺ i·tDen ≥ na·tNum, decided in integers
+      .filter(col("i") * tDen >= col("na") * tNum)
+      .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+  }
+
   def jaccardJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")

@@ -62,6 +62,31 @@ class SimJoinSpec extends SparkTestBase {
       s"prefix $prefixRows vs tokens $tokRows")
   }
 
+  test("containment join: parity with brute force; asymmetry shows (small⊂big kept, reverse dropped)") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 60).map(i => f"t$i%02d")
+    val sets = (0L until 60L).map { id =>
+      val n = 3 + rnd.nextInt(12)
+      id -> rnd.shuffle(vocab).take(n).distinct
+    } :+ (900L -> vocab.take(4)) :+ (901L -> vocab.take(20)) // planted subset
+    def bruteC(tNum: Int, tDen: Int): Set[(Long, Long, Long)] =
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        i = sa.toSet.intersect(sb.toSet).size.toLong
+        if i * tDen >= sa.size.toLong * tNum
+      } yield (a, b, i)).toSet
+    for ((tn, td) <- Seq((2, 3), (1, 2), (1, 1))) {
+      val got = SimJoin.containmentJoin(sets.toDF("id", "set"), tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === bruteC(tn, td), s"tau=$tn/$td")
+    }
+    // the planted pair is directional at tau=1: 900's 4 tokens all sit
+    // inside 901, the converse does not hold
+    val exact = SimJoin.containmentJoin(sets.toDF("id", "set"), 1, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.contains((900L, 901L)) && !exact.contains((901L, 900L)))
+  }
+
   test("sorted-neighborhood: pairs equal the single-window model regardless of partitioning") {
     import graft.operators.SortedNeighborhood
     val rnd = new scala.util.Random(47)
