@@ -1365,6 +1365,86 @@ object Text {
         .join(mode("lang"), "cluster")
         .join(mode("source"), "cluster")
         .orderBy("cluster")
+    },
+
+    // ---- THE CURATION FUNNEL, end to end: the corpus-to-training-set
+    //      pipeline as ONE gated relation — raw corpus → length filter →
+    //      quality filter (stopword + uniqueness ratios, exact integer
+    //      cross-multiplies) → exact-dedup survivors (q123 pairs → CC,
+    //      survivor = cluster min) → greedy token-budget cut (keep in
+    //      doc_id order while the running token sum fits 3k). One row
+    //      per stage with doc and token counts — the acceptance curve
+    //      every corpus report leads with. The budget cut runs through
+    //      operators/PrefixSum.global (range-partitioned two-level
+    //      prefix sum, O(partitions) driver data), NOT a single-task
+    //      global window. ----
+    gated("q152_curation_funnel",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |m AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n_toks,
+        |             CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq,
+        |             CAST(len(list_filter(w, x -> x IN ('a','the'))) AS BIGINT) AS stop
+        |      FROM t),
+        |s1 AS (SELECT * FROM m WHERE n_toks >= 20),
+        |s2 AS (SELECT * FROM s1 WHERE stop * 5 <= n_toks AND n_uniq * 2 >= n_toks),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS sh
+        |      FROM s2 WHERE n_toks >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |       FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM ov JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id WHERE 2*i >= sa.n + sb.n - i),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM e
+        |                UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |lbl AS (SELECT u, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u),
+        |surv AS (SELECT s2.doc_id, s2.n_toks FROM s2 LEFT JOIN lbl ON s2.doc_id = lbl.u
+        |         WHERE lbl.u IS NULL OR s2.doc_id = lbl.cluster),
+        |cm AS (SELECT doc_id, n_toks,
+        |              SUM(n_toks) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |       FROM surv),
+        |kept AS (SELECT * FROM cm WHERE cum <= 3000)
+        |SELECT CAST(0 AS BIGINT) AS stage, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) AS n_tokens FROM m
+        |UNION ALL SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s1
+        |UNION ALL SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM surv
+        |UNION ALL SELECT CAST(4 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |       CAST(COALESCE(SUM(n_toks), 0) AS BIGINT) FROM kept
+        |ORDER BY stage""") { (s, d) =>
+      import graft.operators.{ConnectedComponents, PrefixSum}
+      val m = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .select(col("doc_id"), col("w"),
+          size(col("w")).cast("long").as("n_toks"),
+          size(array_distinct(col("w"))).cast("long").as("n_uniq"),
+          TextOps.markerHits(col("w"), Seq("a", "the")).cast("long").as("stop"))
+        .localCheckpoint() // stage-0 count AND the whole filter chain
+      val s1f = m.filter(col("n_toks") >= 20)
+      val s2f = s1f.filter(col("stop") * 5 <= col("n_toks") &&
+          col("n_uniq") * 2 >= col("n_toks"))
+        .localCheckpoint() // stage-2 count, dedup sets, survivor join
+      val sets = s2f.filter(col("n_toks") >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      val lbl = ConnectedComponents.run(
+        SimJoin.jaccardJoin(sets, 1, 2).select(col("a_id"), col("b_id")))
+      val surv = s2f.join(lbl, s2f("doc_id") === lbl("id"), "left")
+        .filter(col("id").isNull || col("doc_id") === col("cluster"))
+        .select(col("doc_id"), col("n_toks"))
+        .localCheckpoint() // stage-3 count AND the prefix-sum input
+      val kept = PrefixSum.global(surv, Seq(col("doc_id")), col("n_toks"))
+        .filter(col("cum") <= 3000)
+      def stage(n: Int, df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_toks")), lit(0L)).as("n_tokens"))
+          .select(lit(n.toLong).as("stage"), col("n_docs"), col("n_tokens"))
+      stage(0, m).unionByName(stage(1, s1f)).unionByName(stage(2, s2f))
+        .unionByName(stage(3, surv)).unionByName(stage(4, kept))
+        .orderBy("stage")
     }
   )
 

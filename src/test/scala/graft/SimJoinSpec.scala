@@ -105,6 +105,27 @@ class SimJoinSpec extends SparkTestBase {
     }
   }
 
+  test("prefix sum: equals the driver model (negative values included) and never collapses to one task") {
+    import graft.operators.PrefixSum
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 500L).map(i => (i, rnd.nextInt(200).toLong - 50))
+    for (parts <- Seq(1, 7)) {
+      val df = rows.toDF("id", "v").repartition(parts)
+      val out = PrefixSum.global(df, Seq(col("id")), col("v"))
+      val got = out.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = rows.sortBy(_._1)
+        .scanLeft((-1L, 0L)) { case ((_, acc), (id, v)) => (id, acc + v) }
+        .drop(1).toMap
+      assert(got === want, s"parts=$parts")
+      assert(!out.queryExecution.executedPlan.toString.contains("SinglePartition"),
+        "global prefix sum collapsed to one task")
+    }
+    // empty input keeps the schema, zero rows
+    val empty = PrefixSum.global(
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq(col("id")), col("v"))
+    assert(empty.columns.contains("cum") && empty.count() === 0)
+  }
+
   test("sorted-neighborhood: the global sequence never runs through a single-task window") {
     import graft.operators.SortedNeighborhood
     val recs = (0L until 50L).map(i => (i, s"key$i"))
