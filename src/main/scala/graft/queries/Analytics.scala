@@ -1102,6 +1102,30 @@ object Analytics {
           decStr(col("p_retailprice")).as("price"),
           col("p_size").cast("long").as("size"))
         .orderBy("p_partkey")
+    },
+
+    // ---- Deterministic stratified sampling: k=5 per stratum by md5
+    //      priority — the train/eval split primitive. md5 is the ONE
+    //      hash both engines share bit-for-bit (the q103 sharding
+    //      trick), so the sample is reproducible across engines, runs,
+    //      and cluster sizes — a rand() sample is none of those. Scale:
+    //      rank-within-stratum becomes WindowGroupLimit (top-k per
+    //      group, no full sort materialization); sampling 10^9 rows per
+    //      stratum still moves only k winners past the partial limit. ----
+    gated("q153_stratified_sample",
+      """SELECT event_type, event_id, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT event_type, event_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |             ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+        |  FROM events)
+        |WHERE rk <= 5 ORDER BY event_type, rk""") { (s, d) =>
+      val w = Window.partitionBy("event_type")
+        .orderBy(md5(col("event_id").cast("string")), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("event_id"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= 5)
+        .orderBy("event_type", "rk")
     }
   )
 }

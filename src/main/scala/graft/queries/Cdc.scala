@@ -166,6 +166,80 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- SNAPSHOT DELTA: what changed between two points in time —
+    //      the q150 time-travel snapshot at the mid-stream cut FULL
+    //      OUTER JOINed against the final snapshot, each key classified
+    //      insert / delete / update (any column differing,
+    //      null-safe). The "what changed this hour" report a downstream
+    //      consumer diffs instead of re-reading the whole serving index;
+    //      complements q93's reconcile (bucketed checksums say THAT a
+    //      replica drifted, this says exactly WHICH keys and values).
+    //      Scale: both snapshots are key-partitioned relations; the diff
+    //      is one co-partitioned full outer join, no broadcast of
+    //      either side. ----
+    gated("q154_snapshot_delta",
+      s"""WITH snapA AS (
+         |  SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |  FROM (
+         |    SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |           data.event AS event, data.sku AS sku,
+         |           CAST(data.amount AS BIGINT) AS amount,
+         |           data.device AS device, data.trans_datetime AS trans_datetime,
+         |           metadata.operation AS op,
+         |           ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |               ORDER BY metadata."timestamp" DESC,
+         |                        metadata."transaction-id" DESC) AS rn
+         |    FROM $readJson
+         |    WHERE $selectionSql
+         |      AND metadata."timestamp" <= '$timeTravelCut')
+         |  WHERE rn = 1 AND op <> 'delete'),
+         |snapB AS (
+         |  SELECT trans_id, customer_id, event, sku, amount, device, trans_datetime
+         |  FROM (
+         |    SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |           data.event AS event, data.sku AS sku,
+         |           CAST(data.amount AS BIGINT) AS amount,
+         |           data.device AS device, data.trans_datetime AS trans_datetime,
+         |           metadata.operation AS op,
+         |           ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |               ORDER BY metadata."timestamp" DESC,
+         |                        metadata."transaction-id" DESC) AS rn
+         |    FROM $readJson
+         |    WHERE $selectionSql)
+         |  WHERE rn = 1 AND op <> 'delete')
+         |SELECT COALESCE(a.trans_id, b.trans_id) AS trans_id,
+         |       CASE WHEN a.trans_id IS NULL THEN 'insert'
+         |            WHEN b.trans_id IS NULL THEN 'delete'
+         |            ELSE 'update' END AS change,
+         |       a.amount AS old_amount, b.amount AS new_amount
+         |FROM snapA a FULL JOIN snapB b ON a.trans_id = b.trans_id
+         |WHERE a.trans_id IS NULL OR b.trans_id IS NULL
+         |   OR a.amount IS DISTINCT FROM b.amount
+         |   OR a.customer_id IS DISTINCT FROM b.customer_id
+         |   OR a.event IS DISTINCT FROM b.event
+         |   OR a.sku IS DISTINCT FROM b.sku
+         |   OR a.device IS DISTINCT FROM b.device
+         |   OR a.trans_datetime IS DISTINCT FROM b.trans_datetime
+         |ORDER BY trans_id""") { (s, _) =>
+      val chg = Envelope.changelog(s, fx).localCheckpoint() // both snapshots
+      def snap(df: org.apache.spark.sql.DataFrame) =
+        Materialize.snapshot(df).withColumn("amount", col("amount").cast("long"))
+      val a = snap(chg.filter(col("metadata.timestamp") <= lit(timeTravelCut)))
+      val b = snap(chg)
+      val dataCols = Seq("customer_id", "event", "sku", "amount",
+        "device", "trans_datetime")
+      val diff = dataCols.map(c =>
+        !(a(c) <=> b(c))).reduce(_ || _)
+      a.join(b, a("trans_id") === b("trans_id"), "full_outer")
+        .filter(a("trans_id").isNull || b("trans_id").isNull || diff)
+        .select(coalesce(a("trans_id"), b("trans_id")).as("trans_id"),
+          when(a("trans_id").isNull, "insert")
+            .when(b("trans_id").isNull, "delete")
+            .otherwise("update").as("change"),
+          a("amount").as("old_amount"), b("amount").as("new_amount"))
+        .orderBy("trans_id")
+    },
+
     // ---- O32's batch twin, oracle-gated: late-arrival classification.
     //      An envelope is LATE if its event time is below the running
     //      high-water mark of everything that arrived before it (arrival
