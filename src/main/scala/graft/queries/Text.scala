@@ -1445,6 +1445,43 @@ object Text {
       stage(0, m).unionByName(stage(1, s1f)).unionByName(stage(2, s2f))
         .unionByName(stage(3, surv)).unionByName(stage(4, kept))
         .orderBy("stage")
+    },
+
+    // ---- Document CHUNKING: split every doc into fixed-size overlapping
+    //      token windows (C = 40, stride 30 → 10-token overlap) — how a
+    //      training pipeline turns variable-length documents into
+    //      uniform sequence examples without losing cross-boundary
+    //      context. Pure array arithmetic (sequence + explode + slice),
+    //      whole-stage-codegen'd, no UDF; chunk starts are a generated
+    //      series so a 10^6-token doc yields rows, never a buffered
+    //      array of chunks. Boundary cells (first/last token per chunk)
+    //      pin the slice arithmetic exactly. ----
+    gated("q155_chunking",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '),
+        |                              x -> x <> '') AS w FROM documents),
+        |n AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |c AS (SELECT doc_id, w, n,
+        |             unnest(range(0, CAST(n AS INTEGER), 30)) AS s
+        |      FROM n)
+        |SELECT doc_id, CAST(s // 30 AS BIGINT) AS chunk_idx,
+        |       CAST(s AS BIGINT) AS start,
+        |       CAST(LEAST(40, n - s) AS BIGINT) AS len,
+        |       w[s + 1] AS first_tok,
+        |       w[LEAST(s + 40, n)] AS last_tok
+        |FROM c ORDER BY doc_id, chunk_idx""") { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") > 0)
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr("sequence(0, n - 1, 30)")).as("s"))
+        .select(col("doc_id"),
+          expr("s div 30").cast("long").as("chunk_idx"),
+          col("s").cast("long").as("start"),
+          least(lit(40), col("n") - col("s")).cast("long").as("len"),
+          expr("element_at(w, s + 1)").as("first_tok"),
+          expr("element_at(w, least(s + 40, n))").as("last_tok"))
+        .orderBy("doc_id", "chunk_idx")
     }
   )
 
