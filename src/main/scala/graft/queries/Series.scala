@@ -387,6 +387,59 @@ object Series {
           max(when(col("rn") === expr("(99*n + 99) div 100"), col("cents"))).as("p99"),
           max(col("n")).as("n"))
         .orderBy("event_type")
+    },
+
+    // ---- ROBUST outlier days: |y − median| > 3·MAD per event_type —
+    //      the median/MAD twin of q88's mean/σ z-score. On skewed or
+    //      contaminated series the mean and σ are dragged by the very
+    //      outliers being hunted; the median and MAD have a 50%
+    //      breakdown point. Both medians are EXACT position selections
+    //      ((n+1) div 2 of the sorted group, q148's machinery applied
+    //      twice), the flag compare is pure integer — no float anywhere.
+    //      Scale: two window passes + two joins, all partitioned by
+    //      event_type; daily relations are calendar-bounded. ----
+    gated("q156_robust_outliers",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(SUM(CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+        |               FROM events GROUP BY 1, 2),
+        |r1 AS (SELECT event_type, day, y,
+        |              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY y, day) AS rn,
+        |              COUNT(*) OVER (PARTITION BY event_type) AS n
+        |       FROM daily),
+        |med AS (SELECT event_type, MAX(CASE WHEN rn = (n+1)//2 THEN y END) AS med
+        |        FROM r1 GROUP BY event_type),
+        |dev AS (SELECT d.event_type, d.day, d.y, ABS(d.y - m.med) AS dev
+        |        FROM daily d JOIN med m ON d.event_type = m.event_type),
+        |r2 AS (SELECT event_type, day, y, dev,
+        |              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, day) AS rn,
+        |              COUNT(*) OVER (PARTITION BY event_type) AS n
+        |       FROM dev),
+        |mad AS (SELECT event_type, MAX(CASE WHEN rn = (n+1)//2 THEN dev END) AS mad
+        |        FROM r2 GROUP BY event_type)
+        |SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.y, d.dev, m2.mad
+        |FROM dev d JOIN mad m2 ON d.event_type = m2.event_type
+        |WHERE d.dev > 3 * m2.mad
+        |ORDER BY d.event_type, d.day""") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("y"))
+        .localCheckpoint() // feeds the median rank, the dev join, twice
+      def median(df: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+        val w = Window.partitionBy("event_type").orderBy(col(v), col("day"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .groupBy("event_type")
+          .agg(max(when(col("rn") === expr("(n + 1) div 2"), col(v))).as(out))
+      }
+      val dev = daily.join(median(daily, "y", "med"), "event_type")
+        .select(col("event_type"), col("day"), col("y"),
+          abs(col("y") - col("med")).as("dev"))
+        .localCheckpoint() // feeds the MAD rank AND the flag join
+      dev.join(median(dev, "dev", "mad"), "event_type")
+        .filter(col("dev") > lit(3) * col("mad"))
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"), col("dev"), col("mad"))
+        .orderBy("event_type", "day")
     }
   )
 }
