@@ -101,15 +101,19 @@ object PageRank {
     require(ns > 0, "personalized pagerank: empty seed set")
     val base = 3L * Scale / (20L * ns)
     var ranks = Checkpoint(sd.select(col("node"), lit(Scale / ns).as("r")), strategy)
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val damped = e
         .join(ranks, e("src") === ranks("node"))
         .groupBy(col("dst"))
         .agg(expr("(17 * sum(r div d)) div 20").as("r"))
         .select(col("dst").as("node"), col("r"))
-      ranks = Checkpoint(damped
+      val step = damped
         .unionByName(sd.select(col("node"), lit(base).as("r")))
-        .groupBy("node").agg(sum(col("r")).as("r")), strategy)
+        .groupBy("node").agg(sum(col("r")).as("r"))
+      // same every-other-round cut as `run` — depth-2 lineage re-plans
+      // cheaply, half the eager materializations disappear
+      ranks = if (i % 2 == 0 || i == iters) Checkpoint(step, strategy)
+              else step
     }
     e.unpersist()
     ranks

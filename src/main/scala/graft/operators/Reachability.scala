@@ -46,7 +46,11 @@ object Reachability {
           col("node") === col("seen"), "left_anti")
         .withColumn("depth", lit(hop))
       val nextM = Checkpoint(next, strategy)
-      visited = Checkpoint(visited.unionByName(nextM), strategy)
+      // visited stays a UNION of already-checkpointed hop relations — a
+      // k-way union of pinned legs re-plans in O(k) and re-reads cached
+      // blocks, so materializing the union again each hop only doubled
+      // the eager work
+      visited = visited.unionByName(nextM)
       frontier = nextM.select(col("node"))
     }
     e.unpersist()
