@@ -264,6 +264,44 @@ object Graph {
         .orderBy("pa", "pb")
     },
 
+    // ---- Item-item co-occurrence COSINE (collaborative-filtering
+    //      similarity): cos(a,b) = cab/√(ca·cb) over basket membership
+    //      vectors — the sqrt-free EXACT form is cos² in ppm,
+    //      cab²·10⁶ div (ca·cb), monotone in cos for the ranking.
+    //      Complements q141: lift measures dependence vs independence,
+    //      cosine normalizes by popularity (a pair of two blockbusters
+    //      ranks lower here). Products through DECIMAL(38,0) — cab² in
+    //      Long wraps at ~3B co-occurrences. Same bounded-per-basket
+    //      self-join as q127; support floor bounds rule output. ----
+    gated("q157_item_cosine",
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |item AS (SELECT pk, CAST(COUNT(*) AS BIGINT) AS c FROM basket GROUP BY pk),
+        |pair AS (SELECT a.pk AS pa, b.pk AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+        |         FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pa, pb, cab,
+        |       CAST((1000000 * cab * cab) // (ca.c * cb.c) AS BIGINT) AS cos2_ppm
+        |FROM pair JOIN item ca ON pa = ca.pk JOIN item cb ON pb = cb.pk
+        |ORDER BY cos2_ppm DESC, pa, pb LIMIT 20""") { (s, d) =>
+      val basket = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint() // feeds pair counts AND item counts
+      val item = basket.groupBy("pk").agg(count(lit(1)).as("c"))
+      basket.select(col("ok"), col("pk").as("pa"))
+        .join(basket.select(col("ok").as("ok2"), col("pk").as("pb")),
+          col("ok") === col("ok2") && col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 2)
+        .join(item.select(col("pk").as("pa"), col("c").as("ca")), "pa")
+        .join(item.select(col("pk").as("pb"), col("c").as("cb")), "pb")
+        .select(col("pa"), col("pb"), col("cab"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * cab * cab) div (ca * cb)")
+            .as("cos2_ppm"))
+        .orderBy(col("cos2_ppm").desc, col("pa"), col("pb"))
+        .limit(20)
+    },
+
     // ---- Local clustering coefficient: cc(v) = 2·tri(v)/(d(v)·(d(v)−1))
     //      in exact ppm over the q128 graph — triangles and degrees are
     //      both relations the engine already builds; the coefficient is

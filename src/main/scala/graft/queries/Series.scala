@@ -440,6 +440,48 @@ object Series {
         .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
           col("y"), col("dev"), col("mad"))
         .orderBy("event_type", "day")
+    },
+
+    // ---- Time-weighted average (metering/billing semantics): each
+    //      observation holds until the next one, so TWA = Σ vᵢ·Δtᵢ /
+    //      Σ Δtᵢ over lead() gaps — irregular samples weighted by how
+    //      long they were current, NOT the row-count mean (a sensor
+    //      that reports once an hour at 10 and once a second at 0 has
+    //      mean ≈ 0 but TWA ≈ 10). Gaps in whole truncated SECONDS
+    //      (both engines truncate), weights cents·seconds in BIGINT
+    //      (≤ 10⁹ per gap — no overflow at any per-user history), the
+    //      display quotient one truncating division over the exact
+    //      num/den rationals also gated. ----
+    gated("q158_time_weighted_avg",
+      """WITH c AS (SELECT user_id, event_id, epoch_us(ts) AS um,
+        |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events WHERE value >= 0),
+        |w AS (SELECT user_id, cents, um,
+        |             LEAD(um) OVER (PARTITION BY user_id
+        |                            ORDER BY um, event_id) AS nxt
+        |      FROM c),
+        |g AS (SELECT user_id,
+        |             CAST(SUM(cents * ((nxt - um) // 1000000)) AS BIGINT) AS num_w,
+        |             CAST(SUM((nxt - um) // 1000000) AS BIGINT) AS den_w
+        |      FROM w WHERE nxt IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, num_w, den_w,
+        |       CAST(num_w // den_w AS BIGINT) AS twa_cents
+        |FROM g WHERE den_w > 0 ORDER BY user_id""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("um", "event_id")
+      Tables.events(s, d)
+        .filter(col("value") >= 0)
+        .select(col("user_id"), col("event_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"),
+          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+        .withColumn("nxt", lead(col("um"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .groupBy("user_id")
+        .agg(sum(expr("cents * ((nxt - um) div 1000000)")).as("num_w"),
+          sum(expr("(nxt - um) div 1000000")).as("den_w"))
+        .filter(col("den_w") > 0)
+        .select(col("user_id"), col("num_w"), col("den_w"),
+          expr("num_w div den_w").as("twa_cents"))
+        .orderBy("user_id")
     }
   )
 }
