@@ -676,6 +676,49 @@ object Media {
           expr("(hits * 10000) div (nl - 1)").as("recall_bp"),
           coalesce(expr("10000 div first_rank"), lit(0L)).as("rr_bp"))
         .orderBy("vec_id")
+    },
+
+    // ---- LATE-INTERACTION retrieval (ColBERT-style MaxSim): documents
+    //      are SETS of token vectors (here: 10 consecutive vec_ids per
+    //      doc), and score(Q, D) = Σ_{q∈Q} max_{d∈D} cos(q, d) — each
+    //      query vector finds its best-matching doc vector instead of
+    //      one pooled embedding per doc, the retrieval-quality step up
+    //      from q48's single-vector ANN. Per-pair cosines round to
+    //      integer BASIS POINTS before max/sum, so the aggregation is
+    //      exact integer arithmetic cross-engine (a float Σmax would be
+    //      order-dependent). Scale: the query's 10 vectors broadcast;
+    //      one corpus pass computes all pair cosines; max and sum are
+    //      partial-aggregated — corpus-sized exchange carries one row
+    //      per (doc, query-vector). ----
+    gated("q159_maxsim_retrieval",
+      """WITH v AS (SELECT vec_id, vec_id // 10 AS doc,
+        |                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |           FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE doc = 0),
+        |c AS (SELECT doc, vec_id, e FROM v WHERE doc <> 0),
+        |s AS (SELECT c.doc, q.qid,
+        |             MAX(CAST(ROUND(
+        |               list_sum(list_transform(list_zip(c.e, q.qe), z -> z[1]*z[2]))
+        |               / (sqrt(list_sum(list_transform(c.e, x -> x*x)))
+        |                  * sqrt(list_sum(list_transform(q.qe, x -> x*x))))
+        |               * 10000, 0) AS BIGINT)) AS m
+        |      FROM c, q GROUP BY c.doc, q.qid)
+        |SELECT doc, CAST(SUM(m) AS BIGINT) AS maxsim_bp
+        |FROM s GROUP BY doc ORDER BY maxsim_bp DESC, doc LIMIT 10""") { (s, d) =>
+      val v = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("vec_id div 10").as("doc"),
+          col("embedding"))
+      val q = broadcast(v.filter(col("doc") === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe")))
+      v.filter(col("doc") =!= 0)
+        .join(q)
+        .groupBy(col("doc"), col("qid"))
+        .agg(max(round(VectorOps.cosine(col("qe"), col("embedding")) * 10000, 0)
+          .cast("long")).as("m"))
+        .groupBy("doc")
+        .agg(sum(col("m")).as("maxsim_bp"))
+        .orderBy(col("maxsim_bp").desc, col("doc"))
+        .limit(10)
     }
   )
 
