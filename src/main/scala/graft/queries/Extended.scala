@@ -562,6 +562,43 @@ object Extended {
         .agg(bit_and(col("user_id")).as("ba"), bit_or(col("user_id")).as("bo"),
           bit_xor(col("user_id")).as("bx"))
         .orderBy("event_type")
+    },
+
+    // ---- NULL-semantics torture cell: the corners engines silently
+    //      disagree on, pinned in one gate. Nulls are PLANTED (negative
+    //      values; every 7th event's type) so each corner is
+    //      non-vacuous: a NULL group key groups as its own group;
+    //      COUNT(*) counts rows while COUNT(v)/COUNT(DISTINCT v) skip
+    //      nulls; SUM over an all-null slice is NULL (coalesced loud);
+    //      null-safe IS NOT DISTINCT FROM counts the null rows
+    //      themselves; and the ORDER BY pins NULLS FIRST explicitly —
+    //      Spark defaults nulls first ASC, DuckDB defaults nulls LAST,
+    //      the classic silent divergence. ----
+    gated("q160_null_semantics",
+      """WITH e AS (SELECT event_id,
+        |             CASE WHEN event_id % 7 = 0 OR event_id % 11 = 0 THEN NULL
+        |                  ELSE CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) END AS v,
+        |             CASE WHEN event_id % 7 = 0 THEN NULL ELSE event_type END AS et
+        |           FROM events)
+        |SELECT et, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(v) AS BIGINT) AS n_vals,
+        |       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_dist,
+        |       CAST(COALESCE(SUM(v), -1) AS BIGINT) AS sum_v,
+        |       CAST(SUM(CASE WHEN v IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_v
+        |FROM e GROUP BY et ORDER BY et NULLS FIRST""") { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          when(pmod(col("event_id"), lit(7)) === 0 ||
+              pmod(col("event_id"), lit(11)) === 0, lit(null))
+            .otherwise(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("v"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("event_type")).as("et"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_vals"),
+          countDistinct(col("v")).as("n_dist"),
+          coalesce(sum(col("v")), lit(-1L)).as("sum_v"),
+          sum(when(col("v") <=> lit(null), 1).otherwise(0)).as("n_null_v"))
+        .orderBy(col("et").asc_nulls_first)
     }
   )
 }
