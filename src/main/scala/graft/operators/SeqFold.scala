@@ -55,6 +55,39 @@ object SeqFold {
       .toDF("user_id", "n", "ewma")
   }
 
+  /** Leftmost non-overlapping matches of the pattern `start middle* end`
+    * over each user's (ts, event_id)-ordered event_type sequence — the
+    * MATCH_RECOGNIZE / CEP primitive Spark SQL lacks, as an O(1)-state
+    * streaming automaton. Semantics are EXACTLY a regex scan of
+    * `s m* e` over the sequence string (the oracle's
+    * regexp_extract_all): `pending` means some candidate start has seen
+    * only `middle`s since; `start` (re)arms it, `middle` preserves it,
+    * `end` completes a match and consumes it (non-overlap), anything
+    * else kills it. The three letters must be distinct. Returns
+    * (user_id, n_matches) for users with ≥ 1 match. */
+  def countGreedy(df: DataFrame, start: String, middle: String,
+                  end: String): DataFrame = {
+    require(Set(start, middle, end).size == 3,
+      "countGreedy: pattern letters must be distinct")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+        var pending = false
+        var n = 0L
+        it.foreach { r =>
+          r.getAs[String]("event_type") match {
+            case `start`  => pending = true
+            case `middle` => // pending unchanged
+            case `end`    => if (pending) { n += 1; pending = false }
+            case _        => pending = false
+          }
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((uid, n))
+      }
+      .toDF("user_id", "n_matches")
+  }
+
   /** Ordered trigram paths per user: for each user's (ts, event_id)-
     * ordered event_type sequence, emit every consecutive 3-step path as
     * "a b c" — O(1) state (a 2-token ring), users with < 3 events emit

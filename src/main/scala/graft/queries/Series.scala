@@ -482,6 +482,35 @@ object Series {
         .select(col("user_id"), col("num_w"), col("den_w"),
           expr("num_w div den_w").as("twa_cents"))
         .orderBy("user_id")
+    },
+
+    // ---- Event-PATTERN matching (MATCH_RECOGNIZE / CEP lite): count
+    //      leftmost non-overlapping `click view* purchase` runs per
+    //      user — "purchases reached directly from a click through only
+    //      views", the sequence-pattern primitive Spark SQL lacks. The
+    //      engine runs an O(1)-state streaming automaton over each
+    //      user's sorted history (operators/SeqFold.countGreedy —
+    //      provably the regex scan's semantics); the oracle builds the
+    //      per-user letter string and counts regexp_extract_all(seq,
+    //      'cv*p') — two independent formulations of one pattern
+    //      language. ----
+    gated("q161_pattern_match",
+      """WITH s AS (SELECT user_id,
+        |             string_agg(CASE event_type WHEN 'click' THEN 'c'
+        |                        WHEN 'view' THEN 'v' WHEN 'purchase' THEN 'p'
+        |                        WHEN 'error' THEN 'e' ELSE 's' END, ''
+        |                        ORDER BY ts, event_id) AS seq
+        |           FROM events GROUP BY user_id)
+        |SELECT user_id,
+        |       CAST(len(regexp_extract_all(seq, 'cv*p')) AS BIGINT) AS n_matches
+        |FROM s WHERE len(regexp_extract_all(seq, 'cv*p')) > 0
+        |ORDER BY user_id""") { (s, d) =>
+      graft.operators.SeqFold.countGreedy(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type")),
+        start = "click", middle = "view", end = "purchase")
+        .orderBy("user_id")
     }
   )
 }

@@ -56,6 +56,27 @@ class SeriesSpec extends SparkTestBase {
     }
   }
 
+  test("SeqFold.countGreedy: automaton == regex scan on random sequences") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val letters = Seq("click", "view", "purchase", "error", "signup")
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 3000).map { i =>
+      ((i % 40).toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, letters(rng.nextInt(5)))
+    }
+    val got = graft.operators.SeqFold.countGreedy(
+        rows.toDF("user_id", "ts", "event_id", "event_type").repartition(5),
+        "click", "view", "purchase")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (k, g) =>
+      val s = g.sortBy(t => (t._2.getTime, t._3)).map(_._4.head).mkString
+      val n = "cv*p".r.findAllIn(s).length.toLong
+      if (n > 0) Some(k -> n) else None
+    }
+    assert(got === want)
+  }
+
   test("q126: interpolated points lie on the segment between their flanking observations") {
     val rows = SparkEntry.queries("q126_interpolate")(spark, sf).collect()
     assert(rows.nonEmpty)
