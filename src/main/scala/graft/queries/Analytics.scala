@@ -1126,6 +1126,83 @@ object Analytics {
         .withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= 5)
         .orderBy("event_type", "rk")
+    },
+
+    // ---- Contribution analysis: each event_type's share of its day's
+    //      total in exact basis points — the percent-of-total reporting
+    //      staple. The share is a windowed total (partition by day), so
+    //      ONE exchange serves both the group sums and the denominators;
+    //      truncating division agrees cross-engine on negative days. ----
+    gated("q162_contribution",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(SUM(CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+        |               FROM events GROUP BY 1, 2),
+        |t AS (SELECT day, CAST(SUM(y) AS BIGINT) AS tot FROM daily GROUP BY day)
+        |SELECT d.event_type, CAST(d.day AS VARCHAR) AS day, d.y,
+        |       CAST((10000 * d.y) // t.tot AS BIGINT) AS share_bp
+        |FROM daily d JOIN t ON d.day = t.day
+        |WHERE t.tot <> 0
+        |ORDER BY day, d.event_type""") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("y"))
+      daily
+        .withColumn("tot", sum(col("y")).over(Window.partitionBy("day")))
+        .filter(col("tot") =!= 0)
+        .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("y"), expr("(10000 * y) div tot").as("share_bp"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- Period-over-period: weekly totals with the week-over-week
+    //      delta in basis points — lag over the calendar-bounded weekly
+    //      relation (a handful of rows at ANY corpus size, so the global
+    //      window is weeks-bounded, never data-bounded). ----
+    gated("q163_wow_delta",
+      """WITH m AS (SELECT CAST(date_trunc('week', ts) AS DATE) AS wk,
+        |                  CAST(SUM(CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+        |           FROM events GROUP BY 1)
+        |SELECT CAST(wk AS VARCHAR) AS wk, y,
+        |       LAG(y) OVER (ORDER BY wk) AS prev,
+        |       CAST(CASE WHEN LAG(y) OVER (ORDER BY wk) <> 0
+        |            THEN (10000 * (y - LAG(y) OVER (ORDER BY wk)))
+        |                 // LAG(y) OVER (ORDER BY wk) END AS BIGINT) AS delta_bp
+        |FROM m ORDER BY wk""") { (s, d) =>
+      val w = Window.orderBy("wk")
+      Tables.events(s, d)
+        .groupBy(date_format(to_date(date_trunc("week", col("ts"))), "yyyy-MM-dd").as("wk"))
+        .agg(sum(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("y"))
+        .withColumn("prev", lag(col("y"), 1).over(w))
+        .withColumn("delta_bp",
+          when(col("prev") =!= 0, expr("(10000 * (y - prev)) div prev")))
+        .orderBy("wk")
+    },
+
+    // ---- Cohort retention matrix: users grouped by first-active ISO
+    //      PURCHASE week (the cohort — first-purchase dates spread
+    //      across the calendar where first-activity does not), counted
+    //      distinct per (cohort, activity week) — the onboarding-health
+    //      heatmap. Both engines truncate
+    //      to Monday weeks; the min-week cohort join is user-keyed (one
+    //      exchange), the matrix is |weeks|² cells at any data size. ----
+    gated("q164_cohort_matrix",
+      """WITH wk AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+        |           FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, MIN(w) AS cohort FROM wk GROUP BY user_id)
+        |SELECT CAST(c.cohort AS VARCHAR) AS cohort, CAST(wk.w AS VARCHAR) AS week,
+        |       CAST(COUNT(DISTINCT wk.user_id) AS BIGINT) AS active
+        |FROM wk JOIN c ON wk.user_id = c.user_id
+        |GROUP BY c.cohort, wk.w ORDER BY cohort, week""") { (s, d) =>
+      val wk = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("ts"))).as("w"))
+      val c = wk.groupBy("user_id").agg(min(col("w")).as("cohort"))
+      wk.join(c, "user_id")
+        .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+          date_format(col("w"), "yyyy-MM-dd").as("week"))
+        .agg(countDistinct(col("user_id")).as("active"))
+        .orderBy("cohort", "week")
     }
   )
 }
