@@ -88,6 +88,30 @@ object SeqFold {
       .toDF("user_id", "n_matches")
   }
 
+  /** Clamped running balance per user: acc ← max(0, acc + delta) over
+    * the (ts, event_id)-ordered deltas, seeded at 0 — the
+    * inventory/credit-balance fold where the floor RESETS the state, so
+    * no window frame or prefix-sum decomposition expresses it (the
+    * clamp makes the fold non-associative AND non-linear; unlike EWMA
+    * there is not even an exponentially-weighted composition). Returns
+    * (user_id, n, balance). Input: user_id, ts, event_id, delta (long,
+    * any sign). */
+  def clampedBalance(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+        var n = 0L
+        var acc = 0L
+        it.foreach { r =>
+          acc = math.max(0L, acc + r.getAs[Long]("delta"))
+          n += 1
+        }
+        if (n == 0L) Iterator.empty else Iterator.single((uid, n, acc))
+      }
+      .toDF("user_id", "n", "balance")
+  }
+
   /** Ordered trigram paths per user: for each user's (ts, event_id)-
     * ordered event_type sequence, emit every consecutive 3-step path as
     * "a b c" — O(1) state (a 2-token ring), users with < 3 events emit

@@ -511,6 +511,72 @@ object Series {
             col("event_type")),
         start = "click", middle = "view", end = "purchase")
         .orderBy("user_id")
+    },
+
+    // ---- Clamped running balance: acc ← max(0, acc + δ), purchases
+    //      debit, everything else credits — the inventory/credit fold
+    //      whose floor RESETS state, making it non-associative and
+    //      non-linear: no window frame, no prefix-sum decomposition,
+    //      not even an EWMA-style weighted composition exists. The
+    //      third SeqFold tenant (streamed sorted iterator, O(1)
+    //      state); the oracle seeds DuckDB's list_reduce with a
+    //      prepended 0 so the first delta clamps identically. ----
+    gated("q165_clamped_balance",
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |             CASE WHEN event_type = 'purchase'
+        |                  THEN -CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)
+        |                  ELSE CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) END AS delta
+        |           FROM events),
+        |g AS (SELECT user_id, list(delta ORDER BY ts, event_id) AS ds
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, CAST(len(ds) AS BIGINT) AS n,
+        |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), ds),
+        |                        (acc, x) -> GREATEST(CAST(0 AS BIGINT), acc + x)) AS BIGINT) AS balance
+        |FROM g ORDER BY user_id""") { (s, d) =>
+      graft.operators.SeqFold.clampedBalance(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            when(col("event_type") === "purchase",
+              -expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)"))
+              .otherwise(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)"))
+              .as("delta")))
+        .orderBy("user_id")
+    },
+
+    // ---- Lag-1 autocorrelation MOMENTS per series (seasonality /
+    //      momentum detection): over consecutive observed days, the
+    //      exact BIGINT rationals n·Σab − ΣaΣb (covariance numerator)
+    //      and both variance numerators — q140's
+    //      regression-as-aggregate machinery applied to the
+    //      (yₜ, yₜ₊₁) pair stream; the correlation is num/√(da·db)
+    //      for the consumer, every gated cell exact. ----
+    gated("q166_autocorr",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |                      CAST(SUM(CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS y
+        |               FROM events GROUP BY 1, 2),
+        |p AS (SELECT event_type, y AS a,
+        |             LEAD(y) OVER (PARTITION BY event_type ORDER BY day) AS b
+        |      FROM daily)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(COUNT(*) * SUM(a*b) - SUM(a) * SUM(b) AS BIGINT) AS num,
+        |       CAST(COUNT(*) * SUM(a*a) - SUM(a) * SUM(a) AS BIGINT) AS den_a,
+        |       CAST(COUNT(*) * SUM(b*b) - SUM(b) * SUM(b) AS BIGINT) AS den_b
+        |FROM p WHERE b IS NOT NULL GROUP BY event_type
+        |ORDER BY event_type""") { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("y"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      daily
+        .withColumn("b", lead(col("y"), 1).over(w))
+        .filter(col("b").isNotNull)
+        .withColumnRenamed("y", "a")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          expr("count(1) * sum(a*b) - sum(a) * sum(b)").as("num"),
+          expr("count(1) * sum(a*a) - sum(a) * sum(a)").as("den_a"),
+          expr("count(1) * sum(b*b) - sum(b) * sum(b)").as("den_b"))
+        .orderBy("event_type")
     }
   )
 }

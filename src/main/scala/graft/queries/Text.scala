@@ -1482,6 +1482,40 @@ object Text {
           expr("element_at(w, s + 1)").as("first_tok"),
           expr("element_at(w, least(s + 40, n))").as("last_tok"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- Contingency / independence deviation: the lang × source
+    //      cross-tab with observed vs independence-expected shares in
+    //      exact ppm — obs_ppm vs exp_ppm = rowTotal·colTotal/total²,
+    //      the corpus-mix drift check a curation pipeline runs per
+    //      ingest (is source X suddenly over-feeding language Y?).
+    //      Products through DECIMAL(38,0); margins are two tiny
+    //      aggregations broadcast into the cell join. ----
+    gated("q167_contingency",
+      """WITH t AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM t GROUP BY lang),
+        |c AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM t GROUP BY source),
+        |n AS (SELECT CAST(SUM(o) AS BIGINT) AS tot FROM t)
+        |SELECT t.lang, t.source, t.o,
+        |       CAST((1000000 * r.rt * c.ct) // (n.tot * n.tot) AS BIGINT) AS exp_ppm,
+        |       CAST((1000000 * t.o) // n.tot AS BIGINT) AS obs_ppm
+        |FROM t JOIN r ON t.lang = r.lang JOIN c ON t.source = c.source
+        |CROSS JOIN n
+        |ORDER BY t.lang, t.source""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .groupBy("lang", "source").agg(count(lit(1)).as("o"))
+        .localCheckpoint() // feeds cells AND all three margins
+      val r = t.groupBy("lang").agg(sum(col("o")).as("rt"))
+      val c = t.groupBy("source").agg(sum(col("o")).as("ct"))
+      val n = t.agg(sum(col("o")).as("tot"))
+      t.join(broadcast(r), "lang").join(broadcast(c), "source")
+        .crossJoin(broadcast(n))
+        .select(col("lang"), col("source"), col("o"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * rt * ct) div (tot * tot)")
+            .as("exp_ppm"),
+          expr("(1000000 * o) div tot").as("obs_ppm"))
+        .orderBy("lang", "source")
     }
   )
 

@@ -77,6 +77,29 @@ class SeriesSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("SeqFold.clampedBalance: streamed fold == driver model; the clamp is load-bearing") {
+    import spark.implicits._
+    val rng = new scala.util.Random(47)
+    val rows = (0 until 2000).map { i =>
+      ((i % 25).toLong, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        i.toLong, rng.nextInt(200).toLong - 100)
+    }
+    val got = graft.operators.SeqFold.clampedBalance(
+        rows.toDF("user_id", "ts", "event_id", "delta").repartition(6))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = rows.groupBy(_._1).map { case (k, g) =>
+      k -> g.sortBy(t => (t._2.getTime, t._3)).map(_._4)
+        .foldLeft(0L)((acc, x) => math.max(0L, acc + x))
+    }
+    assert(got === want)
+    // the floor must actually reset state somewhere, or the gate is a
+    // plain (clamped-at-the-end) sum in disguise
+    val plain = rows.groupBy(_._1).map { case (k, g) =>
+      k -> math.max(0L, g.map(_._4).sum)
+    }
+    assert(got.exists { case (k, v) => v != plain(k) })
+  }
+
   test("q126: interpolated points lie on the segment between their flanking observations") {
     val rows = SparkEntry.queries("q126_interpolate")(spark, sf).collect()
     assert(rows.nonEmpty)
