@@ -639,6 +639,51 @@ object Cdc {
         .orderBy("sch", "tbl", "op")
     },
 
+    // ---- q151's SHARDED form: per-shard watermarks. The q151 comment
+    //      promises "a multi-shard deployment partitions the window by
+    //      shard" — this gates that exact shape over BOTH shard
+    //      fixtures: the high-water mark window partitions by
+    //      table-name (the shard key), so each shard classifies its own
+    //      arrival order in parallel — no single-task global window
+    //      anywhere in the plan. ----
+    gated("q151b_late_classify_sharded",
+      s"""WITH src AS (
+         |  SELECT metadata."table-name" AS shard, data.trans_id AS tid,
+         |         metadata."timestamp" AS ts,
+         |         metadata."transaction-id" AS txid,
+         |         metadata.operation AS op
+         |  FROM $readJsonBoth WHERE $wildcardSelectionSql),
+         |w AS (SELECT shard, op, ts,
+         |             MAX(ts) OVER (PARTITION BY shard ORDER BY txid, ts, tid
+         |                           ROWS BETWEEN UNBOUNDED PRECEDING
+         |                           AND 1 PRECEDING) AS hwm
+         |      FROM src)
+         |SELECT shard, op,
+         |       CAST(SUM(CASE WHEN hwm IS NOT NULL AND ts < hwm
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS late,
+         |       CAST(SUM(CASE WHEN hwm IS NULL OR ts >= hwm
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS on_time
+         |FROM w GROUP BY shard, op ORDER BY shard, op""") { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("txid", "ts", "tid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Envelope.parseLines(s.read.text(fx, fx2))
+        .filter(Envelope.selection(wildcardRules))
+        .select(col("metadata.`table-name`").as("shard"),
+          col("data.trans_id").as("tid"),
+          col("metadata.timestamp").as("ts"),
+          col("metadata.`transaction-id`").as("txid"),
+          col("metadata.operation").as("op"))
+        .withColumn("hwm", max(col("ts")).over(w))
+        .groupBy("shard", "op")
+        .agg(
+          sum(when(col("hwm").isNotNull && col("ts") < col("hwm"), 1)
+            .otherwise(0)).as("late"),
+          sum(when(col("hwm").isNull || col("ts") >= col("hwm"), 1)
+            .otherwise(0)).as("on_time"))
+        .orderBy("shard", "op")
+    },
+
     // ---- S3 multi-table selection, materialization leg: one wildcard-
     //      selected stream fans out into per-(schema, table, pk) serving
     //      rows. The shards REUSE trans_id values 1..60, so a
