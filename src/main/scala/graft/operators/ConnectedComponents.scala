@@ -74,4 +74,22 @@ object ConnectedComponents {
         "partial labels would split clusters and corrupt downstream dedup")
     labels.withColumnRenamed("label", "cluster")
   }
+
+  /** INCREMENTAL form: fold a new batch of pair edges into an existing
+    * label relation without re-walking old-batch edges. A (id, cluster)
+    * label is itself an edge to the cluster representative — the
+    * transitive closure of {labels-as-edges} ∪ {new edges} equals the
+    * closure of {all edges ever} (labels preserve exactly the
+    * connectivity the old edges established), so the steady-state
+    * ingest cost is |labels| + |batch|, not |corpus pairs|. The same
+    * persisted-index discipline as NearDup.incrementalPairs: dedup a
+    * 100 TB corpus once, then label each ingest batch against the
+    * stored labels. */
+  def incremental(prevLabels: DataFrame, newEdges: DataFrame,
+                  maxIters: Int = 20,
+                  strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame =
+    run(
+      prevLabels.select(col("id").as("a"), col("cluster").as("b"))
+        .unionByName(newEdges.toDF("a", "b")),
+      maxIters, strategy)
 }

@@ -1516,6 +1516,49 @@ object Text {
             .as("exp_ppm"),
           expr("(1000000 * o) div tot").as("obs_ppm"))
         .orderBy("lang", "source")
+    },
+
+    // ---- INCREMENTAL dup clustering: the q134 pair set split into two
+    //      ingest batches — batch 1 clusters, its LABELS persist, batch
+    //      2 folds in via ConnectedComponents.incremental (labels are
+    //      edges to representatives, so closure(labels ∪ batch2) ==
+    //      closure(all pairs); steady-state cost |labels| + |batch|,
+    //      never |corpus pairs|). The oracle is the ONE-SHOT recursive
+    //      closure over all pairs — the gate certifies incremental ==
+    //      one-shot cross-engine, the ingest-time twin of
+    //      NearDup.incrementalPairs. ----
+    gated("q168_incremental_cc",
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS s
+        |      FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |       FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT a_id, b_id FROM ov JOIN sz sa ON a_id = sa.doc_id
+        |          JOIN sz sb ON b_id = sb.doc_id WHERE 2*i >= sa.n + sb.n - i),
+        |e AS (SELECT a_id AS u, b_id AS v FROM pairs UNION SELECT b_id, a_id FROM pairs),
+        |reach(u, v) AS (SELECT u, v FROM e
+        |                UNION SELECT r.u, e.v FROM reach r JOIN e ON r.v = e.u),
+        |lbl AS (SELECT u, LEAST(u, MIN(v)) AS cluster FROM reach GROUP BY u)
+        |SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_members, MIN(u) AS keep
+        |FROM lbl GROUP BY cluster ORDER BY cluster""") { (s, d) =>
+      import graft.operators.ConnectedComponents
+      val sets = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      val pairs = SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("a_id"), col("b_id"))
+        .localCheckpoint() // deterministically split into two batches
+      val batch1 = pairs.filter(pmod(col("a_id") + col("b_id"), lit(2)) === 0)
+      val batch2 = pairs.filter(pmod(col("a_id") + col("b_id"), lit(2)) === 1)
+      val labels1 = ConnectedComponents.run(batch1)
+      ConnectedComponents.incremental(labels1, batch2)
+        .groupBy(col("cluster"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep"))
+        .orderBy("cluster")
     }
   )
 

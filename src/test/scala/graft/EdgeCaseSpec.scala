@@ -274,6 +274,15 @@ class EdgeCaseSpec extends SparkTestBase {
       Seq.empty[(Long, String)].toDF("id", "key"), 2)
     assert(snEmpty.columns.toSeq === Seq("a_id", "a_key", "b_id", "b_key", "gap"))
     assert(snEmpty.filter(length(col("a_key")) >= 0).count() === 0)
+    // incremental CC: empty prior labels == plain run; merging two
+    // batches that BRIDGE clusters (1-2 then 2-3) relabels to the min
+    import graft.operators.ConnectedComponents
+    val b1 = Seq((1L, 2L), (7L, 8L)).toDF("a", "b")
+    val lbl1 = ConnectedComponents.run(b1)
+    val merged = ConnectedComponents.incremental(lbl1, Seq((2L, 3L)).toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(merged === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+
     // MG: k=1 keeps at most one counter per group plus the sentinel
     val mg = MgSummary.build(
       Seq(("g", "a"), ("g", "a"), ("g", "b")).toDF("grp", "item"), "grp", "item", 1)
