@@ -534,6 +534,48 @@ class StreamingSpec extends SparkTestBase {
     assert(estMap(SketchMaintenance.estimates(spark, shelf)) === served)
   }
 
+  test("dup-cluster maintenance: incremental label folds == one-shot CC; cross-batch bridges merge; retry is a no-op") {
+    import graft.streaming.DupClusterMaintenance
+    import graft.operators.ConnectedComponents
+    import org.apache.spark.sql.DataFrame
+    val src = tmpDir("dupcc_src")
+    // chains deliberately SPLIT across batches so bridging is exercised:
+    // 1-2 | 2-3 | 3-4 must converge to one cluster only across folds
+    val batches = Seq(
+      Seq((1L, 2L), (10L, 11L), (20L, 21L)),
+      Seq((2L, 3L), (11L, 12L)),
+      Seq((3L, 4L), (30L, 31L)))
+    batches.zipWithIndex.foreach { case (ps, i) =>
+      Files.write(Paths.get(s"$src/part$i.txt"),
+        ps.map { case (a, b) => s"$a $b" }.mkString("\n").getBytes)
+    }
+    val shelf = tmpDir("dupcc_state") + "/labels"
+    def pairs(df: DataFrame) = df
+      .select(split(col("value"), " ").as("p"))
+      .select(col("p").getItem(0).cast("long").as("a_id"),
+        col("p").getItem(1).cast("long").as("b_id"))
+    val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        DupClusterMaintenance.update(shelf, pairs(b), id)
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("dupcc_ckpt")).start()
+    q.awaitTermination(120000)
+
+    def labelMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val served = labelMap(DupClusterMaintenance.labels(spark, shelf))
+    val oneShot = labelMap(
+      ConnectedComponents.run(pairs(spark.read.text(src))
+        .toDF("a", "b")))
+    assert(served === oneShot)
+    // the split chain really merged (1-2, 2-3, 3-4 arrived in 3 batches)
+    assert(Seq(1L, 2L, 3L, 4L).map(served).distinct === Seq(1L))
+
+    // retried final batch: labels must not change
+    DupClusterMaintenance.update(shelf, pairs(spark.read.text(src)), 2L)
+    assert(labelMap(DupClusterMaintenance.labels(spark, shelf)) === served)
+  }
+
   test("archive compaction folds batch dirs into one, preserves rows and hour pruning, resumes after a crash") {
     import graft.streaming.ArchiveCompaction
     // many small batches: one file per trigger over a 6-way split
