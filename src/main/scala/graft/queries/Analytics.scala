@@ -1203,6 +1203,75 @@ object Analytics {
           date_format(col("w"), "yyyy-MM-dd").as("week"))
         .agg(countDistinct(col("user_id")).as("active"))
         .orderBy("cohort", "week")
+    },
+
+    // ---- Hierarchical contribution: each nation's share of its
+    //      REGION's customer balance in exact basis points — the
+    //      percent-of-parent drill-down every OLAP hierarchy serves.
+    //      Cents are per-row truncated integers (the proven q139
+    //      pattern); the region totals reuse the nation relation
+    //      (dimension-bounded), broadcastable everywhere. ----
+    gated("q169_hierarchy_share",
+      """WITH cn AS (SELECT n.n_regionkey AS rk, n.n_name AS nation,
+        |                   CAST(SUM(CAST(trunc(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS cents
+        |            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |            GROUP BY 1, 2),
+        |r AS (SELECT rk, CAST(SUM(cents) AS BIGINT) AS rtot FROM cn GROUP BY rk)
+        |SELECT reg.r_name AS region, cn.nation, cn.cents,
+        |       CAST((10000 * cn.cents) // r.rtot AS BIGINT) AS share_bp
+        |FROM cn JOIN r ON cn.rk = r.rk
+        |JOIN region reg ON cn.rk = reg.r_regionkey
+        |WHERE r.rtot <> 0
+        |ORDER BY region, nation""") { (s, d) =>
+      val cn = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey").as("rk"), col("n_name").as("nation"))
+        .agg(sum(expr("CAST(CAST(c_acctbal AS DOUBLE) * 100 AS BIGINT)"))
+          .as("cents"))
+      val r = cn.groupBy("rk").agg(sum(col("cents")).as("rtot"))
+      cn.join(broadcast(r), "rk")
+        .join(broadcast(Tables.region(s, d)),
+          col("rk") === col("r_regionkey"))
+        .filter(col("rtot") =!= 0)
+        .select(col("r_name").as("region"), col("nation"), col("cents"),
+          expr("(10000 * cents) div rtot").as("share_bp"))
+        .orderBy("region", "nation")
+    },
+
+    // ---- Per-dimension embedding statistics: exact median and mean of
+    //      every dimension in micro-units — the drift/collapse audit a
+    //      vector pipeline runs per embedding build (a dimension whose
+    //      median pins to 0 is dead; a shifted mean flags a model
+    //      version mix). posexplode keeps (dim, value) rows — d·N rows
+    //      but only d groups, partial-aggregated; the median rank
+    //      window partitions by dim, so all 64 sorts parallelize. ----
+    gated("q170_embedding_dim_stats",
+      """WITH x AS (SELECT dim, CAST(trunc(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS mu
+        |           FROM (SELECT unnest(embedding) AS v,
+        |                        generate_subscripts(embedding, 1) AS dim
+        |                 FROM embeddings) u),
+        |r AS (SELECT dim, mu, ROW_NUMBER() OVER (PARTITION BY dim ORDER BY mu) AS rn,
+        |             COUNT(*) OVER (PARTITION BY dim) AS n
+        |      FROM x)
+        |SELECT CAST(dim AS BIGINT) AS dim, CAST(MAX(n) AS BIGINT) AS n,
+        |       MAX(CASE WHEN rn = (n+1)//2 THEN mu END) AS p50_micro,
+        |       CAST(SUM(mu) // MAX(n) AS BIGINT) AS mean_micro
+        |FROM r GROUP BY dim ORDER BY dim""") { (s, d) =>
+      val x = Tables.embeddings(s, d)
+        .select(posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select((col("pos") + 1).as("dim"),
+          expr("CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT)").as("mu"))
+      val w = Window.partitionBy("dim").orderBy("mu")
+      x.withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("dim")))
+        .groupBy("dim")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") === expr("(n + 1) div 2"), col("mu"))).as("p50_micro"),
+          expr("sum(mu) div max(n)").as("mean_micro"))
+        .select(col("dim").cast("long"), col("n"), col("p50_micro"),
+          col("mean_micro"))
+        .orderBy("dim")
     }
   )
 }
