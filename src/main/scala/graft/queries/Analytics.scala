@@ -1272,6 +1272,89 @@ object Analytics {
         .select(col("dim").cast("long"), col("n"), col("p50_micro"),
           col("mean_micro"))
         .orderBy("dim")
+    },
+
+    // ---- EXACT weighted median: the smallest value whose cumulative
+    //      weight reaches half the total — quantity-weighted price per
+    //      return flag (a price's influence ∝ units moved, the
+    //      inventory-valuation form unweighted medians misstate). The
+    //      crossing row is tie-invariant (rows of equal value are
+    //      contiguous under the sort, so whichever of them crosses, the
+    //      SELECTED value is the same); weights and values are per-row
+    //      truncated integers, the compare is 2·cw ≥ tw — no division
+    //      at all. ----
+    gated("q171_weighted_median",
+      """WITH c AS (SELECT l_returnflag AS g, l_orderkey AS ok, l_linenumber AS ln,
+        |                  CAST(trunc(CAST(l_extendedprice AS DOUBLE) * 100) AS BIGINT) AS v,
+        |                  CAST(trunc(CAST(l_quantity AS DOUBLE)) AS BIGINT) AS w
+        |           FROM lineitem),
+        |r AS (SELECT g, v,
+        |             SUM(w) OVER (PARTITION BY g ORDER BY v, ok, ln
+        |                          ROWS UNBOUNDED PRECEDING) AS cw,
+        |             SUM(w) OVER (PARTITION BY g) AS tw
+        |      FROM c)
+        |SELECT g, CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS wmedian_cents,
+        |       CAST(MAX(tw) AS BIGINT) AS total_weight
+        |FROM r GROUP BY g ORDER BY g""") { (s, d) =>
+      val cw = Window.partitionBy("g").orderBy("v", "ok", "ln")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tw = Window.partitionBy("g")
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("g"), col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"),
+          expr("CAST(CAST(l_extendedprice AS DOUBLE) * 100 AS BIGINT)").as("v"),
+          expr("CAST(CAST(l_quantity AS DOUBLE) AS BIGINT)").as("w"))
+        .withColumn("cw", sum(col("w")).over(cw))
+        .withColumn("tw", sum(col("w")).over(tw))
+        .groupBy("g")
+        .agg(min(when(lit(2) * col("cw") >= col("tw"), col("v")))
+          .as("wmedian_cents"),
+          max(col("tw")).as("total_weight"))
+        .orderBy("g")
+    },
+
+    // ---- Gini concentration coefficient, exact rationals: over each
+    //      event_type's per-user spend totals, G = (2·Σ i·xᵢ) /
+    //      (n·Σx) − (n+1)/n for ascending-sorted xᵢ — reported as the
+    //      integer numerator/denominator pair num = n·(2·Σ i·xᵢ −
+    //      (n+1)·Σx), den = n²·Σx, plus the ppm quotient (through
+    //      HUGEINT/DECIMAL — 10⁶·num overflows int64). Tie-safe: a run
+    //      of equal x contributes x·Σi whatever the intra-run order. The
+    //      inequality audit (is one user dominating the spend?) every
+    //      abuse/quality pipeline tracks. ----
+    gated("q172_gini",
+      """WITH ux AS (SELECT event_type, user_id,
+        |                   CAST(SUM(CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT)) AS BIGINT) AS x
+        |            FROM events WHERE value >= 0 GROUP BY 1, 2),
+        |r AS (SELECT event_type, x,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY x, user_id) AS i
+        |      FROM ux),
+        |g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(x) AS BIGINT) AS sx,
+        |             CAST(SUM(i * x) AS BIGINT) AS six
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type, n,
+        |       CAST(n * (2 * six - (n + 1) * sx) AS BIGINT) AS num,
+        |       CAST(n * n * sx AS BIGINT) AS den,
+        |       CAST((CAST(1000000 AS HUGEINT) * (n * (2 * six - (n + 1) * sx))) // (n * n * sx) AS BIGINT) AS gini_ppm
+        |FROM g WHERE sx > 0 ORDER BY event_type""") { (s, d) =>
+      val ux = Tables.events(s, d)
+        .filter(col("value") >= 0)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)")).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("x", "user_id")
+      ux.withColumn("i", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(expr("i * x")).as("six"))
+        .filter(col("sx") > 0)
+        .select(col("event_type"), col("n"),
+          expr("n * (2 * six - (n + 1) * sx)").as("num"),
+          expr("n * n * sx").as("den"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * (n * (2 * six - (n + 1) * sx))) div (n * n * sx)")
+            .as("gini_ppm"))
+        .orderBy("event_type")
     }
   )
 }
