@@ -1355,6 +1355,70 @@ object Analytics {
           expr("(CAST(1000000 AS DECIMAL(38,0)) * (n * (2 * six - (n + 1) * sx))) div (n * n * sx)")
             .as("gini_ppm"))
         .orderBy("event_type")
+    },
+
+    // ---- Behavioral diversity, log-free: the Gini–Simpson index
+    //      1 − Σpᵢ² per user over event-type shares, as the exact ppm
+    //      rational 10⁶·(n² − Σcᵢ²) div n² (an entropy would need logs
+    //      and floats; Simpson diversity carries the same "is this user
+    //      a one-note bot" signal in pure integers, HUGEINT/DECIMAL on
+    //      the scaled product). 0 = all one type, → 1 = uniform. ----
+    gated("q173_diversity",
+      """WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+        |           FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+        |             CAST(SUM(c * c) AS BIGINT) AS s2
+        |      FROM c GROUP BY user_id)
+        |SELECT user_id, n,
+        |       CAST((CAST(1000000 AS HUGEINT) * (n * n - s2)) // (n * n) AS BIGINT) AS diversity_ppm
+        |FROM u ORDER BY user_id""") { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+        .groupBy("user_id")
+        .agg(sum(col("c")).as("n"), sum(expr("c * c")).as("s2"))
+        .select(col("user_id"), col("n"),
+          expr("(CAST(1000000 AS DECIMAL(38,0)) * (n * n - s2)) div (n * n)")
+            .as("diversity_ppm"))
+        .orderBy("user_id")
+    },
+
+    // ---- Longest same-type streak per user — the gaps-and-islands
+    //      pattern (rn − per-type rn is constant exactly within a
+    //      consecutive run): max streak length and its event type, ties
+    //      to the lexicographically first type. Sequential-looking but
+    //      fully relational: two rank windows + one aggregate, all
+    //      partitioned by user — no fold, no collect. ----
+    gated("q174_longest_streak",
+      """WITH s AS (SELECT user_id, event_type,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS rn,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                                ORDER BY ts, event_id) AS rnt
+        |           FROM events),
+        |g AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS len
+        |      FROM s GROUP BY user_id, event_type, rn - rnt),
+        |r AS (SELECT user_id, event_type, len,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |                                ORDER BY len DESC, event_type) AS pick
+        |      FROM g)
+        |SELECT user_id, len AS max_streak, event_type AS streak_type
+        |FROM r WHERE pick = 1 ORDER BY user_id""") { (s, d) =>
+      val wAll = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val wTyp = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val g = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("isl",
+          row_number().over(wAll) - row_number().over(wTyp))
+        .groupBy("user_id", "event_type", "isl")
+        .agg(count(lit(1)).as("len"))
+      val pick = Window.partitionBy("user_id")
+        .orderBy(col("len").desc, col("event_type"))
+      g.withColumn("pick", row_number().over(pick))
+        .filter(col("pick") === 1)
+        .select(col("user_id"), col("len").as("max_streak"),
+          col("event_type").as("streak_type"))
+        .orderBy("user_id")
     }
   )
 }
