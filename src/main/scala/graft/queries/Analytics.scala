@@ -1419,6 +1419,82 @@ object Analytics {
         .select(col("user_id"), col("len").as("max_streak"),
           col("event_type").as("streak_type"))
         .orderBy("user_id")
+    },
+
+    // ---- A/B experiment readout: users assigned to variants by the
+    //      same md5-prefix mechanism as the q63 corpus split (assignment
+    //      is a pure function of user_id — reproducible across engines,
+    //      runs, and backfills, the property ad-hoc RAND() splits lack),
+    //      conversion = any purchase event. Rates and the treatment
+    //      delta in exact basis points (truncating div both engines).
+    //      Scale: one agg keyed on user_id, then a 2-row fold — the
+    //      standard experimentation funnel shape, no window. ----
+    gated("q177_ab_lift",
+      """WITH u AS (SELECT user_id,
+        |             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+        |                  THEN 'A' ELSE 'B' END AS v,
+        |             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(conv) AS BIGINT) AS c
+        |      FROM u GROUP BY v)
+        |SELECT a.n AS a_users, a.c AS a_conv,
+        |       CAST((10000 * a.c) // a.n AS BIGINT) AS a_cvr_bp,
+        |       b.n AS b_users, b.c AS b_conv,
+        |       CAST((10000 * b.c) // b.n AS BIGINT) AS b_cvr_bp,
+        |       CAST((10000 * b.c) // b.n - (10000 * a.c) // a.n AS BIGINT) AS delta_bp
+        |FROM g a CROSS JOIN g b WHERE a.v = 'A' AND b.v = 'B'""") { (s, d) =>
+      val u = Tables.events(s, d)
+        .select(col("user_id"),
+          when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+            lit("A")).otherwise(lit("B")).as("v"),
+          col("event_type"))
+        .groupBy("user_id", "v")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("conv"))
+      val g = u.groupBy("v")
+        .agg(cntLong.as("n"), sum(col("conv")).cast("long").as("c"))
+      val a = g.filter(col("v") === "A")
+        .select(col("n").as("a_users"), col("c").as("a_conv"),
+          expr("(10000 * c) div n").as("a_cvr_bp"))
+      val b = g.filter(col("v") === "B")
+        .select(col("n").as("b_users"), col("c").as("b_conv"),
+          expr("(10000 * c) div n").as("b_cvr_bp"))
+      a.crossJoin(b)
+        .withColumn("delta_bp", col("b_cvr_bp") - col("a_cvr_bp"))
+    },
+
+    // ---- NTILE quartile banding (the one ranking-window member q16
+    //      didn't cover): customers banded into account-balance
+    //      quartiles within their market segment, then per-band
+    //      aggregates — the "which quartile is my customer in" readout
+    //      behind tiering and credit policy. Both engines implement the
+    //      standard NTILE (first n mod k buckets take the extra row), so
+    //      the gate is exact once the intra-band order is total
+    //      ((cents, custkey)). Balances truncate to integer cents (q171
+    //      idiom — negative acctbals exist, and CAST rounds in DuckDB).
+    //      Scale: one window exchange on the segment key + one agg. ----
+    gated("q178_ntile_bands",
+      """WITH c AS (SELECT c_mktsegment AS seg, c_custkey AS ck,
+        |             CAST(trunc(CAST(c_acctbal AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM customer),
+        |q AS (SELECT seg, cents,
+        |        NTILE(4) OVER (PARTITION BY seg ORDER BY cents, ck) AS quartile
+        |      FROM c)
+        |SELECT seg, quartile, CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+        |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+        |FROM q GROUP BY seg, quartile ORDER BY seg, quartile""") { (s, d) =>
+      val c = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"), col("c_custkey").as("ck"),
+          expr("CAST(CAST(c_acctbal AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+      val w = Window.partitionBy("seg").orderBy("cents", "ck")
+      c.withColumn("quartile", ntile(4).over(w))
+        .groupBy("seg", "quartile")
+        .agg(cntLong.as("n"), min(col("cents")).as("lo_cents"),
+          max(col("cents")).as("hi_cents"),
+          sum(col("cents")).cast("long").as("sum_cents"))
+        .orderBy("seg", "quartile")
     }
   )
 }

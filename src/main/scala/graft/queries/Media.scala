@@ -2,8 +2,10 @@ package graft.queries
 
 import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
+import graft.Norm._
 import graft.functions.{Ann, Ivf, IvfPq, Pq, VectorOps}
 import graft.multimodal.Multimodal
+import graft.text.TextOps
 import org.apache.spark.sql.functions._
 
 /** Multimodal binary-column plumbing + the ANN scale path (north star).
@@ -719,6 +721,144 @@ object Media {
         .agg(sum(col("m")).as("maxsim_bp"))
         .orderBy(col("maxsim_bp").desc, col("doc"))
         .limit(10)
+    },
+
+    // ---- HYBRID retrieval via Reciprocal Rank Fusion: the lexical leg
+    //      (term-match count over {fast, join, merge}, q120's corpus)
+    //      and the dense leg (cosine to the vec_id-0 query embedding;
+    //      vec_id ≡ doc_id in this corpus) each produce a top-50
+    //      candidate list; RRF fuses them as Σ 1e6 div (60 + rank) —
+    //      the k=60 constant from Cormack/Clarke/Büttcher (SIGIR '09),
+    //      with each reciprocal TRUNCATED to an exact integer so the
+    //      fusion is pure integer arithmetic cross-engine (float 1/(k+r)
+    //      sums would be order-sensitive). Docs on one leg only score
+    //      their single contribution — the standard union semantics.
+    //      Scale: each leg is a corpus scan + TakeOrdered into a
+    //      policy-bounded candidate list (K=50); the rank window and the
+    //      fusion join run on K rows, not the corpus. The dense leg at
+    //      scale swaps in the q48 ANN path unchanged — RRF only needs
+    //      (id, rank). ----
+    gated("q175_rrf_hybrid",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |lx AS (SELECT doc_id,
+        |         CAST(len(list_filter(w, x -> x = 'fast'))
+        |            + len(list_filter(w, x -> x = 'join'))
+        |            + len(list_filter(w, x -> x = 'merge')) AS BIGINT) AS sc
+        |       FROM t),
+        |lr AS (SELECT doc_id, r FROM (
+        |         SELECT doc_id, ROW_NUMBER() OVER (ORDER BY sc DESC, doc_id) AS r
+        |         FROM lx WHERE sc > 0) x WHERE r <= 50),
+        |n AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nn
+        |      FROM embeddings),
+        |q AS (SELECT v AS qv, nn AS qn FROM n WHERE vec_id = 0),
+        |dr AS (SELECT doc_id, r FROM (
+        |         SELECT b.vec_id AS doc_id,
+        |           ROW_NUMBER() OVER (ORDER BY
+        |             list_sum(list_transform(list_zip(b.v, q.qv), z -> z[1]*z[2]))/(b.nn*q.qn)
+        |             DESC, b.vec_id) AS r
+        |         FROM n b CROSS JOIN q WHERE b.vec_id >= 1) x WHERE r <= 50),
+        |f AS (SELECT COALESCE(lr.doc_id, dr.doc_id) AS doc_id,
+        |        CAST(COALESCE(lr.r, 0) AS BIGINT) AS lex_rank,
+        |        CAST(COALESCE(dr.r, 0) AS BIGINT) AS dense_rank,
+        |        COALESCE(1000000 // (60 + lr.r), 0)
+        |          + COALESCE(1000000 // (60 + dr.r), 0) AS rrf
+        |      FROM lr FULL OUTER JOIN dr ON lr.doc_id = dr.doc_id)
+        |SELECT doc_id, lex_rank, dense_rank, CAST(rrf AS BIGINT) AS rrf_score
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 10""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val lx = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .select(col("doc_id"),
+          (size(filter(col("w"), x => x === "fast")) +
+            size(filter(col("w"), x => x === "join")) +
+            size(filter(col("w"), x => x === "merge"))).cast("long").as("sc"))
+        .filter(col("sc") > 0)
+        .orderBy(col("sc").desc, col("doc_id")).limit(50)
+      // rank windows run over the ≤50-row candidate lists (TakeOrdered
+      // bounds them by policy) — the single-partition window is K-sized
+      val lr = lx.withColumn("r",
+        row_number().over(Window.orderBy(col("sc").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r").as("lex_r"))
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"),
+        VectorOps.l2(col("embedding")).as("nn"))
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe"), col("nn").as("qn")))
+      val dx = e.filter(col("vec_id") >= 1).crossJoin(q)
+        .select(col("vec_id").as("doc_id"),
+          (VectorOps.dot(col("embedding"), col("qe")) /
+            (col("nn") * col("qn"))).as("sim"))
+        .orderBy(col("sim").desc, col("doc_id")).limit(50)
+      val dr = dx.withColumn("r",
+        row_number().over(Window.orderBy(col("sim").desc, col("doc_id"))))
+        .select(col("doc_id"), col("r").as("dense_r"))
+      lr.join(dr, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          coalesce(col("lex_r"), lit(0)).cast("long").as("lex_rank"),
+          coalesce(col("dense_r"), lit(0)).cast("long").as("dense_rank"),
+          (coalesce(expr("1000000 div (60 + lex_r)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + dense_r)"), lit(0L)))
+            .as("rrf_score"))
+        .orderBy(col("rrf_score").desc, col("doc_id"))
+        .limit(10)
+    },
+
+    // ---- k-means M-STEP (the update half of Lloyd's round, completing
+    //      q82's E-step): each cell's new centroid as the exact
+    //      per-dimension mean in micro-units — members posexplode to
+    //      (cell, dim, value), one partial-aggregated group-sum, one
+    //      truncating division. This is precisely the iteration body
+    //      functions/Ivf.train runs (there with the argmax fused and
+    //      means in double); gating it cross-engine certifies the
+    //      training arithmetic the IVF/PQ indexes are built from.
+    //      Scale: assignment is the q82 broadcast-centroid argmax (one
+    //      corpus pass, no window); the explode carries d rows per
+    //      member into a partial agg keyed on (cell, dim) — bounded by
+    //      nlist × d after map-side combine, nothing driver-sized. ----
+    gated("q179_kmeans_update",
+      """WITH cn AS (SELECT vec_id AS cid,
+        |              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ce,
+        |              sqrt(list_sum(list_transform(embedding,
+        |                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nc
+        |            FROM embeddings WHERE vec_id < 8),
+        |bn AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |         sqrt(list_sum(list_transform(embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+        |       FROM embeddings WHERE vec_id >= 8),
+        |s AS (SELECT bn.vec_id, cn.cid,
+        |        ROW_NUMBER() OVER (PARTITION BY bn.vec_id
+        |          ORDER BY list_sum(list_transform(list_zip(bn.v, cn.ce),
+        |            z -> z[1]*z[2]))/(bn.ne*cn.nc) DESC, cn.cid) AS rn
+        |      FROM bn CROSS JOIN cn),
+        |a AS (SELECT vec_id, cid AS cell FROM s WHERE rn = 1),
+        |x AS (SELECT a.cell, u.dim,
+        |        CAST(trunc(CAST(u.x AS DOUBLE) * 1000000) AS BIGINT) AS mu
+        |      FROM a JOIN (SELECT vec_id, unnest(embedding) AS x,
+        |                     generate_subscripts(embedding, 1) AS dim
+        |                   FROM embeddings WHERE vec_id >= 8) u
+        |        ON u.vec_id = a.vec_id)
+        |SELECT cell, CAST(dim AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(mu) // COUNT(*) AS BIGINT) AS mean_micro
+        |FROM x GROUP BY cell, dim ORDER BY cell, dim""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val c = broadcast(e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("ce")))
+      val cells = e.filter(col("vec_id") >= 8).crossJoin(c)
+        .select(col("vec_id"), col("cid"),
+          VectorOps.cosine(col("embedding"), col("ce")).as("sim"))
+        .groupBy("vec_id")
+        .agg(max(struct(col("sim"), (-col("cid")).as("negcid"),
+          col("cid").as("cell"))).as("m"))
+        .select(col("vec_id"), col("m.cell").as("cell"))
+      e.filter(col("vec_id") >= 8).join(cells, "vec_id")
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .select(col("cell"), (col("pos") + 1).cast("long").as("dim"),
+          expr("CAST(CAST(v AS DOUBLE) * 1000000 AS BIGINT)").as("mu"))
+        .groupBy("cell", "dim")
+        .agg(cntLong.as("n"), expr("sum(mu) div count(1)").as("mean_micro"))
+        .orderBy("cell", "dim")
     }
   )
 

@@ -174,4 +174,59 @@ class GraphSpec extends SparkTestBase {
     val ranks = rows.map(_.getLong(1))
     assert(ranks.forall(_ > 0) && ranks.sameElements(ranks.sortBy(-_)))
   }
+
+  // ---- bounded-hop weighted shortest paths (operators/ShortestPaths) ----
+
+  /** Driver-side exact model: `maxHops` rounds of FULL relaxation (the
+    * textbook Bellman-Ford, no frontier) — the operator must match it
+    * exactly, which is what certifies the frontier restriction. */
+  private def spModel(edges: Seq[(String, String, Long)], seeds: Seq[String],
+                      maxHops: Int): Map[String, Long] = {
+    var dist = seeds.map(_ -> 0L).toMap
+    for (_ <- 1 to maxHops) {
+      val cand = edges.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w)) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      dist = (dist.keySet ++ cand.keySet).map { n =>
+        n -> math.min(dist.getOrElse(n, Long.MaxValue),
+          cand.getOrElse(n, Long.MaxValue))
+      }.toMap
+    }
+    dist
+  }
+
+  private def spRun(edges: Seq[(String, String, Long)], seeds: Seq[String],
+                    maxHops: Int): Map[String, Long] =
+    graft.operators.ShortestPaths
+      .bellmanFord(edges.toDF("src", "dst", "w"), seeds.toDF("node"), maxHops)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("shortest paths: multi-hop beats direct; the hop bound binds") {
+    val e = Seq(("a", "b", 10L), ("a", "c", 1L), ("c", "b", 2L))
+    assert(spRun(e, Seq("a"), 1) === Map("a" -> 0L, "b" -> 10L, "c" -> 1L))
+    assert(spRun(e, Seq("a"), 2) === Map("a" -> 0L, "b" -> 3L, "c" -> 1L))
+  }
+
+  test("shortest paths: exact parity with full-relaxation Bellman-Ford on a random weighted graph") {
+    val rnd = new scala.util.Random(61)
+    val nodes = (0 until 30).map(i => s"n$i")
+    val edges = (0 until 200).map(_ => (nodes(rnd.nextInt(30)),
+      nodes(rnd.nextInt(30)), rnd.nextInt(50).toLong))
+      .filter { case (a, b, _) => a != b }
+      .groupBy(t => (t._1, t._2)).map(_._2.minBy(_._3)).toSeq
+    for (h <- Seq(1, 2, 4))
+      assert(spRun(edges, Seq("n0", "n7"), h) === spModel(edges, Seq("n0", "n7"), h))
+  }
+
+  test("shortest paths: sign-agnostic — negative edges respect the bounded-hop minimum") {
+    val e = Seq(("a", "b", 5L), ("b", "c", -3L), ("a", "c", 4L), ("c", "b", 1L))
+    for (h <- Seq(1, 2, 3))
+      assert(spRun(e, Seq("a"), h) === spModel(e, Seq("a"), h))
+  }
+
+  test("shortest paths: frontier empties early on a short chain; unreached nodes are absent") {
+    val e = Seq(("a", "b", 1L), ("b", "c", 1L), ("x", "y", 1L))
+    // maxHops far past the diameter — early exit must not change results
+    assert(spRun(e, Seq("a"), 10) === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
+  }
 }
