@@ -1495,6 +1495,230 @@ object Analytics {
           max(col("cents")).as("hi_cents"),
           sum(col("cents")).cast("long").as("sum_cents"))
         .orderBy("seg", "quartile")
+    },
+
+    // ---- Data-quality audit (deequ/dbt-test semantics as one
+    //      operator): a fixed check suite — duplicate primary keys,
+    //      null foreign keys, range violations, FK orphans — each
+    //      reported as (check, n_violations, n_checked). Violations are
+    //      PLANTED (a duplicated min-key order, one NULL-custkey
+    //      negative-price order, one orphaned lineitem key) so every
+    //      check is provably non-vacuous on both engines, the q64/q77
+    //      discipline. Scale: dup/null/range checks are one agg pass
+    //      each over the audited relation; the orphan check is a
+    //      left-anti join on the key — no check materializes violation
+    //      ROWS (counts only), which is what lets the suite run inline
+    //      on every ingest batch. ----
+    gated("q180_dq_audit",
+      """WITH o AS (SELECT o_orderkey, o_custkey,
+        |             CAST(trunc(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |po AS (SELECT * FROM o
+        |       UNION ALL SELECT o_orderkey, o_custkey, cents FROM o
+        |         WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM o)
+        |       UNION ALL SELECT -1, NULL, -500),
+        |pl AS (SELECT l_orderkey FROM lineitem UNION ALL SELECT -999),
+        |c1 AS (SELECT 'dup_orderkey' AS check_name,
+        |         CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_violations,
+        |         CAST(COUNT(*) AS BIGINT) AS n_checked FROM po),
+        |c2 AS (SELECT 'negative_totalprice',
+        |         CAST(SUM(CASE WHEN cents < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM po),
+        |c3 AS (SELECT 'null_custkey',
+        |         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT) FROM po),
+        |c4 AS (SELECT 'orphan_lineitem',
+        |         CAST(SUM(CASE WHEN pk.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |         CAST(COUNT(*) AS BIGINT)
+        |       FROM pl LEFT JOIN (SELECT DISTINCT o_orderkey FROM po) pk
+        |         ON pl.l_orderkey = pk.o_orderkey)
+        |SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4
+        |ORDER BY check_name""") { (s, d) =>
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+      val dupSeed = o.join(
+        broadcast(o.agg(min(col("o_orderkey")).as("mk"))),
+        col("o_orderkey") === col("mk")).drop("mk")
+      val badRow = s.range(1).select(lit(-1L).as("o_orderkey"),
+        lit(null).cast(o.schema("o_custkey").dataType).as("o_custkey"),
+        lit(-500L).as("cents"))
+      val po = o.unionByName(dupSeed).unionByName(badRow)
+      val pl = Tables.lineitem(s, d).select(col("l_orderkey"))
+        .unionByName(s.range(1).select(lit(-999L).as("l_orderkey")))
+      def check(name: String, viol: org.apache.spark.sql.Column,
+                over: org.apache.spark.sql.DataFrame) =
+        over.agg(viol.cast("long").as("n_violations"),
+            cntLong.as("n_checked"))
+          .select(lit(name).as("check_name"), col("n_violations"),
+            col("n_checked"))
+      val orphans = pl.join(po.select(col("o_orderkey").as("pk")).distinct(),
+          col("l_orderkey") === col("pk"), "left")
+        .agg(sum(when(col("pk").isNull, 1L).otherwise(0L)).as("nv"),
+          cntLong.as("n_checked"))
+        .select(lit("orphan_lineitem").as("check_name"),
+          col("nv").cast("long").as("n_violations"), col("n_checked"))
+      check("dup_orderkey",
+        count(lit(1)) - countDistinct(col("o_orderkey")), po)
+        .unionByName(check("negative_totalprice",
+          sum(when(col("cents") < 0, 1L).otherwise(0L)), po))
+        .unionByName(check("null_custkey",
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L)), po))
+        .unionByName(orphans)
+        .orderBy("check_name")
+    },
+
+    // ---- Burst detection: each user's PEAK 1-hour event count — a
+    //      sliding scan statistic via a RANGE frame over epoch micros
+    //      (frame = [t − 1h + 1µs, t], peers included identically on
+    //      both engines since RANGE bounds are value-defined). The
+    //      rate-limit/abuse primitive next to q174's streaks: streaks
+    //      measure persistence, bursts measure intensity. Scale: one
+    //      exchange on user_id, per-user sort window (user histories
+    //      are user-bounded); top-20 is TakeOrdered, no global sort. ----
+    gated("q181_burst",
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS um FROM events),
+        |c AS (SELECT user_id,
+        |        COUNT(*) OVER (PARTITION BY user_id ORDER BY um
+        |          RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS c1h
+        |      FROM e)
+        |SELECT user_id, CAST(MAX(c1h) AS BIGINT) AS peak_1h,
+        |       CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM c GROUP BY user_id
+        |ORDER BY peak_1h DESC, user_id LIMIT 20""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("um")
+        .rangeBetween(-3599999999L, 0)
+      Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"))
+        .withColumn("c1h", count(lit(1)).over(w))
+        .groupBy("user_id")
+        .agg(max(col("c1h")).as("peak_1h"), cntLong.as("n_events"))
+        .orderBy(col("peak_1h").desc, col("user_id"))
+        .limit(20)
+    },
+
+    // ---- Three-step SEQUENTIAL funnel (q80's two-step generalized,
+    //      the report form of q161's pattern automaton): users whose
+    //      first signup is followed by a click STRICTLY after it,
+    //      followed by a purchase strictly after that click —
+    //      first-occurrence semantics per stage, so each stage is a
+    //      conditional MIN against the previous stage's timestamp, not
+    //      a pattern over the whole history. Stage-over-stage
+    //      conversion in exact basis points. Scale: one agg + one join
+    //      per stage, all keyed on user_id — a fixed number of
+    //      user-keyed exchanges regardless of history length (the
+    //      all-pairs "events after events" join never forms). ----
+    gated("q184_funnel3",
+      """WITH u1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |            WHERE event_type = 'signup' GROUP BY 1),
+        |u2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |       JOIN u1 ON e.user_id = u1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > u1.t1 GROUP BY 1),
+        |u3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |       JOIN u2 ON e.user_id = u2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > u2.t2 GROUP BY 1)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM u1) AS n_signup,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM u2) AS n_click,
+        |       (SELECT CAST(COUNT(*) AS BIGINT) FROM u3) AS n_purchase,
+        |       CAST((10000 * (SELECT COUNT(*) FROM u2))
+        |            // (SELECT COUNT(*) FROM u1) AS BIGINT) AS click_bp,
+        |       CAST((10000 * (SELECT COUNT(*) FROM u3))
+        |            // (SELECT COUNT(*) FROM u2) AS BIGINT) AS purchase_bp""") { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        col("ts"))
+      val u1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val u2 = e.filter(col("event_type") === "click")
+        .join(u1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val u3 = e.filter(col("event_type") === "purchase")
+        .join(u2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      u1.agg(cntLong.as("n_signup"))
+        .crossJoin(u2.agg(cntLong.as("n_click")))
+        .crossJoin(u3.agg(cntLong.as("n_purchase")))
+        .select(col("n_signup"), col("n_click"), col("n_purchase"),
+          expr("(10000 * n_click) div n_signup").as("click_bp"),
+          expr("(10000 * n_purchase) div n_click").as("purchase_bp"))
+    },
+
+    // ---- Rolling 7-day actives (WAU) + DAU/WAU stickiness: the
+    //      windowed-DISTINCT aggregate — non-decomposable (distinct
+    //      doesn't sum across days), so each (day, user) activity row
+    //      fans out to the ≤7 window ends it supports and one exact
+    //      distinct per day folds the union; active days only (both
+    //      engines derive the same calendar from the data). Stickiness
+    //      = DAU/WAU in exact basis points. Scale: the fan-out is a
+    //      map-side ×7 on the (day, user) DISTINCT relation (already
+    //      collapsed from raw events), then one distinct agg keyed on
+    //      day — no day×day self-join, no global window; the 100 TB
+    //      form would swap the exact distinct for q115's HLL fold,
+    //      same fan-out. ----
+    gated("q185_wau",
+      """WITH du AS (SELECT DISTINCT date_trunc('day', ts) AS d, user_id FROM events),
+        |cal AS (SELECT DISTINCT d FROM du),
+        |w AS (SELECT cal.d AS day, du.user_id FROM cal
+        |      JOIN du ON du.d BETWEEN cal.d - INTERVAL 6 DAY AND cal.d),
+        |r AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+        |      FROM w GROUP BY day),
+        |dau AS (SELECT d AS day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY d)
+        |SELECT strftime(r.day, '%Y-%m-%d') AS day, dau.dau, r.wau,
+        |       CAST((10000 * dau.dau) // r.wau AS BIGINT) AS stickiness_bp
+        |FROM r JOIN dau ON dau.day = r.day ORDER BY day""") { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(date_trunc("day", col("ts")).as("d"), col("user_id"))
+        .distinct()
+      val cal = du.select(col("d").as("day")).distinct()
+      val contrib = du
+        .select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select(col("user_id"), expr("timestampadd(DAY, o, d)").as("day"))
+        .join(cal, "day")
+      val wau = contrib.distinct().groupBy("day").agg(cntLong.as("wau"))
+      val dau = du.groupBy(col("d").as("day")).agg(cntLong.as("dau"))
+      wau.join(dau, "day")
+        .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("dau"), col("wau"),
+          expr("(10000 * dau) div wau").as("stickiness_bp"))
+        .orderBy("day")
+    },
+
+    // ---- Degree distribution in exact power-of-two buckets: the
+    //      supplier→part bipartite graph's out- and in-degree
+    //      histograms — the first thing to check before ANY graph
+    //      algorithm runs at scale (a power-law tail is what makes
+    //      q127's self-join skew-sensitive). Bucket = floor(log2 d)
+    //      computed EXACTLY as length(bin(d)) − 1 (both engines format
+    //      the same binary string; no float log anywhere). Scale: one
+    //      distinct + one agg per side, histogram is bucket-bounded. ----
+    gated("q186_degree_dist",
+      """WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+        |ds AS (SELECT 'supplier' AS side, s AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |       FROM e GROUP BY s),
+        |dp AS (SELECT 'part' AS side, p AS node, CAST(COUNT(*) AS BIGINT) AS deg
+        |       FROM e GROUP BY p),
+        |u AS (SELECT * FROM ds UNION ALL SELECT * FROM dp)
+        |SELECT side, CAST(LENGTH(bin(deg)) - 1 AS BIGINT) AS log2_bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |       MIN(deg) AS min_deg, MAX(deg) AS max_deg
+        |FROM u GROUP BY side, log2_bucket
+        |ORDER BY side, log2_bucket""") { (s, d) =>
+      val e = Tables.lineitem(s, d)
+        .select(col("l_suppkey").as("s"), col("l_partkey").as("p"))
+        .distinct()
+      val ds = e.groupBy(col("s").as("node")).agg(cntLong.as("deg"))
+        .select(lit("supplier").as("side"), col("deg"))
+      val dp = e.groupBy(col("p").as("node")).agg(cntLong.as("deg"))
+        .select(lit("part").as("side"), col("deg"))
+      ds.unionByName(dp)
+        .select(col("side"),
+          (length(bin(col("deg"))) - 1).cast("long").as("log2_bucket"),
+          col("deg"))
+        .groupBy("side", "log2_bucket")
+        .agg(cntLong.as("n_nodes"), min(col("deg")).as("min_deg"),
+          max(col("deg")).as("max_deg"))
+        .orderBy("side", "log2_bucket")
     }
   )
 }

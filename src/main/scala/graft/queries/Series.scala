@@ -577,6 +577,109 @@ object Series {
           expr("count(1) * sum(a*a) - sum(a) * sum(a)").as("den_a"),
           expr("count(1) * sum(b*b) - sum(b) * sum(b)").as("den_b"))
         .orderBy("event_type")
+    },
+
+    // ---- Inter-arrival time percentiles: per event type, the exact
+    //      p50/p90 of the gap (whole seconds) since the user's PREVIOUS
+    //      event of the same type — the cadence profile behind
+    //      retention models and rate-limit tuning; q145 sessionizes on
+    //      a fixed 30-min gap, this measures what the gap distribution
+    //      actually IS. Percentile_disc position selection (q148
+    //      machinery) over the lag-derived gaps — all integer. Scale:
+    //      one exchange on (user, type) for the lag, one on type for
+    //      the rank window; per-group sorts spill, nothing collects. ----
+    gated("q182_interarrival",
+      """WITH g AS (
+        |  SELECT event_type, event_id,
+        |         (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |            PARTITION BY user_id, event_type
+        |            ORDER BY ts, event_id)) // 1000000 AS gap_s
+        |  FROM events),
+        |v AS (SELECT event_type, event_id, gap_s FROM g WHERE gap_s IS NOT NULL),
+        |r AS (SELECT event_type, gap_s,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type
+        |                           ORDER BY gap_s, event_id) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM v)
+        |SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+        |       MAX(CASE WHEN rn = (50 * n + 99) // 100 THEN gap_s END) AS p50_s,
+        |       MAX(CASE WHEN rn = (90 * n + 99) // 100 THEN gap_s END) AS p90_s
+        |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val lagW = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val rankW = Window.partitionBy("event_type").orderBy("gap_s", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"), col("ts"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"))
+        .withColumn("gap_s",
+          expr("(um - LAG(um) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)) div 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .groupBy("event_type")
+        .agg(max(col("n")).as("n_gaps"),
+          max(when(col("rn") === expr("(50 * n + 99) div 100"),
+            col("gap_s"))).as("p50_s"),
+          max(when(col("rn") === expr("(90 * n + 99) div 100"),
+            col("gap_s"))).as("p90_s"))
+        .orderBy("event_type")
+    },
+
+    // ---- Seasonality-aware deviation ranking: each (event type,
+    //      calendar day)'s count vs the MEDIAN count for that type on
+    //      that DAY OF WEEK — Mondays compare to Mondays, so weekly
+    //      rhythm doesn't read as anomaly (the flaw in q88/q156's
+    //      global baselines). Reported as the top-5 most-deviant days
+    //      per type by |(1000·n) div med − 1000| per-mille — a RANKING,
+    //      not a threshold, so the gate is never vacuous on quiet data.
+    //      The dow label only PARTITIONS (never surfaces), so the
+    //      engines' different week-numbering conventions can't leak.
+    //      Exact integers end-to-end. Scale: the daily-count agg is the
+    //      only data-sized pass; medians and ranks run over
+    //      calendar-bounded rows (types × days). ----
+    gated("q183_dow_anomaly",
+      """WITH dc AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |              dayofweek(ts) AS dow, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM events GROUP BY 1, 2, 3),
+        |r AS (SELECT event_type, dow, n,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type, dow ORDER BY n) AS rn,
+        |        COUNT(*) OVER (PARTITION BY event_type, dow) AS cnt
+        |      FROM dc),
+        |m AS (SELECT event_type, dow,
+        |        MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n END) AS med
+        |      FROM r GROUP BY event_type, dow),
+        |dev AS (SELECT dc.event_type, dc.day, dc.n, m.med,
+        |          abs((1000 * dc.n) // m.med - 1000) AS dev_pm
+        |        FROM dc JOIN m ON dc.event_type = m.event_type AND dc.dow = m.dow),
+        |top AS (SELECT event_type, day, n, med, dev_pm,
+        |          ROW_NUMBER() OVER (PARTITION BY event_type
+        |                             ORDER BY dev_pm DESC, day) AS pick
+        |        FROM dev)
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n, med,
+        |       CAST(dev_pm AS BIGINT) AS dev_pm
+        |FROM top WHERE pick <= 5 ORDER BY event_type, dev_pm DESC, day""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          dayofweek(col("ts")).as("dow"))
+        .agg(cntLong.as("n"))
+      val w = Window.partitionBy("event_type", "dow").orderBy("n")
+      val m = dc
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt",
+          count(lit(1)).over(Window.partitionBy("event_type", "dow")))
+        .groupBy(col("event_type").as("met"), col("dow").as("mdow"))
+        .agg(max(when(col("rn") === expr("(cnt + 1) div 2"), col("n")))
+          .as("med"))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("dev_pm").desc, col("day"))
+      dc.join(m, col("event_type") === col("met") && col("dow") === col("mdow"))
+        .withColumn("dev_pm", expr("abs((1000 * n) div med - 1000)"))
+        .withColumn("pick", row_number().over(pick))
+        .filter(col("pick") <= 5)
+        .select(col("event_type"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("med"), col("dev_pm").cast("long"))
+        .orderBy(col("event_type"), col("dev_pm").desc, col("day"))
     }
   )
 }

@@ -292,4 +292,25 @@ class EdgeCaseSpec extends SparkTestBase {
     assert(Bpe.train(Map.empty, 5) === Seq.empty)
     assert(Bpe.segment("ab", Seq.empty) === Seq("a", "b", Bpe.Eow))
   }
+
+  test("shortest paths: degenerate inputs — empty seeds/edges, maxHops 0, self-loops") {
+    import graft.operators.ShortestPaths
+    val e = Seq(("a", "b", 2L), ("b", "b", 0L)).toDF("src", "dst", "w")
+    def m(edges: org.apache.spark.sql.DataFrame,
+          seeds: Seq[String], h: Int): Map[String, Long] =
+      ShortestPaths.bellmanFord(edges, seeds.toDF("node"), h)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // empty seeds → empty dist (nothing reachable from nothing)
+    assert(m(e, Seq.empty, 3) === Map.empty)
+    // no edges → seeds at cost 0, nothing else
+    assert(m(e.limit(0), Seq("a"), 3) === Map("a" -> 0L))
+    // maxHops 0 → seeds only, even with outgoing edges
+    assert(m(e, Seq("a"), 0) === Map("a" -> 0L))
+    // zero-weight self-loop neither diverges nor changes the minimum
+    assert(m(e, Seq("a"), 5) === Map("a" -> 0L, "b" -> 2L))
+    // negative require
+    intercept[IllegalArgumentException] {
+      ShortestPaths.bellmanFord(e, Seq("a").toDF("node"), -1)
+    }
+  }
 }
