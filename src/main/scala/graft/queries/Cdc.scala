@@ -712,6 +712,68 @@ object Cdc {
           .filter(Envelope.selection(wildcardRules)).drop("value"))
         .withColumn("amount", col("amount").cast("long"))
         .orderBy("sch", "tbl", "trans_id")
+    },
+
+    // ---- Incremental JOIN-VIEW maintenance, oracle-gated
+    //      (streaming/JoinViewMaintenance — the IVM kernel the
+    //      versioned-state shelf serves enriched queries from): two
+    //      deterministic delta batches fold through the ACTUAL kernel —
+    //      batch 0 seeds facts (orders, keyed o_orderkey, fk o_custkey)
+    //      and dims (customer, keyed c_custkey); batch 1 updates every
+    //      %5 order (+1000.00), deletes every %7 order, re-payloads
+    //      every %4==1 customer, deletes every %4==0 customer — and the
+    //      served view aggregates per dim payload. The oracle computes
+    //      the FINAL last-write-wins states directly in SQL and joins
+    //      one-shot: incremental maintenance must be indistinguishable
+    //      from recompute. JoinViewSpec pins the per-batch mechanics
+    //      (fan-out, re-pointing, retries); this pins the end state
+    //      cross-engine at data scale. Deletes-beat-updates on the
+    //      %35 overlap keys is part of the contract. ----
+    gated("q187_join_view_ivm",
+      """WITH o AS (SELECT o_orderkey AS ok, o_custkey AS ck,
+        |             CAST(trunc(CAST(o_totalprice AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM orders),
+        |lf AS (SELECT ok, ck,
+        |         CASE WHEN ok % 7 <> 0 AND ok % 5 = 0
+        |              THEN cents + 100000 ELSE cents END AS cents
+        |       FROM o
+        |       WHERE ok % 7 <> 0 AND (ok % 5 = 0 OR ok % 3 <> 0)),
+        |rf AS (SELECT c_custkey AS ck,
+        |         CASE WHEN c_custkey % 4 = 1 THEN c_mktsegment || '_v2'
+        |              ELSE c_mktsegment END AS seg
+        |       FROM customer WHERE c_custkey % 4 <> 0)
+        |SELECT rf.seg AS segment, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(lf.cents) AS BIGINT) AS sum_cents
+        |FROM lf JOIN rf ON lf.ck = rf.ck
+        |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      import graft.streaming.JoinViewMaintenance
+      val o = Tables.orders(s, d).select(col("o_orderkey").as("ok"),
+        col("o_custkey").as("ck"),
+        expr("CAST(CAST(o_totalprice AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("ck"),
+        col("c_mktsegment").as("seg"))
+      val l1 = o.filter(col("ok") % 3 =!= 0).select(
+        col("ok").cast("string").as("pk"), col("ck").cast("string").as("fk"),
+        col("cents").cast("string").as("payload"), lit("upsert").as("op"))
+      val r1 = c.select(col("ck").cast("string").as("pk"),
+        col("seg").as("payload"), lit("upsert").as("op"))
+      val l2 = o.filter(col("ok") % 7 === 0 || col("ok") % 5 === 0)
+        .select(col("ok").cast("string").as("pk"),
+          col("ck").cast("string").as("fk"),
+          (col("cents") + 100000).cast("string").as("payload"),
+          when(col("ok") % 7 === 0, "delete").otherwise("upsert").as("op"))
+      val r2 = c.filter(col("ck") % 4 === 0 || col("ck") % 4 === 1)
+        .select(col("ck").cast("string").as("pk"),
+          concat(col("seg"), lit("_v2")).as("payload"),
+          when(col("ck") % 4 === 0, "delete").otherwise("upsert").as("op"))
+      val dir = GatedQuery.indexScratch(d, "join_view_q187")
+      JoinViewMaintenance.update(dir, l1, r1, 0L)
+      JoinViewMaintenance.update(dir, l2, r2, 1L)
+      JoinViewMaintenance.view(s, dir)
+        .groupBy(col("right_payload").as("segment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("left_payload").cast("long")).as("sum_cents"))
+        .orderBy("segment")
     }
   )
 }
