@@ -576,6 +576,80 @@ class StreamingSpec extends SparkTestBase {
     assert(labelMap(DupClusterMaintenance.labels(spark, shelf)) === served)
   }
 
+  test("join-view maintenance: CDC fact stream ⋈ dim seed == batch snapshot join; retry is a no-op") {
+    import graft.streaming.JoinViewMaintenance
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    // fixture split into 4 trigger files BY KEY (trans_id % 4): each
+    // key's whole history lands in one batch, so per-key winners are
+    // independent of the file source's batch order (which follows
+    // modification time, not name — a round-robin split would make the
+    // parity oracle depend on it; cross-batch overwrite mechanics are
+    // JoinViewSpec's job)
+    val allParsed = Envelope.parseLines(
+      spark.read.text(Tables.cdcFixturePath))
+      .withColumn("part",
+        coalesce(pmod(col("data.trans_id"), lit(4)), lit(0)))
+      .localCheckpoint()
+    val src = tmpDir("jv_src")
+    (0 until 4).foreach { i =>
+      val ls = allParsed.filter(col("part") === i)
+        .select("value").collect().map(_.getString(0))
+      Files.write(Paths.get(s"$src/part$i.jsonl"),
+        ls.mkString("\n").getBytes)
+    }
+    // static dim: every customer_id ever seen, tier = md5 prefix
+    val dimSeed = Envelope.changelog(spark.read.text(src))
+      .select(col("data.customer_id").as("pk")).distinct()
+      .select(col("pk"), substring(md5(col("pk")), 1, 2).as("payload"),
+        lit("upsert").as("op"))
+      .localCheckpoint()
+    val emptyR = dimSeed.limit(0)
+    val dir = tmpDir("jv_state") + "/view"
+    def toL(batch: DataFrame): DataFrame = {
+      val cl = Envelope.changelog(batch)
+      val w = Window.partitionBy(col("data.trans_id"))
+        .orderBy(col("metadata.timestamp").desc,
+          col("metadata.`transaction-id`").desc)
+      cl.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("data.trans_id").cast("string").as("pk"),
+          col("data.customer_id").as("fk"),
+          col("data.amount").cast("string").as("payload"),
+          when(col("metadata.operation") === "delete", "delete")
+            .otherwise("upsert").as("op"))
+    }
+    val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        JoinViewMaintenance.update(dir, toL(b),
+          if (id == 0L) dimSeed else emptyR, id)
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("jv_ckpt")).start()
+    q.awaitTermination(120000)
+
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val served = rows(JoinViewMaintenance.view(spark, dir))
+    // Parity oracle: per-key winners are batch-order-independent under
+    // the by-key split, so the final left state is just the union of
+    // each file's collapsed non-deletes — compare the served view to
+    // that one-shot join
+    val lFinal = (0 until 4).map(i =>
+        toL(spark.read.text(s"$src/part$i.jsonl"))
+          .filter(col("op") =!= "delete"))
+      .reduce(_ unionByName _)
+    val expected = rows(lFinal
+      .join(dimSeed.select(col("pk").as("fk"), col("payload").as("rp")), "fk")
+      .select(col("pk"), col("fk"), col("payload"), col("rp")))
+    assert(served === expected)
+    assert(served.nonEmpty)
+    // retried final batch with torn data must change nothing
+    JoinViewMaintenance.update(dir,
+      toL(spark.read.text(s"$src/part0.jsonl"))
+        .withColumn("payload", lit("TORN")), emptyR, 3L)
+    assert(rows(JoinViewMaintenance.view(spark, dir)) === served)
+  }
+
   test("archive compaction folds batch dirs into one, preserves rows and hour pruning, resumes after a crash") {
     import graft.streaming.ArchiveCompaction
     // many small batches: one file per trigger over a 6-way split
