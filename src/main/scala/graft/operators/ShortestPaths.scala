@@ -40,38 +40,43 @@ import org.apache.spark.sql.functions._
 object ShortestPaths {
 
   /** `(node, cost)` for every node reachable from `seeds` within
-    * `maxHops` edges; `edges(src, dst, w)` directed with non-negative
-    * long weights; `seeds(node)`. Seeds report cost 0. */
+    * `maxHops` edges; `edges(src, dst, w)` directed with long weights of
+    * any sign (the hop bound keeps the minimum well-defined — see object
+    * doc); `seeds(node)`. Seeds report cost 0. */
   def bellmanFord(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                   strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(maxHops >= 0, s"bellmanFord: maxHops must be >= 0, got $maxHops")
     val e = edges.select(col("src"), col("dst"), col("w"))
       .repartition(col("src")).persist()
-    var dist = Checkpoint(
-      seeds.select(col("node")).distinct().withColumn("cost", lit(0L)),
-      strategy)
-    var improved = dist
-    var hop = 0
-    while (hop < maxHops && !improved.isEmpty) {
-      hop += 1
-      // min per destination BEFORE the merge join: the exchange carries
-      // one candidate row per reached node, not one per relaxed edge
-      val cand = improved.join(e, improved("node") === e("src"))
-        .select(col("dst").as("node"), (col("cost") + col("w")).as("cand"))
-        .groupBy("node").agg(min(col("cand")).as("cand"))
-      val merged = Checkpoint(
-        dist.join(cand, Seq("node"), "full_outer")
-          .select(col("node"),
-            least(coalesce(col("cost"), lit(Long.MaxValue)),
-              coalesce(col("cand"), lit(Long.MaxValue))).as("best"),
-            (col("cost").isNull ||
-              (col("cand").isNotNull && col("cand") < col("cost"))).as("imp")),
+    // try/finally: isEmpty/Checkpoint run eager jobs inside the loop — a
+    // failure there must not leak the persisted edge relation for the
+    // rest of the session
+    try {
+      var dist = Checkpoint(
+        seeds.select(col("node")).distinct().withColumn("cost", lit(0L)),
         strategy)
-      dist = merged.select(col("node"), col("best").as("cost"))
-      improved = merged.filter(col("imp"))
-        .select(col("node"), col("best").as("cost"))
-    }
-    e.unpersist()
-    dist
+      var improved = dist
+      var hop = 0
+      while (hop < maxHops && !improved.isEmpty) {
+        hop += 1
+        // min per destination BEFORE the merge join: the exchange carries
+        // one candidate row per reached node, not one per relaxed edge
+        val cand = improved.join(e, improved("node") === e("src"))
+          .select(col("dst").as("node"), (col("cost") + col("w")).as("cand"))
+          .groupBy("node").agg(min(col("cand")).as("cand"))
+        val merged = Checkpoint(
+          dist.join(cand, Seq("node"), "full_outer")
+            .select(col("node"),
+              least(coalesce(col("cost"), lit(Long.MaxValue)),
+                coalesce(col("cand"), lit(Long.MaxValue))).as("best"),
+              (col("cost").isNull ||
+                (col("cand").isNotNull && col("cand") < col("cost"))).as("imp")),
+          strategy)
+        dist = merged.select(col("node"), col("best").as("cost"))
+        improved = merged.filter(col("imp"))
+          .select(col("node"), col("best").as("cost"))
+      }
+      dist
+    } finally e.unpersist()
   }
 }

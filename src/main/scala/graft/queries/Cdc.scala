@@ -469,6 +469,72 @@ object Cdc {
         .orderBy("trans_id")
     },
 
+    // ---- S4, document-mapping leg: DMS `map-record-to-document` — the
+    //      sibling object-mapping action to the reference's
+    //      `map-record-to-record` rule (reference
+    //      cdk_stacks/dms_aurora_mysql_to_kinesis.py:108-117) — re-nests
+    //      the flat row into a CALLER-SHAPED document: the row image under
+    //      `data`, provenance under `meta`, the partition key kept
+    //      top-level (the shape a document/stream target actually wants,
+    //      reference envelope README.md:460-479). Each document key is
+    //      built by appending rules that share a `value`; a locator-miss
+    //      document rule proves inertness. Still one codegen'd projection:
+    //      struct construction is a metadata re-shape, zero shuffle, zero
+    //      row compute beyond the JSON render. ----
+    gated("q188_document_mapping",
+      s"""SELECT CAST(trans_id AS BIGINT) AS pk,
+         |       to_json(struct_pack(
+         |         data := struct_pack(trans_id := trans_id,
+         |                             customer_id := customer_id,
+         |                             event := event, sku := sku,
+         |                             amount := amount, device := device,
+         |                             trans_datetime := trans_datetime),
+         |         meta := struct_pack(schema_name := 'testdb',
+         |                             table_name := 'retail_trans')))::VARCHAR AS doc
+         |FROM (
+         |  SELECT data.trans_id AS trans_id, data.customer_id AS customer_id,
+         |         data.event AS event, data.sku AS sku,
+         |         data.amount AS amount, data.device AS device,
+         |         data.trans_datetime AS trans_datetime,
+         |         metadata.operation AS op,
+         |         ROW_NUMBER() OVER (PARTITION BY data.trans_id
+         |             ORDER BY metadata."timestamp" DESC,
+         |                      metadata."transaction-id" DESC) AS rn
+         |  FROM $readJson
+         |  WHERE $selectionSql)
+         |WHERE rn = 1 AND op <> 'delete'
+         |ORDER BY pk""") { (s, _) =>
+      import graft.cdc.Transformation
+      import graft.cdc.Transformation.TransformationRule
+      val docRule = TransformationRule("record", "map-record-to-document",
+        "testdb", "retail_trans", _: String, _: String)
+      val shaped = Transformation.shape(
+        Materialize.snapshot(Envelope.changelog(s, fx)),
+        "testdb", "retail_trans", Seq(
+          // keep the partition key visible next to the document
+          TransformationRule("column", "add-column", "testdb", "retail_trans",
+            value = "pk", expression = "trans_id", dataType = "bigint"),
+          // provenance attributes, then nested under `meta` by one
+          // wildcard locator ("%name" matches exactly the two of them)
+          TransformationRule("column", "add-column", "testdb", "retail_trans",
+            value = "schema_name", expression = "'testdb'"),
+          TransformationRule("column", "add-column", "testdb", "retail_trans",
+            value = "table_name", expression = "'retail_trans'"),
+          // the row image, key by key, appended into the same `data` doc
+          docRule("trans_id", "data"), docRule("customer_id", "data"),
+          docRule("event", "data"), docRule("sku", "data"),
+          docRule("amount", "data"), docRule("device", "data"),
+          docRule("trans_datetime", "data"),
+          docRule("%name", "meta"),
+          // locator miss: a document rule for another schema must be inert
+          TransformationRule("record", "map-record-to-document", "otherdb",
+            "%", "%", "other")))
+      shaped.select(col("pk"),
+          to_json(struct(col("data"), col("meta")),
+            Map("ignoreNullFields" -> "false")).as("doc"))
+        .orderBy("pk")
+    },
+
     // ---- O35 companion: SCD type-2 history — every row version with its
     //      validity interval (valid_from = the change's timestamp,
     //      valid_to = the next change's, open for the current version) and

@@ -355,9 +355,26 @@ object Series {
     //      exact path, gated cell-for-cell. Position arithmetic is all
     //      integer (⌈p·n⌉ = (p·n + 99) div 100), the selected CENTS
     //      value is tie-order-invariant (event_id only breaks rank
-    //      ties, never changes the value at a position). Scale: one
-    //      hash exchange on the group key + a spillable per-group sort
-    //      window; groups sort in parallel and nothing collects. ----
+    //      ties, never changes the value at a position; equal cents
+    //      always land in the same bucket, so no tie spans a bucket
+    //      boundary).
+    //
+    //      TWO-PASS DISTRIBUTED SELECTION (round-10, replacing the
+    //      per-group full-sort window that was the century smoke's worst
+    //      known at 25.2 s / 100×): the row_number form shuffles EVERY
+    //      row on the group key and sorts each group end-to-end — at five
+    //      groups that is five multi-million-row external sorts. Instead:
+    //      pass 1 prices each group's extent+count and a B=1024 value-
+    //      range histogram (two map-side-combined hash aggs — exchanges
+    //      carry ≤ groups×B rows, never data); a window cumsum over the
+    //      TINY histogram locates, per percentile, the one bucket whose
+    //      cumulative count crosses ⌈p·n⌉ and the residual rank inside
+    //      it; pass 2 re-scans, keeps ONLY crossing-bucket rows (a
+    //      broadcast semi-join, expected n/B ≈ 0.1% of rows per
+    //      percentile), and row_numbers that sliver. Degenerate skew
+    //      (all rows one value) collapses to the old cost, never worse.
+    //      Three scans + three small exchanges instead of one scan + a
+    //      full-data sort exchange: at 100 TB the sort never happens. ----
     gated("q148_percentile_exact",
       """WITH c AS (SELECT event_type, event_id,
         |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
@@ -373,19 +390,52 @@ object Series {
         |       MAX(CASE WHEN rn = (99*n + 99) // 100 THEN cents END) AS p99,
         |       CAST(MAX(n) AS BIGINT) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
-      val w = Window.partitionBy("event_type").orderBy("cents", "event_id")
-      val cw = Window.partitionBy("event_type")
-      Tables.events(s, d)
+      val B = 1024
+      val ev = Tables.events(s, d)
         .select(col("event_type"), col("event_id"),
           expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(cw))
+      // pass 1a: per-group extent + count (groups-sized; feeds three
+      // places, so cut lineage once instead of re-scanning events)
+      val g = ev.groupBy("event_type")
+        .agg(min("cents").as("lo"), max("cents").as("hi"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      // pass 1b: value-range histogram — (cents-lo)*B div (hi-lo+1) is
+      // exact integer bucketing (no float), monotone in cents
+      val bucketed = ev.join(broadcast(g), "event_type")
+        .withColumn("bucket", expr(s"((cents - lo) * $B) div (hi - lo + 1)"))
+      val wcum = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bucketed.groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wcum))
+        .withColumn("before", col("cum") - col("c"))
+      // crossing bucket + residual rank per (group, percentile):
+      // before < ⌈p·n⌉ ≤ cum — a join of two histogram-sized relations
+      val ranks = g.select(col("event_type"), explode(array(
+          struct(lit(50L).as("p"), expr("(50*n + 99) div 100").as("k")),
+          struct(lit(90L).as("p"), expr("(90*n + 99) div 100").as("k")),
+          struct(lit(99L).as("p"), expr("(99*n + 99) div 100").as("k"))))
+          .as("t"))
+        .select(col("event_type"), col("t.p").as("p"), col("t.k").as("k"))
+      val crossing = ranks.join(cum, Seq("event_type"))
+        .filter(col("before") < col("k") && col("k") <= col("cum"))
+        .select(col("event_type"), col("p"), col("bucket"),
+          (col("k") - col("before")).as("ik"))
+      // pass 2: exact select inside the one crossing bucket per
+      // percentile — the only rows that ever reach a sort
+      val wsel = Window.partitionBy("event_type", "p")
+        .orderBy("cents", "event_id")
+      bucketed.join(broadcast(crossing), Seq("event_type", "bucket"))
+        .withColumn("rn", row_number().over(wsel))
+        .filter(col("rn") === col("ik"))
         .groupBy("event_type")
-        .agg(
-          max(when(col("rn") === expr("(50*n + 99) div 100"), col("cents"))).as("p50"),
-          max(when(col("rn") === expr("(90*n + 99) div 100"), col("cents"))).as("p90"),
-          max(when(col("rn") === expr("(99*n + 99) div 100"), col("cents"))).as("p99"),
-          max(col("n")).as("n"))
+        .agg(max(when(col("p") === 50, col("cents"))).as("p50"),
+          max(when(col("p") === 90, col("cents"))).as("p90"),
+          max(when(col("p") === 99, col("cents"))).as("p99"))
+        .join(broadcast(g.select(col("event_type"), col("n"))), "event_type")
+        .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+          col("n"))
         .orderBy("event_type")
     },
 

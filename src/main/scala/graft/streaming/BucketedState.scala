@@ -1,0 +1,143 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Key-partitioned versioned state — the 100 TB exit the flat
+  * [[VersionedState]] tenants document (SCALE.md "serving merge"): instead
+  * of rewriting the WHOLE state as one snapshot per batch, state rows
+  * hash-partition into a fixed number of buckets (`bucket =
+  * pmod(xxhash64(key), P)`), each version directory carries ONLY the
+  * buckets the batch dirtied, and a pointer manifest maps every bucket to
+  * the version that last rewrote it — the LSM/Delta-style partition-level
+  * rewrite. Per-trigger write cost is O(dirty buckets), not O(state);
+  * readers resolve the manifest and partition-prune to the buckets they
+  * need; untouched buckets carry forward as POINTERS, never copies.
+  *
+  * Commit protocol (same exactly-once discipline as [[VersionedState]]):
+  * dirty buckets + the manifest land in a staging directory, then ONE
+  * rename publishes them — a torn write is invisible (no manifest under a
+  * `v=` name until the rename), and a retried batch whose rename already
+  * landed short-circuits on [[committed]]. The fold being replayed is
+  * deterministic from (prior manifest, batch), so a retry that lost the
+  * rename race re-creates identical content. Version pruning keeps every
+  * version referenced by the newest `keepManifests` manifests — a pointer
+  * can reach arbitrarily far back (a never-touched bucket), so retention
+  * is reference-driven, never age-driven. */
+object BucketedState {
+
+  /** Partition column name every bucketed tenant shares. */
+  val BucketCol = "bucket"
+
+  /** Deterministic bucket of a state key — MUST be the same expression at
+    * write (layout) and update (dirty-set) time. */
+  def bucketOf(key: Column, p: Int): Column =
+    pmod(xxhash64(key), lit(p)).cast("int")
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** True when `batchId` already committed — the retry short-circuit. */
+  def committed(spark: SparkSession, dir: String, batchId: Long): Boolean =
+    fsOf(spark, dir).exists(new Path(s"$dir/v=$batchId"))
+
+  private def manifestPath(version: Long, dir: String) =
+    new Path(s"$dir/v=$version/_MANIFEST")
+
+  /** Newest committed manifest: (version, p, bucket → owning version).
+    * Format: line 1 `p=<buckets>`, then `<bucket>=<version>` per dirty-
+    * ever bucket — plain text, no JSON parser dependency. */
+  def latestManifest(spark: SparkSession, dir: String)
+      : Option[(Long, Int, Map[Int, Long])] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(dir)
+    if (!fs.exists(root)) return None
+    val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).flatMap(_.stripPrefix("v=").toLongOption)
+    versions.sorted.reverse.collectFirst {
+      case v if fs.exists(manifestPath(v, dir)) =>
+        val in = fs.open(manifestPath(v, dir))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+        val p = lines.head.stripPrefix("p=").toInt
+        val entries = lines.tail.map { l =>
+          val Array(b, ver) = l.split("=", 2)
+          b.toInt -> ver.toLong
+        }.toMap
+        (v, p, entries)
+    }
+  }
+
+  /** State rows for `want` buckets (None = all), resolved through the
+    * manifest: one partition-pruned parquet read per distinct owning
+    * version. `schema` must include [[BucketCol]] (explicit schema so an
+    * all-deleted — fileless — bucket reads as empty, not as an inference
+    * error). */
+  def read(spark: SparkSession, dir: String, schema: StructType,
+           manifest: Map[Int, Long], want: Option[Set[Int]]): DataFrame = {
+    val wanted = want.fold(manifest)(ws => manifest.filter(e => ws(e._1)))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    wanted.groupBy(_._2).map { case (version, entries) =>
+      spark.read.schema(schema).parquet(s"$dir/v=$version")
+        .filter(col(BucketCol).isin(entries.keys.toSeq: _*))
+    }.foldLeft(empty)(_ unionByName _)
+  }
+
+  /** Publish `dirtyState` (rows of the dirty buckets ONLY, carrying
+    * [[BucketCol]]) as version `batchId`, with pointers for every other
+    * bucket inherited from `priorManifest`. */
+  def commit(dirtyState: DataFrame, dir: String, batchId: Long, p: Int,
+             dirtyBuckets: Set[Int], priorManifest: Map[Int, Long],
+             keepManifests: Int = 4): Unit = {
+    val spark = dirtyState.sparkSession
+    val fs = fsOf(spark, dir)
+    val target = new Path(s"$dir/v=$batchId")
+    val staging = new Path(s"$dir/.staging-$batchId")
+    dirtyState.write.mode("overwrite")
+      .partitionBy(BucketCol).parquet(staging.toString)
+    val manifest = priorManifest ++ dirtyBuckets.map(_ -> batchId)
+    val out = fs.create(new Path(staging, "_MANIFEST"), true)
+    try out.write(
+      (s"p=$p" +: manifest.toSeq.sorted.map { case (b, v) => s"$b=$v" })
+        .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(target)) fs.delete(staging, true)
+    else require(fs.rename(staging, target),
+      s"rename $staging -> $target failed")
+    // prune: drop crashed stagings, then every version not referenced by
+    // the newest keepManifests manifests (pointer-driven retention)
+    fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
+      .filter(q => q.getName.startsWith(".staging-") &&
+        q.getName.stripPrefix(".staging-").toLongOption.exists(_ < batchId))
+      .foreach(q => fs.delete(q, true))
+    val versions = fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("v=")).flatMap(_.stripPrefix("v=").toLongOption)
+      .sorted.reverse
+    val live = versions.take(keepManifests).flatMap { v =>
+      if (!fs.exists(manifestPath(v, dir))) Seq(v)
+      else {
+        val in = fs.open(manifestPath(v, dir))
+        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        v +: text.linesIterator.filter(_.contains("=")).toSeq.tail
+          .map(_.split("=", 2)(1).toLong)
+      }
+    }.toSet
+    versions.filterNot(live).filter(_ < batchId)
+      .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+  }
+
+  /** Buckets materialized under one version directory — the spec hook for
+    * the partition-count assertion (a batch that dirties k buckets must
+    * write exactly k `bucket=` directories). */
+  def bucketDirs(spark: SparkSession, dir: String, version: Long): Set[Int] = {
+    val fs = fsOf(spark, dir)
+    fs.listStatus(new Path(s"$dir/v=$version")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toInt).toSet
+  }
+}

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 /** Incrementally maintained JOIN view — the sixth versioned-state tenant
   * (rollups, HLL sketches, Misra-Gries, quantile samples, dup-cluster
@@ -30,11 +31,21 @@ import org.apache.spark.sql.functions._
   *     pairing dies with the overwrite.
   *
   * Per batch: V' = (V ∖ touched) ∪ (L'|touched ⋈ R'), with L'/R' the
-  * last-write-wins merges. Cost per trigger is |ΔL| + fanout(ΔR) for
-  * the recompute plus one state-sized anti-join — the same O(state)
-  * per-trigger bound as the serving merge (SCALE.md), with the same
-  * 100 TB exit: key-partitioned state and a partition-pruned merge.
+  * last-write-wins merges. State is KEY-PARTITIONED ([[BucketedState]],
+  * round-10): every state row hash-buckets on its key (a fact's L and V
+  * rows share a bucket; dims bucket on the join key), the merge runs
+  * ONLY over the buckets the batch dirties (partition-pruned reads), and
+  * the commit writes only those buckets — clean buckets carry forward as
+  * manifest pointers, never copies. Per-trigger cost is therefore
+  * O(|ΔL| + fanout(ΔR) + dirty-bucket rows), not O(state); the two
+  * deliberate full-side reads that remain are (a) the fk fan-out scan of
+  * L (two pruned COLUMNS — a by-fk secondary index would trade write
+  * amplification for it; not worth it while dims change slowly) and
+  * (b) the dim lookup for recomputed facts (R is the dim side — orders
+  * smaller than L; a touched fact may point at a dim in any bucket).
   * Never a full view recompute, and never the |L|·|R| re-join.
+  * JoinViewSpec pins the partition-count assertion: a batch dirtying k
+  * buckets writes exactly k bucket directories.
   *
   * Payloads travel as opaque strings (caller renders JSON or concat —
   * the kernel is schema-agnostic); batches must be pre-collapsed to one
@@ -47,12 +58,22 @@ import org.apache.spark.sql.functions._
   * sides, fk re-pointing, and the retry guard. */
 object JoinViewMaintenance {
 
+  /** Bucket fan-out of the state layout. Fixed for the life of a state
+    * dir (the bucket function is part of the on-disk contract). Local
+    * tests keep it small so multi-bucket pruning is visible; a cluster
+    * deployment sizes it like shuffle partitions (state / ~128 MB). */
+  val NumBuckets = 8
+
   /** Unified single-relation state (one atomic commit per batch):
     * rel = 'L' (k1 = pk, k2 = fk, pay1 = left payload),
     * rel = 'R' (k1 = join key, pay1 = right payload),
-    * rel = 'V' (k1 = pk, k2 = fk, pay1 = left, pay2 = right). */
-  private val stateCols =
-    Seq(col("rel"), col("k1"), col("k2"), col("pay1"), col("pay2"))
+    * rel = 'V' (k1 = pk, k2 = fk, pay1 = left, pay2 = right).
+    * Every row buckets on k1. */
+  private val stateSchema = StructType(Seq(
+    StructField("rel", StringType), StructField("k1", StringType),
+    StructField("k2", StringType), StructField("pay1", StringType),
+    StructField("pay2", StringType),
+    StructField(BucketedState.BucketCol, IntegerType)))
 
   private def asL(df: DataFrame): DataFrame =
     df.select(lit("L").as("rel"), col("pk").cast("string").as("k1"),
@@ -69,7 +90,8 @@ object JoinViewMaintenance {
   private def lww(state: DataFrame, batch: DataFrame,
                   toState: DataFrame => DataFrame): DataFrame = {
     val keys = batch.select(col("pk").cast("string").as("bk")).distinct()
-    state.join(keys, state("k1") === keys("bk"), "left_anti")
+    val s = state.drop(BucketedState.BucketCol)
+    s.join(keys, s("k1") === keys("bk"), "left_anti")
       .unionByName(toState(batch.filter(col("op") =!= "delete")))
   }
 
@@ -82,49 +104,87 @@ object JoinViewMaintenance {
   def update(dir: String, batchL: DataFrame, batchR: DataFrame,
              batchId: Long): Unit = {
     val spark = batchL.sparkSession
-    if (VersionedState.committed(spark, dir, batchId)) return
-    val emptyState = asL(batchL.limit(0))
-    val (l0, r0, v0) = VersionedState.latestSnapshot(spark, dir) match {
-      case Some(st) => (st.filter(col("rel") === "L"),
-        st.filter(col("rel") === "R"), st.filter(col("rel") === "V"))
-      case None => (emptyState, emptyState, emptyState)
+    if (BucketedState.committed(spark, dir, batchId)) return
+    val (p, manifest) = BucketedState.latestManifest(spark, dir) match {
+      case Some((_, mp, m)) =>
+        require(mp == NumBuckets,
+          s"state at $dir was laid out with p=$mp, engine uses $NumBuckets")
+        (mp, m)
+      case None => (NumBuckets, Map.empty[Int, Long])
     }
-    val newL = lww(l0, batchL, asL)
-    val newR = lww(r0, batchR, asR)
+    def readRel(rel: String, buckets: Option[Set[Int]]): DataFrame =
+      BucketedState.read(spark, dir, stateSchema, manifest, buckets)
+        .filter(col("rel") === rel)
+    def bucketsOf(keys: DataFrame): Set[Int] =
+      keys.select(BucketedState.bucketOf(col("bk"), p).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+
     // touched view keys: every fact key in ΔL, plus every CURRENT fact
-    // pointing at a dim key in ΔR (fan-out via one join on fk)
+    // pointing at a dim key in ΔR (fan-out via one join on fk over the
+    // two-column projection of L — the one deliberate full-side read)
     val rKeys = batchR.select(col("pk").cast("string").as("rk")).distinct()
-    val viaR = l0.join(rKeys, l0("k2") === rKeys("rk"))
-      .select(col("k1").as("tk"))
-    val touched = batchL.select(col("pk").cast("string").as("tk"))
-      .unionByName(viaR).distinct()
-    val vKeep = v0.join(touched, v0("k1") === touched("tk"), "left_anti")
-    val vNew = newL.join(touched, newL("k1") === touched("tk"))
+    val lKeys = batchL.select(col("pk").cast("string").as("bk")).distinct()
+    val viaR = readRel("L", None).select(col("k1"), col("k2"))
+      .join(rKeys, col("k2") === rKeys("rk"))
+      .select(col("k1").as("bk"))
+    val touched = lKeys.unionByName(viaR).distinct()
+      .localCheckpoint() // feeds the dirty set, the anti-join, the rejoin
+
+    // dirty buckets: facts/view rows bucket on the touched fact keys;
+    // dim rows bucket on the ΔR keys
+    val dirty = bucketsOf(touched) ++ bucketsOf(rKeys.select(col("rk").as("bk")))
+
+    // merges over DIRTY buckets only (partition-pruned state reads);
+    // batch rows land in dirty buckets by construction
+    val newLDirty = lww(readRel("L", Some(dirty)), batchL, asL)
+    val newRDirty = lww(readRel("R", Some(dirty)), batchR, asR)
+    // the post-batch dim side for the rejoin: clean buckets unchanged
+    val cleanR = readRel("R", None)
+      .filter(if (dirty.isEmpty) lit(true)
+        else !col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
+      .drop(BucketedState.BucketCol)
+    val newRFull = cleanR.unionByName(newRDirty)
+    val vKeep = readRel("V", Some(dirty))
+      .drop(BucketedState.BucketCol)
+      .join(touched, col("k1") === touched("bk"), "left_anti")
+    val vNew = newLDirty
+      .join(touched, col("k1") === touched("bk"))
       .select(col("k1"), col("k2"), col("pay1").as("lp"))
-      .join(newR.select(col("k1").as("rk"), col("pay1").as("rp")),
+      .join(newRFull.select(col("k1").as("rk"), col("pay1").as("rp")),
         col("k2") === col("rk"))
       .select(lit("V").as("rel"), col("k1"), col("k2"),
         col("lp").as("pay1"), col("rp").as("pay2"))
-    VersionedState.commit(
-      newL.select(stateCols: _*)
-        .unionByName(newR.select(stateCols: _*))
-        .unionByName(vKeep.select(stateCols: _*))
-        .unionByName(vNew.select(stateCols: _*)),
-      dir, batchId)
+    val sel = (df: DataFrame) => df.select(
+      (Seq(col("rel"), col("k1"), col("k2"), col("pay1"), col("pay2")) :+
+        BucketedState.bucketOf(col("k1"), p)
+          .as(BucketedState.BucketCol)): _*)
+    BucketedState.commit(
+      sel(newLDirty).unionByName(sel(newRDirty))
+        .unionByName(sel(vKeep.select(col("rel"), col("k1"), col("k2"),
+          col("pay1"), col("pay2"))))
+        .unionByName(sel(vNew)),
+      dir, batchId, p, dirty, manifest)
+  }
+
+  private def readAll(spark: SparkSession, dir: String): DataFrame = {
+    val (_, p, manifest) = BucketedState.latestManifest(spark, dir)
+      .getOrElse(throw new IllegalStateException(
+        s"no join-view state under $dir"))
+    require(p == NumBuckets,
+      s"state at $dir was laid out with p=$p, engine uses $NumBuckets")
+    BucketedState.read(spark, dir, stateSchema, manifest, None)
   }
 
   /** Newest committed view `(pk, fk, left_payload, right_payload)`. */
   def view(spark: SparkSession, dir: String): DataFrame =
-    VersionedState.latestSnapshot(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no join-view state under $dir"))
+    readAll(spark, dir)
       .filter(col("rel") === "V")
       .select(col("k1").as("pk"), col("k2").as("fk"),
         col("pay1").as("left_payload"), col("pay2").as("right_payload"))
 
   /** Current left/right side snapshots (for parity checks and reseeds). */
   def sides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val st = VersionedState.latestSnapshot(spark, dir).getOrElse(
-      throw new IllegalStateException(s"no join-view state under $dir"))
+    val st = readAll(spark, dir)
     (st.filter(col("rel") === "L")
       .select(col("k1").as("pk"), col("k2").as("fk"),
         col("pay1").as("payload")),

@@ -332,6 +332,55 @@ class CdcSpec extends SparkTestBase {
     }
   }
 
+  test("caller-shaped document mapping: partial nesting, merge-append, loud empty locator (S4)") {
+    import graft.cdc.Transformation
+    import graft.cdc.Transformation.TransformationRule
+    val df = spark.range(1).select(lit(1L).as("trans_id"),
+      lit("c1").as("customer_id"), lit("d").as("device"))
+
+    // partial nesting: matched columns re-nest under the caller-declared
+    // key, non-matching columns stay top-level, the doc appends last;
+    // a second rule sharing the `value` APPENDS into the existing doc
+    val shaped = Transformation.shape(df, "testdb", "retail_trans", Seq(
+      TransformationRule("record", "map-record-to-document", "testdb",
+        "retail_trans", "customer_id", "data"),
+      TransformationRule("record", "map-record-to-document", "testdb",
+        "retail_trans", "device", "data")))
+    assert(shaped.columns.toSeq === Seq("trans_id", "data"))
+    assert(shaped.select(col("data.*")).columns.toSeq ===
+      Seq("customer_id", "device"))
+    assert(shaped.select(col("data.customer_id"))
+      .collect().head.getString(0) === "c1")
+
+    // two document keys build the envelope shape; the default-value form
+    // keeps round-8 behavior (everything under `_doc`) — pinned above.
+    // Note a '%' locator would re-nest PRIOR doc columns too (they are
+    // ordinary columns once built), so caller-shaped lists select
+    // explicitly, key by key.
+    val env = Transformation.shape(df, "testdb", "retail_trans", Seq(
+      TransformationRule("record", "map-record-to-document", "%", "%",
+        "customer_id", "payload"),
+      TransformationRule("record", "map-record-to-document", "%", "%",
+        "device", "payload"),
+      TransformationRule("record", "map-record-to-document", "%", "%",
+        "trans_id", "key")))
+    assert(env.columns.toSeq === Seq("payload", "key"))
+    assert(env.select(col("payload.*")).columns.toSeq ===
+      Seq("customer_id", "device"))
+
+    // a locator that matches nothing is a misconfigured rule, not a no-op
+    // (DMS validates object mappings at task creation, not silently)
+    intercept[IllegalArgumentException] {
+      Transformation.shape(df, "t", "t", Seq(TransformationRule("record",
+        "map-record-to-document", "%", "%", "no_such_%", "data")))
+    }
+    // appending into a non-struct column is loud too
+    intercept[IllegalArgumentException] {
+      Transformation.shape(df, "t", "t", Seq(TransformationRule("record",
+        "map-record-to-document", "%", "%", "customer_id", "device")))
+    }
+  }
+
   test("typed transformation rules: change-data-type and add-column honor list order (S4)") {
     import graft.cdc.Transformation
     import graft.cdc.Transformation.TransformationRule

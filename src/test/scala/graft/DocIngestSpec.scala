@@ -43,9 +43,9 @@ class DocIngestSpec extends SparkTestBase {
       s"$root/checkpoint")
     val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
       sinks, Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    rejects.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(rejects.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
 
     // corpus: docs 1 and 2 survive; the duplicate (3) collapsed into 1
     val corpus = spark.read.parquet(sinks.corpus)
@@ -91,9 +91,9 @@ class DocIngestSpec extends SparkTestBase {
       s"$root/checkpoint")
     val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
       sinks, Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    rejects.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(rejects.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
 
     val corpus = spark.read.parquet(sinks.corpus)
     // one survivor per distinct digest: {10 or 11} + 12
@@ -111,9 +111,9 @@ class DocIngestSpec extends SparkTestBase {
       s"$root/checkpoint")
     val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
       sinks, Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    rejects.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(rejects.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
     // identical junk content twice → BOTH rows audited (content dedup is
     // a corpus concern, not an audit concern)
     assert(spark.read.parquet(sinks.rejects).count() === 2)
@@ -138,9 +138,9 @@ class DocIngestSpec extends SparkTestBase {
       val (main, rejects, dlq) = DocIngest.start(spark.readStream.text(src),
         sinks, Trigger.AvailableNow(), nearDupIndex = Some(idx),
         nearDupThreshold = 0.3)
-      main.awaitTermination(120000)
-      rejects.awaitTermination(120000)
-      dlq.awaitTermination(120000)
+      assert(main.awaitTermination(120000), "stream did not finish in 120s")
+      assert(rejects.awaitTermination(120000), "stream did not finish in 120s")
+      assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
     }
     run()
 
@@ -188,8 +188,8 @@ class DocIngestSpec extends SparkTestBase {
       val (m, r, d) = DocIngest.start(
         spark.readStream.option("maxFilesPerTrigger", "1").text(src),
         sinks, Trigger.AvailableNow())
-      m.awaitTermination(120000); r.awaitTermination(120000)
-      d.awaitTermination(120000)
+      assert(m.awaitTermination(120000), "stream did not finish in 120s"); assert(r.awaitTermination(120000), "stream did not finish in 120s")
+      assert(d.awaitTermination(120000), "stream did not finish in 120s")
     }
     run()
     Files.writeString(java.nio.file.Paths.get(s"$src/b.jsonl"),

@@ -83,6 +83,43 @@ class JoinViewSpec extends SparkTestBase {
     assert(viewSet(dir) === oneShot(dir))
   }
 
+  test("key-partitioned state: a batch dirtying k buckets writes exactly k bucket dirs") {
+    import graft.streaming.BucketedState
+    val dir = java.nio.file.Files.createTempDirectory("graft_jv_part").toString
+    val p = JoinViewMaintenance.NumBuckets
+    def bucketOf(key: String): Int =
+      spark.range(1)
+        .select(BucketedState.bucketOf(org.apache.spark.sql.functions.lit(key), p))
+        .collect().head.getInt(0)
+
+    // seed batch: facts/dims spread over several buckets
+    val seedKeys = (0 until 12).map(i => s"o$i")
+    JoinViewMaintenance.update(dir,
+      L(seedKeys.map(k => (k, "c1", "x", "upsert")): _*),
+      R(("c1", "Alice", "upsert")), 0L)
+    val seedBuckets = (seedKeys.map(bucketOf) :+ bucketOf("c1")).toSet
+    assert(BucketedState.bucketDirs(spark, dir, 0L) === seedBuckets)
+    assert(seedBuckets.size > 1, "fixture must span several buckets")
+
+    // one-fact batch: ONLY that fact's bucket is rewritten — every other
+    // bucket carries forward as a manifest pointer to v=0, zero copies
+    JoinViewMaintenance.update(dir, L(("o3", "c1", "y", "upsert")), emptyR, 1L)
+    assert(BucketedState.bucketDirs(spark, dir, 1L) === Set(bucketOf("o3")))
+    val Some((v, mp, manifest)) = BucketedState.latestManifest(spark, dir)
+    assert(v === 1L && mp === p)
+    assert(manifest(bucketOf("o3")) === 1L)
+    assert(manifest.count(_._2 == 0L) === (seedBuckets - bucketOf("o3")).size)
+    // ...and the merged view is still exactly the one-shot join
+    assert(viewSet(dir) === oneShot(dir))
+    assert(viewSet(dir).contains(("o3", "c1", "y", "Alice")))
+
+    // a dim update fans out to its facts' buckets — dirty set is the
+    // union of the dim's own bucket and every pointing fact's bucket
+    JoinViewMaintenance.update(dir, emptyL, R(("c1", "Alicia", "upsert")), 2L)
+    assert(BucketedState.bucketDirs(spark, dir, 2L) === seedBuckets)
+    assert(viewSet(dir) === oneShot(dir))
+  }
+
   test("retried batch is a no-op (versioned commit guard)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_jv_retry").toString
     JoinViewMaintenance.update(dir,

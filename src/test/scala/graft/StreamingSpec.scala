@@ -22,8 +22,8 @@ class StreamingSpec extends SparkTestBase {
     val lines = spark.readStream.text(sourceDir)
     val (main, dlq) = CdcStreamPipeline.start(lines, sinks,
       Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
     sinks
   }
 
@@ -106,8 +106,8 @@ class StreamingSpec extends SparkTestBase {
     val src2 = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
     val (main, dlq) = CdcStreamPipeline.start(src2, sinks,
       Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
 
     val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
     val batch = Materialize.snapshot(
@@ -241,8 +241,8 @@ class StreamingSpec extends SparkTestBase {
       Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
     val (main, dlq) = CdcStreamPipeline.start(
       spark.readStream.text(src), sinks, Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
 
     val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
     val oneShot = Materialize.snapshot(log)
@@ -291,8 +291,8 @@ class StreamingSpec extends SparkTestBase {
     val (main, dlq) = CdcStreamPipeline.start(
       spark.readStream.text(src), sinks, Trigger.AvailableNow(),
       rules = rules)
-    main.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
 
     val streaming = CdcStreamPipeline.servingTables(spark, sinks.serving)
     val batch = Materialize.snapshotByTable(log)
@@ -326,8 +326,8 @@ class StreamingSpec extends SparkTestBase {
     Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
     val (main, dlq) = CdcStreamPipeline.start(
       spark.readStream.text(src), sinks, Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
     val streaming = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
     val oneShot = Materialize.snapshot(log)
     assert(streaming.count() === 210)
@@ -466,7 +466,7 @@ class StreamingSpec extends SparkTestBase {
         RollupMaintenance.update(rollup, good(b), id)
       }.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("cdc_rollup_ckpt")).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     // 6 incremental merges == one aggregation over everything delivered
     val snap = RollupMaintenance.snapshot(spark, rollup)
@@ -516,7 +516,7 @@ class StreamingSpec extends SparkTestBase {
         SketchMaintenance.update(shelf, good(b), id, "tbl", "cust")
       }.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("cdc_sketch_ckpt")).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     // 6 incremental register folds estimate EXACTLY like one build over
     // everything delivered (HLL union is a semilattice on registers)
@@ -559,7 +559,7 @@ class StreamingSpec extends SparkTestBase {
         DupClusterMaintenance.update(shelf, pairs(b), id)
       }.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("dupcc_ckpt")).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     def labelMap(df: DataFrame) = df.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -624,7 +624,7 @@ class StreamingSpec extends SparkTestBase {
           if (id == 0L) dimSeed else emptyR, id)
       }.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("jv_ckpt")).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     def rows(df: DataFrame) = df.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
@@ -665,8 +665,8 @@ class StreamingSpec extends SparkTestBase {
     val (main, dlq) = CdcStreamPipeline.start(
       spark.readStream.option("maxFilesPerTrigger", "1").text(src),
       sinks, Trigger.AvailableNow())
-    main.awaitTermination(120000)
-    dlq.awaitTermination(120000)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
 
     val before = spark.read.parquet(sinks.archive)
       .drop("batch_id").collect().map(_.toString).sorted.toSeq
@@ -731,7 +731,7 @@ class StreamingSpec extends SparkTestBase {
       .join(dim, substring(col("sku"), 1, 1) === col("sku_head"), "left")
     val q = enriched.writeStream.format("memory").queryName("enriched")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     val got = spark.table("enriched")
     val want = Envelope.changelog(spark, Tables.cdcFixturePath)
@@ -776,7 +776,7 @@ class StreamingSpec extends SparkTestBase {
         }
         ()
       }.start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
 
     // batch reference: same as-of join over the whole changelog at once
     val ref = Envelope.changelog(spark, Tables.cdcFixturePath)
