@@ -840,6 +840,49 @@ object Cdc {
         .agg(count(lit(1)).as("n"),
           sum(col("left_payload").cast("long")).as("sum_cents"))
         .orderBy("segment")
+    },
+
+    // ---- S12, rotated-archive leg: the Firehose `index_rotation_period`
+    //      options (reference cdk_stacks/firehose.py:149) as ARCHIVE
+    //      LAYOUTS, gated through the disk round trip — each leg writes
+    //      the fixture batch through sinkBatch under OneHour / OneDay
+    //      rotation, then reads the archive BACK and aggregates on the
+    //      `rotation` PARTITION COLUMN (partition-discovered from the
+    //      directory names, so what is gated is the on-disk layout
+    //      itself, not an in-plan projection). The oracle derives the
+    //      same calendar keys from the envelope timestamp's fixed-width
+    //      ISO-8601 prefix (UTC on both engines — the same invariant the
+    //      LWW ordering rides). StreamingSpec pins the remaining periods
+    //      (OneWeek/OneMonth) and pruning; this puts the two
+    //      operationally-common rotations under the cross-engine gate. ----
+    gated("q189_rotation_layout",
+      s"""WITH sel AS (SELECT metadata."timestamp" AS ts
+         |            FROM $readJson WHERE $selectionSql)
+         |SELECT 'hour' AS period,
+         |       substr(ts, 1, 10) || '-' || substr(ts, 12, 2) AS rotation,
+         |       CAST(COUNT(*) AS BIGINT) AS c
+         |FROM sel GROUP BY 2
+         |UNION ALL
+         |SELECT 'day' AS period, substr(ts, 1, 10) AS rotation,
+         |       CAST(COUNT(*) AS BIGINT) AS c
+         |FROM sel GROUP BY 2
+         |ORDER BY period, rotation""") { (s, d) =>
+      import graft.streaming.CdcStreamPipeline
+      import graft.streaming.CdcStreamPipeline.{Rotation, Sinks}
+      val batch = CdcStreamPipeline.parseLines(s.read.text(fx))
+        .filter(!Envelope.corrupt && col("event_ts").isNotNull)
+      def leg(rot: Rotation, label: String) = {
+        val root = GatedQuery.indexScratch(d, s"rotation_$label")
+        val sinks = Sinks(s"$root/serving", s"$root/archive",
+          s"$root/error", s"$root/checkpoint")
+        CdcStreamPipeline.sinkBatch(sinks, rotation = rot)(batch, 0L)
+        s.read.parquet(sinks.archive)
+          .select(lit(label).as("period"),
+            col("rotation").cast("string").as("rotation"))
+      }
+      leg(Rotation.OneHour, "hour").unionByName(leg(Rotation.OneDay, "day"))
+        .groupBy("period", "rotation").agg(count(lit(1)).as("c"))
+        .orderBy("period", "rotation")
     }
   )
 }

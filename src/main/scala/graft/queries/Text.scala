@@ -1063,6 +1063,47 @@ object Text {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- INCREMENTAL exact similarity join (SimJoin.writeIndex /
+    //      incrementalJaccard) under the cross-engine gate: the corpus
+    //      splits into a base (90%) and an ingest batch (doc_id ≡ 9 mod
+    //      10), the base builds its persisted prefix index ONCE, and the
+    //      batch joins its prefixes against the stored postings — every
+    //      ≥τ pair INVOLVING a batch doc, without re-pairing the base
+    //      (the steady-state cost of the q134/q149/q152 dedup family:
+    //      |batch| + candidates, never |corpus|²). The oracle computes
+    //      the same answer the only way SQL can — the full pair set,
+    //      filtered to batch-involving pairs — so what the gate pins is
+    //      that the frozen-order index path loses NOTHING vs the
+    //      rebuild (recall 1.0 under the order-extension argument at the
+    //      operator; tools/IncrementalDedup prices it at scale). ----
+    gated("q190_incremental_simjoin",
+      """WITH t AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                     for i in range(1, len(w)-1)])) AS s
+        |      FROM t WHERE len(w) >= 3),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |ov AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS i
+        |       FROM g a JOIN g b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2)
+        |SELECT a_id, b_id, CAST(i AS BIGINT) AS i,
+        |       CAST(sa.n AS BIGINT) AS na, CAST(sb.n AS BIGINT) AS nb
+        |FROM ov JOIN sz sa ON a_id = sa.doc_id JOIN sz sb ON b_id = sb.doc_id
+        |WHERE 2 * i >= sa.n + sb.n - i
+        |  AND (a_id % 10 = 9 OR b_id % 10 = 9)
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val sets = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+        .localCheckpoint() // base and batch legs split one tokenization
+      val dir = graft.GatedQuery.indexScratch(d, "simjoin_q190")
+      SimJoin.writeIndex(sets.filter(col("id") % 10 =!= 9), dir, 1, 2)
+      SimJoin.incrementalJaccard(s, dir, sets.filter(col("id") % 10 === 9),
+          1, 2)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- Sorted-neighborhood blocking (operators/SortedNeighborhood):
     //      the third candidate family beside LSH buckets (q40) and
     //      prefix tokens (q123) — block on the sortable text OPENING,

@@ -150,4 +150,135 @@ object SimJoin {
       .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
   }
+
+  // ---------------------------------------------------------------------
+  // Persisted prefix index + incremental exact join — the steady-state
+  // ingest path for the EXACT dedup family (q123/q134/q149/q152's core),
+  // mirroring NearDup.writeIndex/incrementalPairs for the LSH family:
+  // dedup the corpus ONCE, then join each ingest batch's prefixes
+  // against the stored postings — per-batch cost |batch| + its
+  // candidates, never the |corpus|² rebuild.
+  //
+  // Order-freezing argument (what makes the incremental join EXACT):
+  // the prefix theorem needs ONE total token order shared by every set;
+  // WHICH order is arbitrary for correctness (rarest-first is only the
+  // fast choice). The index freezes the build-time (dfreq, fingerprint)
+  // order; a batch token unseen at build time gets dfreq 0 — sorting
+  // before every indexed token. Base documents cannot contain unseen
+  // tokens (dfreq 0 ⟺ absent from the base corpus), so extending the
+  // order this way never re-ranks any base document's tokens — stored
+  // base prefixes stay valid verbatim, and recall stays 1.0. What DOES
+  // drift as batches accumulate is rarest-FIRST-ness (frozen counts go
+  // stale), which degrades candidate pruning, not correctness — the
+  // standard compaction trigger: rebuild the index when batch volume
+  // rivals the base.
+  // ---------------------------------------------------------------------
+
+  /** Prefix postings of `tok(id, n, w)` under the (dfreq, w) order;
+    * unseen tokens rank rarest (dfreq 0) — see the order-freezing note. */
+  private def prefixOf(tok: DataFrame, dfreq: DataFrame,
+                       tNum: Int, tDen: Int): DataFrame =
+    tok.join(dfreq, Seq("w"), "left")
+      .withColumn("dfreq", coalesce(col("dfreq"), lit(0L)))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("id").orderBy("dfreq", "w")))
+      .filter(col("pos") <=
+        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
+      .select(col("id"), col("n"), col("w"))
+
+  private def tokOf(mat: DataFrame): DataFrame =
+    mat.select(col("id"), size(col("set")).as("n"),
+      explode(col("set")).as("w0"))
+      .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
+
+  private def fpOf(mat: DataFrame): DataFrame =
+    mat.select(col("id"),
+      expr("array_distinct(transform(set, x -> xxhash64(x)))").as("fps"),
+      size(col("set")).as("n"))
+
+  /** Exact verify of candidate `(a_id, b_id)` pairs against fingerprint
+    * arrays; same integer threshold as [[jaccardJoin]]. */
+  private def verify(cand: DataFrame, fp: DataFrame,
+                     tNum: Int, tDen: Int): DataFrame =
+    cand
+      .join(fp.select(col("id").as("a_id"), col("fps").as("seta"),
+        col("n").as("na")), "a_id")
+      .join(fp.select(col("id").as("b_id"), col("fps").as("setb"),
+        col("n").as("nb")), "b_id")
+      .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
+      .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
+      .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
+        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+
+  /** Persist the prefix index of `sets(id, set)` under `dir`: the frozen
+    * token order (`dfreq`), the prefix postings (`prefix`), and the
+    * verify fingerprints (`fp`). Thresholds are part of the layout —
+    * prefix lengths encode τ — so probes must use the same tNum/tDen. */
+  def writeIndex(sets: DataFrame, dir: String, tNum: Int, tDen: Int): Unit = {
+    require(tNum > 0 && tNum <= tDen,
+      s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
+    val mat = sets.select(col("id"), col("set")).localCheckpoint()
+    val tok = tokOf(mat).localCheckpoint() // feeds dfreq AND the prefix rank
+    val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
+    dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
+    prefixOf(tok, dfreq, tNum, tDen)
+      .write.mode("overwrite").parquet(s"$dir/prefix")
+    fpOf(mat).write.mode("overwrite").parquet(s"$dir/fp")
+  }
+
+  /** All ≥τ pairs WITHIN the indexed corpus, derived from the persisted
+    * relations alone (no re-tokenization — the probe-side twin of
+    * NearDup.pairsFromIndex). */
+  def pairsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     tNum: Int, tDen: Int): DataFrame = {
+    val prefix = spark.read.parquet(s"$dir/prefix")
+    val cand = prefix.select(col("id").as("a_id"), col("n").as("pna"), col("w"))
+      .join(prefix.select(col("id").as("b_id"), col("n").as("pnb"), col("w")), "w")
+      .filter(col("a_id") < col("b_id") &&
+        greatest(col("pna"), col("pnb")) * tNum <=
+          least(col("pna"), col("pnb")) * tDen)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    verify(cand, spark.read.parquet(s"$dir/fp"), tNum, tDen)
+  }
+
+  /** Every ≥τ pair INVOLVING a batch document — batch-vs-index plus
+    * batch-vs-batch, exact under the frozen order (see the class note):
+    * `pairsFromIndex(base) ∪ incrementalJaccard(batch)` equals
+    * `jaccardJoin(base ∪ batch)` as a set (SimJoinSpec pins it). Batch
+    * ids must be disjoint from indexed ids (caller contract — same as
+    * NearDup.incrementalPairs). Pairs are oriented `a_id < b_id`.
+    * Cost: |batch| postings join the stored postings on the token key —
+    * the index side never re-scans its documents, and base-base pairs
+    * never re-form. */
+  def incrementalJaccard(spark: org.apache.spark.sql.SparkSession,
+                         dir: String, newSets: DataFrame,
+                         tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen,
+      s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
+    val mat = newSets.select(col("id"), col("set")).localCheckpoint()
+    val dfreq = spark.read.parquet(s"$dir/dfreq")
+    val newPrefix = prefixOf(tokOf(mat), dfreq, tNum, tDen)
+      .localCheckpoint() // probes the index AND self-joins
+    val basePrefix = spark.read.parquet(s"$dir/prefix")
+    val np = newPrefix.select(col("id").as("a_id"), col("n").as("pna"), col("w"))
+    val candBase = np
+      .join(basePrefix.select(col("id").as("b_id"), col("n").as("pnb"),
+        col("w")), "w")
+      .filter(col("a_id") =!= col("b_id") &&
+        greatest(col("pna"), col("pnb")) * tNum <=
+          least(col("pna"), col("pnb")) * tDen)
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"))
+    val candNew = np
+      .join(newPrefix.select(col("id").as("b_id"), col("n").as("pnb"),
+        col("w")), "w")
+      .filter(col("a_id") < col("b_id") &&
+        greatest(col("pna"), col("pnb")) * tNum <=
+          least(col("pna"), col("pnb")) * tDen)
+      .select(col("a_id"), col("b_id"))
+    val cand = candBase.unionByName(candNew).distinct()
+    val fp = spark.read.parquet(s"$dir/fp").unionByName(fpOf(mat))
+    verify(cand, fp, tNum, tDen)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.ConnectedComponents
+import graft.text.{SimJoin, TextOps}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Increment-vs-rebuild pricing for the EXACT dedup core that q134/q149/
+  * q152 ride (trigram sets → prefix-filtered Jaccard pairs → connected
+  * components) — the measured production story for the quadratic-answer
+  * families the century smoke pays wholesale: dedup the corpus ONCE
+  * (index build), then fold each ingest batch through
+  * `SimJoin.incrementalJaccard` + `ConnectedComponents.incremental`
+  * against the persisted index and labels, cost |batch| + its
+  * candidates, never the |corpus|² re-pair.
+  *
+  * On a GenScaledData-replicated dir the last replica (doc_id ≥ the top
+  * id-offset stripe) plays the ingest batch — ~1/copies of the corpus —
+  * and the tool asserts LABEL PARITY: the incremental labels must equal
+  * the one-shot rebuild's labels as a set before either time is worth
+  * reporting.
+  *
+  * Usage: runMain graft.tools.IncrementalDedup [scaledDir] */
+object IncrementalDedup {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/tmp/sf100x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sets = Tables.documents(spark, sfDir)
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+      .localCheckpoint()
+    // GenScaledData stripes replica i into [i*OFF, (i+1)*OFF); the top
+    // stripe is the ingest batch
+    val OFF = 1000000000000L
+    val topStripe = sets.agg(max(expr(s"id div $OFF"))).first().getLong(0)
+    val cut = topStripe * OFF
+    val base = sets.filter(col("id") < cut).localCheckpoint()
+    val inc = sets.filter(col("id") >= cut).localCheckpoint()
+    println(s"[incdedup] base=${base.count()} inc=${inc.count()} docs")
+
+    def secs[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // one-shot rebuild: the cost the century smoke pays per run
+    val (rebuildLabels, tRebuild) = secs {
+      ConnectedComponents.run(
+        SimJoin.jaccardJoin(sets, 1, 2).select(col("a_id"), col("b_id")))
+        .localCheckpoint()
+    }
+
+    // amortized build: index + base pairs + base labels, persisted once
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_idx"
+    val (baseLabels, tBuild) = secs {
+      SimJoin.writeIndex(base, dir, 1, 2)
+      ConnectedComponents.run(
+        SimJoin.pairsFromIndex(spark, dir, 1, 2)
+          .select(col("a_id"), col("b_id")))
+        .localCheckpoint()
+    }
+
+    // the steady-state ingest fold: batch pairs against the index, then
+    // labels-as-edges closure — never touches base-base pairs
+    val (incLabels, tInc) = secs {
+      ConnectedComponents.incremental(baseLabels,
+        SimJoin.incrementalJaccard(spark, dir, inc, 1, 2)
+          .select(col("a_id"), col("b_id")))
+        .localCheckpoint()
+    }
+
+    // parity gate: same labeled membership, or the times mean nothing
+    val diff = rebuildLabels.exceptAll(incLabels).count() +
+      incLabels.exceptAll(rebuildLabels).count()
+    require(diff == 0, s"incremental labels diverge from rebuild: $diff rows")
+    println(f"""{"rebuild_s":$tRebuild%.1f,"base_build_s":$tBuild%.1f,"increment_s":$tInc%.1f,"labeled":${incLabels.count()},"parity":true}""")
+    spark.stop()
+  }
+}

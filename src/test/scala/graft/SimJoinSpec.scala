@@ -62,6 +62,46 @@ class SimJoinSpec extends SparkTestBase {
       s"prefix $prefixRows vs tokens $tokRows")
   }
 
+  test("persisted index + incremental join == one-shot rebuild (frozen-order exactness)") {
+    val rnd = new scala.util.Random(123)
+    val vocab = (0 until 50).map(i => f"t$i%02d")
+    val base = (0L until 60L).map { id =>
+      val n = 4 + rnd.nextInt(10)
+      id -> rnd.shuffle(vocab).take(n).distinct
+    }
+    // batch: disjoint ids; near-dups of base docs (new-old pairs), a
+    // near-dup pair within the batch (new-new), and a doc carrying
+    // tokens UNSEEN at index-build time (the dfreq-0 order extension)
+    val batch = Seq(
+      200L -> base(3)._2,                       // exact twin of base 3
+      201L -> (base(7)._2 :+ "zz1").distinct,   // near-dup of base 7
+      202L -> Seq("zz1", "zz2", "zz3", "zz4"),  // all-unseen tokens
+      203L -> Seq("zz1", "zz2", "zz3", "zz5"))  // near-dup of 202 (new-new)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sj_idx").toString
+    for ((tn, td) <- Seq((1, 2), (4, 5))) {
+      SimJoin.writeIndex(base.toDF("id", "set"), s"$dir/$tn", tn, td)
+      val basePairs = SimJoin.pairsFromIndex(spark, s"$dir/$tn", tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val incPairs = SimJoin.incrementalJaccard(spark, s"$dir/$tn",
+          batch.toDF("id", "set"), tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // the base leg alone equals the base-only join
+      assert(basePairs === brute(base, tn, td), s"base tau=$tn/$td")
+      // every incremental pair involves a batch doc — base-base pairs
+      // never re-form on ingest
+      assert(incPairs.forall(p => p._1 >= 200L || p._2 >= 200L),
+        s"base-base pair leaked tau=$tn/$td")
+      // union == the full rebuild, exactly
+      assert(basePairs ++ incPairs === brute(base ++ batch, tn, td),
+        s"incremental != rebuild tau=$tn/$td")
+      // and the planted relationships actually surface at tau=1/2
+      if (tn == 1) {
+        assert(incPairs.exists(p => p._1 === 3L && p._2 === 200L))
+        assert(incPairs.exists(p => p._1 === 202L && p._2 === 203L))
+      }
+    }
+  }
+
   test("containment join: parity with brute force; asymmetry shows (small⊂big kept, reverse dropped)") {
     val rnd = new scala.util.Random(11)
     val vocab = (0 until 60).map(i => f"t$i%02d")
