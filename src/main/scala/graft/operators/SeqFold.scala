@@ -112,6 +112,36 @@ object SeqFold {
       .toDF("user_id", "n", "balance")
   }
 
+  /** One-sided CUSUM drift monitor per user (Page 1954 — the classic
+    * sequential changepoint statistic): over the (ts, event_id)-ordered
+    * cents, s ← max(0, s + (c − k)); when s reaches the decision
+    * threshold h an ALARM fires and the statistic restarts at 0 (the
+    * standard post-alarm reset). The clamp AND the reset both make the
+    * fold non-associative with no algebraic chunk composition (same
+    * argument as [[clampedBalance]], plus a second reset nonlinearity) —
+    * the fourth streamed-fold tenant. All arithmetic in exact integers;
+    * k is the drift allowance, h the alarm threshold. Returns
+    * (user_id, n, alarms, final_s) per user with ≥ 1 event. */
+  def cusum(df: DataFrame, k: Long, h: Long): DataFrame = {
+    require(h > 0 && k >= 0, s"cusum: need h > 0, k >= 0; got k=$k h=$h")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.groupByKey(_.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapSortedGroups(col("ts"), col("event_id")) { (uid, it) =>
+        var n = 0L
+        var s = 0L
+        var alarms = 0L
+        it.foreach { r =>
+          s = math.max(0L, s + r.getAs[Long]("cents") - k)
+          if (s >= h) { alarms += 1; s = 0L }
+          n += 1
+        }
+        if (n == 0L) Iterator.empty
+        else Iterator.single((uid, n, alarms, s))
+      }
+      .toDF("user_id", "n", "alarms", "final_s")
+  }
+
   /** Ordered trigram paths per user: for each user's (ts, event_id)-
     * ordered event_type sequence, emit every consecutive 3-step path as
     * "a b c" — O(1) state (a 2-token ring), users with < 3 events emit

@@ -439,6 +439,100 @@ object Series {
         .orderBy("event_type")
     },
 
+    // ---- EXACT percentile_cont (linear interpolation between the two
+    //      bracketing order statistics — the ANSI/NIST definition:
+    //      position pos = p·(n−1)/100, value = v_lo·(100−frac) +
+    //      v_hi·frac, reported ×100 so the result stays an exact
+    //      BIGINT) — the interpolated sibling of q148's
+    //      percentile_disc, through the SAME two-pass distributed
+    //      selection: the crossing-bucket relation now carries TWO
+    //      target ranks per percentile (⌊pos⌋+1 and its successor,
+    //      labeled lo/hi) and the final combine interpolates. Still
+    //      three scans + histogram-sized exchanges; the full-data sort
+    //      never happens. Oracle affords the plain rank window. ----
+    gated("q194_percentile_cont",
+      """WITH c AS (SELECT event_type, event_id,
+        |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT event_type, cents,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY cents, event_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM c),
+        |v AS (SELECT event_type, MAX(n) AS n,
+        |             MAX(CASE WHEN rn = (50*(n-1)) // 100 + 1 THEN cents END) AS lo50,
+        |             MAX(CASE WHEN rn = (50*(n-1)) // 100 + 1
+        |                        + CASE WHEN (50*(n-1)) % 100 > 0 THEN 1 ELSE 0 END
+        |                      THEN cents END) AS hi50,
+        |             MAX(CASE WHEN rn = (90*(n-1)) // 100 + 1 THEN cents END) AS lo90,
+        |             MAX(CASE WHEN rn = (90*(n-1)) // 100 + 1
+        |                        + CASE WHEN (90*(n-1)) % 100 > 0 THEN 1 ELSE 0 END
+        |                      THEN cents END) AS hi90
+        |      FROM r GROUP BY event_type)
+        |SELECT event_type,
+        |       CAST(lo50 * (100 - (50*(n-1)) % 100)
+        |            + hi50 * ((50*(n-1)) % 100) AS BIGINT) AS p50_x100,
+        |       CAST(lo90 * (100 - (90*(n-1)) % 100)
+        |            + hi90 * ((90*(n-1)) % 100) AS BIGINT) AS p90_x100,
+        |       CAST(n AS BIGINT) AS n
+        |FROM v ORDER BY event_type""") { (s, d) =>
+      val B = 1024
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+      val g = ev.groupBy("event_type")
+        .agg(min("cents").as("lo"), max("cents").as("hi"),
+          count(lit(1)).as("n"))
+        .localCheckpoint()
+      val bucketed = ev.join(broadcast(g), "event_type")
+        .withColumn("bucket", expr(s"((cents - lo) * $B) div (hi - lo + 1)"))
+      val wcum = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = bucketed.groupBy("event_type", "bucket")
+        .agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum("c").over(wcum))
+        .withColumn("before", col("cum") - col("c"))
+      // two bracketing ranks per percentile: lo = ⌊p(n−1)/100⌋+1,
+      // hi = lo + (frac > 0); frac travels with the rank row
+      val ranks = g.select(col("event_type"), explode(array(Seq(50, 90).flatMap {
+          p => Seq(
+            struct(lit(p.toLong).as("p"), lit("lo").as("role"),
+              expr(s"($p*(n-1)) div 100 + 1").as("k"),
+              expr(s"($p*(n-1)) % 100").as("fn")),
+            struct(lit(p.toLong).as("p"), lit("hi").as("role"),
+              expr(s"($p*(n-1)) div 100 + 1 + " +
+                s"(CASE WHEN ($p*(n-1)) % 100 > 0 THEN 1 ELSE 0 END)").as("k"),
+              expr(s"($p*(n-1)) % 100").as("fn")))
+        }: _*)).as("t"))
+        .select(col("event_type"), col("t.p").as("p"),
+          col("t.role").as("role"), col("t.k").as("k"), col("t.fn").as("fn"))
+      val crossing = ranks.join(cum, Seq("event_type"))
+        .filter(col("before") < col("k") && col("k") <= col("cum"))
+        .select(col("event_type"), col("p"), col("role"), col("fn"),
+          col("bucket"), (col("k") - col("before")).as("ik"))
+      val wsel = Window.partitionBy("event_type", "p", "role")
+        .orderBy("cents", "event_id")
+      bucketed.join(broadcast(crossing), Seq("event_type", "bucket"))
+        .withColumn("rn", row_number().over(wsel))
+        .filter(col("rn") === col("ik"))
+        .groupBy("event_type")
+        .agg(
+          max(when(col("p") === 50 && col("role") === "lo", col("cents"))).as("lo50"),
+          max(when(col("p") === 50 && col("role") === "hi", col("cents"))).as("hi50"),
+          max(when(col("p") === 90 && col("role") === "lo", col("cents"))).as("lo90"),
+          max(when(col("p") === 90 && col("role") === "hi", col("cents"))).as("hi90"),
+          max(when(col("p") === 50, col("fn"))).as("fn50"),
+          max(when(col("p") === 90, col("fn"))).as("fn90"))
+        .join(broadcast(g.select(col("event_type"), col("n"))), "event_type")
+        .select(col("event_type"),
+          (col("lo50") * (lit(100) - col("fn50")) +
+            col("hi50") * col("fn50")).as("p50_x100"),
+          (col("lo90") * (lit(100) - col("fn90")) +
+            col("hi90") * col("fn90")).as("p90_x100"),
+          col("n"))
+        .orderBy("event_type")
+    },
+
     // ---- ROBUST outlier days: |y − median| > 3·MAD per event_type —
     //      the median/MAD twin of q88's mean/σ z-score. On skewed or
     //      contaminated series the mean and σ are dragged by the very
@@ -591,6 +685,197 @@ object Series {
               .otherwise(expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)"))
               .as("delta")))
         .orderBy("user_id")
+    },
+
+    // ---- One-sided CUSUM changepoint monitor per user (Page 1954):
+    //      s ← max(0, s + (cents − k)), alarm + reset at s ≥ h — the
+    //      sequential drift detector ops teams run per tenant/device
+    //      (has THIS series started spending above its allowance?).
+    //      The clamp and the post-alarm reset are BOTH non-associative
+    //      nonlinearities, so no window frame, prefix sum, or chunk
+    //      composition expresses the fold — the fourth SeqFold
+    //      streaming tenant (O(1) state per key over a spillable
+    //      sorted iterator; the oracle folds the same two-field state
+    //      through list_reduce over [s, alarms] pairs). k = 5000,
+    //      h = 30000 fire 154 alarms across 103 of the 150 sf0.01
+    //      users — discriminating, not vacuous. ----
+    gated("q191_cusum",
+      """WITH c AS (SELECT user_id, ts, event_id,
+        |             CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |g AS (SELECT user_id, list(cents ORDER BY ts, event_id) AS cs
+        |      FROM c GROUP BY user_id),
+        |f AS (SELECT user_id, CAST(len(cs) AS BIGINT) AS n,
+        |             list_reduce(
+        |               list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)],
+        |                            [[x, CAST(0 AS BIGINT)] for x in cs]),
+        |               (acc, v) -> CASE
+        |                 WHEN GREATEST(CAST(0 AS BIGINT), acc[1] + v[1] - 5000) >= 30000
+        |                 THEN [CAST(0 AS BIGINT), acc[2] + 1]
+        |                 ELSE [GREATEST(CAST(0 AS BIGINT), acc[1] + v[1] - 5000), acc[2]]
+        |               END) AS st
+        |      FROM g)
+        |SELECT user_id, n, CAST(st[2] AS BIGINT) AS alarms,
+        |       CAST(st[1] AS BIGINT) AS final_s
+        |FROM f ORDER BY user_id""") { (s, d) =>
+      graft.operators.SeqFold.cusum(
+        Tables.events(s, d)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents")),
+        k = 5000L, h = 30000L)
+        .orderBy("user_id")
+    },
+
+    // ---- LAST-TOUCH ATTRIBUTION: each purchase's revenue credits the
+    //      most recent preceding click/view by the same user within a
+    //      7-day lookback, else 'none' — the marketing-attribution
+    //      primitive every growth report runs (first/last-touch are the
+    //      two degenerate Shapley points; last-touch shown, the window
+    //      flips to `first` for first-touch). ONE analytic window does
+    //      it: last non-null touch struct over the user's (ts,
+    //      event_id)-ordered history up to the row BEFORE the purchase
+    //      (rowsBetween(-∞, -1) — a purchase can't attribute to
+    //      itself), then an epoch-µs lookback compare and a tiny
+    //      channel rollup. One hash exchange on user_id; the lookback
+    //      compare is exact integer µs on both engines. ----
+    gated("q192_attribution",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |                  epoch_us(ts) AS um,
+        |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |t AS (SELECT *,
+        |        LAST_VALUE(CASE WHEN event_type IN ('click', 'view')
+        |                        THEN struct_pack(tum := um, tt := event_type)
+        |                   END IGNORE NULLS)
+        |          OVER (PARTITION BY user_id ORDER BY um, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM e)
+        |SELECT CASE WHEN touch IS NOT NULL AND um - touch.tum <= 604800000000
+        |            THEN touch.tt ELSE 'none' END AS channel,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("um", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"),
+          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+        .withColumn("touch",
+          last(when(col("event_type").isin("click", "view"),
+            struct(col("um").as("tum"), col("event_type").as("tt"))),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(
+          when(col("touch").isNotNull &&
+              col("um") - col("touch.tum") <= 604800000000L,
+            col("touch.tt")).otherwise("none").as("channel"),
+          col("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy("channel")
+    },
+
+    // ---- FIRST-TOUCH attribution — q192's other Shapley endpoint: the
+    //      EARLIEST click/view inside the 7-day lookback gets the
+    //      credit. A range frame in exact epoch-µs bounds the lookback
+    //      ([-7d, -1µs] — again self-attribution-proof), and the
+    //      earliest touch is MIN over a (um, event_id, type) struct —
+    //      lexicographic struct-min, NOT first_value, because rows tied
+    //      on the range-frame ordering key have no deterministic frame
+    //      order on either engine; the struct's event_id component
+    //      makes the pick total. Same single user-keyed exchange. ----
+    gated("q195_first_touch",
+      """WITH e AS (SELECT user_id, ts, event_id, event_type,
+        |                  epoch_us(ts) AS um,
+        |                  CAST(trunc(CAST(value AS DOUBLE) * 100) AS BIGINT) AS cents
+        |           FROM events),
+        |t AS (SELECT *,
+        |        MIN(CASE WHEN event_type IN ('click', 'view')
+        |                 THEN struct_pack(tum := um, tid := event_id,
+        |                                  tt := event_type) END)
+        |          OVER (PARTITION BY user_id ORDER BY um
+        |                RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING) AS touch
+        |      FROM e)
+        |SELECT COALESCE(touch.tt, 'none') AS channel,
+        |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+        |       CAST(SUM(cents) AS BIGINT) AS revenue_cents
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("um")
+        .rangeBetween(-604800000000L, -1L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"),
+          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+        .withColumn("touch",
+          min(when(col("event_type").isin("click", "view"),
+            struct(col("um").as("tum"), col("event_id").as("tid"),
+              col("event_type").as("tt")))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(coalesce(col("touch.tt"), lit("none")).as("channel"),
+          col("cents"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy("channel")
+    },
+
+    // ---- EXACT ROC-AUC as a rank statistic (Mann-Whitney U): does the
+    //      stopword-density score separate English documents? — the
+    //      classifier-evaluation primitive every quality-filter tuning
+    //      loop needs, computed WITHOUT the n² pair join or a float
+    //      rank: group by score, order once, and 2U = Σ_s (2·pos_s·
+    //      neg_below_s + pos_s·neg_s) counts wins twice and ties once —
+    //      exact integers end-to-end, AUC reported in ppm by integer
+    //      division. One tiny hash agg on the score + one window over
+    //      score cardinality (≤ 1001 rows) — the corpus never sorts.
+    //      Measured AUC on the fixture: 0.529 — the synthetic corpus
+    //      draws tokens near-uniformly across langs, and the evaluator
+    //      reports exactly that (a near-random classifier), which is
+    //      the point of an EXACT eval: ties and weak signals are
+    //      counted (as half-wins), not rounded away. ----
+    gated("q193_auc",
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |             CAST(1000 * len(list_filter(w, x -> x IN ('a','the'))) AS BIGINT)
+        |               // CAST(len(w) AS BIGINT) AS score
+        |      FROM t WHERE len(w) >= 1),
+        |g AS (SELECT score, CAST(SUM(pos) AS BIGINT) AS p,
+        |             CAST(SUM(1 - pos) AS BIGINT) AS q
+        |      FROM m GROUP BY score),
+        |c AS (SELECT score, p, q,
+        |             SUM(q) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) - q AS nb
+        |      FROM g)
+        |SELECT CAST(SUM(p) AS BIGINT) AS npos, CAST(SUM(q) AS BIGINT) AS nneg,
+        |       CAST(SUM(2 * p * nb + p * q) AS BIGINT) AS u2,
+        |       CAST(SUM(2 * p * nb + p * q) * 500000
+        |            // (SUM(p) * SUM(q)) AS BIGINT) AS auc_ppm
+        |FROM c""") { (s, d) =>
+      import graft.text.TextOps
+      val m = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 1)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          TextOps.markerHits(col("w"), Seq("a", "the")).cast("long")
+            .as("stop"), size(col("w")).cast("long").as("n"))
+        .select(col("pos"), expr("(1000 * stop) div n").as("score"))
+      // score cardinality ≤ 1001 — the window runs over the tiny grouped
+      // relation, never the corpus (two-level: agg shuffles score
+      // cardinality, cumsum is histogram-sized)
+      val g = m.groupBy("score")
+        .agg(sum(col("pos")).as("p"), sum(lit(1L) - col("pos")).as("q"))
+      val w = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.withColumn("nb", sum(col("q")).over(w) - col("q"))
+        .agg(sum(col("p")).as("npos"), sum(col("q")).as("nneg"),
+          sum(lit(2) * col("p") * col("nb") + col("p") * col("q")).as("u2"),
+          expr("CAST(SUM(2 * p * nb + p * q) * 500000 div (SUM(p) * SUM(q)) AS BIGINT)")
+            .as("auc_ppm"))
     },
 
     // ---- Lag-1 autocorrelation MOMENTS per series (seasonality /

@@ -2,6 +2,8 @@ package graft.streaming
 
 import graft.operators.ConnectedComponents
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Incrementally maintained duplicate-cluster labels — the STREAMING
   * counterpart of q168's batch incremental components, and the fifth
@@ -18,6 +20,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * belong to / which docs are one entity" is answerable at any moment
   * from the label relation alone.
   *
+  * State layout (round 10): the SECOND [[BucketedState]] tenant — labels
+  * are corpus-sized, so per-trigger writes must not be. Labels
+  * hash-bucket on `id`; after the closure, a set-diff against the prior
+  * labels finds exactly the ids whose row changed (new docs + relabeled
+  * members of bridged clusters), and the commit rewrites ONLY their
+  * buckets — every untouched bucket carries forward as a manifest
+  * pointer. Write amplification is O(changed labels), bounded by the
+  * batch's connectivity effect, never O(corpus); the per-trigger READ
+  * stays O(labels) because the closure's input is the full relation
+  * (that is the algorithm, not the layout). Ids must be long (the
+  * repo-wide doc-id type).
+  *
   * Exactly-once: cluster folding is NOT idempotent under retry in
   * general (a re-run could observe torn state mid-write), so each fold
   * commits through the same versioned staging+rename protocol as every
@@ -25,21 +39,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * a no-op (DupClusterSpec/StreamingSpec discipline). */
 object DupClusterMaintenance {
 
+  /** Bucket fan-out; fixed for the life of a label dir. */
+  val NumBuckets = 8
+
+  private val stateSchema = StructType(Seq(
+    StructField("id", LongType), StructField("cluster", LongType),
+    StructField(BucketedState.BucketCol, IntegerType)))
+
   /** Fold one micro-batch of pair edges `(a_id, b_id)` into the label
     * state at `labelDir` — call from foreachBatch. */
   def update(labelDir: String, pairs: DataFrame, batchId: Long): Unit = {
     val spark = pairs.sparkSession
-    if (VersionedState.committed(spark, labelDir, batchId)) return
-    val edges = pairs.toDF("a", "b")
-    val merged = VersionedState.latestSnapshot(spark, labelDir) match {
-      case Some(prev) => ConnectedComponents.incremental(prev, edges)
-      case None       => ConnectedComponents.run(edges)
+    if (BucketedState.committed(spark, labelDir, batchId)) return
+    val (p, manifest) = BucketedState.latestManifest(spark, labelDir) match {
+      case Some((_, mp, m)) =>
+        require(mp == NumBuckets,
+          s"labels at $labelDir laid out with p=$mp, engine uses $NumBuckets")
+        (mp, m)
+      case None => (NumBuckets, Map.empty[Int, Long])
     }
-    VersionedState.commit(merged, labelDir, batchId)
+    val prev = BucketedState.read(spark, labelDir, stateSchema, manifest, None)
+      .drop(BucketedState.BucketCol)
+    val edges = pairs.toDF("a", "b")
+      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+    val merged = ConnectedComponents.incremental(prev, edges)
+      .select(col("id").cast("long").as("id"),
+        col("cluster").cast("long").as("cluster"))
+      .localCheckpoint() // feeds the diff (twice) and the dirty write
+    // exactly the rows that changed: new ids + relabeled members of
+    // bridged clusters — their buckets are the only ones rewritten
+    val changed = merged.exceptAll(prev).select(col("id"))
+      .unionByName(prev.exceptAll(merged).select(col("id")))
+    val dirty = changed
+      .select(BucketedState.bucketOf(col("id"), p).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val dirtyState = merged
+      .withColumn(BucketedState.BucketCol,
+        BucketedState.bucketOf(col("id"), p))
+      .filter(if (dirty.isEmpty) lit(false)
+        else col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
+    BucketedState.commit(dirtyState, labelDir, batchId, p, dirty, manifest)
   }
 
   /** Newest committed label relation `(id, cluster)`. */
-  def labels(spark: SparkSession, labelDir: String): DataFrame =
-    VersionedState.latestSnapshot(spark, labelDir).getOrElse(
-      throw new IllegalStateException(s"no cluster state under $labelDir"))
+  def labels(spark: SparkSession, labelDir: String): DataFrame = {
+    val (_, p, manifest) = BucketedState.latestManifest(spark, labelDir)
+      .getOrElse(throw new IllegalStateException(
+        s"no cluster state under $labelDir"))
+    require(p == NumBuckets,
+      s"labels at $labelDir laid out with p=$p, engine uses $NumBuckets")
+    BucketedState.read(spark, labelDir, stateSchema, manifest, None)
+      .select(col("id"), col("cluster"))
+  }
 }

@@ -574,6 +574,23 @@ class StreamingSpec extends SparkTestBase {
     // retried final batch: labels must not change
     DupClusterMaintenance.update(shelf, pairs(spark.read.text(src)), 2L)
     assert(labelMap(DupClusterMaintenance.labels(spark, shelf)) === served)
+
+    // bucketed layout: a batch introducing one ISOLATED pair rewrites
+    // only that pair's label buckets — every other bucket carries
+    // forward as a manifest pointer, zero copies
+    import graft.streaming.BucketedState
+    import spark.implicits._
+    DupClusterMaintenance.update(shelf,
+      Seq((100L, 101L)).toDF("a_id", "b_id"), 3L)
+    def bucketOf(id: Long): Int = spark.range(1)
+      .select(BucketedState.bucketOf(lit(id), DupClusterMaintenance.NumBuckets))
+      .collect().head.getInt(0)
+    assert(BucketedState.bucketDirs(spark, shelf, 3L) ===
+      Set(bucketOf(100L), bucketOf(101L)))
+    // ...and the new pair is labeled without disturbing old clusters
+    val after = labelMap(DupClusterMaintenance.labels(spark, shelf))
+    assert(after(100L) === 100L && after(101L) === 100L)
+    assert(after.view.filterKeys(_ < 100L).toMap === served)
   }
 
   test("join-view maintenance: CDC fact stream ⋈ dim seed == batch snapshot join; retry is a no-op") {
