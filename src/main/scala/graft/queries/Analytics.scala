@@ -1049,6 +1049,103 @@ object Analytics {
           col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
     },
 
+    // ---- BM25 SERVED FROM THE PERSISTED INDEX (q120's steady-state
+    //      form, same exact arithmetic, different query terms): the
+    //      positional index (Phrase.writeIndex, shared with q196) plus
+    //      two tiny stat sidecars — (doc_id, dl) and the one-row
+    //      (N, Σdl) — are built once; a query then reads ONLY its
+    //      terms' buckets (directory pruning), derives tf and df from
+    //      those postings alone, joins dl for the matched docs, and
+    //      scores with q120's log-free integer-rational formulation
+    //      (per-term contributions pivoted into FIXED-ORDER columns —
+    //      a groupBy float sum would be order-nondeterministic at the
+    //      6th decimal). Probe cost: |postings(terms)| + matched-doc
+    //      joins; the corpus is never rescanned, which is the whole
+    //      point of serving retrieval from an index. ----
+    gated("q197_indexed_bm25",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |        CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf_h,
+        |        CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_s,
+        |        CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_w
+        |      FROM t WHERE len(w) > 0),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |        CAST(SUM(CASE WHEN tf_h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_h,
+        |        CAST(SUM(CASE WHEN tf_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_s,
+        |        CAST(SUM(CASE WHEN tf_w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_w
+        |      FROM s),
+        |r AS (SELECT s.doc_id,
+        |        (CAST(2*g.n - 2*g.df_h + 1 AS DOUBLE) / CAST(2*g.df_h + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_h * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_h * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |      + (CAST(2*g.n - 2*g.df_s + 1 AS DOUBLE) / CAST(2*g.df_s + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_s * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_s * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |      + (CAST(2*g.n - 2*g.df_w + 1 AS DOUBLE) / CAST(2*g.df_w + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_w * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_w * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |          AS score,
+        |        s.tf_h + s.tf_s + s.tf_w AS anytf
+        |      FROM s CROSS JOIN g)
+        |SELECT doc_id,
+        |       CAST(CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS VARCHAR) AS score
+        |FROM r WHERE anytf > 0
+        |ORDER BY ROUND(score, 6) DESC, doc_id
+        |LIMIT 10""") { (s, d) =>
+      import graft.text.Phrase
+      val terms = Seq("hash", "scan", "window")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .localCheckpoint() // feeds the index build and the dl sidecar
+      val dir = graft.GatedQuery.indexScratch(d, "bm25_index_q197")
+      Phrase.writeIndex(toks, "doc_id", "w", s"$dir/post", nBuckets = 64)
+      toks.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      s.read.parquet(s"$dir/docs")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .write.mode("overwrite").parquet(s"$dir/corpus")
+      // ---- probe: postings of the query terms only (bucket-pruned) ----
+      val post = s.read.parquet(s"$dir/post")
+        .filter(col("bucket").isin(
+          terms.map(t => math.floorMod(graft.text.TermHash.xx64(t), 64L).toInt)
+            .distinct: _*))
+        .filter(col("term").isin(terms: _*))
+      val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds the doc pivot AND the df aggregation
+      def tcol(t: String) =
+        coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
+      val piv = tf.groupBy("doc_id")
+        .agg(tcol("hash").as("tf_h"), tcol("scan").as("tf_s"),
+          tcol("window").as("tf_w"))
+      def dcol(t: String) =
+        coalesce(max(when(col("term") === t, col("df"))), lit(0L))
+      val dfs = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(dcol("hash").as("df_h"), dcol("scan").as("df_s"),
+          dcol("window").as("df_w"))
+      val g = broadcast(
+        s.read.parquet(s"$dir/corpus").crossJoin(dfs))
+      val dl = s.read.parquet(s"$dir/docs")
+      def term(tfc: String, dfc: String) =
+        ((lit(2) * col("n") - lit(2) * col(dfc) + lit(1)).cast("double") /
+          (lit(2) * col(dfc) + lit(1)).cast("double")) *
+          ((lit(22) * col(tfc) * col("sumdl")).cast("double") /
+            (lit(10) * col(tfc) * col("sumdl") + lit(3) * col("sumdl") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+      val score = round(
+        term("tf_h", "df_h") + term("tf_s", "df_s") + term("tf_w", "df_w"), 6)
+      piv.join(dl, "doc_id").crossJoin(g)
+        .select(col("doc_id"), score.as("sc"))
+        .orderBy(col("sc").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+    },
+
     // ---- Mergeable Misra-Gries summary (operators/MgSummary): the
     //      frequent-items entry on the sketch shelf. The single-batch
     //      build (exact counts → one MG compression, deterministic

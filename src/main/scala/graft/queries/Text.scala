@@ -990,6 +990,34 @@ object Text {
       Phrase.phraseHits(post, Seq("merge", "join")).orderBy("doc_id")
     },
 
+    // ---- q109's PERSISTED-index sibling, gated through the disk round
+    //      trip (the q40c/q48c discipline applied to the text index):
+    //      Phrase.writeIndex lays the positional postings out
+    //      PARTITIONED BY term-hash bucket, and the probe reads ONLY
+    //      the phrase terms' buckets (directory pruning — IndexSpec
+    //      pins the PartitionFilters push) and posting lists. What the
+    //      cross-engine gate adds: the layout's round trip loses no
+    //      occurrence — the same adjacency counts come back off disk
+    //      that a full rescan computes. ----
+    gated("q196_indexed_phrase",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(len(list_filter(range(1, len(w)),
+        |               i -> w[i] = 'hash' AND w[i+1] = 'join')) AS BIGINT)
+        |          AS n_hits
+        |      FROM t)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY doc_id""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val dir = graft.GatedQuery.indexScratch(d, "phrase_index_q196")
+      Phrase.writeIndex(toks, "doc_id", "w", dir, nBuckets = 64)
+      Phrase.phraseHitsIndexed(s, dir, Seq("hash", "join"), nBuckets = 64)
+        .orderBy("doc_id")
+    },
+
     // ---- Fuzzy term match (OpenSearch `fuzziness` surface): misspelled
     //      query terms resolve to vocabulary terms within edit distance
     //      1 via SymSpell delete-neighborhood blocking — an equi-join on
