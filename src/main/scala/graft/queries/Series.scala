@@ -878,6 +878,42 @@ object Series {
             .as("auc_ppm"))
     },
 
+    // ---- CALIBRATION / reliability bins — q193's companion evaluator:
+    //      decile-bin the score, and per bin report volume, observed
+    //      positive rate (exact ppm), and mean score (exact integer
+    //      div) — the reliability-diagram table that tells you WHERE a
+    //      classifier is over/under-confident, where AUC only ranks.
+    //      One hash agg on the bin key; everything integer. ----
+    gated("q198_calibration",
+      """WITH t AS (SELECT doc_id, lang,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |m AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |             CAST(1000 * len(list_filter(w, x -> x IN ('a','the'))) AS BIGINT)
+        |               // CAST(len(w) AS BIGINT) AS score
+        |      FROM t WHERE len(w) >= 1)
+        |SELECT LEAST(CAST(9 AS BIGINT), score // 100) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(pos) AS BIGINT) AS n_pos,
+        |       CAST(SUM(pos) * 1000000 // COUNT(*) AS BIGINT) AS rate_ppm,
+        |       CAST(SUM(score) // COUNT(*) AS BIGINT) AS mean_score
+        |FROM m GROUP BY 1 ORDER BY 1""") { (s, d) =>
+      import graft.text.TextOps
+      Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 1)
+        .select(when(col("lang") === "en", 1L).otherwise(0L).as("pos"),
+          TextOps.markerHits(col("w"), Seq("a", "the")).cast("long")
+            .as("stop"), size(col("w")).cast("long").as("n"))
+        .select(col("pos"), expr("(1000 * stop) div n").as("score"))
+        .groupBy(least(lit(9L), expr("score div 100")).as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("pos")).as("n_pos"),
+          expr("CAST(SUM(pos) * 1000000 div COUNT(*) AS BIGINT)")
+            .as("rate_ppm"),
+          expr("CAST(SUM(score) div COUNT(*) AS BIGINT)").as("mean_score"))
+        .orderBy("bin")
+    },
+
     // ---- Lag-1 autocorrelation MOMENTS per series (seasonality /
     //      momentum detection): over consecutive observed days, the
     //      exact BIGINT rationals n·Σab − ΣaΣb (covariance numerator)

@@ -131,6 +131,26 @@ object BucketedState {
       .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
   }
 
+  /** Fold the current state into ONE fresh full version at `batchId`
+    * (every bucket rewritten, manifest pointing only at `batchId`) and
+    * prune everything older — the compaction that bounds how far back a
+    * never-touched bucket's pointer can reach (file-listing cost and
+    * retention both become O(1) versions again). Same staging+rename
+    * commit, so a crashed compaction is invisible and a retry is a
+    * no-op; run it from a maintenance window like [[graft.streaming]]'s
+    * archive compaction, with a `batchId` above the stream's last commit
+    * (version ids are the commit fence, so the compaction takes one). */
+  def compact(spark: SparkSession, dir: String, schema: StructType,
+              batchId: Long): Unit = {
+    if (committed(spark, dir, batchId)) return
+    val (_, p, manifest) = latestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no state to compact under $dir"))
+    require(manifest.values.forall(_ < batchId),
+      s"compact batchId=$batchId must exceed every live version")
+    commit(read(spark, dir, schema, manifest, None), dir, batchId, p,
+      manifest.keySet, manifest, keepManifests = 1)
+  }
+
   /** Buckets materialized under one version directory — the spec hook for
     * the partition-count assertion (a batch that dirties k buckets must
     * write exactly k `bucket=` directories). */
