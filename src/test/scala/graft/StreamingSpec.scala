@@ -593,6 +593,51 @@ class StreamingSpec extends SparkTestBase {
     assert(after.view.filterKeys(_ < 100L).toMap === served)
   }
 
+  test("streaming drift monitor: cross-batch CUSUM alarms == the batch fold; state carries between triggers") {
+    import graft.streaming.DriftMonitor
+    import graft.streaming.DriftMonitor.{DriftAlarm, DriftEvent}
+    import spark.implicits._
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("um"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+      .as[DriftEvent]
+    // four contiguous time slices of the (um, event_id)-ordered history:
+    // batches partition event time monotonically — the ordering contract
+    val sorted = ev.orderBy("um", "event_id").collect().toSeq
+    val slices = sorted.grouped((sorted.size + 3) / 4).toSeq
+    assert(slices.size === 4)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DriftEvent]
+    val q = DriftMonitor.alarms(input.toDS(), 5000L, 30000L)
+      .writeStream.format("memory").queryName("drift_alarms")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("drift_ckpt")).start()
+    slices.foreach { sl => input.addData(sl: _*); q.processAllAvailable() }
+    q.stop()
+
+    val got = spark.table("drift_alarms").as[DriftAlarm].collect().toSeq
+    val gotCounts = got.groupBy(_.user_id).view.mapValues(_.size.toLong).toMap
+    // parity oracle: the q191-gated batch fold over the same history
+    val batch = graft.operators.SeqFold.cusum(
+        Tables.events(spark, sf)
+          .select(col("user_id"),
+            expr("unix_micros(CAST(ts AS TIMESTAMP))").as("ts"),
+            col("event_id"),
+            expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents")),
+        k = 5000L, h = 30000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(gotCounts === batch.filter(_._2 > 0), "alarm counts diverge")
+    assert(got.nonEmpty, "fixture must fire alarms — vacuous otherwise")
+    // ordinals are per-user sequences 1..n and alarm times move forward
+    got.groupBy(_.user_id).values.foreach { as =>
+      val inOrder = as.sortBy(a => (a.um, a.event_id))
+      assert(inOrder.map(_.alarm_no) === (1L to as.size).toSeq)
+    }
+  }
+
   test("join-view maintenance: CDC fact stream ⋈ dim seed == batch snapshot join; retry is a no-op") {
     import graft.streaming.JoinViewMaintenance
     import org.apache.spark.sql.DataFrame
