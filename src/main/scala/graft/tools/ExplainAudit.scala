@@ -39,7 +39,12 @@ object ExplainAudit {
     "q125_reachability",       // frontier scan joins, no recursive blow-up
     "q127_copurchase",         // basket join + partial agg + TakeOrdered
     "q128_triangles",          // one checkpointed edge set, 3 hash joins
-    "q129_sorted_neighbor")    // range exchange, no SinglePartition window
+    "q129_sorted_neighbor",    // range exchange, no SinglePartition window
+    "q148_percentile_exact",   // histogram-sized exchanges, no full sort
+    "q194_percentile_cont",    // same two-pass shape, two ranks/percentile
+    "q193_auc",                // score-cardinality agg + tiny cumsum
+    "q192_attribution",        // one user-keyed window, integer lookback
+    "q197_indexed_bm25")       // bucket-pruned posting read, no corpus scan
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

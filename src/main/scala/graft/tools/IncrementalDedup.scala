@@ -54,12 +54,21 @@ object IncrementalDedup {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
+    // SPARK_GRAFT_INC_ONLY=1 skips the rebuild leg (and with it the
+    // parity gate): at 100× the rebuild's candidate-join spill exceeds
+    // this box's disk — the increment-only run prices the feasible path
+    // at the scale where the comparison forfeits; parity is established
+    // by the 10× run (and q190's oracle gate)
+    val incOnly = sys.env.get("SPARK_GRAFT_INC_ONLY").contains("1")
+
     // one-shot rebuild: the cost the century smoke pays per run
-    val (rebuildLabels, tRebuild) = secs {
-      ConnectedComponents.run(
-        SimJoin.jaccardJoin(sets, 1, 2).select(col("a_id"), col("b_id")))
-        .localCheckpoint()
-    }
+    val (rebuildLabels, tRebuild) =
+      if (incOnly) (null: org.apache.spark.sql.DataFrame, -1.0)
+      else secs {
+        ConnectedComponents.run(
+          SimJoin.jaccardJoin(sets, 1, 2).select(col("a_id"), col("b_id")))
+          .localCheckpoint()
+      }
 
     // amortized build: index + base pairs + base labels, persisted once
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_idx"
@@ -81,10 +90,16 @@ object IncrementalDedup {
     }
 
     // parity gate: same labeled membership, or the times mean nothing
-    val diff = rebuildLabels.exceptAll(incLabels).count() +
-      incLabels.exceptAll(rebuildLabels).count()
-    require(diff == 0, s"incremental labels diverge from rebuild: $diff rows")
-    println(f"""{"rebuild_s":$tRebuild%.1f,"base_build_s":$tBuild%.1f,"increment_s":$tInc%.1f,"labeled":${incLabels.count()},"parity":true}""")
+    val parity =
+      if (incOnly) "\"skipped (inc-only)\""
+      else {
+        val diff = rebuildLabels.exceptAll(incLabels).count() +
+          incLabels.exceptAll(rebuildLabels).count()
+        require(diff == 0,
+          s"incremental labels diverge from rebuild: $diff rows")
+        "true"
+      }
+    println(f"""{"rebuild_s":$tRebuild%.1f,"base_build_s":$tBuild%.1f,"increment_s":$tInc%.1f,"labeled":${incLabels.count()},"parity":$parity}""")
     spark.stop()
   }
 }
