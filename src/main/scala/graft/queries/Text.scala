@@ -249,6 +249,57 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- SPLIT-REPRESENTATIVENESS drift audit: did the q63 hash split
+    //      preserve the corpus's language mix? Per language, each
+    //      split's share in exact ppm plus its absolute deviation from
+    //      the train share — the total-variation-distance table (Σ|Δ|/2
+    //      = TVD) a curation report runs before training, log-free and
+    //      integer-exact where PSI's log-ratio would force floats. A
+    //      skewed split (one lang over-represented in test) shows as a
+    //      large dev_ppm row. Two tiny aggs + a 15-row pivot; the
+    //      corpus scans once. ----
+    gated("q199_split_drift",
+      """WITH s AS (SELECT doc_id, lang,
+        |             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+        |                  THEN 'train'
+        |                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e'
+        |                  THEN 'val' ELSE 'test' END AS split
+        |           FROM documents),
+        |c AS (SELECT split, lang, COUNT(*) AS c FROM s GROUP BY 1, 2),
+        |t AS (SELECT split, SUM(c) AS tot FROM c GROUP BY 1),
+        |p AS (SELECT c.lang, c.split,
+        |             CAST(c.c * 1000000 // t.tot AS BIGINT) AS ppm
+        |      FROM c JOIN t ON c.split = t.split)
+        |SELECT lang,
+        |       COALESCE(MAX(CASE WHEN split = 'train' THEN ppm END), 0) AS train_ppm,
+        |       COALESCE(MAX(CASE WHEN split = 'val' THEN ppm END), 0) AS val_ppm,
+        |       COALESCE(MAX(CASE WHEN split = 'test' THEN ppm END), 0) AS test_ppm,
+        |       ABS(COALESCE(MAX(CASE WHEN split = 'val' THEN ppm END), 0)
+        |           - COALESCE(MAX(CASE WHEN split = 'train' THEN ppm END), 0)) AS val_dev_ppm,
+        |       ABS(COALESCE(MAX(CASE WHEN split = 'test' THEN ppm END), 0)
+        |           - COALESCE(MAX(CASE WHEN split = 'train' THEN ppm END), 0)) AS test_dev_ppm
+        |FROM p GROUP BY lang ORDER BY lang""") { (s, d) =>
+      val split = Tables.documents(s, d)
+        .withColumn("h", substring(md5(col("doc_id").cast("string")), 1, 1))
+        .select(col("lang"),
+          when(col("h") < "c", lit("train"))
+            .when(col("h") < "e", lit("val"))
+            .otherwise(lit("test")).as("split"))
+      val c = split.groupBy("split", "lang").agg(count(lit(1)).as("c"))
+      val t = c.groupBy("split").agg(sum(col("c")).as("tot"))
+      val p = c.join(t, "split")
+        .select(col("lang"), col("split"),
+          expr("CAST(c * 1000000 div tot AS BIGINT)").as("ppm"))
+      def sp(name: String) =
+        coalesce(max(when(col("split") === name, col("ppm"))), lit(0L))
+      p.groupBy("lang")
+        .agg(sp("train").as("train_ppm"), sp("val").as("val_ppm"),
+          sp("test").as("test_ppm"),
+          abs(sp("val") - sp("train")).as("val_dev_ppm"),
+          abs(sp("test") - sp("train")).as("test_dev_ppm"))
+        .orderBy("lang")
+    },
+
     // ---- O37 companion: canonical-document selection per exact-dup
     //      group — the "keep the best copy" half of dedup (q35 proves
     //      removal; this picks WHICH row survives). Group = md5(text);
