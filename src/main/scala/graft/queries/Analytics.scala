@@ -1816,6 +1816,65 @@ object Analytics {
         .agg(cntLong.as("n_nodes"), min(col("deg")).as("min_deg"),
           max(col("deg")).as("max_deg"))
         .orderBy("side", "log2_bucket")
+    },
+
+    // ---- Kendall rank stability: is this month's popularity ranking
+    //      still last month's? Exact tau-a between the pre-1998 and
+    //      1998+ shipment rankings of the top-100 parts — concordant
+    //      minus discordant pairs over all pairs, the distribution-free
+    //      answer to "did the catalog's head reshuffle". Ranks use the
+    //      deterministic (count DESC, partkey) total order, so both are
+    //      tie-free permutations and tau-a needs no tie correction;
+    //      tau_ppm divides with the truncating div both engines share
+    //      (sign-symmetric for negative tau). Scale: the per-part counts
+    //      are one partial-aggregated groupBy; the head is TakeOrdered
+    //      to a POLICY-bounded 100 items (rank stability is a head
+    //      metric — tail ranks are noise); the rank windows and the
+    //      4,950-pair self-join run on those 100 rows, broadcast, never
+    //      on the part dimension. ----
+    gated("q202_rank_stability",
+      """WITH c AS (SELECT l_partkey AS pk,
+        |    CAST(COUNT(*) FILTER (WHERE l_shipdate <  TIMESTAMP '1998-01-01') AS BIGINT) AS ca,
+        |    CAST(COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1998-01-01') AS BIGINT) AS cb,
+        |    COUNT(*) AS ct
+        |  FROM lineitem GROUP BY 1),
+        |top AS MATERIALIZED (SELECT pk, ca, cb FROM c ORDER BY ct DESC, pk LIMIT 100),
+        |r AS MATERIALIZED (SELECT pk,
+        |    ROW_NUMBER() OVER (ORDER BY ca DESC, pk) AS ra,
+        |    ROW_NUMBER() OVER (ORDER BY cb DESC, pk) AS rb FROM top),
+        |p AS (SELECT
+        |    CAST(COUNT(*) FILTER (WHERE (x.ra - y.ra) * (x.rb - y.rb) > 0) AS BIGINT) AS conc,
+        |    CAST(COUNT(*) FILTER (WHERE (x.ra - y.ra) * (x.rb - y.rb) < 0) AS BIGINT) AS disc,
+        |    CAST(COUNT(*) AS BIGINT) AS pairs
+        |  FROM r x JOIN r y ON x.pk < y.pk)
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM r) AS n_items, conc, disc,
+        |       CAST((1000000 * (conc - disc)) // pairs AS BIGINT) AS tau_ppm
+        |FROM p""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val cut = lit("1998-01-01").cast("timestamp")
+      val top = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(when(col("l_shipdate") < cut, 1)).as("ca"),
+          count(when(col("l_shipdate") >= cut, 1)).as("cb"),
+          cntLong.as("ct"))
+        .orderBy(col("ct").desc, col("pk")).limit(100)
+      // single-partition windows + self-join over the 100-row head only
+      val r = top
+        .withColumn("ra", row_number().over(
+          Window.orderBy(col("ca").desc, col("pk"))))
+        .withColumn("rb", row_number().over(
+          Window.orderBy(col("cb").desc, col("pk"))))
+        .select(col("pk"), col("ra"), col("rb"))
+      val y = r.select(col("pk").as("pk2"), col("ra").as("ra2"),
+        col("rb").as("rb2"))
+      val conc = (col("ra") - col("ra2")) * (col("rb") - col("rb2"))
+      r.join(broadcast(y), col("pk") < col("pk2"))
+        .agg(count(when(conc > 0, 1)).as("conc"),
+          count(when(conc < 0, 1)).as("disc"),
+          cntLong.as("pairs"))
+        .crossJoin(broadcast(r.agg(cntLong.as("n_items"))))
+        .select(col("n_items"), col("conc"), col("disc"),
+          expr("(1000000 * (conc - disc)) div pairs").as("tau_ppm"))
     }
   )
 }

@@ -396,8 +396,53 @@ object Graph {
         .select(col("node").as("nationkey"), col("n_name").as("nation"),
           col("cost").as("cost_days"))
         .orderBy("nationkey")
+    },
+
+    // ---- K-core decomposition (operators/KCore): the 3-core of the
+    //      q128 top-300 supplier co-sourcing graph — the cohesion
+    //      certificate edges alone can't give (a chain of strong pairs
+    //      has high edge weight but no core; a mirror community keeps
+    //      everyone at degree ≥ 3). Engine peels synchronously to the
+    //      fixpoint (order-independent, see the operator doc; observed
+    //      depth 3); the oracle unrolls 8 peel rounds — peeling is
+    //      idempotent at the fixpoint, so extra rounds are no-ops and
+    //      the two agree exactly. ----
+    gated("q200_kcore",
+      s"""WITH e00 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
+         |w AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS n
+         |      FROM e00 a JOIN e00 b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
+         |top AS (SELECT u, v FROM w ORDER BY n DESC, u, v LIMIT 300),
+         |e0 AS MATERIALIZED (SELECT u, v FROM top UNION ALL SELECT v, u FROM top),
+         |$peelChain
+         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
+         |FROM e$PeelRounds GROUP BY u ORDER BY node""") { (s, d) =>
+      val e0 = Tables.lineitem(s, d)
+        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .distinct()
+      val strongest = e0.as("x").join(e0.as("y"),
+          col("x.pk") === col("y.pk") && col("x.sk") < col("y.sk"))
+        .groupBy(col("x.sk").as("u"), col("y.sk").as("v"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("u"), col("v"))
+        .limit(300)
+        .select(col("u"), col("v"))
+      graft.operators.KCore.core(strongest, k = 3)
+        .orderBy("node")
     }
   )
+
+  private def PeelRounds = 8
+
+  /** Unrolled synchronous peel rounds for the q200 oracle: degrees →
+    * survivors (deg ≥ 3) → edge restriction, repeated; idempotent once
+    * the fixpoint is reached. */
+  private def peelChain: String =
+    (0 until PeelRounds).map { i =>
+      s"""d$i AS (SELECT u, COUNT(*) AS d FROM e$i GROUP BY u),
+         |n$i AS (SELECT u FROM d$i WHERE d >= 3),
+         |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e
+         |  JOIN n$i a ON e.u = a.u JOIN n$i b ON e.v = b.u)""".stripMargin
+    }.mkString(",\n")
 
   /** One personalized-iteration step: contributions union the seed
     * restart, then one group-sum (HUGEINT → BIGINT cast at the fold). */

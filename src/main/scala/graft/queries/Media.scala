@@ -859,8 +859,82 @@ object Media {
         .groupBy("cell", "dim")
         .agg(cntLong.as("n"), expr("sum(mu) div count(1)").as("mean_micro"))
         .orderBy("cell", "dim")
+    },
+
+    // ---- MMR diversified re-ranking (functions/Mmr): top-10 for the
+    //      vec_id-0 query, greedily balancing relevance against
+    //      similarity to what's already picked (λ = 7/10, scores in
+    //      basis points — all-integer greedy, tie-break ascending id).
+    //      The RRF/q48 family ranks; MMR is the step after ranking that
+    //      keeps near-duplicates from crowding the page — retrieval's
+    //      use of the dedup north star. Engine: relevance is one corpus
+    //      scan + TakeOrdered into C=30 candidates; the C² pairwise sims
+    //      are a broadcast self-join; the inherently-sequential greedy
+    //      walks the O(C²) collected rows on the driver (the bounded-
+    //      collect class of the codebook gates). Oracle: the same greedy
+    //      as a 10-step unrolled argmax CTE chain — every pick, penalty,
+    //      and tie-break certified cross-engine. ----
+    gated("q201_mmr", s"""WITH $mmrBase,
+      |$mmrChain
+      |SELECT CAST(rk AS BIGINT) AS rk, id AS vec_id, rel,
+      |       CAST(score AS BIGINT) AS score
+      |FROM sel$MmrK ORDER BY rk""") { (s, d) =>
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qe")))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(q)
+        .select(col("vec_id").as("id"),
+          round(VectorOps.cosine(col("embedding"), col("qe")) * 10000, 0)
+            .cast("long").as("rel"))
+        .orderBy(col("rel").desc, col("id")).limit(MmrC)
+      val cv = broadcast(cand.join(e, cand("id") === e("vec_id"))
+        .select(col("id"), col("embedding")))
+      val pairs = cv.as("x").join(cv.as("y"), col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("i"), col("y.id").as("j"),
+          round(VectorOps.cosine(col("x.embedding"), col("y.embedding")) * 10000, 0)
+            .cast("long").as("s"))
+      // O(C) + O(C²) collects — parameter-sized, never corpus-sized
+      val relSeq = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val simMap = pairs.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      import s.implicits._
+      graft.functions.Mmr.select(relSeq, simMap, MmrK)
+        .map { case (rk, id, rel, sc) => (rk.toLong, id, rel, sc) }
+        .toDF("rk", "vec_id", "rel", "score")
     }
   )
+
+  private def MmrC = 30
+  private def MmrK = 10
+
+  /** q201 oracle stage 0: relevance scan, top-C candidates, directed
+    * pairwise sims among them, and the penalty-free first pick. */
+  private def mmrBase: String =
+    s"""q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |rel AS (SELECT e.vec_id AS id,
+       |          CAST(ROUND(list_cosine_similarity(e.embedding, q.qe) * 10000) AS BIGINT) AS rel
+       |        FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+       |cand AS MATERIALIZED (SELECT id, rel FROM rel ORDER BY rel DESC, id LIMIT $MmrC),
+       |pair AS MATERIALIZED (SELECT x.id AS i, y.id AS j,
+       |           CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS s
+       |         FROM cand x JOIN cand y ON x.id <> y.id
+       |         JOIN embeddings a ON a.vec_id = x.id
+       |         JOIN embeddings b ON b.vec_id = y.id),
+       |sel1 AS MATERIALIZED (SELECT id, rel, 7 * rel AS score, 1 AS rk
+       |         FROM cand ORDER BY rel DESC, id LIMIT 1)""".stripMargin
+
+  /** q201 oracle steps 2..K: one argmax of
+    * 7·rel − 3·max(sim to selected) per step, tie-break ascending id. */
+  private def mmrChain: String =
+    (2 to MmrK).map { i =>
+      s"""pick$i AS (SELECT c.id, c.rel, 7 * c.rel - 3 * MAX(p.s) AS score
+         |  FROM cand c JOIN pair p ON p.i = c.id
+         |  JOIN sel${i - 1} sl ON p.j = sl.id
+         |  WHERE c.id NOT IN (SELECT id FROM sel${i - 1})
+         |  GROUP BY c.id, c.rel ORDER BY score DESC, c.id LIMIT 1),
+         |sel$i AS MATERIALIZED (SELECT id, rel, score, $i AS rk FROM pick$i
+         |  UNION ALL SELECT id, rel, score, rk FROM sel${i - 1})""".stripMargin
+    }.mkString(",\n")
 
   /** Corpus ∪ 10 planted near-neighbors of the query vector (ids
     * 100001..100010; component 0 nudged by 0.01·i), plus the query row —

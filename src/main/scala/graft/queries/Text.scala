@@ -1679,6 +1679,154 @@ object Text {
         .groupBy(col("cluster"))
         .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep"))
         .orderBy("cluster")
+    },
+
+    // ---- Vocabulary growth (Heaps' law audit): distinct trigram-
+    //      shingle count after each 50-document corpus prefix — the
+    //      curve that tells a tokenizer/dedup pipeline when vocabulary
+    //      saturates (and whether more data still buys coverage). The
+    //      unit is the trigram shingle (the corpus's word unigrams
+    //      saturate inside 10 documents — the shingle space is where
+    //      growth lives, and it's the same unit the q78/q134 dedup
+    //      family keys on). Cumulative-DISTINCT is not directly
+    //      distributable, but "first occurrence" is: a shingle counts
+    //      toward prefix N iff min(doc_id) < N, so one group-min per
+    //      shingle + one bucket count + a cumulative sum over the
+    //      (checkpoint-bounded) bucket relation replaces any per-prefix
+    //      rescan. Scale: the explode feeds a partial-aggregated min
+    //      keyed on the shingle; the window runs over |corpus|/50
+    //      rows, not the vocabulary. ----
+    gated("q203_vocab_growth",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                             for i in range(1, len(w)-1)]) AS s
+        |      FROM t WHERE len(w) >= 3),
+        |fo AS (SELECT s, MIN(doc_id) AS first_doc FROM g GROUP BY s),
+        |b AS (SELECT first_doc // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_shingles
+        |      FROM fo GROUP BY 1)
+        |SELECT CAST((bucket + 1) * 50 AS BIGINT) AS docs_seen, new_shingles,
+        |       CAST(SUM(new_shingles) OVER (ORDER BY bucket) AS BIGINT) AS vocab
+        |FROM b ORDER BY docs_seen""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val fo = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(TextOps.trigrams(col("w"))).as("s"))
+        .groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+      // the window runs over the bucket relation (|corpus|/50 rows)
+      fo.groupBy(expr("first_doc div 50").as("bucket"))
+        .agg(count(lit(1)).as("new_shingles"))
+        .select(((col("bucket") + 1) * 50).cast("long").as("docs_seen"),
+          col("new_shingles"),
+          sum(col("new_shingles")).over(Window.orderBy("bucket")).as("vocab"))
+        .orderBy("docs_seen")
+    },
+
+    // ---- Tokenizer fertility by language: BPE tokens per character —
+    //      the compression audit that decides whether a tokenizer is
+    //      fit for a language before a single training batch is paid
+    //      for (high fertility = wasted context window). Token counts
+    //      come from the SAME trained tokenizer both engines replay
+    //      merge-by-merge (q144's gate); fertility is the exact integer
+    //      (10^6 · Σtokens) div Σchars per language. Scale: the q144
+    //      segmentation joins the distinct-word relation, not the
+    //      corpus; this adds one lang-keyed partial agg on top. ----
+    gated("q204_fertility", s"""WITH ${bpeChain(BpeMerges)},
+      |plen AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+      |         FROM s$BpeMerges GROUP BY word),
+      |occ AS (SELECT doc_id, UNNEST(STR_SPLIT(LOWER(text), ' ')) AS w
+      |        FROM documents),
+      |cs AS (SELECT o.doc_id, SUM(p.n) AS s
+      |       FROM occ o JOIN plen p ON o.w = p.word GROUP BY 1)
+      |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(COALESCE(c.s, 0)) AS BIGINT) AS n_tokens,
+      |       CAST(SUM(d.n_chars) AS BIGINT) AS n_chars,
+      |       CAST((1000000 * SUM(COALESCE(c.s, 0))) // SUM(d.n_chars) AS BIGINT)
+      |         AS fert_ppm
+      |FROM documents d LEFT JOIN cs c ON d.doc_id = c.doc_id
+      |GROUP BY d.lang ORDER BY d.lang""") { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = Bpe.topWords(docs, "text", BpeCap)
+      val (merges, state) = Bpe.trainFull(words, BpeMerges)
+      Bpe.tokenCounts(docs, "doc_id", "text", merges, state)
+        .withColumnRenamed("id", "doc_id")
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+          expr("(1000000 * n_tokens) div n_chars").as("fert_ppm"))
+        .orderBy("lang")
+    },
+
+    // ---- Dedup-aware mixture weights: each document's sampling weight
+    //      is 1/|its near-dup cluster| (singletons weigh 1), so a
+    //      source's EFFECTIVE mass counts every duplicated document
+    //      once across the whole corpus — the reweighting that stops a
+    //      mirror-heavy source from dominating a training mixture even
+    //      when dedup keeps (rather than drops) the copies. Clusters
+    //      are exactly q78's: trigram-Jaccard ≥ 0.01 pairs on the
+    //      doc_id<100 slice, closed transitively (the engine's pointer-
+    //      jumping CC vs the oracle's recursive closure). Scale: rides
+    //      the audited q78/q134 candidate family (prefix-bucketed, never
+    //      all-pairs); the weight join is cluster-keyed; the final agg
+    //      is source-bounded. ----
+    gated("q205_dedup_weights",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM g a, g b
+        |      WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.01),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+        |lbl AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+        |        FROM reach GROUP BY s),
+        |sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM lbl GROUP BY cluster),
+        |wd AS (SELECT doc.doc_id, doc.source,
+        |         COALESCE(1000000 // sz.n, 1000000) AS wt, lbl.cluster
+        |       FROM documents doc LEFT JOIN lbl ON doc.doc_id = lbl.doc_id
+        |       LEFT JOIN sz ON lbl.cluster = sz.cluster
+        |       WHERE doc.doc_id < 100)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(cluster) AS BIGINT) AS n_in_clusters,
+        |       CAST(SUM(wt) AS BIGINT) AS eff_ppm
+        |FROM wd GROUP BY source ORDER BY source""") { (s, d) =>
+      import graft.operators.ConnectedComponents
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val g = docs
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      val a = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+      val b = g.select(col("doc_id").as("b_id"), col("tg").as("b_tg"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .filter(TextOps.jaccard(col("a_tg"), col("b_tg")) >= 0.01)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val lbl = ConnectedComponents.run(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      val sz = lbl.groupBy("cluster").agg(count(lit(1)).as("n"))
+      docs.select(col("doc_id"), col("source"))
+        .join(lbl, Seq("doc_id"), "left")
+        .join(sz, Seq("cluster"), "left")
+        .select(col("source"), col("cluster"),
+          coalesce(expr("1000000 div n"), lit(1000000L)).as("wt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), count(col("cluster")).as("n_in_clusters"),
+          sum(col("wt")).as("eff_ppm"))
+        .orderBy("source")
     }
   )
 

@@ -229,4 +229,70 @@ class GraphSpec extends SparkTestBase {
     // maxHops far past the diameter — early exit must not change results
     assert(spRun(e, Seq("a"), 10) === Map("a" -> 0L, "b" -> 1L, "c" -> 2L))
   }
+
+  /** Driver-side sequential peel (remove ONE minimum-degree sub-k node at
+    * a time) — the order k-core theory says any peeling schedule must
+    * agree with; the operator peels synchronously. */
+  private def kcoreModel(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var adj = (pairs ++ pairs.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    var changed = true
+    while (changed) {
+      adj.find { case (_, nb) => nb.size < k }.map(_._1) match {
+        case Some(victim) =>
+          adj = (adj - victim).view.mapValues(_ - victim).toMap
+        case None => changed = false
+      }
+    }
+    adj.map { case (n, nb) => n -> nb.size.toLong }
+  }
+
+  private def kcoreRun(pairs: Seq[(Long, Long)], k: Int): Map[Long, Long] =
+    graft.operators.KCore.core(pairs.toDF("u", "v"), k)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("kcore: synchronous peel equals sequential one-at-a-time peel on a random graph") {
+    val rnd = new scala.util.Random(47)
+    val pairs = (0 until 120)
+      .map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    for (k <- Seq(2, 3, 4))
+      assert(kcoreRun(pairs, k) === kcoreModel(pairs, k))
+  }
+
+  test("kcore: a clique survives its own k, a tree has an empty 2-core") {
+    // K5 plus a pendant chain: the 4-core is exactly the clique
+    val clique = for (a <- 0L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val chain = Seq((4L, 5L), (5L, 6L), (6L, 7L))
+    assert(kcoreRun(clique ++ chain, 4) ===
+      (0L to 4L).map(_ -> 4L).toMap)
+    val tree = Seq((0L, 1L), (0L, 2L), (1L, 3L), (1L, 4L), (2L, 5L))
+    assert(kcoreRun(tree, 2) === Map.empty)
+  }
+
+  test("mmr: first pick is max relevance; diversity penalty demotes the near-duplicate") {
+    import graft.functions.Mmr
+    // b is a near-copy of a (sim 9900): plain relevance would rank it
+    // second; MMR must prefer the diverse c
+    val rel = Seq((1L, 9000L), (2L, 8900L), (3L, 8000L))
+    val sim = Map(
+      (1L, 2L) -> 9900L, (2L, 1L) -> 9900L,
+      (1L, 3L) -> 1000L, (3L, 1L) -> 1000L,
+      (2L, 3L) -> 1200L, (3L, 2L) -> 1200L)
+    val picks = Mmr.select(rel, sim, 3)
+    assert(picks.map(_._2) === Seq(1L, 3L, 2L))
+    // scores: 7·rel for the first, 7·rel − 3·maxSim after
+    assert(picks.head._4 === 7L * 9000L)
+    assert(picks(1)._4 === 7L * 8000L - 3L * 1000L)
+    assert(picks(2)._4 === 7L * 8900L - 3L * 9900L)
+  }
+
+  test("mmr: ties break on ascending id; k caps at the candidate count") {
+    import graft.functions.Mmr
+    val rel = Seq((5L, 100L), (2L, 100L))
+    val sim = Map((5L, 2L) -> 0L, (2L, 5L) -> 0L)
+    val picks = Mmr.select(rel, sim, 10)
+    assert(picks.map(_._2) === Seq(2L, 5L) && picks.size === 2)
+  }
 }
