@@ -1875,6 +1875,105 @@ object Analytics {
         .crossJoin(broadcast(r.agg(cntLong.as("n_items"))))
         .select(col("n_items"), col("conc"), col("disc"),
           expr("(1000000 * (conc - disc)) div pairs").as("tau_ppm"))
+    },
+
+    // ---- Seasonal-naive forecast backtest (MASE-lite): per event
+    //      type, the absolute error of the "same day last week"
+    //      forecast vs the "yesterday" naive over every day where both
+    //      references exist — mase_ppm < 1e6 means weekly seasonality
+    //      beats persistence and a seasonal model is worth training.
+    //      Calendar-aware by construction: references join on day
+    //      arithmetic, so a missing day drops the row instead of
+    //      silently sliding the lag (the row-lag trap). All errors are
+    //      integer counts; the ratio is one truncating div. Scale: one
+    //      partial-aggregated daily rollup, then two self-equi-joins on
+    //      (type, day) — the daily relation is calendar-bounded, tiny
+    //      relative to raw events, and AQE broadcasts it. ----
+    gated("q207_forecast_backtest",
+      """WITH dc AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |              CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |j AS (SELECT cur.event_type, cur.c, p1.c AS c1, p7.c AS c7
+        |      FROM dc cur
+        |      JOIN dc p1 ON p1.event_type = cur.event_type
+        |                AND p1.d = cur.d - INTERVAL 1 DAY
+        |      JOIN dc p7 ON p7.event_type = cur.event_type
+        |                AND p7.d = cur.d - INTERVAL 7 DAY)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |       CAST(SUM(ABS(c - c1)) AS BIGINT) AS naive_err,
+        |       CAST(SUM(ABS(c - c7)) AS BIGINT) AS seasonal_err,
+        |       CAST((1000000 * SUM(ABS(c - c7))) // SUM(ABS(c - c1)) AS BIGINT)
+        |         AS mase_ppm
+        |FROM j GROUP BY event_type ORDER BY event_type""") { (s, d) =>
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(cntLong.as("c"))
+      val cur = dc.select(col("event_type"), col("d"), col("c"),
+        expr("timestampadd(DAY, -1, d)").as("d1"),
+        expr("timestampadd(DAY, -7, d)").as("d7"))
+      val p1 = dc.select(col("event_type").as("et1"), col("d").as("pd1"),
+        col("c").as("c1"))
+      val p7 = dc.select(col("event_type").as("et7"), col("d").as("pd7"),
+        col("c").as("c7"))
+      cur
+        .join(p1, col("event_type") === col("et1") && col("d1") === col("pd1"))
+        .join(p7, col("event_type") === col("et7") && col("d7") === col("pd7"))
+        .groupBy("event_type")
+        .agg(cntLong.as("n_days"),
+          sum(abs(col("c") - col("c1"))).as("naive_err"),
+          sum(abs(col("c") - col("c7"))).as("seasonal_err"))
+        .select(col("event_type"), col("n_days"), col("naive_err"),
+          col("seasonal_err"),
+          expr("(1000000 * seasonal_err) div naive_err").as("mase_ppm"))
+        .orderBy("event_type")
+    },
+
+    // ---- Theil–Sen robust trend: per event type, the MEDIAN of all
+    //      pairwise day-to-day slopes of the daily count series — the
+    //      outlier-resistant answer to "is this metric really growing"
+    //      that q140's least-squares line can't give (one spiky day
+    //      owns an OLS slope; it moves a median of 253 pair slopes not
+    //      at all). Slopes are exact integers ((1e6·Δcount) div Δdays,
+    //      truncating div both engines); the median is the lower
+    //      order statistic at rank ⌈n/2⌉ — rank ties among equal slope
+    //      values can permute rows but never change the value at a
+    //      fixed rank. Scale: the pair relation is calendar², per type
+    //      — bounded by the day span, not event volume; the rank
+    //      window partitions by type over those pairs only. ----
+    gated("q209_trend_robust",
+      """WITH dc AS (SELECT event_type, date_trunc('day', ts) AS d,
+        |              CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |        CAST((1000000 * (b.c - a.c)) // date_diff('day', a.d, b.d) AS BIGINT)
+        |          AS slope
+        |      FROM dc a JOIN dc b ON a.event_type = b.event_type AND a.d < b.d),
+        |r AS (SELECT event_type, slope,
+        |        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
+        |        COUNT(*) OVER (PARTITION BY event_type) AS n
+        |      FROM p)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |       CAST(slope AS BIGINT) AS med_slope_ppm
+        |FROM r WHERE rk = (n + 1) // 2 ORDER BY event_type""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dc = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
+        .agg(cntLong.as("c"))
+      val a = dc.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
+      val b = dc.select(col("event_type").as("et2"), col("d").as("db"),
+        col("c").as("cb"))
+      val slopes = a.join(b,
+          col("event_type") === col("et2") && col("da") < col("db"))
+        .select(col("event_type"),
+          expr("(1000000 * (cb - ca)) div datediff(db, da)").as("slope"))
+      val w = Window.partitionBy("event_type")
+      slopes
+        .withColumn("rk", row_number().over(w.orderBy(col("slope"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("rk") === expr("(n + 1) div 2"))
+        .select(col("event_type"), col("n").as("n_pairs"),
+          col("slope").as("med_slope_ppm"))
+        .orderBy("event_type")
     }
   )
 }

@@ -901,6 +901,60 @@ object Media {
       graft.functions.Mmr.select(relSeq, simMap, MmrK)
         .map { case (rk, id, rel, sc) => (rk.toLong, id, rel, sc) }
         .toDF("rk", "vec_id", "rel", "score")
+    },
+
+    // ---- k-NN label-agreement audit (confident-learning-lite): for
+    //      each vector in a fixed 200-row audit sample, how many of its
+    //      5 nearest neighbors share its label — per label, the mean
+    //      agreement (ppm) and the count of SUSPECTS (≤1 agreeing
+    //      neighbor), the standard first pass for mislabeled training
+    //      examples. The sample bound is policy (an audit runs on a
+    //      sample, and it keeps the pair relation parameter-sized);
+    //      neighbor rank ties break on bp-rounded sim then id, so the
+    //      5-NN set is deterministic cross-engine. Scale: the pair
+    //      relation is sample², not corpus²; top-5-per-query is a rank
+    //      window the optimizer bounds with WindowGroupLimit; at corpus
+    //      scale the same audit swaps the exact pairs for the q48 ANN
+    //      candidates unchanged. ----
+    gated("q206_knn_label_agreement",
+      """WITH v AS MATERIALIZED (SELECT vec_id, embedding, label
+        |       FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS qa, a.label AS la, b.vec_id AS qb, b.label AS lb,
+        |        CAST(ROUND(list_cosine_similarity(a.embedding, b.embedding) * 10000) AS BIGINT) AS s
+        |      FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+        |r AS (SELECT qa, la, lb,
+        |        ROW_NUMBER() OVER (PARTITION BY qa ORDER BY s DESC, qb) AS rk
+        |      FROM p),
+        |ag AS (SELECT qa, la,
+        |         CAST(COUNT(*) FILTER (WHERE lb = la) AS BIGINT) AS agree
+        |       FROM r WHERE rk <= 5 GROUP BY qa, la)
+        |SELECT CAST(la AS BIGINT) AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       CAST((1000000 * SUM(agree)) // (5 * COUNT(*)) AS BIGINT) AS agreement_ppm,
+        |       CAST(COUNT(*) FILTER (WHERE agree <= 1) AS BIGINT) AS n_suspect
+        |FROM ag GROUP BY la ORDER BY label""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val a = v.select(col("vec_id").as("qa"), col("label").as("la"),
+        col("embedding").as("ea"))
+      val b = v.select(col("vec_id").as("qb"), col("label").as("lb"),
+        col("embedding").as("eb"))
+      val knn = a.join(broadcast(b), col("qa") =!= col("qb"))
+        .select(col("qa"), col("la"), col("qb"), col("lb"),
+          round(VectorOps.cosine(col("ea"), col("eb")) * 10000, 0)
+            .cast("long").as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("qa").orderBy(col("s").desc, col("qb"))))
+        .filter(col("rk") <= 5)
+      knn.groupBy("qa", "la")
+        .agg(count(when(col("lb") === col("la"), 1)).as("agree"))
+        .groupBy(col("la").cast("long").as("label"))
+        .agg(count(lit(1)).as("n_vecs"), sum(col("agree")).as("agree"),
+          count(when(col("agree") <= 1, 1)).as("n_suspect"))
+        .select(col("label"), col("n_vecs"),
+          expr("(1000000 * agree) div (5 * n_vecs)").as("agreement_ppm"),
+          col("n_suspect"))
+        .orderBy("label")
     }
   )
 

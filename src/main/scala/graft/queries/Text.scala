@@ -1827,6 +1827,45 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), count(col("cluster")).as("n_in_clusters"),
           sum(col("wt")).as("eff_ppm"))
         .orderBy("source")
+    },
+
+    // ---- Unique-coverage source valuation: per source, how much of
+    //      its trigram-shingle vocabulary exists NOWHERE else — the
+    //      "what do we lose if we drop this source" audit (q205 prices
+    //      duplication; this prices exclusivity — together they rank
+    //      sources for a data-mixture decision). unique_ppm is the
+    //      exact integer share of the source's distinct shingles with
+    //      corpus-wide source-count 1. Scale: both relations key on
+    //      the shingle (partial-aggregated distinct + count); the join
+    //      is shingle-keyed; nothing is doc² or source². ----
+    gated("q208_unique_coverage",
+      """WITH t AS (SELECT doc_id, source,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |ds AS (SELECT DISTINCT source,
+        |         UNNEST([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                 for i in range(1, len(w)-1)]) AS s
+        |       FROM t WHERE len(w) >= 3),
+        |sc AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS nsrc FROM ds GROUP BY s)
+        |SELECT ds.source, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |       CAST(COUNT(*) FILTER (WHERE sc.nsrc = 1) AS BIGINT) AS n_unique,
+        |       CAST((1000000 * COUNT(*) FILTER (WHERE sc.nsrc = 1)) // COUNT(*) AS BIGINT)
+        |         AS unique_ppm
+        |FROM ds JOIN sc ON ds.s = sc.s
+        |GROUP BY ds.source ORDER BY ds.source""") { (s, d) =>
+      val ds = Tables.documents(s, d)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("source"), explode(TextOps.trigrams(col("w"))).as("s"))
+        .distinct()
+      val sc = ds.groupBy("s").agg(count(lit(1)).as("nsrc"))
+      ds.join(sc, "s")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("nsrc") === 1, 1)).as("n_unique"))
+        .select(col("source"), col("n_shingles"), col("n_unique"),
+          expr("(1000000 * n_unique) div n_shingles").as("unique_ppm"))
+        .orderBy("source")
     }
   )
 
