@@ -929,4 +929,52 @@ class StreamingSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(sinks.error)) ||
       spark.read.text(sinks.error).count() === 0)
   }
+
+  test("vocabulary maintenance: incremental first-seen == one-shot; q203 curve served from state; order-invariant; retry + seen-only batches rewrite nothing") {
+    import graft.streaming.{BucketedState, VocabMaintenance}
+    import graft.text.TextOps
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    def fsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val slices = Seq(
+      docs.filter(col("doc_id") < 15),
+      docs.filter(col("doc_id") >= 15 && col("doc_id") < 30),
+      docs.filter(col("doc_id") >= 30))
+
+    val shelf = tmpDir("vocab_state") + "/vocab"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      VocabMaintenance.update(shelf, b, i.toLong) }
+    val servedFs = fsMap(VocabMaintenance.firstSeen(spark, shelf))
+    val oneShot = fsMap(docs
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(TextOps.trigrams(col("w"))).as("s"))
+      .groupBy("s").agg(min(col("doc_id")).as("first_doc")))
+    assert(servedFs === oneShot && servedFs.nonEmpty)
+
+    // the growth curve served FROM STATE equals the gated q203 result
+    def curveRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(curveRows(VocabMaintenance.curve(spark, shelf)) ===
+      curveRows(SparkEntry.queries("q203_vocab_growth")(spark, sf)))
+
+    // retried final batch: state must not change
+    VocabMaintenance.update(shelf, slices(2), 2L)
+    assert(fsMap(VocabMaintenance.firstSeen(spark, shelf)) === servedFs)
+
+    // delivery-order invariance: reversed slices converge to the same
+    // state (the fold is a MIN, not first-writer-wins)
+    val shelf2 = tmpDir("vocab_state2") + "/vocab"
+    slices.reverse.zipWithIndex.foreach { case (b, i) =>
+      VocabMaintenance.update(shelf2, b, i.toLong) }
+    assert(fsMap(VocabMaintenance.firstSeen(spark, shelf2)) === servedFs)
+
+    // a batch of ONLY already-seen shingles at already-minimal ids
+    // dirties no bucket: the version commits (retry fence) but rewrites
+    // zero bucket directories — write amplification is new-vocab-bounded
+    VocabMaintenance.update(shelf, slices(0), 3L)
+    assert(BucketedState.committed(spark, shelf, 3L))
+    assert(BucketedState.bucketDirs(spark, shelf, 3L) === Set.empty[Int])
+    assert(fsMap(VocabMaintenance.firstSeen(spark, shelf)) === servedFs)
+  }
 }
