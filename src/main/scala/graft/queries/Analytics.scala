@@ -1974,6 +1974,110 @@ object Analytics {
         .select(col("event_type"), col("n").as("n_pairs"),
           col("slope").as("med_slope_ppm"))
         .orderBy("event_type")
+    },
+
+    // ---- Benford first-digit audit: observed leading-digit shares of
+    //      order totals vs Benford's law in exact ppm (the expected
+    //      shares are integer constants — ⌊10⁶·log₁₀(1+1/d)⌉, summing
+    //      to exactly 10⁶ — so no float log runs in either engine).
+    //      The classic fabricated-data / broken-generator screen: a
+    //      natural multiplicative process tracks the curve, a uniform
+    //      generator (this corpus, deliberately) deviates loudly.
+    //      trunc-before-cast pins the Spark/DuckDB double→long edge
+    //      (Spark casts truncate, DuckDB casts round). Scale: one scan,
+    //      one 9-bucket partial agg, broadcast everything else. ----
+    gated("q210_benford",
+      """WITH o AS (SELECT substr(CAST(CAST(trunc(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS d
+        |           FROM orders),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM o),
+        |c AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY d),
+        |e(d, exp_ppm) AS (VALUES ('1', 301030), ('2', 176091), ('3', 124939),
+        |  ('4', 96910), ('5', 79181), ('6', 66947), ('7', 57992),
+        |  ('8', 51153), ('9', 45757))
+        |SELECT c.d AS digit, c.n,
+        |       CAST((1000000 * c.n) // t.total AS BIGINT) AS obs_ppm,
+        |       CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+        |       CAST(ABS((1000000 * c.n) // t.total - e.exp_ppm) AS BIGINT) AS dev_ppm
+        |FROM c JOIN e ON c.d = e.d CROSS JOIN t ORDER BY digit""") { (s, d) =>
+      import s.implicits._
+      val benford = Seq("1" -> 301030L, "2" -> 176091L, "3" -> 124939L,
+        "4" -> 96910L, "5" -> 79181L, "6" -> 66947L, "7" -> 57992L,
+        "8" -> 51153L, "9" -> 45757L).toDF("d", "exp_ppm")
+      val o = Tables.orders(s, d)
+        .select(substring(col("o_totalprice").cast("long").cast("string"), 1, 1)
+          .as("d"))
+      val t = o.agg(cntLong.as("total"))
+      o.groupBy("d").agg(cntLong.as("n"))
+        .join(broadcast(benford), "d")
+        .crossJoin(broadcast(t))
+        .select(col("d").as("digit"), col("n"),
+          expr("(1000000 * n) div total").as("obs_ppm"), col("exp_ppm"),
+          abs(expr("(1000000 * n) div total") - col("exp_ppm")).as("dev_ppm"))
+        .orderBy("digit")
+    },
+
+    // ---- k-anonymity audit: the group-size histogram of the
+    //      quasi-identifier (lang, source, 100-char length band) over
+    //      the corpus — every row in a group of size k is
+    //      re-identifiable to 1-in-k, so the k<5 rows are the
+    //      release-blocking mass a privacy review counts first. The
+    //      histogram (rather than a single min-k scalar) shows WHERE
+    //      the risk lives and what suppression would cost. Scale: one
+    //      partial-aggregated groupBy on the quasi-identifier, then a
+    //      k-keyed rollup bounded by the distinct group sizes. ----
+    gated("q211_k_anonymity",
+      """WITH g AS (SELECT lang, source, n_chars // 100 AS band,
+        |             CAST(COUNT(*) AS BIGINT) AS k
+        |           FROM documents GROUP BY 1, 2, 3)
+        |SELECT k AS group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |       CAST(SUM(k) AS BIGINT) AS n_rows,
+        |       CAST(CASE WHEN k < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+        |FROM g GROUP BY k ORDER BY group_size""") { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"), expr("n_chars div 100").as("band"))
+        .agg(cntLong.as("k"))
+        .groupBy(col("k").as("group_size"))
+        .agg(cntLong.as("n_groups"), sum(col("k")).as("n_rows"))
+        .select(col("group_size"), col("n_groups"), col("n_rows"),
+          when(col("group_size") < 5, 1L).otherwise(0L).as("at_risk"))
+        .orderBy("group_size")
+    },
+
+    // ---- Histogram-driven join-cardinality prediction: price the q127
+        //  basket self-join BEFORE running it — the per-key count
+    //      histogram predicts the exact pair count (Σ n·(n−1)/2), and
+    //      the gate pins prediction == execution. This is the planning
+    //      primitive that decides, at 100 TB, whether a self-join is
+    //      affordable or needs the q129 blocking treatment: one cheap
+    //      partial-aggregated histogram pass instead of discovering the
+    //      explosion in flight (the same arithmetic prices ANY equi-join
+    //      as Σ cntₐ·cnt_b per key). consistent=1 is part of the gated
+    //      output — a hash mismatch means the estimator lied. ----
+    gated("q212_join_cardinality",
+      """WITH basket AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |h AS (SELECT ok, CAST(COUNT(*) AS BIGINT) AS n FROM basket GROUP BY ok),
+        |pred AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |                CAST(SUM((n * (n - 1)) // 2) AS BIGINT) AS predicted
+        |         FROM h),
+        |act AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual
+        |        FROM basket a JOIN basket b ON a.ok = b.ok AND a.pk < b.pk)
+        |SELECT n_keys, predicted, actual,
+        |       CAST(CASE WHEN predicted = actual THEN 1 ELSE 0 END AS BIGINT)
+        |         AS consistent
+        |FROM pred CROSS JOIN act""") { (s, d) =>
+      val basket = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val pred = basket.groupBy("ok").agg(cntLong.as("n"))
+        .agg(cntLong.as("n_keys"),
+          sum(expr("(n * (n - 1)) div 2")).as("predicted"))
+      val b2 = basket.select(col("ok").as("ok2"), col("pk").as("pk2"))
+      val act = basket.join(b2, col("ok") === col("ok2") && col("pk") < col("pk2"))
+        .agg(cntLong.as("actual"))
+      pred.crossJoin(broadcast(act))
+        .select(col("n_keys"), col("predicted"), col("actual"),
+          when(col("predicted") === col("actual"), 1L).otherwise(0L)
+            .as("consistent"))
     }
   )
 }
