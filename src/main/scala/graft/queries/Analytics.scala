@@ -2078,6 +2078,222 @@ object Analytics {
         .select(col("n_keys"), col("predicted"), col("actual"),
           when(col("predicted") === col("actual"), 1L).otherwise(0L)
             .as("consistent"))
+    },
+
+    // ---- Small-file compaction planner: the OPTIMIZE-style maintenance
+    //      pass every long-running ingest needs — per-trigger streaming
+    //      writes leave one file per (table, day) micro-partition, and
+    //      scan throughput dies by open-file overhead long before by
+    //      bytes. The planner bin-packs the file inventory into
+    //      target-sized rewrite buckets: files ordered by partition key
+    //      within each table, each file assigned to bucket
+    //      floor(start_offset / target) where start_offset is the
+    //      EXCLUSIVE byte cumsum — the same offset-based grouping AQE
+    //      uses to coalesce shuffle partitions, deterministic and
+    //      split-free (a file is never torn across buckets). Each output
+    //      row is one rewrite job: contiguous in partition key (so the
+    //      rewrite preserves min/max pruning, cf q214) with bytes ≈
+    //      target. Scale: the inventory is METADATA — one row per file,
+    //      ~millions of rows at 100 TB vs billions of data rows (here
+    //      modeled from the events table, sized by payload bytes; in
+    //      production it comes from the catalog/file listing for free) —
+    //      and the window partitions by table, so planning parallelizes
+    //      across tables and never touches data files. ----
+    gated("q213_compaction_plan",
+      """WITH files AS (SELECT event_type, date_trunc('day', ts) AS day,
+        |                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |                 CAST(SUM(length(props)) AS BIGINT) AS bytes
+        |               FROM events GROUP BY 1, 2),
+        |off AS (SELECT *, COALESCE(SUM(bytes) OVER (PARTITION BY event_type
+        |          ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |          0) AS start_off
+        |        FROM files)
+        |SELECT event_type, CAST(start_off // 4096 AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_files,
+        |       CAST(SUM(bytes) AS BIGINT) AS bucket_bytes,
+        |       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+        |       strftime(MIN(day), '%Y-%m-%d') AS min_day,
+        |       strftime(MAX(day), '%Y-%m-%d') AS max_day
+        |FROM off GROUP BY 1, 2 ORDER BY event_type, bucket""") { (s, d) =>
+      val files = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+        .agg(cntLong.as("n_rows"),
+          sum(length(col("props")).cast("long")).as("bytes"))
+      // assign() runs the exclusive cumsum over the per-table FILE list
+      // (30 rows per table here; bounded by files-per-table generally),
+      // never over data rows; invariants pinned in OperatorSpec
+      graft.operators.CompactionPlan
+        .assign(files, "event_type", "day", "bytes", targetBytes = 4096L)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(cntLong.as("n_files"), sum(col("bytes")).as("bucket_bytes"),
+          sum(col("n_rows")).as("n_rows"),
+          date_format(min(col("day")), "yyyy-MM-dd").as("min_day"),
+          date_format(max(col("day")), "yyyy-MM-dd").as("max_day"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // ---- Zone-map pruning audit: data skipping is THE 100 TB lever —
+    //      a scan that consults per-file min/max footer stats reads only
+    //      the files whose [min, max] range intersects the predicate —
+    //      and its effectiveness is purely a function of LAYOUT. The
+    //      audit prices the same point predicate under two physical
+    //      layouts: 'arrival' (files range-chunked on write order, the
+    //      default streaming-ingest layout; key values scatter, so every
+    //      chunk's range covers the predicate) vs 'clustered' (files
+    //      range-chunked on the predicate key, what repartitionByRange +
+    //      sortWithinPartitions before the write produces, cf q99's
+    //      z-order key for the multi-dimensional version). chunks_read /
+    //      rows_scanned quantify exactly what the clustering buys — the
+    //      number a compaction policy (q213) should justify itself with.
+    //      Exact integers; rows_matched is layout-invariant (same data)
+    //      and pins that pruning never changes the ANSWER, only the I/O.
+    //      Scale: each layout's stats come from ONE partial-aggregated
+    //      groupBy (in production: free, from parquet footers); the
+    //      audit never re-sorts the data. ----
+    gated("q214_zonemap_prune",
+      """WITH ac AS (SELECT event_id // 128 AS chunk, MIN(user_id) AS mn,
+        |              MAX(user_id) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+        |            FROM events GROUP BY 1),
+        |cc AS (SELECT user_id // 4 AS chunk, MIN(user_id) AS mn,
+        |         MAX(user_id) AS mx, CAST(COUNT(*) AS BIGINT) AS n
+        |       FROM events GROUP BY 1),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS rows_matched
+        |      FROM events WHERE user_id BETWEEN 3 AND 5)
+        |SELECT 'arrival' AS layout, CAST(COUNT(*) AS BIGINT) AS chunks_total,
+        |       CAST(SUM(CASE WHEN mx >= 3 AND mn <= 5 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS chunks_read,
+        |       CAST(SUM(CASE WHEN mx >= 3 AND mn <= 5 THEN n ELSE 0 END)
+        |         AS BIGINT) AS rows_scanned,
+        |       MAX(rows_matched) AS rows_matched
+        |FROM ac CROSS JOIN m
+        |UNION ALL
+        |SELECT 'clustered', CAST(COUNT(*) AS BIGINT),
+        |       CAST(SUM(CASE WHEN mx >= 3 AND mn <= 5 THEN 1 ELSE 0 END)
+        |         AS BIGINT),
+        |       CAST(SUM(CASE WHEN mx >= 3 AND mn <= 5 THEN n ELSE 0 END)
+        |         AS BIGINT),
+        |       MAX(rows_matched)
+        |FROM cc CROSS JOIN m
+        |ORDER BY layout""") { (s, d) =>
+      val ev = Tables.events(s, d)
+      def audit(tag: String, chunk: org.apache.spark.sql.Column) = ev
+        .groupBy(chunk.as("chunk"))
+        .agg(min(col("user_id")).as("mn"), max(col("user_id")).as("mx"),
+          cntLong.as("n"))
+        .agg(cntLong.as("chunks_total"),
+          sum(when(col("mx") >= 3 && col("mn") <= 5, 1L).otherwise(0L))
+            .as("chunks_read"),
+          sum(when(col("mx") >= 3 && col("mn") <= 5, col("n")).otherwise(0L))
+            .as("rows_scanned"))
+        .select(lit(tag).as("layout"), col("chunks_total"),
+          col("chunks_read"), col("rows_scanned"))
+      val matched = ev.filter(col("user_id").between(3, 5))
+        .agg(cntLong.as("rows_matched"))
+      audit("arrival", expr("event_id div 128"))
+        .unionByName(audit("clustered", expr("user_id div 4")))
+        .crossJoin(broadcast(matched))
+        .orderBy("layout")
+    },
+
+    // ---- Functional-dependency / key discovery: the schema-inference
+    //      profiling primitive next to q67 (per-column stats) and q212
+    //      (join cardinality) — FD X→Y holds iff ndv(X) = ndv(X, Y),
+    //      X is a key iff ndv(X) = n. These verdicts are what choose
+    //      partitioning keys, dedup keys, and join designs on a corpus
+    //      you didn't produce; the gate's candidate list deliberately
+    //      mixes holders and failers, and catches a REAL surprise in
+    //      this dataset: (l_orderkey, l_linenumber) — TPC-H's declared
+    //      lineitem primary key — is NOT a key in the synthetic data
+    //      (45,832 distinct pairs over 60,000 rows at sf0.01), exactly
+    //      the assumption-check the profiler exists to run before any
+    //      pipeline keys on it. Scale: each candidate costs one
+    //      partial-aggregated DISTINCT (map-side combined) crossed as
+    //      1-row broadcasts; at 100 TB swap exact distincts for q115's
+    //      HLL fold — same shape, sketch-sized state. ----
+    gated("q215_fd_discovery",
+      """SELECT 'customer' AS tbl, 'c_custkey' AS lhs, 'c_nationkey' AS rhs,
+        |       n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT) AS fd_holds,
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT) AS lhs_is_key
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT c_custkey FROM customer))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer))
+        |UNION ALL
+        |SELECT 'documents', 'doc_id', 'lang', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT doc_id FROM documents))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT doc_id, lang FROM documents))
+        |UNION ALL
+        |SELECT 'events', 'user_id', 'event_type', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT user_id FROM events))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT user_id, event_type FROM events))
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey', 'l_suppkey', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT l_orderkey FROM lineitem))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem))
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey,l_linenumber', 'l_partkey',
+        |       n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |                  FROM lineitem))
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey', 'o_custkey', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT o_orderkey FROM orders))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+        |ORDER BY tbl, lhs, rhs""") { (s, d) =>
+      def leg(tbl: String, df: org.apache.spark.sql.DataFrame,
+              lhs: Seq[String], rhs: String) = {
+        val n = df.agg(cntLong.as("n_rows"))
+        val nl = df.select(lhs.map(col): _*).distinct()
+          .agg(cntLong.as("ndv_lhs"))
+        val np = df.select((lhs :+ rhs).map(col): _*).distinct()
+          .agg(cntLong.as("ndv_pair"))
+        n.crossJoin(broadcast(nl)).crossJoin(broadcast(np))
+          .select(lit(tbl).as("tbl"), lit(lhs.mkString(",")).as("lhs"),
+            lit(rhs).as("rhs"), col("n_rows"), col("ndv_lhs"),
+            col("ndv_pair"),
+            when(col("ndv_lhs") === col("ndv_pair"), 1L).otherwise(0L)
+              .as("fd_holds"),
+            when(col("ndv_lhs") === col("n_rows"), 1L).otherwise(0L)
+              .as("lhs_is_key"))
+      }
+      Seq(
+        leg("customer", Tables.customer(s, d), Seq("c_custkey"), "c_nationkey"),
+        leg("documents", Tables.documents(s, d), Seq("doc_id"), "lang"),
+        leg("events", Tables.events(s, d), Seq("user_id"), "event_type"),
+        leg("lineitem", Tables.lineitem(s, d), Seq("l_orderkey"), "l_suppkey"),
+        leg("lineitem", Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        leg("orders", Tables.orders(s, d), Seq("o_orderkey"), "o_custkey"))
+        .reduce(_.unionByName(_))
+        .orderBy("tbl", "lhs", "rhs")
     }
   )
 }

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.CompactionPlan
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+/** Invariants of the small-file compaction planner (q213's operator):
+  * offset-based bucketing must be a bijection on the inventory, produce
+  * per-table key-contiguous buckets, and bound every bucket's overshoot
+  * by a single file — the properties a rewrite job scheduler relies on. */
+class CompactionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, rng.Seed(4747L + i)))
+
+  /** (table, key, bytes) inventories: 3 tables × 40 files with sizes
+    * spanning tiny-to-oversized (some single files exceed the target —
+    * the planner must give them their own bucket tail, not stall). */
+  private val inventory: Seq[(String, Long, Long)] = {
+    val sizes = samples(Gen.chooseNum(1L, 3000L), 120)
+    for (t <- 0 until 3; k <- 0 until 40) yield
+      (s"tab$t", k.toLong, sizes(t * 40 + k))
+  }
+  private val target = 4096L
+
+  private def assigned =
+    CompactionPlan.assign(
+      inventory.toDF("table", "key", "bytes"), "table", "key", "bytes",
+      target)
+
+  test("compaction assign is a bijection on the inventory") {
+    val a = assigned
+    assert(a.count() === inventory.size)
+    val back = a.select("table", "key", "bytes")
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(back === inventory.sorted)
+  }
+
+  test("buckets are key-contiguous and ordered within each table") {
+    // max_key of bucket k must precede min_key of bucket k+1 — rewrites
+    // preserve zone-map pruning only if jobs cover disjoint key ranges
+    val ranges = assigned.groupBy("table", "bucket")
+      .agg(min("key").as("lo"), max("key").as("hi"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).values
+    ranges.foreach { tbl =>
+      val byBucket = tbl.sortBy(_._2)
+      assert(byBucket.map(_._2).toSeq === byBucket.indices.map(_.toLong),
+        "bucket ids must be dense from 0")
+      byBucket.sliding(2).foreach {
+        case Array((_, _, _, hi), (_, _, lo, _)) => assert(hi < lo)
+        case _ => ()
+      }
+    }
+  }
+
+  test("bucket bytes overshoot the target by less than one file") {
+    val bad = assigned.groupBy("table", "bucket")
+      .agg(sum("bytes").as("total"), max("bytes").as("biggest"))
+      .filter(col("total") >= lit(target) + col("biggest"))
+    assert(bad.count() === 0)
+  }
+
+  test("plan() equals assign() aggregated") {
+    val p = CompactionPlan.plan(
+      inventory.toDF("table", "key", "bytes"), "table", "key", "bytes",
+      target)
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    val expect = assigned.groupBy("table", "bucket")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bucket_bytes"),
+        min("key").as("min_key"), max("key").as("max_key"))
+      .as[(String, Long, Long, Long, Long, Long)].collect().sorted.toSeq
+    assert(p === expect)
+  }
+}
