@@ -977,4 +977,54 @@ class StreamingSpec extends SparkTestBase {
     assert(BucketedState.bucketDirs(spark, shelf, 3L) === Set.empty[Int])
     assert(fsMap(VocabMaintenance.firstSeen(spark, shelf)) === servedFs)
   }
+
+  test("live stats maintenance: streamed value counts == batch; q216 selectivity served from state; retry no-op; order-invariant; single-value batch dirties one bucket") {
+    import graft.streaming.{BucketedState, StatsMaintenance}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), expr("cast(round(value * 100, 0) as long)").as("v"))
+    val slices = Seq(
+      ev.filter(col("event_id") < 300),
+      ev.filter(col("event_id") >= 300 && col("event_id") < 700),
+      ev.filter(col("event_id") >= 700)).map(_.select(col("v")))
+    def vcMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val shelf = tmpDir("stats_state") + "/stats"
+    slices.zipWithIndex.foreach { case (b, i) =>
+      StatsMaintenance.update(shelf, b, i.toLong) }
+    val served = vcMap(StatsMaintenance.valueCounts(spark, shelf))
+    val oneShot = vcMap(
+      ev.groupBy("v").agg(count(lit(1)).as("cnt")))
+    assert(served === oneShot && served.nonEmpty)
+
+    // the estimate served FROM STATE equals the gated q216 equi-depth leg
+    val q216 = SparkEntry.queries("q216_selectivity_estimate")(spark, sf)
+      .filter(col("method") === "equi_depth")
+      .select("est").collect().head.getLong(0)
+    assert(StatsMaintenance.estimateRange(spark, shelf, 20000L, 40000L) === q216)
+
+    // retried final batch: SUM is not idempotent, so this parity holds
+    // only because the version fence short-circuits the refold
+    StatsMaintenance.update(shelf, slices(2), 2L)
+    assert(vcMap(StatsMaintenance.valueCounts(spark, shelf)) === served)
+
+    // delivery-order invariance: the fold is commutative addition
+    val shelf2 = tmpDir("stats_state2") + "/stats"
+    slices.reverse.zipWithIndex.foreach { case (b, i) =>
+      StatsMaintenance.update(shelf2, b, i.toLong) }
+    assert(vcMap(StatsMaintenance.valueCounts(spark, shelf2)) === served)
+
+    // a single-value batch rewrites exactly that value's bucket directory
+    // and bumps exactly that value's count
+    import spark.implicits._
+    val one = Seq(123L).toDF("v")
+    StatsMaintenance.update(shelf, one, 3L)
+    val expectBucket = one
+      .select(BucketedState.bucketOf(col("v"), StatsMaintenance.NumBuckets))
+      .collect().head.getInt(0)
+    assert(BucketedState.bucketDirs(spark, shelf, 3L) === Set(expectBucket))
+    val after = vcMap(StatsMaintenance.valueCounts(spark, shelf))
+    assert(after(123L) === served.getOrElse(123L, 0L) + 1L)
+    assert(after - 123L === served - 123L)
+  }
 }
