@@ -203,4 +203,37 @@ class PlanSpec extends SparkTestBase {
     assert("hashpartitioning\\(doc_id".r.findAllIn(p).size <= 1,
       s"extra doc_id-keyed exchange:\n$p")
   }
+
+  test("q213: inventory agg is two-phase; scan pruned to the inventory columns; planning window runs on file rows") {
+    val p = planOf("q213_compaction_plan")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"inventory build must partial-aggregate map-side:\n$p")
+    // the planner never reads the non-inventory columns
+    assert(!p.contains("user_id") && !p.contains("value"),
+      s"column pruning lost:\n$p")
+    // exactly one data-sized exchange (the inventory groupBy); the window
+    // and bucket-agg exchanges move file rows, not data rows, and the
+    // window is partitioned by table — never a global single partition
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"planning window must partition by table:\n$p")
+  }
+
+  test("q214: chunk-stats passes partial-aggregate; the 1-row matched count broadcasts") {
+    val p = planOf("q214_zonemap_prune")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"chunk stats must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"rows_matched must broadcast, never shuffle the audits:\n$p")
+    assert(!p.contains("props"), s"column pruning lost:\n$p")
+  }
+
+  test("q216: value-count agg is two-phase; scalar relations broadcast into the estimate") {
+    val p = planOf("q216_selectivity_estimate")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"value counts must partial-aggregate:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"n/actual scalars must broadcast:\n$p")
+  }
 }
