@@ -62,8 +62,21 @@ object Bench {
       * box), confirming the residue was session-scoped BlockManager state
       * (checkpoint blocks + broadcasts), not the queries. Streaming
       * replays recovered in the same run (349 rec/s fixture / 26.4k at
-      * 100k lines vs round 9's 170 / 19.8k). */
-    val chunkSize = 16
+      * 100k lines vs round 9's 170 / 19.8k).
+      *
+      * chunkSize dropped 16 → 8 late round 10, then MEASURED as neutral:
+      * q122 reads 8.17 s under chunk-8 vs 8.14 s under chunk-16 on the
+      * 242-query board — so the residual gap to BenchOne's hot minimum
+      * (3.7-5.1 s) is NOT predecessor residue. BenchOne's own iterations
+      * explain it: its first (cold) iteration costs 8.9 s and only hot
+      * reruns in the same session reach 3.7 s — the delta is cold-start
+      * I/O (file listing, parquet footers, shuffle/codegen setup) that
+      * any run-once query pays, and the in-bench number ≈ the cold cost.
+      * The round-9 pathology (19.8 s, monotonic with board position) is
+      * gone; what remains is the honest price of a cold query. Chunk-8
+      * kept: worst-case residue is halved for free (restarts are
+      * untimed). */
+    val chunkSize = 8
     def cleanse(spark: SparkSession): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
