@@ -2345,25 +2345,18 @@ object Analytics {
         |       CAST(abs(uni.est - act.actual) * 10000 // act.actual AS BIGINT)
         |FROM uni CROSS JOIN act
         |ORDER BY method""") { (s, d) =>
+      import graft.streaming.StatsMaintenance
       val v = Tables.events(s, d)
         .select(expr("cast(round(value * 100, 0) as long)").as("v"))
       val vc = v.groupBy("v").agg(cntLong.as("cnt"))
       val nRow = vc.agg(sum(col("cnt")).as("n"), min(col("v")).as("gmin"),
         max(col("v")).as("gmax"))
-      // domain-bounded cumsum: ≤ 49,001 rows at ANY data scale
-      val w = Window.orderBy("v")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val hist = vc.withColumn("c", sum(col("cnt")).over(w))
-        .crossJoin(broadcast(nRow))
-        .withColumn("bucket", expr("((c - 1) * 16) div n"))
-        .groupBy("bucket")
-        .agg(min(col("v")).as("bmin"), max(col("v")).as("bmax"),
-          sum(col("cnt")).as("bcnt"))
-      val est = hist.agg(sum(expr(
-        """CASE WHEN bmin >= 20000 AND bmax <= 40000 THEN bcnt
-          |WHEN bmax < 20000 OR bmin > 40000 THEN 0
-          |ELSE (bcnt * (least(40000, bmax) - greatest(20000, bmin) + 1))
-          |     div (bmax - bmin + 1) END""".stripMargin)).as("est"))
+      // histogram + estimator are the ONE shared implementation the
+      // live-stats tenant also serves (StatsMaintenance.equiDepth /
+      // rangeEstimate); the cumsum inside is domain-bounded — ≤ 49,001
+      // value-count rows at ANY data scale
+      val est = StatsMaintenance.rangeEstimate(
+        StatsMaintenance.equiDepth(vc, 16), 20000L, 40000L)
       val act = v.filter(col("v").between(20000, 40000))
         .agg(cntLong.as("actual"))
       val eq = est.crossJoin(broadcast(act)).crossJoin(broadcast(nRow))

@@ -95,17 +95,22 @@ object StatsMaintenance {
         sum(col("cnt")).as("bcnt"))
   }
 
-  /** Range-selectivity estimate `[lo, hi]` served FROM STATE, q216's
-    * integer arithmetic exactly (full buckets counted, boundary buckets
-    * linearly interpolated with truncating div). */
+  /** 1-row `(est)` relation: the integer range-selectivity estimate for
+    * `[lo, hi]` over an [[equiDepth]] histogram — full buckets counted,
+    * boundary buckets linearly interpolated with truncating div. The ONE
+    * copy of the estimator arithmetic; q216 gates it cross-engine and
+    * [[estimateRange]] serves it from state. */
+  def rangeEstimate(hist: DataFrame, lo: Long, hi: Long): DataFrame =
+    hist.agg(coalesce(sum(expr(
+      s"""CASE WHEN bmin >= ${lo}L AND bmax <= ${hi}L THEN bcnt
+         |WHEN bmax < ${lo}L OR bmin > ${hi}L THEN 0
+         |ELSE (bcnt * (least(${hi}L, bmax) - greatest(${lo}L, bmin) + 1))
+         |     div (bmax - bmin + 1) END""".stripMargin)), lit(0L))
+      .as("est"))
+
+  /** Range-selectivity estimate `[lo, hi]` served FROM STATE. */
   def estimateRange(spark: SparkSession, dir: String, lo: Long, hi: Long,
                     nBuckets: Int = 16): Long =
-    equiDepth(valueCounts(spark, dir), nBuckets)
-      .agg(coalesce(sum(expr(
-        s"""CASE WHEN bmin >= ${lo}L AND bmax <= ${hi}L THEN bcnt
-           |WHEN bmax < ${lo}L OR bmin > ${hi}L THEN 0
-           |ELSE (bcnt * (least(${hi}L, bmax) - greatest(${lo}L, bmin) + 1))
-           |     div (bmax - bmin + 1) END""".stripMargin)), lit(0L))
-        .as("est"))
+    rangeEstimate(equiDepth(valueCounts(spark, dir), nBuckets), lo, hi)
       .collect().head.getLong(0)
 }

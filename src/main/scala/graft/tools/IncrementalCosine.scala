@@ -74,9 +74,12 @@ object IncrementalCosine {
     println(f"[inccos] rebuild: $tRebuild%.1f s")
 
     // untimed index build over base — the state a production pipeline
-    // already holds when the batch arrives
+    // already holds when the batch arrives. Deleted on exit: the pair
+    // index is GBs at 100× and this box's disk headroom is what the
+    // 100× smokes live on.
     val root = java.nio.file.Files
       .createTempDirectory("inccos_state").toString
+    try {
     pairs(base).write.parquet(s"$root/pairs_v0")
     items(base).write.parquet(s"$root/items_v0")
 
@@ -113,6 +116,12 @@ object IncrementalCosine {
       "parity violated: incremental top-20 != rebuild top-20")
     println(f"[inccos] parity OK; rebuild/ingest = ${tRebuild / tIngest}%.1f x, " +
       f"rebuild/serve = ${tRebuild / tServe}%.1f x")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(root)
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
     spark.stop()
   }
 }
