@@ -31,6 +31,10 @@ object Mmr {
     require(k >= 1 && lamDen > 0 && lamNum >= 0 && lamNum <= lamDen,
       s"mmr: need 1<=k, 0<=lamNum<=lamDen, got k=$k λ=$lamNum/$lamDen")
     val relMap = rel.toMap
+    // a repeated id would silently last-write-win through toMap and
+    // shrink the result — reject the malformed candidate set loudly
+    require(relMap.size == rel.size,
+      s"mmr: duplicate candidate ids (${rel.size} rows, ${relMap.size} distinct)")
     var selected = Vector.empty[(Int, Long, Long, Long)]
     var remaining = relMap.keySet
     while (selected.size < k && remaining.nonEmpty) {

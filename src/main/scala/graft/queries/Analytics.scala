@@ -1865,6 +1865,7 @@ object Analytics {
         .withColumn("rb", row_number().over(
           Window.orderBy(col("cb").desc, col("pk"))))
         .select(col("pk"), col("ra"), col("rb"))
+        .localCheckpoint() // feeds the join's both sides AND n_items
       val y = r.select(col("pk").as("pk2"), col("ra").as("ra2"),
         col("rb").as("rb2"))
       val conc = (col("ra") - col("ra2")) * (col("rb") - col("rb2"))
@@ -1908,6 +1909,7 @@ object Analytics {
       val dc = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
         .agg(cntLong.as("c"))
+        .localCheckpoint() // feeds cur, p1, p7 — one daily rollup, not 3
       val cur = dc.select(col("event_type"), col("d"), col("c"),
         expr("timestampadd(DAY, -1, d)").as("d1"),
         expr("timestampadd(DAY, -7, d)").as("d7"))
@@ -1959,6 +1961,7 @@ object Analytics {
       val dc = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("day", col("ts")).as("d"))
         .agg(cntLong.as("c"))
+        .localCheckpoint() // feeds both slope sides — one rollup, not 2
       val a = dc.select(col("event_type"), col("d").as("da"), col("c").as("ca"))
       val b = dc.select(col("event_type").as("et2"), col("d").as("db"),
         col("c").as("cb"))

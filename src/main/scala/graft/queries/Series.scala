@@ -21,6 +21,38 @@ import org.apache.spark.sql.functions._
   */
 object Series {
 
+  /** The shared two-pass exact-selection scaffold q148 (percentile_disc)
+    * and q194 (percentile_cont) both ride — ONE copy of the cents
+    * projection, the per-group extent+count (lineage cut: it feeds the
+    * bucketing, the rank derivation, and the final n), the exact integer
+    * value-range bucketing, and the histogram cumsum. Returns
+    * (bucketed rows, group extents `g`, histogram cumsum `cum`); the
+    * queries differ only in which ranks they derive from `g` and how the
+    * crossing-bucket selections combine. A tweak to the bucket formula
+    * or the before/cum algebra lands in both gates or neither. */
+  private def twoPassSelect(s: org.apache.spark.sql.SparkSession, d: String,
+                            b: Int): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
+    val g = ev.groupBy("event_type")
+      .agg(min("cents").as("lo"), max("cents").as("hi"),
+        count(lit(1)).as("n"))
+      .localCheckpoint()
+    // (cents-lo)*B div (hi-lo+1) is exact integer bucketing (no float),
+    // monotone in cents — equal values never span a bucket boundary
+    val bucketed = ev.join(broadcast(g), "event_type")
+      .withColumn("bucket", expr(s"((cents - lo) * $b) div (hi - lo + 1)"))
+    val wcum = Window.partitionBy("event_type").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.groupBy("event_type", "bucket")
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wcum))
+      .withColumn("before", col("cum") - col("c"))
+    (bucketed, g, cum)
+  }
+
   val all: Seq[GatedQuery] = Seq(
 
     // ---- gap filling + LOCF: a sparse cohort's daily totals densified
@@ -390,26 +422,7 @@ object Series {
         |       MAX(CASE WHEN rn = (99*n + 99) // 100 THEN cents END) AS p99,
         |       CAST(MAX(n) AS BIGINT) AS n
         |FROM r GROUP BY event_type ORDER BY event_type""") { (s, d) =>
-      val B = 1024
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
-      // pass 1a: per-group extent + count (groups-sized; feeds three
-      // places, so cut lineage once instead of re-scanning events)
-      val g = ev.groupBy("event_type")
-        .agg(min("cents").as("lo"), max("cents").as("hi"),
-          count(lit(1)).as("n"))
-        .localCheckpoint()
-      // pass 1b: value-range histogram — (cents-lo)*B div (hi-lo+1) is
-      // exact integer bucketing (no float), monotone in cents
-      val bucketed = ev.join(broadcast(g), "event_type")
-        .withColumn("bucket", expr(s"((cents - lo) * $B) div (hi - lo + 1)"))
-      val wcum = Window.partitionBy("event_type").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = bucketed.groupBy("event_type", "bucket")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(wcum))
-        .withColumn("before", col("cum") - col("c"))
+      val (bucketed, g, cum) = twoPassSelect(s, d, 1024)
       // crossing bucket + residual rank per (group, percentile):
       // before < ⌈p·n⌉ ≤ cum — a join of two histogram-sized relations
       val ranks = g.select(col("event_type"), explode(array(
@@ -476,22 +489,7 @@ object Series {
         |            + hi90 * ((90*(n-1)) % 100) AS BIGINT) AS p90_x100,
         |       CAST(n AS BIGINT) AS n
         |FROM v ORDER BY event_type""") { (s, d) =>
-      val B = 1024
-      val ev = Tables.events(s, d)
-        .select(col("event_type"), col("event_id"),
-          expr("CAST(CAST(value AS DOUBLE) * 100 AS BIGINT)").as("cents"))
-      val g = ev.groupBy("event_type")
-        .agg(min("cents").as("lo"), max("cents").as("hi"),
-          count(lit(1)).as("n"))
-        .localCheckpoint()
-      val bucketed = ev.join(broadcast(g), "event_type")
-        .withColumn("bucket", expr(s"((cents - lo) * $B) div (hi - lo + 1)"))
-      val wcum = Window.partitionBy("event_type").orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = bucketed.groupBy("event_type", "bucket")
-        .agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum("c").over(wcum))
-        .withColumn("before", col("cum") - col("c"))
+      val (bucketed, g, cum) = twoPassSelect(s, d, 1024)
       // two bracketing ranks per percentile: lo = ⌊p(n−1)/100⌋+1,
       // hi = lo + (frac > 0); frac travels with the rank row
       val ranks = g.select(col("event_type"), explode(array(Seq(50, 90).flatMap {

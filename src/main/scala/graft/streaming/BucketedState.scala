@@ -46,9 +46,32 @@ object BucketedState {
   private def manifestPath(version: Long, dir: String) =
     new Path(s"$dir/v=$version/_MANIFEST")
 
+  /** The ONE parser for the on-disk manifest format (line 1
+    * `p=<buckets>`, then `<bucket>=<version>` per dirty-ever bucket —
+    * plain text, no JSON dependency). Both the reader and commit()'s
+    * retention pass go through here: a second hand-rolled parser in the
+    * prune path is how a format tweak deletes a still-referenced
+    * version. */
+  private def parseManifest(fs: FileSystem, dir: String, version: Long)
+      : (Int, Map[Int, Long]) = {
+    val in = fs.open(manifestPath(version, dir))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).toSeq
+    val p = lines.head.stripPrefix("p=").toInt
+    val entries = lines.tail.map { l =>
+      val Array(b, ver) = l.split("=", 2)
+      b.toInt -> ver.toLong
+    }.toMap
+    (p, entries)
+  }
+
   /** Newest committed manifest: (version, p, bucket → owning version).
-    * Format: line 1 `p=<buckets>`, then `<bucket>=<version>` per dirty-
-    * ever bucket — plain text, no JSON parser dependency. */
+    * None ONLY when no state exists yet; a dir holding `v=` versions
+    * none of which carry a manifest is a FOREIGN layout (e.g. a flat
+    * VersionedState shelf) and throws — silently treating it as empty
+    * would discard the prior state in the next fold while committed()
+    * still honored its version numbers as a retry fence. */
   def latestManifest(spark: SparkSession, dir: String)
       : Option[(Long, Int, Map[Int, Long])] = {
     val fs = fsOf(spark, dir)
@@ -56,19 +79,19 @@ object BucketedState {
     if (!fs.exists(root)) return None
     val versions = fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.startsWith("v=")).flatMap(_.stripPrefix("v=").toLongOption)
-    versions.sorted.reverse.collectFirst {
+    val newest = versions.sorted.reverse.collectFirst {
       case v if fs.exists(manifestPath(v, dir)) =>
-        val in = fs.open(manifestPath(v, dir))
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        val lines = text.linesIterator.filter(_.nonEmpty).toSeq
-        val p = lines.head.stripPrefix("p=").toInt
-        val entries = lines.tail.map { l =>
-          val Array(b, ver) = l.split("=", 2)
-          b.toInt -> ver.toLong
-        }.toMap
+        val (p, entries) = parseManifest(fs, dir, v)
         (v, p, entries)
     }
+    // commit() publishes the manifest and the version dir in ONE rename,
+    // so every legitimate v= dir carries _MANIFEST
+    if (newest.isEmpty && versions.nonEmpty)
+      throw new IllegalStateException(
+        s"$dir holds versions ${versions.sorted.mkString(",")} but no " +
+          "_MANIFEST — not a BucketedState layout; refusing to treat " +
+          "existing state as empty")
+    newest
   }
 
   /** State rows for `want` buckets (None = all), resolved through the
@@ -119,13 +142,7 @@ object BucketedState {
       .sorted.reverse
     val live = versions.take(keepManifests).flatMap { v =>
       if (!fs.exists(manifestPath(v, dir))) Seq(v)
-      else {
-        val in = fs.open(manifestPath(v, dir))
-        val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        v +: text.linesIterator.filter(_.contains("=")).toSeq.tail
-          .map(_.split("=", 2)(1).toLong)
-      }
+      else v +: parseManifest(fs, dir, v)._2.values.toSeq
     }.toSet
     versions.filterNot(live).filter(_ < batchId)
       .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
@@ -149,6 +166,57 @@ object BucketedState {
       s"compact batchId=$batchId must exceed every live version")
     commit(read(spark, dir, schema, manifest, None), dir, batchId, p,
       manifest.keySet, manifest, keepManifests = 1)
+  }
+
+  /** The full-state fold protocol shared by the diff-based tenants
+    * (vocabulary, dup-cluster labels, value-count stats): short-circuit
+    * on the version fence, resolve the manifest (enforcing the tenant's
+    * fan-out), hand the previous state to `fold`, diff old vs new to
+    * find the dirty buckets, and commit ONLY those. One copy of the
+    * contract — a tenant cannot drift on the empty-dirty guard or the
+    * p-mismatch check. The diff is symmetric (rows that appeared,
+    * changed, or vanished all dirty their bucket), a superset of what
+    * monotone folds like MIN/SUM strictly need and required for folds
+    * that relabel or delete. `keyCol` is the state's bucket key; `fold`
+    * must return a relation in `schema` minus [[BucketCol]].
+    * [[JoinViewMaintenance]] stays OUTSIDE this helper by design: its
+    * dirty set derives from the batch's touched keys with
+    * partition-pruned reads, never a full-state diff. */
+  def foldCommit(spark: SparkSession, dir: String, batchId: Long,
+                 numBuckets: Int, schema: StructType, keyCol: String,
+                 what: String)(fold: DataFrame => DataFrame): Unit = {
+    if (committed(spark, dir, batchId)) return
+    val (p, manifest) = latestManifest(spark, dir) match {
+      case Some((_, mp, m)) =>
+        require(mp == numBuckets,
+          s"$what at $dir laid out with p=$mp, engine uses $numBuckets")
+        (mp, m)
+      case None => (numBuckets, Map.empty[Int, Long])
+    }
+    val prev = read(spark, dir, schema, manifest, None).drop(BucketCol)
+    val merged = fold(prev)
+      .localCheckpoint() // feeds the diff (twice) and the dirty write
+    val changed = merged.exceptAll(prev).select(col(keyCol))
+      .unionByName(prev.exceptAll(merged).select(col(keyCol)))
+    val dirty = changed
+      .select(bucketOf(col(keyCol), p).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val dirtyState = merged
+      .withColumn(BucketCol, bucketOf(col(keyCol), p))
+      .filter(if (dirty.isEmpty) lit(false)
+        else col(BucketCol).isin(dirty.toSeq: _*))
+    commit(dirtyState, dir, batchId, p, dirty, manifest)
+  }
+
+  /** Newest committed full state for a tenant, manifest-resolved, with
+    * the fan-out check every reader must make. */
+  def readState(spark: SparkSession, dir: String, schema: StructType,
+                numBuckets: Int, what: String): DataFrame = {
+    val (_, p, manifest) = latestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no $what state under $dir"))
+    require(p == numBuckets,
+      s"$what at $dir laid out with p=$p, engine uses $numBuckets")
+    read(spark, dir, schema, manifest, None)
   }
 
   /** Buckets materialized under one version directory — the spec hook for

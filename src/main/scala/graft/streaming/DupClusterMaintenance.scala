@@ -47,48 +47,21 @@ object DupClusterMaintenance {
     StructField(BucketedState.BucketCol, IntegerType)))
 
   /** Fold one micro-batch of pair edges `(a_id, b_id)` into the label
-    * state at `labelDir` — call from foreachBatch. */
-  def update(labelDir: String, pairs: DataFrame, batchId: Long): Unit = {
-    val spark = pairs.sparkSession
-    if (BucketedState.committed(spark, labelDir, batchId)) return
-    val (p, manifest) = BucketedState.latestManifest(spark, labelDir) match {
-      case Some((_, mp, m)) =>
-        require(mp == NumBuckets,
-          s"labels at $labelDir laid out with p=$mp, engine uses $NumBuckets")
-        (mp, m)
-      case None => (NumBuckets, Map.empty[Int, Long])
+    * state at `labelDir` — call from foreachBatch. The symmetric diff
+    * inside [[BucketedState.foldCommit]] dirties exactly the changed
+    * rows: new ids + relabeled members of bridged clusters. */
+  def update(labelDir: String, pairs: DataFrame, batchId: Long): Unit =
+    BucketedState.foldCommit(pairs.sparkSession, labelDir, batchId,
+      NumBuckets, stateSchema, "id", "labels") { prev =>
+      val edges = pairs.toDF("a", "b")
+        .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
+      ConnectedComponents.incremental(prev, edges)
+        .select(col("id").cast("long").as("id"),
+          col("cluster").cast("long").as("cluster"))
     }
-    val prev = BucketedState.read(spark, labelDir, stateSchema, manifest, None)
-      .drop(BucketedState.BucketCol)
-    val edges = pairs.toDF("a", "b")
-      .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-    val merged = ConnectedComponents.incremental(prev, edges)
-      .select(col("id").cast("long").as("id"),
-        col("cluster").cast("long").as("cluster"))
-      .localCheckpoint() // feeds the diff (twice) and the dirty write
-    // exactly the rows that changed: new ids + relabeled members of
-    // bridged clusters — their buckets are the only ones rewritten
-    val changed = merged.exceptAll(prev).select(col("id"))
-      .unionByName(prev.exceptAll(merged).select(col("id")))
-    val dirty = changed
-      .select(BucketedState.bucketOf(col("id"), p).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val dirtyState = merged
-      .withColumn(BucketedState.BucketCol,
-        BucketedState.bucketOf(col("id"), p))
-      .filter(if (dirty.isEmpty) lit(false)
-        else col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
-    BucketedState.commit(dirtyState, labelDir, batchId, p, dirty, manifest)
-  }
 
   /** Newest committed label relation `(id, cluster)`. */
-  def labels(spark: SparkSession, labelDir: String): DataFrame = {
-    val (_, p, manifest) = BucketedState.latestManifest(spark, labelDir)
-      .getOrElse(throw new IllegalStateException(
-        s"no cluster state under $labelDir"))
-    require(p == NumBuckets,
-      s"labels at $labelDir laid out with p=$p, engine uses $NumBuckets")
-    BucketedState.read(spark, labelDir, stateSchema, manifest, None)
-      .select(col("id"), col("cluster"))
-  }
+  def labels(spark: SparkSession, labelDir: String): DataFrame =
+    BucketedState.readState(spark, labelDir, stateSchema, NumBuckets,
+      "labels").select(col("id"), col("cluster"))
 }

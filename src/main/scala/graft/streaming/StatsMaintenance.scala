@@ -37,48 +37,23 @@ object StatsMaintenance {
     StructField(BucketedState.BucketCol, IntegerType)))
 
   /** Fold one micro-batch's `v` column (long-typed values, e.g. exact
-    * cents) into the stats state at `dir` — call from foreachBatch. */
-  def update(dir: String, values: DataFrame, batchId: Long): Unit = {
-    val spark = values.sparkSession
-    if (BucketedState.committed(spark, dir, batchId)) return
-    val (p, manifest) = BucketedState.latestManifest(spark, dir) match {
-      case Some((_, mp, m)) =>
-        require(mp == NumBuckets,
-          s"stats at $dir laid out with p=$mp, engine uses $NumBuckets")
-        (mp, m)
-      case None => (NumBuckets, Map.empty[Int, Long])
+    * cents) into the stats state at `dir` — call from foreachBatch.
+    * Every value the batch touched changed its count (sum is strictly
+    * increasing on positive deltas), so [[BucketedState.foldCommit]]'s
+    * diff dirties exactly the batch's value buckets. */
+  def update(dir: String, values: DataFrame, batchId: Long): Unit =
+    BucketedState.foldCommit(values.sparkSession, dir, batchId, NumBuckets,
+      stateSchema, "v", "stats") { prev =>
+      val batchCounts = values.select(col("v").cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      prev.unionByName(batchCounts)
+        .groupBy("v").agg(sum(col("cnt")).as("cnt"))
     }
-    val prev = BucketedState.read(spark, dir, stateSchema, manifest, None)
-      .drop(BucketedState.BucketCol)
-    val batchCounts = values.select(col("v").cast("long").as("v"))
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-    val merged = prev.unionByName(batchCounts)
-      .groupBy("v").agg(sum(col("cnt")).as("cnt"))
-      .localCheckpoint() // feeds the diff and the dirty write
-    // every value the batch touched changed its count (sum is strictly
-    // increasing on positive deltas) — dirty = the batch's value buckets
-    val changed = merged.exceptAll(prev).select(col("v"))
-    val dirty = changed
-      .select(BucketedState.bucketOf(col("v"), p).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val dirtyState = merged
-      .withColumn(BucketedState.BucketCol,
-        BucketedState.bucketOf(col("v"), p))
-      .filter(if (dirty.isEmpty) lit(false)
-        else col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
-    BucketedState.commit(dirtyState, dir, batchId, p, dirty, manifest)
-  }
 
   /** Newest committed value-count relation `(v, cnt)`. */
-  def valueCounts(spark: SparkSession, dir: String): DataFrame = {
-    val (_, p, manifest) = BucketedState.latestManifest(spark, dir)
-      .getOrElse(throw new IllegalStateException(
-        s"no stats state under $dir"))
-    require(p == NumBuckets,
-      s"stats at $dir laid out with p=$p, engine uses $NumBuckets")
-    BucketedState.read(spark, dir, stateSchema, manifest, None)
+  def valueCounts(spark: SparkSession, dir: String): DataFrame =
+    BucketedState.readState(spark, dir, stateSchema, NumBuckets, "stats")
       .select(col("v"), col("cnt"))
-  }
 
   /** q216's equi-depth histogram over any `(v, cnt)` relation:
     * `(bucket, bmin, bmax, bcnt)`. The cumsum window runs over the

@@ -41,52 +41,27 @@ object VocabMaintenance {
     StructField(BucketedState.BucketCol, IntegerType)))
 
   /** Fold one micro-batch of documents `(doc_id, text)` into the
-    * vocabulary state at `dir` — call from foreachBatch. */
-  def update(dir: String, docs: DataFrame, batchId: Long): Unit = {
-    val spark = docs.sparkSession
-    if (BucketedState.committed(spark, dir, batchId)) return
-    val (p, manifest) = BucketedState.latestManifest(spark, dir) match {
-      case Some((_, mp, m)) =>
-        require(mp == NumBuckets,
-          s"vocabulary at $dir laid out with p=$mp, engine uses $NumBuckets")
-        (mp, m)
-      case None => (NumBuckets, Map.empty[Int, Long])
+    * vocabulary state at `dir` — call from foreachBatch. The dirty set
+    * (via [[BucketedState.foldCommit]]'s diff) is exactly the changed
+    * shingles: brand-new ones plus shingles whose recorded first_doc an
+    * out-of-order batch just lowered. */
+  def update(dir: String, docs: DataFrame, batchId: Long): Unit =
+    BucketedState.foldCommit(docs.sparkSession, dir, batchId, NumBuckets,
+      stateSchema, "s", "vocabulary") { prev =>
+      val batchMin = docs
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(TextOps.trigrams(col("w"))).as("s"))
+        .groupBy("s").agg(min(col("doc_id")).as("first_doc"))
+      prev.unionByName(batchMin)
+        .groupBy("s").agg(min(col("first_doc")).as("first_doc"))
     }
-    val prev = BucketedState.read(spark, dir, stateSchema, manifest, None)
-      .drop(BucketedState.BucketCol)
-    val batchMin = docs
-      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
-      .withColumn("w", TextOps.tokens(col("text")))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(TextOps.trigrams(col("w"))).as("s"))
-      .groupBy("s").agg(min(col("doc_id")).as("first_doc"))
-    val merged = prev.unionByName(batchMin)
-      .groupBy("s").agg(min(col("first_doc")).as("first_doc"))
-      .localCheckpoint() // feeds the diff and the dirty write
-    // exactly the rows that changed: brand-new shingles plus shingles
-    // whose recorded first_doc an out-of-order batch just lowered
-    val changed = merged.exceptAll(prev).select(col("s"))
-    val dirty = changed
-      .select(BucketedState.bucketOf(col("s"), p).as("b")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    val dirtyState = merged
-      .withColumn(BucketedState.BucketCol,
-        BucketedState.bucketOf(col("s"), p))
-      .filter(if (dirty.isEmpty) lit(false)
-        else col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
-    BucketedState.commit(dirtyState, dir, batchId, p, dirty, manifest)
-  }
 
   /** Newest committed first-seen relation `(s, first_doc)`. */
-  def firstSeen(spark: SparkSession, dir: String): DataFrame = {
-    val (_, p, manifest) = BucketedState.latestManifest(spark, dir)
-      .getOrElse(throw new IllegalStateException(
-        s"no vocabulary state under $dir"))
-    require(p == NumBuckets,
-      s"vocabulary at $dir laid out with p=$p, engine uses $NumBuckets")
-    BucketedState.read(spark, dir, stateSchema, manifest, None)
-      .select(col("s"), col("first_doc"))
-  }
+  def firstSeen(spark: SparkSession, dir: String): DataFrame =
+    BucketedState.readState(spark, dir, stateSchema, NumBuckets,
+      "vocabulary").select(col("s"), col("first_doc"))
 
   /** The q203-shaped growth curve served FROM STATE: (docs_seen,
     * new_shingles, vocab) per `bucketDocs`-document prefix. */

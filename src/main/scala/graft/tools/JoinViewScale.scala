@@ -40,8 +40,14 @@ object JoinViewScale {
     }
     val tSeed = secs(JoinViewMaintenance.update(dir, l0, r0, 0L))
 
-    // steady-state trigger: one fact upsert
-    val one = l0.limit(1).withColumn("payload", lit("updated"))
+    // steady-state trigger: one fact upsert. Deterministic pick — the
+    // batch frame is re-evaluated by several independent jobs inside
+    // update() (dirty-set collect, lww anti-join, commit write), and an
+    // unordered limit(1) could resolve to a DIFFERENT row per job,
+    // writing bucket(B) while marking bucket(A) dirty
+    val minPk = l0.agg(min(col("pk")).as("m")).first().getString(0)
+    val one = l0.filter(col("pk") === minPk)
+      .withColumn("payload", lit("updated"))
     val tOne = secs(JoinViewMaintenance.update(dir, one,
       r0.limit(0), 1L))
 
