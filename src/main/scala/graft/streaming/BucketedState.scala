@@ -174,18 +174,23 @@ object BucketedState {
     * fan-out), hand the previous state to `fold`, diff old vs new to
     * find the dirty buckets, and commit ONLY those. One copy of the
     * contract — a tenant cannot drift on the empty-dirty guard or the
-    * p-mismatch check. The diff is symmetric (rows that appeared,
-    * changed, or vanished all dirty their bucket), a superset of what
-    * monotone folds like MIN/SUM strictly need and required for folds
-    * that relabel or delete. `keyCol` is the state's bucket key; `fold`
+    * p-mismatch check. The diff is symmetric by default (rows that
+    * appeared, changed, or vanished all dirty their bucket — required
+    * for folds that relabel or delete); monotone MIN/SUM folds whose
+    * rows never vanish pass `growOnly = true` to skip the second
+    * full-state anti-join per trigger. `keyCol` is the bucket key; `fold`
     * must return a relation in `schema` minus [[BucketCol]].
     * [[JoinViewMaintenance]] stays OUTSIDE this helper by design: its
     * dirty set derives from the batch's touched keys with
     * partition-pruned reads, never a full-state diff. */
   def foldCommit(spark: SparkSession, dir: String, batchId: Long,
                  numBuckets: Int, schema: StructType, keyCol: String,
-                 what: String)(fold: DataFrame => DataFrame): Unit = {
-    if (committed(spark, dir, batchId)) return
+                 what: String, growOnly: Boolean = false)
+                (fold: DataFrame => DataFrame): Unit = {
+    // layout check BEFORE the version fence: against a foreign (flat
+    // VersionedState) dir whose v= ids collide with incoming batchIds,
+    // a fence-first order would silently swallow those batches and only
+    // throw on the first fresh id
     val (p, manifest) = latestManifest(spark, dir) match {
       case Some((_, mp, m)) =>
         require(mp == numBuckets,
@@ -193,11 +198,17 @@ object BucketedState {
         (mp, m)
       case None => (numBuckets, Map.empty[Int, Long])
     }
+    if (committed(spark, dir, batchId)) return
     val prev = read(spark, dir, schema, manifest, None).drop(BucketCol)
     val merged = fold(prev)
-      .localCheckpoint() // feeds the diff (twice) and the dirty write
-    val changed = merged.exceptAll(prev).select(col(keyCol))
-      .unionByName(prev.exceptAll(merged).select(col(keyCol)))
+      .localCheckpoint() // feeds the diff and the dirty write
+    // growOnly (monotone MIN/SUM folds whose rows never vanish or
+    // relabel): one-sided diff suffices and skips a full-state anti-join
+    // per trigger; folds that relabel or delete need the symmetric diff
+    val changed =
+      if (growOnly) merged.exceptAll(prev).select(col(keyCol))
+      else merged.exceptAll(prev).select(col(keyCol))
+        .unionByName(prev.exceptAll(merged).select(col(keyCol)))
     val dirty = changed
       .select(bucketOf(col(keyCol), p).as("b")).distinct()
       .collect().map(_.getInt(0)).toSet

@@ -104,7 +104,9 @@ object JoinViewMaintenance {
   def update(dir: String, batchL: DataFrame, batchR: DataFrame,
              batchId: Long): Unit = {
     val spark = batchL.sparkSession
-    if (BucketedState.committed(spark, dir, batchId)) return
+    // layout check BEFORE the version fence (same order as
+    // BucketedState.foldCommit): a foreign flat-layout dir must throw,
+    // not silently swallow batches whose ids collide with its versions
     val (p, manifest) = BucketedState.latestManifest(spark, dir) match {
       case Some((_, mp, m)) =>
         require(mp == NumBuckets,
@@ -112,6 +114,7 @@ object JoinViewMaintenance {
         (mp, m)
       case None => (NumBuckets, Map.empty[Int, Long])
     }
+    if (BucketedState.committed(spark, dir, batchId)) return
     def readRel(rel: String, buckets: Option[Set[Int]]): DataFrame =
       BucketedState.read(spark, dir, stateSchema, manifest, buckets)
         .filter(col("rel") === rel)

@@ -43,7 +43,7 @@ object StatsMaintenance {
     * diff dirties exactly the batch's value buckets. */
   def update(dir: String, values: DataFrame, batchId: Long): Unit =
     BucketedState.foldCommit(values.sparkSession, dir, batchId, NumBuckets,
-      stateSchema, "v", "stats") { prev =>
+      stateSchema, "v", "stats", growOnly = true) { prev =>
       val batchCounts = values.select(col("v").cast("long").as("v"))
         .groupBy("v").agg(count(lit(1)).as("cnt"))
       prev.unionByName(batchCounts)

@@ -47,7 +47,7 @@ object VocabMaintenance {
     * out-of-order batch just lowered. */
   def update(dir: String, docs: DataFrame, batchId: Long): Unit =
     BucketedState.foldCommit(docs.sparkSession, dir, batchId, NumBuckets,
-      stateSchema, "s", "vocabulary") { prev =>
+      stateSchema, "s", "vocabulary", growOnly = true) { prev =>
       val batchMin = docs
         .select(col("doc_id").cast("long").as("doc_id"), col("text"))
         .withColumn("w", TextOps.tokens(col("text")))

@@ -117,10 +117,18 @@ object IncrementalCosine {
     println(f"[inccos] parity OK; rebuild/ingest = ${tRebuild / tIngest}%.1f x, " +
       f"rebuild/serve = ${tRebuild / tServe}%.1f x")
     } finally {
-      import scala.jdk.CollectionConverters._
-      val p = java.nio.file.Paths.get(root)
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      // best-effort: close the walk stream (it holds directory handles)
+      // and never let a cleanup failure mask the real error above or
+      // prevent spark.stop()
+      try scala.util.Using.resource(
+        java.nio.file.Files.walk(java.nio.file.Paths.get(root))) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.reverse
+          .foreach(f => java.nio.file.Files.deleteIfExists(f))
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[inccos] cleanup of $root failed: $e")
+      }
     }
     spark.stop()
   }
