@@ -145,8 +145,10 @@ object Bench {
     // replay throughput in-run (8.4k rec/s after 141 queries vs 17.6k
     // isolated, same binary same day) — GC after the last query chunk and
     // let the replays start from the state a dedicated streaming job
-    // would actually have. Skipped when replays are skipped.
-    val streamSpark: SparkSession = newSession()
+    // would actually have. Not built at all in subset/smoke mode, where
+    // every replay short-circuits and the session would only ever be
+    // stopped (~1-2 s of dead startup per 100× smoke invocation).
+    lazy val streamSpark: SparkSession = newSession()
 
     // Streaming replay throughput (reference comparison point: offered
     // load 0.33 rec/s with 5-10 min visibility, reference README.md:451).
@@ -231,7 +233,9 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"), sidecar + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    streamSpark.stop() // the query-phase sessions are already stopped
+    // the query-phase sessions are already stopped; the lazy streaming
+    // session only ever existed when the replays ran
+    if (subset.isEmpty) streamSpark.stop()
     println(line)
   }
 }

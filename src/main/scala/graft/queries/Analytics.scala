@@ -1108,12 +1108,9 @@ object Analytics {
       s.read.parquet(s"$dir/docs")
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         .write.mode("overwrite").parquet(s"$dir/corpus")
-      // ---- probe: postings of the query terms only (bucket-pruned) ----
-      val post = s.read.parquet(s"$dir/post")
-        .filter(col("bucket").isin(
-          terms.map(t => math.floorMod(graft.text.TermHash.xx64(t), 64L).toInt)
-            .distinct: _*))
-        .filter(col("term").isin(terms: _*))
+      // ---- probe: postings of the query terms only, through the ONE
+      //      bucket-prune implementation (Phrase.prunedPostings) ----
+      val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
       val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
         .localCheckpoint() // feeds the doc pivot AND the df aggregation
       def tcol(t: String) =

@@ -154,9 +154,21 @@ object BucketedState {
     * never-touched bucket's pointer can reach (file-listing cost and
     * retention both become O(1) versions again). Same staging+rename
     * commit, so a crashed compaction is invisible and a retry is a
-    * no-op; run it from a maintenance window like [[graft.streaming]]'s
-    * archive compaction, with a `batchId` above the stream's last commit
-    * (version ids are the commit fence, so the compaction takes one). */
+    * no-op.
+    *
+    * ID-COORDINATION CONTRACT: version ids double as the commit fence
+    * AND the resolution order (latestManifest picks the LARGEST id), so
+    * compact is safe only for shelves whose batch ids the CALLER
+    * assigns (offline/maintenance ingest, the JoinViewSpec pattern of
+    * jumping to a reserved high id and resuming the normal sequence
+    * above it). For tenants driven by engine-assigned foreachBatch ids
+    * it must NOT run out-of-band: an id above the stream's future
+    * sequence shadows every later fold (resolution keeps picking the
+    * compacted snapshot), and an id the engine will reuse makes the
+    * retry fence silently swallow that batch. For those tenants,
+    * compact INSIDE foreachBatch at the engine's own id for that batch
+    * (skip the fold, pass the current state through a full rewrite) —
+    * the id sequence then stays the engine's and both hazards vanish. */
   def compact(spark: SparkSession, dir: String, schema: StructType,
               batchId: Long): Unit = {
     if (committed(spark, dir, batchId)) return
@@ -205,10 +217,10 @@ object BucketedState {
     // growOnly (monotone MIN/SUM folds whose rows never vanish or
     // relabel): one-sided diff suffices and skips a full-state anti-join
     // per trigger; folds that relabel or delete need the symmetric diff
+    val appeared = merged.exceptAll(prev).select(col(keyCol))
     val changed =
-      if (growOnly) merged.exceptAll(prev).select(col(keyCol))
-      else merged.exceptAll(prev).select(col(keyCol))
-        .unionByName(prev.exceptAll(merged).select(col(keyCol)))
+      if (growOnly) appeared
+      else appeared.unionByName(prev.exceptAll(merged).select(col(keyCol)))
     val dirty = changed
       .select(bucketOf(col(keyCol), p).as("b")).distinct()
       .collect().map(_.getInt(0)).toSet

@@ -78,20 +78,26 @@ object Phrase {
     matched.groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
-  /** [[phraseHits]] against a persisted index: the scan prunes to the
-    * phrase terms' buckets (a literal `bucket IN (...)` over the
-    * partition column — directory pruning) and the terms' posting lists
-    * (scan-side `term IN (...)`); nothing else is read. */
-  def phraseHitsIndexed(spark: SparkSession, path: String,
-                        terms: Seq[String], nBuckets: Int = 64): DataFrame = {
-    require(terms.nonEmpty, "phrase search needs at least one term")
-    val post = spark.read.parquet(path)
+  /** The ONE copy of the index-probe layout contract: read a persisted
+    * posting index pruned to `terms`' buckets (a literal `bucket IN
+    * (...)` over the partition column — directory pruning) and their
+    * posting lists (scan-side `term IN (...)`); nothing else is read.
+    * Both the phrase probe and q197's indexed BM25 go through here — a
+    * bucket-function or fan-out change lands in every prober or none. */
+  def prunedPostings(spark: SparkSession, path: String,
+                     terms: Seq[String], nBuckets: Int = 64): DataFrame = {
+    require(terms.nonEmpty, "index probe needs at least one term")
+    spark.read.parquet(path)
       .filter(col("bucket").isin(
         terms.map(t => math.floorMod(TermHash.xx64(t), nBuckets.toLong).toInt)
           .distinct: _*))
       .filter(col("term").isin(terms.distinct: _*))
-    phraseHits(post, terms)
   }
+
+  /** [[phraseHits]] against a persisted index via [[prunedPostings]]. */
+  def phraseHitsIndexed(spark: SparkSession, path: String,
+                        terms: Seq[String], nBuckets: Int = 64): DataFrame =
+    phraseHits(prunedPostings(spark, path, terms, nBuckets), terms)
 }
 
 /** Driver-side twin of Spark's xxhash64(string, seed=42) for resolving a

@@ -70,8 +70,15 @@ object IncrementalDedup {
           .localCheckpoint()
       }
 
-    // amortized build: index + base pairs + base labels, persisted once
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_incdedup_idx"
+    // amortized build: index + base pairs + base labels, persisted once.
+    // Per-pid dir (concurrent runs must not overwrite each other's index
+    // mid-probe) and deleted on exit — the fingerprint arrays rival the
+    // corpus in size and this box's 100× smokes live on that headroom
+    val dir = s"${System.getProperty("java.io.tmpdir")}/" +
+      s"graft_incdedup_idx_p${ProcessHandle.current().pid()}"
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      catch { case _: Throwable => () }))
     val (baseLabels, tBuild) = secs {
       SimJoin.writeIndex(base, dir, 1, 2)
       ConnectedComponents.run(
