@@ -42,7 +42,16 @@ object Mmr {
         val r = relMap(id)
         val pen =
           if (selected.isEmpty) 0L
-          else selected.map(s => sim((id, s._2))).max
+          else selected.map { s =>
+            // loud validation, same style as the duplicate-id check: an
+            // incomplete sim map is the likelier caller mistake and must
+            // name the missing pair, not throw a bare NoSuchElement
+            sim.getOrElse((id, s._2), {
+              throw new IllegalArgumentException(
+                s"mmr: sim map missing pair ($id, ${s._2}) — sim must " +
+                  "cover every ordered candidate pair")
+            })
+          }.max
         (id, r, lamNum * r - (lamDen - lamNum) * pen)
       }
       val (id, r, sc) = scored.minBy { case (id, _, sc) => (-sc, id) }

@@ -34,14 +34,20 @@ import org.apache.spark.sql.functions._
 object KCore {
 
   /** Nodes of the k-core with their in-core degrees. `pairs(u, v)` is an
-    * undirected edge list, one row per edge (either orientation, no
-    * self-loops); returns `(node, deg)` with deg ≥ k, empty when the
-    * k-core is empty. */
+    * undirected edge list (either orientation); returns `(node, deg)`
+    * with deg ≥ k, empty when the k-core is empty. Malformed input
+    * degrades harmlessly rather than corrupting degrees: duplicate edge
+    * rows — including an edge delivered in BOTH orientations — collapse
+    * through the post-symmetrize `distinct()`, and self-loops are
+    * dropped (a self-loop would hand its node a free degree and peel
+    * wrongly). */
   def core(pairs: DataFrame, k: Int,
            strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(k >= 1, s"kcore: k must be >= 1, got $k")
     val sym = pairs.select(col("u"), col("v"))
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
     var e = Checkpoint(sym, strategy)
     // one scalar action per round: surviving directed-edge count
     // (strictly decreasing until fixpoint — a round that keeps every

@@ -406,16 +406,26 @@ object Graph {
     //      fixpoint (order-independent, see the operator doc; observed
     //      depth 3); the oracle unrolls 8 peel rounds — peeling is
     //      idempotent at the fixpoint, so extra rounds are no-ops and
-    //      the two agree exactly. ----
+    //      the two agree exactly. The `stable` column makes the unroll
+    //      SELF-DIAGNOSING: the oracle peels one round beyond
+    //      PeelRounds and reports 1 only when that extra round removed
+    //      nothing (fixpoint reached), while the engine — which runs to
+    //      fixpoint by construction — emits a literal 1. A scale factor
+    //      that ever needs deeper peeling therefore fails with an
+    //      unambiguous stable=0 diff, not a confusing degree mismatch. ----
     gated("q200_kcore",
       s"""WITH e00 AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk FROM lineitem),
          |w AS (SELECT a.sk AS u, b.sk AS v, COUNT(*) AS n
          |      FROM e00 a JOIN e00 b ON a.pk = b.pk AND a.sk < b.sk GROUP BY 1, 2),
          |top AS (SELECT u, v FROM w ORDER BY n DESC, u, v LIMIT 300),
          |e0 AS MATERIALIZED (SELECT u, v FROM top UNION ALL SELECT v, u FROM top),
-         |$peelChain
-         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg
-         |FROM e$PeelRounds GROUP BY u ORDER BY node""") { (s, d) =>
+         |$peelChain,
+         |st AS (SELECT CASE WHEN (SELECT COUNT(*) FROM e$PeelRounds) =
+         |                        (SELECT COUNT(*) FROM e${PeelRounds + 1})
+         |              THEN 1 ELSE 0 END AS st)
+         |SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg,
+         |       CAST(st AS BIGINT) AS stable
+         |FROM e$PeelRounds CROSS JOIN st GROUP BY u, st ORDER BY node""") { (s, d) =>
       val e0 = Tables.lineitem(s, d)
         .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .distinct()
@@ -427,6 +437,7 @@ object Graph {
         .limit(300)
         .select(col("u"), col("v"))
       graft.operators.KCore.core(strongest, k = 3)
+        .withColumn("stable", lit(1L)) // engine peels to fixpoint
         .orderBy("node")
     }
   )
@@ -435,9 +446,10 @@ object Graph {
 
   /** Unrolled synchronous peel rounds for the q200 oracle: degrees →
     * survivors (deg ≥ 3) → edge restriction, repeated; idempotent once
-    * the fixpoint is reached. */
+    * the fixpoint is reached. Emits ONE round past PeelRounds so the
+    * gate's `stable` column can certify convergence of the unroll. */
   private def peelChain: String =
-    (0 until PeelRounds).map { i =>
+    (0 to PeelRounds).map { i =>
       s"""d$i AS (SELECT u, COUNT(*) AS d FROM e$i GROUP BY u),
          |n$i AS (SELECT u FROM d$i WHERE d >= 3),
          |e${i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e$i e

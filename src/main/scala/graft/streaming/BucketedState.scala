@@ -174,35 +174,41 @@ object BucketedState {
     if (committed(spark, dir, batchId)) return
     val (_, p, manifest) = latestManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no state to compact under $dir"))
-    require(manifest.values.forall(_ < batchId),
-      s"compact batchId=$batchId must exceed every live version")
+    // Guard against ALL v= directory names, not just live manifest
+    // values: a stray directory above batchId (crashed foreign writer,
+    // or a caller-chosen compaction id colliding with an id the engine
+    // will assign later) would make committed() silently swallow that
+    // future batch — the exact hazard the ID-COORDINATION contract
+    // describes. Enforce it here, where the id is chosen.
+    val allVersions = fsOf(spark, dir).listStatus(new Path(dir)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("v="))
+      .flatMap(_.stripPrefix("v=").toLongOption)
+    require(allVersions.forall(_ < batchId),
+      s"compact batchId=$batchId must exceed every v= directory under " +
+        s"$dir (found ${allVersions.sorted.mkString(",")}) — a reused or " +
+        "shadowed id breaks the retry fence / resolution order")
     commit(read(spark, dir, schema, manifest, None), dir, batchId, p,
       manifest.keySet, manifest, keepManifests = 1)
   }
 
-  /** The full-state fold protocol shared by the diff-based tenants
-    * (vocabulary, dup-cluster labels, value-count stats): short-circuit
-    * on the version fence, resolve the manifest (enforcing the tenant's
-    * fan-out), hand the previous state to `fold`, diff old vs new to
-    * find the dirty buckets, and commit ONLY those. One copy of the
-    * contract — a tenant cannot drift on the empty-dirty guard or the
-    * p-mismatch check. The diff is symmetric by default (rows that
-    * appeared, changed, or vanished all dirty their bucket — required
-    * for folds that relabel or delete); monotone MIN/SUM folds whose
-    * rows never vanish pass `growOnly = true` to skip the second
-    * full-state anti-join per trigger. `keyCol` is the bucket key; `fold`
-    * must return a relation in `schema` minus [[BucketCol]].
-    * [[JoinViewMaintenance]] stays OUTSIDE this helper by design: its
-    * dirty set derives from the batch's touched keys with
-    * partition-pruned reads, never a full-state diff. */
-  def foldCommit(spark: SparkSession, dir: String, batchId: Long,
-                 numBuckets: Int, schema: StructType, keyCol: String,
-                 what: String, growOnly: Boolean = false)
-                (fold: DataFrame => DataFrame): Unit = {
-    // layout check BEFORE the version fence: against a foreign (flat
-    // VersionedState) dir whose v= ids collide with incoming batchIds,
-    // a fence-first order would silently swallow those batches and only
-    // throw on the first fresh id
+  /** Report of one pruned fold — the spec seam for READ-side pruning
+    * assertions: `candidateBuckets` is exactly the `want` set the fold
+    * passed to [[read]] (derived from the batch's keys), `dirtyBuckets`
+    * what the commit wrote. A 1-key batch must read ≤ 1 bucket. */
+  final case class PrunedFold(candidateBuckets: Set[Int],
+                              dirtyBuckets: Set[Int])
+
+  /** Shared prelude of every fold: layout check BEFORE the version
+    * fence (against a foreign flat-VersionedState dir whose v= ids
+    * collide with incoming batchIds, a fence-first order would silently
+    * swallow those batches and only throw on the first fresh id), then
+    * the retry short-circuit. None = already committed. Tenants with a
+    * custom read-expansion ([[JoinViewMaintenance]],
+    * [[DupClusterMaintenance]]) share this copy too — the
+    * check-ordering contract must not be re-derived per tenant. */
+  private[streaming] def resolveForFold(spark: SparkSession, dir: String,
+      batchId: Long, numBuckets: Int, what: String)
+      : Option[(Int, Map[Int, Long])] = {
     val (p, manifest) = latestManifest(spark, dir) match {
       case Some((_, mp, m)) =>
         require(mp == numBuckets,
@@ -210,12 +216,22 @@ object BucketedState {
         (mp, m)
       case None => (numBuckets, Map.empty[Int, Long])
     }
-    if (committed(spark, dir, batchId)) return
-    val prev = read(spark, dir, schema, manifest, None).drop(BucketCol)
+    if (committed(spark, dir, batchId)) None else Some((p, manifest))
+  }
+
+  /** Shared tail of every diff-based fold: read the wanted buckets,
+    * fold, diff old vs new to find the dirty buckets, commit ONLY
+    * those. One copy of the contract — a tenant cannot drift on the
+    * empty-dirty guard, the diff direction, or the key-locality check. */
+  private def foldAndCommit(spark: SparkSession, dir: String,
+      batchId: Long, p: Int, manifest: Map[Int, Long], schema: StructType,
+      keyCol: String, growOnly: Boolean, want: Option[Set[Int]])
+      (fold: DataFrame => DataFrame): PrunedFold = {
+    val prev = read(spark, dir, schema, manifest, want).drop(BucketCol)
     val merged = fold(prev)
       .localCheckpoint() // feeds the diff and the dirty write
     // growOnly (monotone MIN/SUM folds whose rows never vanish or
-    // relabel): one-sided diff suffices and skips a full-state anti-join
+    // relabel): one-sided diff suffices and skips the second anti-join
     // per trigger; folds that relabel or delete need the symmetric diff
     val appeared = merged.exceptAll(prev).select(col(keyCol))
     val changed =
@@ -224,12 +240,82 @@ object BucketedState {
     val dirty = changed
       .select(bucketOf(col(keyCol), p).as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
+    // Key-locality guard for the pruned path: a fold that dirtied a
+    // bucket it never READ would publish that bucket from `merged`
+    // alone — an INCOMPLETE bucket (its untouched co-hashed keys were
+    // never loaded). That only happens when the fold broke the keyed
+    // contract (emitted or changed rows for keys outside the batch), so
+    // fail loudly instead of silently dropping state.
+    want.foreach(cand => require(dirty.subsetOf(cand),
+      s"pruned fold dirtied buckets ${(dirty -- cand).toSeq.sorted.mkString(",")} " +
+        s"it never read — the fold is not key-local (dirty keys must be " +
+        "a subset of the batch's keys)"))
     val dirtyState = merged
       .withColumn(BucketCol, bucketOf(col(keyCol), p))
       .filter(if (dirty.isEmpty) lit(false)
         else col(BucketCol).isin(dirty.toSeq: _*))
     commit(dirtyState, dir, batchId, p, dirty, manifest)
+    PrunedFold(want.getOrElse(manifest.keySet), dirty)
   }
+
+  /** The FULL-state fold protocol: hand the previous state (every
+    * bucket) to `fold`, diff, commit the dirty buckets. Writes are
+    * O(dirty buckets) but compute is O(state) per trigger — kept for
+    * folds that genuinely need the whole relation and as the parity
+    * baseline the pruned path is spec'd against. Keyed tenants whose
+    * fold is per-key (MIN/SUM) should use [[foldCommitPruned]]: same
+    * commit discipline, but per-trigger READ + compute are O(batch's
+    * buckets), not O(state). `keyCol` is the bucket key; `fold` must
+    * return a relation in `schema` minus [[BucketCol]].
+    * [[JoinViewMaintenance]] stays OUTSIDE this helper by design: its
+    * dirty set derives from the batch's touched keys with
+    * partition-pruned reads, never a full-state diff. */
+  def foldCommit(spark: SparkSession, dir: String, batchId: Long,
+                 numBuckets: Int, schema: StructType, keyCol: String,
+                 what: String, growOnly: Boolean = false)
+                (fold: DataFrame => DataFrame): Unit =
+    resolveForFold(spark, dir, batchId, numBuckets, what).foreach {
+      case (p, manifest) =>
+        foldAndCommit(spark, dir, batchId, p, manifest, schema, keyCol,
+          growOnly, want = None)(fold)
+    }
+
+  /** Batch-key-PRUNED fold — the form that makes a diff-based tenant's
+    * per-trigger cost O(batch), not O(state) (the
+    * [[JoinViewMaintenance]] posture generalized to keyed folds):
+    * aggregate the batch first (`batchRel`, keyed on `keyCol`), derive
+    * the candidate buckets from ITS keys, read ONLY those buckets, fold
+    * within them, diff within them, commit the dirty subset.
+    *
+    * Correct iff the fold is KEY-LOCAL: the post-fold row for key k
+    * depends only on prior state rows with key k and batch rows with
+    * key k (every per-key MIN/SUM/LWW fold qualifies — for those, dirty
+    * keys ⊆ batch keys by construction, which the key-locality guard
+    * enforces at run time). Folds where a batch key can relabel OTHER
+    * keys (connected components) must expand their read themselves —
+    * see [[DupClusterMaintenance]]'s two-phase pruned read.
+    *
+    * `fold(prunedPrev, batchRel)` sees the FULL content of every
+    * candidate bucket (co-hashed keys included) — that completeness is
+    * what lets the commit republish a dirty bucket wholesale. Returns
+    * the [[PrunedFold]] report (None when the version fence
+    * short-circuited a retry). */
+  def foldCommitPruned(spark: SparkSession, dir: String, batchId: Long,
+                       numBuckets: Int, schema: StructType, keyCol: String,
+                       what: String, growOnly: Boolean = false)
+                      (batchRel: DataFrame)
+                      (fold: (DataFrame, DataFrame) => DataFrame)
+      : Option[PrunedFold] =
+    resolveForFold(spark, dir, batchId, numBuckets, what).map {
+      case (p, manifest) =>
+        val batch = batchRel
+          .localCheckpoint() // feeds candidate derivation AND the fold
+        val candidates = batch
+          .select(bucketOf(col(keyCol), p).as("b")).distinct()
+          .collect().map(_.getInt(0)).toSet // batch-key-bounded collect
+        foldAndCommit(spark, dir, batchId, p, manifest, schema, keyCol,
+          growOnly, want = Some(candidates))(prev => fold(prev, batch))
+    }
 
   /** Newest committed full state for a tenant, manifest-resolved, with
     * the fan-out check every reader must make. */

@@ -15,22 +15,39 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * (id, cluster) label relation folds them in via
   * `ConnectedComponents.incremental` — labels are edges to their
   * representatives, so closure(labels ∪ batch) == closure(all pairs
-  * ever delivered), at |labels| + |batch| cost per trigger rather than
-  * |corpus pairs|. The serving question "which cluster does this doc
+  * ever delivered). The serving question "which cluster does this doc
   * belong to / which docs are one entity" is answerable at any moment
   * from the label relation alone.
   *
-  * State layout (round 10): the SECOND [[BucketedState]] tenant — labels
-  * are corpus-sized, so per-trigger writes must not be. Labels
-  * hash-bucket on `id`; after the closure, a set-diff against the prior
-  * labels finds exactly the ids whose row changed (new docs + relabeled
-  * members of bridged clusters), and the commit rewrites ONLY their
-  * buckets — every untouched bucket carries forward as a manifest
-  * pointer. Write amplification is O(changed labels), bounded by the
-  * batch's connectivity effect, never O(corpus); the per-trigger READ
-  * stays O(labels) because the closure's input is the full relation
-  * (that is the algorithm, not the layout). Ids must be long (the
-  * repo-wide doc-id type).
+  * Per-trigger cost (round 11): component relabeling is NOT key-local —
+  * a batch edge bridging two clusters relabels members the batch never
+  * named — so the generic [[BucketedState.foldCommitPruned]] path
+  * doesn't apply. Instead the fold expands its read in TWO pruned
+  * phases: (1) the batch ids' own labels come from a partition-pruned
+  * read of exactly the buckets those ids hash to; (2) the members of
+  * the clusters those labels name (the only rows a relabel can touch)
+  * come from a ROW-pruned scan — a broadcast semi-join of the state's
+  * two columns against the batch-bounded affected-cluster set. The
+  * closure then runs over affected rows ∪ batch edges only, the diff
+  * runs within that sub-relation, and the commit rewrites only the
+  * dirty buckets (untouched co-hashed rows carried over from a
+  * dirty-bucket read). Compute and shuffle are O(affected components +
+  * batch), never O(corpus); the one O(state) term left is the
+  * phase-2 scan's I/O over two projected columns — a cluster-keyed
+  * secondary index would remove it at the cost of double write
+  * amplification on every relabel, a bad trade while batches touch few
+  * clusters.
+  *
+  * State layout: labels hash-bucket on `id` ([[BucketedState]]); every
+  * untouched bucket carries forward as a manifest pointer. Write
+  * amplification is O(changed labels), bounded by the batch's
+  * connectivity effect. Ids must be long (the repo-wide doc-id type).
+  * NOTE (pre-release layout history): round 10 moved this shelf from
+  * flat VersionedState snapshots to BucketedState with no migration
+  * path — an old-layout dir fails loudly ("not a BucketedState
+  * layout"); reseed by re-folding, or one-shot migrate by committing
+  * the old latestSnapshot at a reserved id (see SCALE.md "state-layout
+  * migrations").
   *
   * Exactly-once: cluster folding is NOT idempotent under retry in
   * general (a re-run could observe torn state mid-write), so each fold
@@ -47,18 +64,69 @@ object DupClusterMaintenance {
     StructField(BucketedState.BucketCol, IntegerType)))
 
   /** Fold one micro-batch of pair edges `(a_id, b_id)` into the label
-    * state at `labelDir` — call from foreachBatch. The symmetric diff
-    * inside [[BucketedState.foldCommit]] dirties exactly the changed
-    * rows: new ids + relabeled members of bridged clusters. */
-  def update(labelDir: String, pairs: DataFrame, batchId: Long): Unit =
-    BucketedState.foldCommit(pairs.sparkSession, labelDir, batchId,
-      NumBuckets, stateSchema, "id", "labels") { prev =>
+    * state at `labelDir` — call from foreachBatch. Returns the
+    * pruned-fold report: `candidateBuckets` = the buckets actually READ
+    * bucket-pruned (batch-id anchors ∪ dirty carryover),
+    * `dirtyBuckets` = what the commit wrote. None = retried batch
+    * short-circuited by the version fence. */
+  def update(labelDir: String, pairs: DataFrame, batchId: Long)
+      : Option[BucketedState.PrunedFold] = {
+    val spark = pairs.sparkSession
+    BucketedState.resolveForFold(spark, labelDir, batchId, NumBuckets,
+      "labels").map { case (p, manifest) =>
+      def readBuckets(want: Option[Set[Int]]): DataFrame =
+        BucketedState.read(spark, labelDir, stateSchema, manifest, want)
+          .drop(BucketedState.BucketCol)
       val edges = pairs.toDF("a", "b")
         .select(col("a").cast("long").as("a"), col("b").cast("long").as("b"))
-      ConnectedComponents.incremental(prev, edges)
+        .localCheckpoint() // feeds batch ids AND the closure
+      val batchIds = edges.select(col("a").as("id"))
+        .unionByName(edges.select(col("b").as("id"))).distinct()
+        .localCheckpoint()
+      // phase 1: anchors — the batch ids' CURRENT labels, from a
+      // partition-pruned read of exactly their buckets
+      val anchorBuckets = batchIds
+        .select(BucketedState.bucketOf(col("id"), p).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet // batch-id-bounded collect
+      val affected = readBuckets(Some(anchorBuckets))
+        .join(batchIds, Seq("id"), "left_semi")
+        .select(col("cluster")).distinct()
+        .localCheckpoint() // ≤ |distinct batch ids| rows — broadcastable
+      // phase 2: peers — every member of an affected cluster, the only
+      // prior rows the closure can relabel. Row-pruned scan: two
+      // projected columns, broadcast semi-join on the affected set.
+      val affectedRows = readBuckets(None)
+        .join(broadcast(affected), Seq("cluster"), "left_semi")
+        .select(col("id"), col("cluster"))
+        .localCheckpoint()
+      // the closure is local to the touched components, so running it
+      // over the affected sub-relation alone is exact
+      val mergedSub = ConnectedComponents.incremental(affectedRows, edges)
         .select(col("id").cast("long").as("id"),
           col("cluster").cast("long").as("cluster"))
+        .localCheckpoint()
+      // symmetric diff WITHIN the sub-relation (relabels both appear
+      // and vanish): new ids + relabeled members of bridged clusters
+      val changed = mergedSub.exceptAll(affectedRows).select(col("id"))
+        .unionByName(affectedRows.exceptAll(mergedSub).select(col("id")))
+      val dirty = changed
+        .select(BucketedState.bucketOf(col("id"), p).as("b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      // dirty-bucket completeness: a published bucket must carry ALL its
+      // rows, so untouched co-hashed neighbors ride along from a
+      // dirty-bucket-pruned read
+      val carryover = readBuckets(Some(dirty))
+        .join(broadcast(affected), Seq("cluster"), "left_anti")
+        .select(col("id"), col("cluster"))
+      val dirtyState = mergedSub.unionByName(carryover)
+        .withColumn(BucketedState.BucketCol,
+          BucketedState.bucketOf(col("id"), p))
+        .filter(if (dirty.isEmpty) lit(false)
+          else col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
+      BucketedState.commit(dirtyState, labelDir, batchId, p, dirty, manifest)
+      BucketedState.PrunedFold(anchorBuckets ++ dirty, dirty)
     }
+  }
 
   /** Newest committed label relation `(id, cluster)`. */
   def labels(spark: SparkSession, labelDir: String): DataFrame =

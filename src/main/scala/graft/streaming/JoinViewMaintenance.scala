@@ -104,17 +104,13 @@ object JoinViewMaintenance {
   def update(dir: String, batchL: DataFrame, batchR: DataFrame,
              batchId: Long): Unit = {
     val spark = batchL.sparkSession
-    // layout check BEFORE the version fence (same order as
-    // BucketedState.foldCommit): a foreign flat-layout dir must throw,
-    // not silently swallow batches whose ids collide with its versions
-    val (p, manifest) = BucketedState.latestManifest(spark, dir) match {
-      case Some((_, mp, m)) =>
-        require(mp == NumBuckets,
-          s"state at $dir was laid out with p=$mp, engine uses $NumBuckets")
-        (mp, m)
-      case None => (NumBuckets, Map.empty[Int, Long])
+    // shared prelude: layout check BEFORE the version fence, then the
+    // retry short-circuit (one copy of the ordering contract)
+    val (p, manifest) = BucketedState.resolveForFold(spark, dir, batchId,
+      NumBuckets, "join view") match {
+      case Some(pm) => pm
+      case None     => return
     }
-    if (BucketedState.committed(spark, dir, batchId)) return
     def readRel(rel: String, buckets: Option[Set[Int]]): DataFrame =
       BucketedState.read(spark, dir, stateSchema, manifest, buckets)
         .filter(col("rel") === rel)

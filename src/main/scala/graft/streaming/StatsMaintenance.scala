@@ -21,12 +21,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * double-count, and the spec pins that a retry is a no-op BECAUSE the
   * fence short-circuits it.
   *
-  * State layout: rows hash-bucket on the value; a batch dirties exactly
-  * the buckets its distinct values map to (spec-pinned: a single-value
-  * batch rewrites one bucket directory), so per-trigger write cost is
-  * O(buckets touched), bounded by the value domain — for the cent-typed
-  * metrics q216 profiles, ≤ 49,001 state rows total at ANY ingest
-  * volume, making the served histogram metadata-sized forever. */
+  * State layout: rows hash-bucket on the value; the fold runs through
+  * [[BucketedState.foldCommitPruned]] — a batch READS and dirties
+  * exactly the buckets its distinct values map to (spec-pinned: a
+  * single-value batch reads one bucket and rewrites one bucket
+  * directory), so per-trigger cost is O(buckets touched) on both the
+  * read and the write side, bounded by the value domain — for the
+  * cent-typed metrics q216 profiles, ≤ 49,001 state rows total at ANY
+  * ingest volume, making the served histogram metadata-sized forever. */
 object StatsMaintenance {
 
   /** Bucket fan-out; fixed for the life of a stats dir. */
@@ -38,15 +40,18 @@ object StatsMaintenance {
 
   /** Fold one micro-batch's `v` column (long-typed values, e.g. exact
     * cents) into the stats state at `dir` — call from foreachBatch.
-    * Every value the batch touched changed its count (sum is strictly
-    * increasing on positive deltas), so [[BucketedState.foldCommit]]'s
-    * diff dirties exactly the batch's value buckets. */
-  def update(dir: String, values: DataFrame, batchId: Long): Unit =
-    BucketedState.foldCommit(values.sparkSession, dir, batchId, NumBuckets,
-      stateSchema, "v", "stats", growOnly = true) { prev =>
-      val batchCounts = values.select(col("v").cast("long").as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
-      prev.unionByName(batchCounts)
+    * The fold is a per-key SUM (key-local), so the pruned path is
+    * exact: every value the batch touched changed its count (sum is
+    * strictly increasing on positive deltas) and dirty keys = batch
+    * keys. Returns the pruned-fold report (None = retried batch
+    * short-circuited by the version fence). */
+  def update(dir: String, values: DataFrame, batchId: Long)
+      : Option[BucketedState.PrunedFold] =
+    BucketedState.foldCommitPruned(values.sparkSession, dir, batchId,
+      NumBuckets, stateSchema, "v", "stats", growOnly = true)(
+      values.select(col("v").cast("long").as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))) { (prev, batch) =>
+      prev.unionByName(batch)
         .groupBy("v").agg(sum(col("cnt")).as("cnt"))
     }
 

@@ -556,7 +556,7 @@ class StreamingSpec extends SparkTestBase {
         col("p").getItem(1).cast("long").as("b_id"))
     val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
       .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
-        DupClusterMaintenance.update(shelf, pairs(b), id)
+        DupClusterMaintenance.update(shelf, pairs(b), id): Unit
       }.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("dupcc_ckpt")).start()
     assert(q.awaitTermination(120000), "stream did not finish in 120s")
@@ -577,16 +577,22 @@ class StreamingSpec extends SparkTestBase {
 
     // bucketed layout: a batch introducing one ISOLATED pair rewrites
     // only that pair's label buckets — every other bucket carries
-    // forward as a manifest pointer, zero copies
+    // forward as a manifest pointer, zero copies. Round 11: the fold's
+    // bucket-pruned READS are also batch-bounded — the report pins that
+    // the only partition-pruned reads were the batch ids' anchor
+    // buckets plus the dirty carryover (identical sets for a new pair).
     import graft.streaming.BucketedState
     import spark.implicits._
-    DupClusterMaintenance.update(shelf,
+    val report = DupClusterMaintenance.update(shelf,
       Seq((100L, 101L)).toDF("a_id", "b_id"), 3L)
+      .getOrElse(fail("fresh batch must fold, not fence"))
     def bucketOf(id: Long): Int = spark.range(1)
       .select(BucketedState.bucketOf(lit(id), DupClusterMaintenance.NumBuckets))
       .collect().head.getInt(0)
     assert(BucketedState.bucketDirs(spark, shelf, 3L) ===
       Set(bucketOf(100L), bucketOf(101L)))
+    assert(report.dirtyBuckets === Set(bucketOf(100L), bucketOf(101L)))
+    assert(report.candidateBuckets === Set(bucketOf(100L), bucketOf(101L)))
     // ...and the new pair is labeled without disturbing old clusters
     val after = labelMap(DupClusterMaintenance.labels(spark, shelf))
     assert(after(100L) === 100L && after(101L) === 100L)
@@ -935,7 +941,7 @@ class StreamingSpec extends SparkTestBase {
     import graft.text.TextOps
     val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
     def fsMap(df: org.apache.spark.sql.DataFrame) = df.collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val slices = Seq(
       docs.filter(col("doc_id") < 15),
       docs.filter(col("doc_id") >= 15 && col("doc_id") < 30),
@@ -945,11 +951,15 @@ class StreamingSpec extends SparkTestBase {
     slices.zipWithIndex.foreach { case (b, i) =>
       VocabMaintenance.update(shelf, b, i.toLong) }
     val servedFs = fsMap(VocabMaintenance.firstSeen(spark, shelf))
+    // state keys on the shingle's xxhash64 fingerprint (round 11) — the
+    // one-shot twin fingerprints the same way
     val oneShot = fsMap(docs
       .withColumn("w", TextOps.tokens(col("text")))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"), explode(TextOps.trigrams(col("w"))).as("s"))
-      .groupBy("s").agg(min(col("doc_id")).as("first_doc")))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        xxhash64(col("s")).as("f"))
+      .groupBy("f").agg(min(col("doc_id")).as("first_doc")))
     assert(servedFs === oneShot && servedFs.nonEmpty)
 
     // the growth curve served FROM STATE equals the gated q203 result
@@ -976,6 +986,64 @@ class StreamingSpec extends SparkTestBase {
     assert(BucketedState.committed(spark, shelf, 3L))
     assert(BucketedState.bucketDirs(spark, shelf, 3L) === Set.empty[Int])
     assert(fsMap(VocabMaintenance.firstSeen(spark, shelf)) === servedFs)
+
+    // READ-side pruning (round 11): a 1-shingle batch derives ONE
+    // candidate bucket and the fold reads only it — per-trigger compute
+    // is O(batch's buckets), not O(vocabulary)
+    import spark.implicits._
+    val oneShingle = Seq((1000L, "alpha beta gamma")).toDF("doc_id", "text")
+    val report = VocabMaintenance.update(shelf, oneShingle, 4L)
+      .getOrElse(fail("fresh batch must fold, not fence"))
+    assert(report.candidateBuckets.size === 1,
+      s"1-shingle batch must read 1 bucket, read ${report.candidateBuckets}")
+    assert(report.dirtyBuckets === report.candidateBuckets)
+    assert(BucketedState.bucketDirs(spark, shelf, 4L) === report.dirtyBuckets)
+    // ...and the pruning is PHYSICAL: a manifest-resolved read of that
+    // bucket touches only bucket=<b> files on disk
+    val (_, p, manifest) = BucketedState.latestManifest(spark, shelf).get
+    val wantB = report.candidateBuckets.head
+    val prunedFiles = BucketedState.read(spark, shelf,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("f",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("first_doc",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(BucketedState.BucketCol,
+          org.apache.spark.sql.types.IntegerType))),
+      manifest, Some(Set(wantB))).inputFiles
+    assert(prunedFiles.nonEmpty &&
+      prunedFiles.forall(_.contains(s"${BucketedState.BucketCol}=$wantB")),
+      s"pruned read must touch only bucket=$wantB files: ${prunedFiles.toSeq}")
+
+    // parity vs the FULL fold: a twin shelf folded through the
+    // unpruned foldCommit path converges to the identical state
+    val shelfFull = tmpDir("vocab_state_full") + "/vocab"
+    val fullSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("f",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("first_doc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(BucketedState.BucketCol,
+        org.apache.spark.sql.types.IntegerType)))
+    (slices :+ oneShingle).zipWithIndex.foreach { case (b, i) =>
+      val mins = b
+        .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(TextOps.trigrams(col("w"))).as("s"))
+        .select(col("doc_id"), xxhash64(col("s")).as("f"))
+        .groupBy("f").agg(min(col("doc_id")).as("first_doc"))
+      BucketedState.foldCommit(spark, shelfFull, i.toLong,
+        VocabMaintenance.NumBuckets, fullSchema, "f", "vocabulary",
+        growOnly = true) { prev =>
+        prev.unionByName(mins)
+          .groupBy("f").agg(min(col("first_doc")).as("first_doc"))
+      }
+    }
+    assert(fsMap(BucketedState.readState(spark, shelfFull, fullSchema,
+        VocabMaintenance.NumBuckets, "vocabulary")
+      .select(col("f"), col("first_doc"))) ===
+      fsMap(VocabMaintenance.firstSeen(spark, shelf)))
   }
 
   test("live stats maintenance: streamed value counts == batch; q216 selectivity served from state; retry no-op; order-invariant; single-value batch dirties one bucket") {
@@ -1014,14 +1082,20 @@ class StreamingSpec extends SparkTestBase {
       StatsMaintenance.update(shelf2, b, i.toLong) }
     assert(vcMap(StatsMaintenance.valueCounts(spark, shelf2)) === served)
 
-    // a single-value batch rewrites exactly that value's bucket directory
-    // and bumps exactly that value's count
+    // a single-value batch READS exactly that value's bucket (round-11
+    // pruned fold — per-trigger compute is O(batch's buckets), not
+    // O(state)) and rewrites exactly that bucket directory, bumping
+    // exactly that value's count
     import spark.implicits._
     val one = Seq(123L).toDF("v")
-    StatsMaintenance.update(shelf, one, 3L)
+    val report = StatsMaintenance.update(shelf, one, 3L)
+      .getOrElse(fail("fresh batch must fold, not fence"))
     val expectBucket = one
       .select(BucketedState.bucketOf(col("v"), StatsMaintenance.NumBuckets))
       .collect().head.getInt(0)
+    assert(report.candidateBuckets === Set(expectBucket),
+      s"single-value batch must read one bucket, read ${report.candidateBuckets}")
+    assert(report.dirtyBuckets === Set(expectBucket))
     assert(BucketedState.bucketDirs(spark, shelf, 3L) === Set(expectBucket))
     val after = vcMap(StatsMaintenance.valueCounts(spark, shelf))
     assert(after(123L) === served.getOrElse(123L, 0L) + 1L)
