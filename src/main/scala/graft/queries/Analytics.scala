@@ -1143,6 +1143,101 @@ object Analytics {
           col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
     },
 
+    // ---- q197's INGEST-path sibling (paired with q217's phrase leg):
+    //      the postings index AND the dl sidecar are built in TWO
+    //      batches — writeIndex/write over the even doc_ids, then
+    //      appendToIndex/append over the odd ones — and BM25 serves
+    //      from the appended artifacts. The corpus stats (N, Σdl) are
+    //      re-derived from the appended dl sidecar, the pattern a real
+    //      ingest pipeline follows (postings and per-doc stats append;
+    //      the one-row global aggregate is recomputed from the KB-scale
+    //      sidecar, never from the corpus). Oracle = q197's verbatim:
+    //      batch boundaries must be invisible to scoring. ----
+    gated("q218_bm25_append",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl,
+        |        CAST(len(list_filter(w, x -> x = 'hash')) AS BIGINT) AS tf_h,
+        |        CAST(len(list_filter(w, x -> x = 'scan')) AS BIGINT) AS tf_s,
+        |        CAST(len(list_filter(w, x -> x = 'window')) AS BIGINT) AS tf_w
+        |      FROM t WHERE len(w) > 0),
+        |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(dl) AS BIGINT) AS sumdl,
+        |        CAST(SUM(CASE WHEN tf_h > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_h,
+        |        CAST(SUM(CASE WHEN tf_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_s,
+        |        CAST(SUM(CASE WHEN tf_w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_w
+        |      FROM s),
+        |r AS (SELECT s.doc_id,
+        |        (CAST(2*g.n - 2*g.df_h + 1 AS DOUBLE) / CAST(2*g.df_h + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_h * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_h * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |      + (CAST(2*g.n - 2*g.df_s + 1 AS DOUBLE) / CAST(2*g.df_s + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_s * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_s * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |      + (CAST(2*g.n - 2*g.df_w + 1 AS DOUBLE) / CAST(2*g.df_w + 1 AS DOUBLE))
+        |          * (CAST(22 * s.tf_w * g.sumdl AS DOUBLE)
+        |             / CAST(10 * s.tf_w * g.sumdl + 3 * g.sumdl + 9 * s.dl * g.n AS DOUBLE))
+        |          AS score,
+        |        s.tf_h + s.tf_s + s.tf_w AS anytf
+        |      FROM s CROSS JOIN g)
+        |SELECT doc_id,
+        |       CAST(CAST(ROUND(score, 6) AS DECIMAL(18,6)) AS VARCHAR) AS score
+        |FROM r WHERE anytf > 0
+        |ORDER BY ROUND(score, 6) DESC, doc_id
+        |LIMIT 10""") { (s, d) =>
+      import graft.text.Phrase
+      val terms = Seq("hash", "scan", "window")
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) > 0)
+        .localCheckpoint() // feeds both batch builds and the dl sidecar
+      val dir = graft.GatedQuery.indexScratch(d, "bm25_index_q218")
+      val (b1, b2) = (toks.filter(col("doc_id") % 2 === 0),
+        toks.filter(col("doc_id") % 2 =!= 0))
+      Phrase.writeIndex(b1, "doc_id", "w", s"$dir/post", nBuckets = 64)
+      Phrase.appendToIndex(b2, "doc_id", "w", s"$dir/post", nBuckets = 64)
+      def dlOf(b: org.apache.spark.sql.DataFrame) =
+        b.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+      dlOf(b1).write.mode("overwrite").parquet(s"$dir/docs")
+      dlOf(b2).write.mode("append").parquet(s"$dir/docs")
+      // corpus stats re-derived from the appended KB-scale sidecar
+      s.read.parquet(s"$dir/docs")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .write.mode("overwrite").parquet(s"$dir/corpus")
+      val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
+      val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+        .localCheckpoint() // feeds the doc pivot AND the df aggregation
+      def tcol(t: String) =
+        coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
+      val piv = tf.groupBy("doc_id")
+        .agg(tcol("hash").as("tf_h"), tcol("scan").as("tf_s"),
+          tcol("window").as("tf_w"))
+      def dcol(t: String) =
+        coalesce(max(when(col("term") === t, col("df"))), lit(0L))
+      val dfs = tf.groupBy("term")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(dcol("hash").as("df_h"), dcol("scan").as("df_s"),
+          dcol("window").as("df_w"))
+      val g = broadcast(
+        s.read.parquet(s"$dir/corpus").crossJoin(dfs))
+      val dl = s.read.parquet(s"$dir/docs")
+      def term(tfc: String, dfc: String) =
+        ((lit(2) * col("n") - lit(2) * col(dfc) + lit(1)).cast("double") /
+          (lit(2) * col(dfc) + lit(1)).cast("double")) *
+          ((lit(22) * col(tfc) * col("sumdl")).cast("double") /
+            (lit(10) * col(tfc) * col("sumdl") + lit(3) * col("sumdl") +
+              lit(9) * col("dl") * col("n")).cast("double"))
+      val score = round(
+        term("tf_h", "df_h") + term("tf_s", "df_s") + term("tf_w", "df_w"), 6)
+      piv.join(dl, "doc_id").crossJoin(g)
+        .select(col("doc_id"), score.as("sc"))
+        .orderBy(col("sc").desc, col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"),
+          col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+    },
+
     // ---- Mergeable Misra-Gries summary (operators/MgSummary): the
     //      frequent-items entry on the sketch shelf. The single-batch
     //      build (exact counts → one MG compression, deterministic
@@ -2283,6 +2378,133 @@ object Analytics {
               .as("fd_holds"),
             when(col("ndv_lhs") === col("n_rows"), 1L).otherwise(0L)
               .as("lhs_is_key"))
+      }
+      Seq(
+        leg("customer", Tables.customer(s, d), Seq("c_custkey"), "c_nationkey"),
+        leg("documents", Tables.documents(s, d), Seq("doc_id"), "lang"),
+        leg("events", Tables.events(s, d), Seq("user_id"), "event_type"),
+        leg("lineitem", Tables.lineitem(s, d), Seq("l_orderkey"), "l_suppkey"),
+        leg("lineitem", Tables.lineitem(s, d),
+          Seq("l_orderkey", "l_linenumber"), "l_partkey"),
+        leg("orders", Tables.orders(s, d), Seq("o_orderkey"), "o_custkey"))
+        .reduce(_.unionByName(_))
+        .orderBy("tbl", "lhs", "rhs")
+    },
+
+    // ---- q215's SKETCH form — the swap its own scale note promises:
+    //      at 100 TB each FD/key candidate is priced from q115's HLL
+    //      fold (operators/Hll, KB-scale mergeable registers) instead
+    //      of exact DISTINCTs. Verdicts from estimates: FD X→Y is
+    //      accepted when est(X,Y) ≤ 1.10 · est(X) — when the FD truly
+    //      holds both sketches estimate the SAME count through different
+    //      hash inputs (ratio within (1 ± RSE)² ≈ ±4% at lgK = 12),
+    //      while every planted failer's true ratio is ≥ 1.3; key(X) is
+    //      accepted when |est(X) − n| ≤ 0.10 · n (n exact — row counts
+    //      are free), with every planted non-key ≤ 0.77 · n. Composite
+    //      candidates sketch over xxhash64(cols…) (P[collision] ≈
+    //      n²/2^65 — immaterial next to the 1.6% RSE). The gate pins
+    //      VERDICT PARITY: both engines carry the exact counts as
+    //      payload, and sk_fd_ok / sk_key_ok assert the sketch verdict
+    //      equals the exact one on every candidate (oracle: literal 1,
+    //      the q115 est_ok pattern). ----
+    gated("q219_fd_sketch",
+      """SELECT 'customer' AS tbl, 'c_custkey' AS lhs, 'c_nationkey' AS rhs,
+        |       n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT) AS fd_holds,
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT) AS lhs_is_key,
+        |       CAST(1 AS BIGINT) AS sk_fd_ok, CAST(1 AS BIGINT) AS sk_key_ok
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM customer)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT c_custkey FROM customer))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT c_custkey, c_nationkey FROM customer))
+        |UNION ALL
+        |SELECT 'documents', 'doc_id', 'lang', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM documents)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT doc_id FROM documents))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT doc_id, lang FROM documents))
+        |UNION ALL
+        |SELECT 'events', 'user_id', 'event_type', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT user_id FROM events))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT user_id, event_type FROM events))
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey', 'l_suppkey', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT l_orderkey FROM lineitem))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem))
+        |UNION ALL
+        |SELECT 'lineitem', 'l_orderkey,l_linenumber', 'l_partkey',
+        |       n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM lineitem)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT l_orderkey, l_linenumber, l_partkey
+        |                  FROM lineitem))
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey', 'o_custkey', n_rows, ndv_lhs, ndv_pair,
+        |       CAST(CASE WHEN ndv_lhs = ndv_pair THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(CASE WHEN ndv_lhs = n_rows THEN 1 ELSE 0 END AS BIGINT),
+        |       CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+        |FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_lhs
+        |            FROM (SELECT DISTINCT o_orderkey FROM orders))
+        |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
+        |            FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
+        |ORDER BY tbl, lhs, rhs""") { (s, d) =>
+      import graft.operators.Hll
+      def leg(tbl: String, df: org.apache.spark.sql.DataFrame,
+              lhs: Seq[String], rhs: String) = {
+        val n = df.agg(cntLong.as("n_rows"))
+        val nl = df.select(lhs.map(col): _*).distinct()
+          .agg(cntLong.as("ndv_lhs"))
+        val np = df.select((lhs :+ rhs).map(col): _*).distinct()
+          .agg(cntLong.as("ndv_pair"))
+        // sketch legs: one HLL per candidate side, composite candidates
+        // hashed to one 64-bit key (same fingerprint discipline as
+        // SimJoin; collision odds immaterial next to the sketch's RSE)
+        def est(cols: Seq[String]) = Hll.estimateDistinct(
+          Hll.build(df.select(xxhash64(cols.map(col): _*).as("k"))
+            .withColumn("g", lit(tbl)), "g", "k"))
+          .select(col("est"))
+        val el = est(lhs).select(col("est").as("est_lhs"))
+        val ep = est(lhs :+ rhs).select(col("est").as("est_pair"))
+        n.crossJoin(broadcast(nl)).crossJoin(broadcast(np))
+          .crossJoin(broadcast(el)).crossJoin(broadcast(ep))
+          .select(lit(tbl).as("tbl"), lit(lhs.mkString(",")).as("lhs"),
+            lit(rhs).as("rhs"), col("n_rows"), col("ndv_lhs"),
+            col("ndv_pair"),
+            when(col("ndv_lhs") === col("ndv_pair"), 1L).otherwise(0L)
+              .as("fd_holds"),
+            when(col("ndv_lhs") === col("n_rows"), 1L).otherwise(0L)
+              .as("lhs_is_key"),
+            // verdict parity: the sketch decision equals the exact one
+            ((col("est_pair") <= col("est_lhs") * lit(1.10)) ===
+              (col("ndv_lhs") === col("ndv_pair"))).cast("long")
+              .as("sk_fd_ok"),
+            ((abs(col("est_lhs") - col("n_rows")) <=
+              col("n_rows") * lit(0.10)) ===
+              (col("ndv_lhs") === col("n_rows"))).cast("long")
+              .as("sk_key_ok"))
       }
       Seq(
         leg("customer", Tables.customer(s, d), Seq("c_custkey"), "c_nationkey"),

@@ -1069,6 +1069,41 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- q196's INGEST-path sibling: the index is built in TWO batches
+    //      — writeIndex over the even doc_ids, appendToIndex over the
+    //      odd ones — and the probe answers from the APPENDED index.
+    //      This gates Phrase.appendToIndex, the steady-state ingest
+    //      story (a new batch's postings land inside the same bucket
+    //      layout at |batch| cost; old postings never rewrite), through
+    //      the same cross-engine oracle as the one-shot build: the
+    //      oracle knows nothing about batches, so the gate proves the
+    //      two-batch index answers the phrase EXACTLY like a full
+    //      rescan — and, since the oracle SQL is q196's verbatim, like
+    //      the one-shot index. ----
+    gated("q217_phrase_append",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents),
+        |h AS (SELECT doc_id,
+        |        CAST(len(list_filter(range(1, len(w)),
+        |               i -> w[i] = 'hash' AND w[i+1] = 'join')) AS BIGINT)
+        |          AS n_hits
+        |      FROM t)
+        |SELECT doc_id, n_hits FROM h WHERE n_hits > 0
+        |ORDER BY doc_id""") { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      val dir = graft.GatedQuery.indexScratch(d, "phrase_index_q217")
+      // batch 1: one-time build; batch 2: steady-state append — disjoint
+      // halves, together the full corpus
+      Phrase.writeIndex(toks.filter(col("doc_id") % 2 === 0),
+        "doc_id", "w", dir, nBuckets = 64)
+      Phrase.appendToIndex(toks.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "w", dir, nBuckets = 64)
+      Phrase.phraseHitsIndexed(s, dir, Seq("hash", "join"), nBuckets = 64)
+        .orderBy("doc_id")
+    },
+
     // ---- Fuzzy term match (OpenSearch `fuzziness` surface): misspelled
     //      query terms resolve to vocabulary terms within edit distance
     //      1 via SymSpell delete-neighborhood blocking — an equi-join on

@@ -167,8 +167,9 @@ object BucketedState {
     * compacted snapshot), and an id the engine will reuse makes the
     * retry fence silently swallow that batch. For those tenants,
     * compact INSIDE foreachBatch at the engine's own id for that batch
-    * (skip the fold, pass the current state through a full rewrite) —
-    * the id sequence then stays the engine's and both hazards vanish. */
+    * ([[foldCompact]]: fold the batch, then publish the full state as
+    * one rewrite) — the id sequence then stays the engine's and both
+    * hazards vanish. */
   def compact(spark: SparkSession, dir: String, schema: StructType,
               batchId: Long): Unit = {
     if (committed(spark, dir, batchId)) return
@@ -190,6 +191,35 @@ object BucketedState {
     commit(read(spark, dir, schema, manifest, None), dir, batchId, p,
       manifest.keySet, manifest, keepManifests = 1)
   }
+
+  /** The IN-STREAM compact form the ID-COORDINATION contract names for
+    * engine-driven tenants: called from foreachBatch AT THE ENGINE'S OWN
+    * id for this batch, it folds the batch into the FULL state and
+    * republishes EVERY bucket as one fresh version whose manifest points
+    * only at `batchId` (keepManifests = 1 → every older version prunes).
+    * The id sequence stays the engine's, so neither [[compact]] hazard
+    * can occur: no future batch is shadowed (this id precedes all later
+    * engine ids by construction) and the retry fence keeps its meaning
+    * (a retried batch finds its own id committed — WITH its fold
+    * applied, since fold and rewrite land in the same atomic rename).
+    * Cost is one full-state read + write, which is what compaction is;
+    * run it on a cadence (every N-th trigger / when the manifest's
+    * version spread exceeds a bound), with plain folds between. */
+  def foldCompact(spark: SparkSession, dir: String, batchId: Long,
+                  numBuckets: Int, schema: StructType, keyCol: String,
+                  what: String)
+                 (fold: DataFrame => DataFrame): Unit =
+    resolveForFold(spark, dir, batchId, numBuckets, what).foreach {
+      case (p, manifest) =>
+        val merged = fold(read(spark, dir, schema, manifest, None)
+          .drop(BucketCol))
+          .withColumn(BucketCol, bucketOf(col(keyCol), p))
+        // prior manifest deliberately dropped: every bucket (rows or
+        // not) re-homes at batchId, so no pointer can reach behind the
+        // compaction point
+        commit(merged, dir, batchId, p, (0 until p).toSet,
+          Map.empty, keepManifests = 1)
+    }
 
   /** Report of one pruned fold — the spec seam for READ-side pruning
     * assertions: `candidateBuckets` is exactly the `want` set the fold

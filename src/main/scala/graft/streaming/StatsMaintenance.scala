@@ -49,9 +49,29 @@ object StatsMaintenance {
       : Option[BucketedState.PrunedFold] =
     BucketedState.foldCommitPruned(values.sparkSession, dir, batchId,
       NumBuckets, stateSchema, "v", "stats", growOnly = true)(
-      values.select(col("v").cast("long").as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))) { (prev, batch) =>
+      batchCounts(values)) { (prev, batch) =>
       prev.unionByName(batch)
+        .groupBy("v").agg(sum(col("cnt")).as("cnt"))
+    }
+
+  /** One micro-batch reduced to its per-value counts — the keyed batch
+    * relation both fold forms share. */
+  private def batchCounts(values: DataFrame): DataFrame =
+    values.select(col("v").cast("long").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+
+  /** [[update]]'s COMPACTING form — same fold, published through
+    * [[BucketedState.foldCompact]]: the batch folds into the full state
+    * and every bucket re-homes at this batch's id, pruning all older
+    * versions. Call INSTEAD of update on a compaction trigger (every
+    * N-th engine batch / when the manifest's version spread exceeds a
+    * bound), at the ENGINE'S OWN batchId — that keeps the id sequence
+    * the engine's, which is what makes in-stream compaction safe for
+    * foreachBatch-driven tenants (BucketedState ID-COORDINATION). */
+  def compactUpdate(dir: String, values: DataFrame, batchId: Long): Unit =
+    BucketedState.foldCompact(values.sparkSession, dir, batchId,
+      NumBuckets, stateSchema, "v", "stats") { prev =>
+      prev.unionByName(batchCounts(values))
         .groupBy("v").agg(sum(col("cnt")).as("cnt"))
     }
 

@@ -1101,4 +1101,62 @@ class StreamingSpec extends SparkTestBase {
     assert(after(123L) === served.getOrElse(123L, 0L) + 1L)
     assert(after - 123L === served - 123L)
   }
+
+  test("in-stream compaction for an engine-driven tenant: foldCompact at the engine's own id mid-stream; folds continue above it; retry no-op; no pointer behind the compaction") {
+    import graft.streaming.{BucketedState, StatsMaintenance}
+    import org.apache.spark.sql.DataFrame
+    val src = tmpDir("statscompact_src")
+    val batches = Seq(
+      Seq(10L, 11L, 10L), Seq(10L, 20L), Seq(30L, 10L), Seq(20L, 30L, 40L))
+    batches.zipWithIndex.foreach { case (vs, i) =>
+      Files.write(Paths.get(s"$src/part$i.txt"),
+        vs.mkString("\n").getBytes)
+    }
+    val shelf = tmpDir("statscompact_state") + "/stats"
+    def vals(df: DataFrame) = df.select(col("value").cast("long").as("v"))
+    // ENGINE-assigned ids drive both forms: trigger 2 compacts in-stream
+    // (fold the batch, republish every bucket at the engine's id — the
+    // ID-COORDINATION safe form), all other triggers fold pruned. The
+    // compaction id is the engine's own, so no future batch can be
+    // shadowed and the retry fence keeps its meaning.
+    val q = spark.readStream.option("maxFilesPerTrigger", "1").text(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        if (id == 2L) StatsMaintenance.compactUpdate(shelf, vals(b), id)
+        else StatsMaintenance.update(shelf, vals(b), id): Unit
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("statscompact_ckpt")).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+
+    def vcMap(df: DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the compacting trigger's OWN batch was folded, not skipped — total
+    // counts equal the one-shot aggregation over all four batches
+    val served = vcMap(StatsMaintenance.valueCounts(spark, shelf))
+    val oneShot = vcMap(vals(spark.read.text(src))
+      .groupBy("v").agg(count(lit(1)).as("cnt")))
+    assert(served === oneShot && served.nonEmpty)
+
+    // resolution order: the post-compaction fold (engine id 3) resolves
+    // as the newest version, and NO manifest pointer reaches behind the
+    // compaction point — every bucket re-homed at id 2 or moved above it
+    val (v, _, manifest) = BucketedState.latestManifest(spark, shelf).get
+    assert(v === 3L)
+    assert(manifest.values.toSet.subsetOf(Set(2L, 3L)),
+      s"pointer behind the compaction point: $manifest")
+    // ...and the pre-compaction versions were physically pruned
+    val fs = new org.apache.hadoop.fs.Path(shelf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(shelf))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).toSet
+    assert(vdirs === Set("v=2", "v=3"), s"stale versions survive: $vdirs")
+
+    // retried compaction batch: the fence short-circuits (fold and
+    // rewrite landed in ONE atomic rename), so counts must not change —
+    // and a retried post-compaction fold fences the same way
+    StatsMaintenance.compactUpdate(shelf, vals(spark.read.text(src)), 2L)
+    assert(vcMap(StatsMaintenance.valueCounts(spark, shelf)) === served)
+    assert(StatsMaintenance.update(shelf, vals(spark.read.text(src)), 3L)
+      .isEmpty, "retried batch must fence, not refold")
+    assert(vcMap(StatsMaintenance.valueCounts(spark, shelf)) === served)
+  }
 }
