@@ -1,10 +1,10 @@
 package graft.streaming
 
 import graft.cdc.{Bootstrap, Envelope}
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** The reference pipeline's streaming spine re-expressed as one Structured
   * Streaming query (SURVEY.md §3.1-3.2, S7-S12):
@@ -166,7 +166,7 @@ object CdcStreamPipeline {
     * CDC stream against the SAME sinks. The seed commits as version v=-1 —
     * below every micro-batch id — via the same staging→rename protocol as
     * the stream's merges, so batch 0 finds it as ordinary prior state and
-    * the fs.exists(v=0) retry branch is never confused by the seed.
+    * the retry fence (committed(v=0)) is never confused by the seed.
     *
     * Boundary safety lives entirely in the seed's envelope stamp (see
     * [[graft.cdc.Bootstrap]]): the stream may replay records from at or
@@ -182,26 +182,52 @@ object CdcStreamPipeline {
     bootstrapEnvelope(
       Bootstrap.asLoadEnvelope(snapshot, loadTs, schemaName, tableName), sinks)
 
+  /** Serving-state bucket fan-out; fixed for the life of a serving dir.
+    * Sized for the fixture/test scale — a production deployment sizes
+    * by key cardinality (≈ state-rows / target-bucket-rows) once,
+    * before first start; [[BucketedState]] pins p per dir thereafter. */
+  val ServingBuckets = 16
+
+  /** The serving tenant's on-disk schema: envelope row + the 64-bit
+    * serving key. `k` fingerprints (schema, table, pk) — the LWW key —
+    * into one bucketable column (the SimJoin fingerprint discipline;
+    * P[collision] ≈ keys²/2^65, immaterial, and a collision only
+    * CO-BUCKETS two keys, it cannot corrupt the per-key merge, which
+    * partitions on the real composite). */
+  private val servingSchema = StructType(Seq(
+    StructField("k", LongType),
+    StructField("data", Envelope.dataSchema),
+    StructField("metadata", Envelope.metadataSchema),
+    StructField(BucketedState.BucketCol, IntegerType)))
+
+  /** Envelope rows → serving-state rows (key column prepended). */
+  private def withServingKey(env: DataFrame): DataFrame =
+    env.select(
+      xxhash64(col("metadata.`schema-name`"), col("metadata.`table-name`"),
+        col("data.trans_id")).as("k"),
+      col("data"), col("metadata"))
+
   /** Multi-table form of [[bootstrap]]: the seed is an already
     * envelope-wrapped union — one [[graft.cdc.Bootstrap.asLoadEnvelope]]
     * per fanned-out table, each stamped with its own (loadTs, schema,
     * table) — so a wildcard-selected stream can cut over every shard in
-    * one seeded state. */
+    * one seeded state. The seed commits through the same
+    * [[BucketedState]] protocol as every stream merge, at version -1
+    * with EVERY bucket owned by the seed — batch 0 resolves it as
+    * ordinary prior state. */
   def bootstrapEnvelope(seedEnv: DataFrame, sinks: Sinks): Unit = {
     val spark = seedEnv.sparkSession
-    val fs = new Path(sinks.serving).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    require(listVersions(fs, sinks.serving).isEmpty,
+    require(BucketedState.latestManifest(spark, sinks.serving).isEmpty,
       s"bootstrap requires an empty serving state under ${sinks.serving}; " +
         "it seeds v=-1 BELOW every stream version and must run before the stream")
     // latestPerKey: tolerate duplicate-PK snapshots (identical stamps —
     // an arbitrary survivor is the only coherent answer) and keep the
     // seed's shape byte-identical to every later merge's output
-    val seed = latestPerKey(seedEnv)
-    val staging = new Path(s"${sinks.serving}/.staging--1")
-    val target = versionDir(sinks.serving, -1L)
-    seed.write.mode("overwrite").parquet(staging.toString)
-    require(fs.rename(staging, target), s"rename $staging -> $target failed")
+    val seed = withServingKey(latestPerKey(seedEnv))
+      .withColumn(BucketedState.BucketCol,
+        BucketedState.bucketOf(col("k"), ServingBuckets))
+    BucketedState.commit(seed, sinks.serving, -1L, ServingBuckets,
+      (0 until ServingBuckets).toSet, Map.empty)
   }
 
   /** Batch merge applied by foreachBatch: DLQ split, archive append, and
@@ -259,79 +285,32 @@ object CdcStreamPipeline {
 
       // S9: serving state merge (idempotent under redelivery: the merge is
       // a pure last-write-wins reduction over the union of old state and
-      // the new batch). Versioned-directory protocol: each batch writes a
-      // NEW complete version dir (staging name, renamed in when finished —
-      // so any `v=` dir that exists is complete), readers and the next
-      // merge resolve the highest version. No state dir is ever deleted
-      // out from under a reader (in-place swap raced concurrent
-      // servingSnapshot readers and had crash windows); only versions two
-      // generations back are pruned.
+      // the new batch). State lives on BucketedState (round 11 — this was
+      // the last flat full-rewrite tenant): rows hash-bucket on the
+      // serving key, the batch's keys derive the candidate buckets, ONLY
+      // those buckets are read and re-merged, and the commit republishes
+      // only the buckets whose winner rows changed — every untouched
+      // bucket carries forward as a manifest pointer. Per-trigger read,
+      // compute, and write are O(batch's buckets), never O(state): the
+      // posture that holds when the serving view is 10^9 keys and a
+      // 60 s trigger carries a few thousand changes. Readers resolve
+      // manifests (never a dir being written); retention and retry
+      // semantics are the shared BucketedState protocol.
+      //
+      // growOnly = true is CORRECT here despite updates replacing rows:
+      // the one-sided diff (merged \ prev) catches every key whose
+      // winner row CHANGED (the new winner appears), and a key's row can
+      // never vanish without a successor in the SAME bucket — deletes
+      // are retained tombstone rows, not row removals — so the
+      // appeared-side alone finds every dirty bucket.
       val incoming = good.select(col("data"), col("metadata"))
-      val fs = new Path(sinks.serving).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val old = latestVersion(fs, sinks.serving)
-        .map(v => spark.read.parquet(versionDir(sinks.serving, v).toString))
-      val all = old.map(_.unionByName(incoming)).getOrElse(incoming)
-      val merged = latestPerKey(all)
-      val staging = new Path(s"${sinks.serving}/.staging-$batchId")
-      val target = versionDir(sinks.serving, batchId)
-      merged.write.mode("overwrite").parquet(staging.toString)
-      if (fs.exists(target)) {
-        // retried batch whose rename already committed: the existing
-        // version is complete and the merge is idempotent — keep it
-        // (deleting it would yank the latest version from under readers)
-        fs.delete(staging, true)
-      } else {
-        require(fs.rename(staging, target), s"rename $staging -> $target failed")
-      }
-      // housekeeping: stale staging dirs from crashed batches that will
-      // never retry, and versions older than the retention horizon.
-      // Only staging dirs with a batch id STRICTLY BELOW the version just
-      // committed are deleted — a batch id below ours has either committed
-      // (its v= dir exists; the staging dir is leftover) or been superseded
-      // on the same checkpoint (micro-batch ids are monotone per query, so
-      // no future retry will ever run it again). A zombie driver mid-write
-      // to a staging dir at OUR id or above keeps its dir; its own commit
-      // path resolves the collision via the fs.exists(target) branch.
-      // Retention = 5 generations: a snapshot reader has that many
-      // triggers to finish before its pinned version is pruned.
-      // (Caveats for other deployments: a pre-versioned flat layout would
-      // need a one-time migration into v=0, and on object stores without
-      // atomic directory rename the staging→v= commit needs a marker-file
-      // protocol instead.)
-      val root = new Path(sinks.serving)
-      fs.listStatus(root).toSeq.map(_.getPath)
-        .filter { p =>
-          p.getName.startsWith(".staging-") &&
-            p.getName.stripPrefix(".staging-").toLongOption.exists(_ < batchId)
-        }
-        .foreach(p => fs.delete(p, true))
-      listVersions(fs, sinks.serving).filter(_ < batchId).sorted.dropRight(4)
-        .foreach(v => fs.delete(versionDir(sinks.serving, v), true))
+      BucketedState.foldCommitPruned(spark, sinks.serving, batchId,
+        ServingBuckets, servingSchema, "k", "serving view",
+        growOnly = true)(withServingKey(incoming)) { (prev, batchRel) =>
+        withServingKey(
+          latestPerKey(prev.drop("k").unionByName(batchRel.drop("k"))))
+      }: Unit
     } finally batch.unpersist()
-  }
-
-  private def versionDir(serving: String, v: Long): Path =
-    new Path(s"$serving/v=$v")
-
-  /** Completed state versions under the serving root (staging dirs are
-    * dot-prefixed and excluded; a `v=` dir exists only once fully
-    * written). */
-  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
-                           serving: String): Seq[Long] = {
-    val root = new Path(serving)
-    if (!fs.exists(root)) Seq.empty
-    // toLongOption: a stray non-numeric `v=` entry (operator debris) must
-    // be ignored, not crash-loop every micro-batch from this parse
-    else fs.listStatus(root).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith("v="))
-      .flatMap(_.stripPrefix("v=").toLongOption)
-  }
-
-  private def latestVersion(fs: org.apache.hadoop.fs.FileSystem,
-                            serving: String): Option[Long] = {
-    val vs = listVersions(fs, serving)
-    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** Last write per key including tombstones — the persisted serving
@@ -348,33 +327,30 @@ object CdcStreamPipeline {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Full persisted serving state (tombstones included), manifest-
+    * resolved through [[BucketedState.readState]]. */
+  private def servingState(spark: SparkSession, servingDir: String)
+      : DataFrame =
+    BucketedState.readState(spark, servingDir, servingSchema,
+      ServingBuckets, "serving view")
+
   /** The user-facing serving view: live rows only (tombstones hidden).
-    * Resolves the newest COMPLETE version dir; concurrent merges create
-    * new versions rather than touching this one, and the resolved version
-    * survives for the 5-generation retention horizon — a reader must
-    * consume its DataFrame within that many triggers. */
-  def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame = {
-    val fs = new Path(servingDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, servingDir).getOrElse(
-      throw new IllegalStateException(s"no serving state under $servingDir"))
-    spark.read.parquet(versionDir(servingDir, v).toString)
+    * Resolves the newest COMMITTED manifest; concurrent merges create
+    * new versions rather than touching resolved ones, and a resolved
+    * version survives for the manifest retention horizon — a reader
+    * must consume its DataFrame within that many triggers. */
+  def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame =
+    servingState(spark, servingDir)
       .filter(col("metadata.operation") =!= "delete")
       .select(col("data.*"))
-  }
 
   /** Multi-table serving view for a wildcard-selected stream: live rows
     * of EVERY table with their (schema, table) identity — the fan-out
     * counterpart of [[servingSnapshot]], same columns as the batch
     * [[graft.cdc.Materialize.snapshotByTable]]. */
-  def servingTables(spark: SparkSession, servingDir: String): DataFrame = {
-    val fs = new Path(servingDir).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val v = latestVersion(fs, servingDir).getOrElse(
-      throw new IllegalStateException(s"no serving state under $servingDir"))
-    spark.read.parquet(versionDir(servingDir, v).toString)
+  def servingTables(spark: SparkSession, servingDir: String): DataFrame =
+    servingState(spark, servingDir)
       .filter(col("metadata.operation") =!= "delete")
       .select(col("metadata.`schema-name`").as("sch"),
         col("metadata.`table-name`").as("tbl"), col("data.*"))
-  }
 }

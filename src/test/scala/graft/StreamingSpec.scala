@@ -209,6 +209,62 @@ class StreamingSpec extends SparkTestBase {
     assert(serving2 === serving1)
   }
 
+  test("serving state on BucketedState: single-key batch rewrites only its bucket; replayed record dirties none; foreign flat layout rejected") {
+    import graft.streaming.BucketedState
+    import spark.implicits._
+    val root = tmpDir("cdc_bucketed")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val fixture = CdcStreamPipeline.parseLines(
+      spark.read.text(Tables.cdcFixturePath))
+    CdcStreamPipeline.sinkBatch(sinks)(fixture, 0L)
+    val before = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    assert(before.count() === 210)
+
+    // batch 1: ONE new key — exactly its bucket directory is written;
+    // the other ServingBuckets-1 buckets carry forward as pointers
+    val newLine = scala.io.Source.fromFile(Tables.cdcFixturePath)
+      .getLines().next()
+      .replace("\"trans_id\": 30", "\"trans_id\": 987654321")
+    val one = CdcStreamPipeline.parseLines(Seq(newLine).toDF("value"))
+    CdcStreamPipeline.sinkBatch(sinks)(one, 1L)
+    val expectBucket = spark.range(1).select(BucketedState.bucketOf(
+        xxhash64(lit("testdb"), lit("retail_trans"), lit(987654321L)),
+        CdcStreamPipeline.ServingBuckets))
+      .collect().head.getInt(0)
+    assert(BucketedState.bucketDirs(spark, sinks.serving, 1L) ===
+      Set(expectBucket))
+    val after = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+    assert(after.count() === 211)
+    assert(after.filter(col("trans_id") === 987654321L).count() === 1)
+
+    // batch 2: a pure REPLAY of an already-winning record — the LWW
+    // merge changes no winner, so the commit dirties ZERO buckets (the
+    // version lands as an all-pointer manifest: retry fence intact,
+    // nothing copied)
+    CdcStreamPipeline.sinkBatch(sinks)(one, 2L)
+    assert(BucketedState.bucketDirs(spark, sinks.serving, 2L) ===
+      Set.empty[Int])
+    assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .count() === 211)
+
+    // a pre-round-11 FLAT layout (v= dirs, no _MANIFEST) must throw the
+    // foreign-layout error — both on merge and on read — never silently
+    // treat the old state as empty
+    val flat = tmpDir("cdc_flat") + "/serving"
+    fixture.filter(!Envelope.corrupt)
+      .select(col("data"), col("metadata")).limit(5)
+      .write.parquet(s"$flat/v=0")
+    val flatSinks = Sinks(flat, s"$root/archive2", s"$root/error2",
+      s"$root/checkpoint2")
+    intercept[IllegalStateException] {
+      CdcStreamPipeline.sinkBatch(flatSinks)(one, 1L)
+    }
+    intercept[IllegalStateException] {
+      CdcStreamPipeline.servingSnapshot(spark, flat).count()
+    }
+  }
+
   test("full-load → CDC handover: bootstrap seeds serving state, overlapping replay neither drops nor double-applies the boundary (S1)") {
     // the cut is a real record's timestamp — the hardest boundary: a
     // change at exactly loadTs must beat the seed (txid tie-break) and
