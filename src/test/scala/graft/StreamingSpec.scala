@@ -238,13 +238,14 @@ class StreamingSpec extends SparkTestBase {
     assert(after.count() === 211)
     assert(after.filter(col("trans_id") === 987654321L).count() === 1)
 
-    // batch 2: a pure REPLAY of an already-winning record — the LWW
-    // merge changes no winner, so the commit dirties ZERO buckets (the
-    // version lands as an all-pointer manifest: retry fence intact,
-    // nothing copied)
+    // batch 2: a pure REPLAY of an already-winning record — dirty =
+    // candidates (the JoinViewMaintenance posture: LWW republishes the
+    // batch keys' buckets rather than paying an anti-join every trigger
+    // to prove them unchanged), so exactly the replayed key's bucket is
+    // rewritten, byte-identical, and the other 15 stay pointers
     CdcStreamPipeline.sinkBatch(sinks)(one, 2L)
     assert(BucketedState.bucketDirs(spark, sinks.serving, 2L) ===
-      Set.empty[Int])
+      Set(expectBucket))
     assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
       .count() === 211)
 
