@@ -2518,6 +2518,66 @@ object Analytics {
         .orderBy("tbl", "lhs", "rhs")
     },
 
+    // ---- Training-mixture weighting with a repetition cap — the data-
+    //      mixing step that turns per-domain token counts into sampling
+    //      weights: each lang should contribute an equal token share of
+    //      the mixture (target = T/L), so its weight (epochs over its
+    //      corpus) is (T/L)/tokens_l, CAPPED at 4 epochs — low-resource
+    //      domains repeat at most 4x rather than chasing the target
+    //      (the over-sampling cliff every mixture paper warns about);
+    //      realized share then reports how far the cap pushed the
+    //      mixture off target. All inputs are exact longs, the weight
+    //      arithmetic is a fixed-order double expression identical on
+    //      both engines, rendered through the ROUND-6 decimal-string
+    //      discipline. Scale: one token-count aggregation over the
+    //      corpus (map-side combined); everything after is L rows. ----
+    gated("q221_mixture_weights",
+      """WITH t AS (SELECT lang,
+        |             CAST(len(list_filter(string_split(lower(text), ' '),
+        |                                  x -> x <> '')) AS BIGINT) AS nt
+        |           FROM documents WHERE lang IS NOT NULL),
+        |per AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |          CAST(SUM(nt) AS BIGINT) AS n_tokens
+        |        FROM t GROUP BY lang),
+        |g AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt,
+        |        CAST(COUNT(*) AS BIGINT) AS l FROM per),
+        |j AS (SELECT per.*,
+        |        LEAST(CAST(4.0 AS DOUBLE),
+        |              (CAST(tt AS DOUBLE) / l) / CAST(n_tokens AS DOUBLE)) AS w
+        |      FROM per CROSS JOIN g),
+        |j2 AS (SELECT *, CAST(trunc(ROUND(w * n_tokens, 0)) AS BIGINT) AS eff
+        |       FROM j),
+        |te AS (SELECT CAST(SUM(eff) AS BIGINT) AS te FROM j2)
+        |SELECT lang, n_docs, n_tokens,
+        |       CAST(CAST(ROUND(w, 6) AS DECIMAL(18,6)) AS VARCHAR) AS weight,
+        |       eff AS eff_tokens,
+        |       CAST(CAST(ROUND(CAST(eff AS DOUBLE) / te, 6) AS DECIMAL(18,6))
+        |            AS VARCHAR) AS share
+        |FROM j2 CROSS JOIN te ORDER BY lang""") { (s, d) =>
+      val per = Tables.documents(s, d)
+        .filter(col("lang").isNotNull)
+        .select(col("lang"),
+          size(graft.text.TextOps.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("lang")
+        .agg(cntLong.as("n_docs"), sum(col("nt")).as("n_tokens"))
+      val g = broadcast(per.agg(sum(col("n_tokens")).as("tt"),
+        cntLong.as("l")))
+      val j = per.crossJoin(g)
+        .withColumn("w", least(lit(4.0),
+          (col("tt").cast("double") / col("l")) /
+            col("n_tokens").cast("double")))
+        .withColumn("eff", round(col("w") * col("n_tokens"), 0).cast("long"))
+      val te = broadcast(j.agg(sum(col("eff")).as("te")))
+      j.crossJoin(te)
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          round(col("w"), 6).cast(DecimalType(18, 6)).cast("string")
+            .as("weight"),
+          col("eff").as("eff_tokens"),
+          round(col("eff").cast("double") / col("te"), 6)
+            .cast(DecimalType(18, 6)).cast("string").as("share"))
+        .orderBy("lang")
+    },
+
     // ---- Equi-depth-histogram selectivity estimation: the third stats
     //      primitive for planning, after q212 (join cardinality) and
     //      q215 (FDs) — predict a range predicate's row count from a

@@ -736,6 +736,70 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- LEAKAGE-FREE train/val/test split — the assignment step a
+    //      training pipeline runs AFTER near-dup detection: a document's
+    //      split derives from its DUP-CLUSTER representative, not its
+    //      own id, so near-duplicates can never straddle train and eval
+    //      (the contamination q71 would later have to catch). Clusters =
+    //      q78's (same bounded pair relation + connected components);
+    //      docs with no near-dup are their own singleton cluster. The
+    //      assignment is a deterministic function of the cluster rep
+    //      (min doc_id): rep % 10 → 0-7 train, 8 val, 9 test — identical
+    //      on both engines, reproducible across runs, and atomic per
+    //      cluster by construction. Scale: the labels relation is
+    //      corpus-sized but 2 columns; the split is a projection — no
+    //      new shuffle beyond the CC the dedup already ran. ----
+    gated("q220_split_leakage_free",
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id < 100),
+        |g AS (SELECT doc_id,
+        |        list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |                       for i in range(1, len(w)-1)]) AS tg
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        |      FROM g a, g b
+        |      WHERE a.doc_id < b.doc_id
+        |        AND CAST(len(list_intersect(a.tg, b.tg)) AS DOUBLE)
+        |            / CAST(len(list_distinct(list_concat(a.tg, b.tg))) AS DOUBLE) >= 0.01),
+        |e AS (SELECT a_id AS a, b_id AS b FROM p
+        |      UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        |  SELECT a, b FROM e
+        |  UNION
+        |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a),
+        |lab AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+        |        FROM reach GROUP BY s),
+        |f AS (SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+        |      FROM (SELECT doc_id FROM documents WHERE doc_id < 100) d
+        |      LEFT JOIN lab l ON d.doc_id = l.doc_id)
+        |SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+        |       CASE WHEN cluster % 10 <= 7 THEN 'train'
+        |            WHEN cluster % 10 = 8 THEN 'val' ELSE 'test' END AS split
+        |FROM f ORDER BY doc_id""") { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
+      val g = docs
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
+      val a = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
+      val b = g.select(col("doc_id").as("b_id"), col("tg").as("b_tg"))
+      val pairs = a.join(b, col("a_id") < col("b_id"))
+        .filter(TextOps.jaccard(col("a_tg"), col("b_tg")) >= 0.01)
+        .select(col("a_id").as("a"), col("b_id").as("b"))
+      val labels = graft.operators.ConnectedComponents.run(pairs)
+        .select(col("id").as("doc_id"), col("cluster"))
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .withColumn("split",
+          when(col("cluster") % 10 <= 7, "train")
+            .when(col("cluster") % 10 === 8, "val")
+            .otherwise("test"))
+        .orderBy("doc_id")
+    },
+
     // ---- O37/O38 companion: LINE-level boilerplate removal — the
     //      RefinedWeb/CCNet-style dedup unit below whole documents:
     //      lines repeated across ≥100 distinct documents (footers,
