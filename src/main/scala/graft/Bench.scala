@@ -101,16 +101,27 @@ object Bench {
       * otherwise bills its first timed query for session-scoped
       * cold-start — noop-writer registration, whole-stage-codegen
       * setup, shuffle bring-up, and the FileStatusCache misses on the
-      * bench dir (listing + parquet footers). A tiny codegen'd
-      * agg → noop write over the SMALLEST bench-dir table absorbs those
-      * without pre-reading any timed table's data. Failures are
-      * ignored — warmup must never kill the bench. */
+      * bench dir (listing + parquet footers). Two legs, both
+      * TABLE-NEUTRAL so no timed query is flattered relative to the
+      * others: (a) a synthetic range → shuffled agg → noop write warms
+      * codegen/exchange/writer without touching any table; (b) a
+      * schema touch of EVERY bench-dir table warms the session
+      * FileStatusCache and footer reads uniformly (driver-side listing
+      * only — no table data is read). Failures are ignored — warmup
+      * must never kill the bench. */
     def warm(spark: SparkSession, dir: String): Unit = {
-      import org.apache.spark.sql.functions.{col, count, lit}
-      try Tables.nation(spark, dir)
-        .groupBy(col("n_regionkey")).agg(count(lit(1)).as("c"))
-        .write.format("noop").mode("overwrite").save()
-      catch { case scala.util.control.NonFatal(_) => () }
+      import org.apache.spark.sql.functions.{col, count, lit, pmod}
+      try {
+        spark.range(1000)
+          .groupBy(pmod(col("id"), lit(10)).as("g"))
+          .agg(count(lit(1)).as("c"))
+          .write.format("noop").mode("overwrite").save()
+        Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
+          Tables.region, Tables.nation, Tables.customer, Tables.supplier,
+          Tables.part, Tables.orders, Tables.lineitem, Tables.events,
+          Tables.documents, Tables.embeddings)
+          .foreach(t => t(spark, dir).schema: Unit)
+      } catch { case scala.util.control.NonFatal(_) => () }
     }
 
     /** One timed pass over `names` at `dir`, chunked into fresh sessions. */

@@ -196,12 +196,22 @@ object BucketedState {
     * engine-driven tenants: called from foreachBatch AT THE ENGINE'S OWN
     * id for this batch, it folds the batch into the FULL state and
     * republishes EVERY bucket as one fresh version whose manifest points
-    * only at `batchId` (keepManifests = 1 → every older version prunes).
-    * The id sequence stays the engine's, so neither [[compact]] hazard
-    * can occur: no future batch is shadowed (this id precedes all later
-    * engine ids by construction) and the retry fence keeps its meaning
-    * (a retried batch finds its own id committed — WITH its fold
-    * applied, since fold and rewrite land in the same atomic rename).
+    * only at `batchId`. The id sequence stays the engine's, so neither
+    * [[compact]] hazard can occur: no future batch is shadowed (this id
+    * precedes all later engine ids by construction) and the retry fence
+    * keeps its meaning (a retried batch finds its own id committed —
+    * WITH its fold applied, since fold and rewrite land in the same
+    * atomic rename).
+    *
+    * keepManifests = 2, NOT 1: the stream has live concurrent readers,
+    * and a reader that resolved the PRE-compaction manifest must keep
+    * its pinned versions until the normal retention horizon passes —
+    * keeping the previous manifest keeps every version it references,
+    * so compaction never yanks files from an in-flight scan (the
+    * out-of-band [[compact]] keeps 1 because ITS contract is
+    * caller-assigned ids, i.e. the caller also controls reader
+    * quiescence). The pre-compaction versions then age out through the
+    * following commits' reference-driven pruning.
     * Cost is one full-state read + write, which is what compaction is;
     * run it on a cadence (every N-th trigger / when the manifest's
     * version spread exceeds a bound), with plain folds between. */
@@ -209,16 +219,17 @@ object BucketedState {
                   numBuckets: Int, schema: StructType, keyCol: String,
                   what: String)
                  (fold: DataFrame => DataFrame): Unit =
-    resolveForFold(spark, dir, batchId, numBuckets, what).foreach {
+    resolveForFold(spark, dir, batchId, numBuckets, schema, what).foreach {
       case (p, manifest) =>
         val merged = fold(read(spark, dir, schema, manifest, None)
           .drop(BucketCol))
           .withColumn(BucketCol, bucketOf(col(keyCol), p))
-        // prior manifest deliberately dropped: every bucket (rows or
-        // not) re-homes at batchId, so no pointer can reach behind the
-        // compaction point
+        // prior manifest deliberately dropped from the POINTERS: every
+        // bucket (rows or not) re-homes at batchId, so no pointer can
+        // reach behind the compaction point — while keepManifests = 2
+        // retains the previous manifest's files for in-flight readers
         commit(merged, dir, batchId, p, (0 until p).toSet,
-          Map.empty, keepManifests = 1)
+          Map.empty, keepManifests = 2)
     }
 
   /** Report of one pruned fold — the spec seam for READ-side pruning
@@ -237,16 +248,46 @@ object BucketedState {
     * [[DupClusterMaintenance]]) share this copy too — the
     * check-ordering contract must not be re-derived per tenant. */
   private[streaming] def resolveForFold(spark: SparkSession, dir: String,
-      batchId: Long, numBuckets: Int, what: String)
+      batchId: Long, numBuckets: Int, schema: StructType, what: String)
       : Option[(Int, Map[Int, Long])] = {
     val (p, manifest) = latestManifest(spark, dir) match {
-      case Some((_, mp, m)) =>
+      case Some((v, mp, m)) =>
         require(mp == numBuckets,
           s"$what at $dir laid out with p=$mp, engine uses $numBuckets")
+        verifySchema(spark, dir, v, schema, what)
         (mp, m)
       case None => (numBuckets, Map.empty[Int, Long])
     }
     if (committed(spark, dir, batchId)) None else Some((p, manifest))
+  }
+
+  /** Guard against tenant SCHEMA drift WITHIN the BucketedState layout
+    * (a state column renamed or dropped across a deploy — e.g. round
+    * 11's vocab key moving from raw shingle strings to fingerprints):
+    * the explicit-schema read would silently materialize the renamed
+    * column as NULL for every prior row and the next fold would corrupt
+    * the state, so verify the newest version's on-disk fields cover the
+    * expected non-bucket fields BEFORE any read, and fail with the same
+    * reseed-or-migrate posture as the foreign-layout throw. Cost: one
+    * driver-side listing + footer inference per resolve. An all-pointer
+    * (fileless) newest version skips the check — every version it
+    * references passed it when IT was newest. */
+  private def verifySchema(spark: SparkSession, dir: String, version: Long,
+      schema: StructType, what: String): Unit = {
+    val actual =
+      try spark.read.parquet(s"$dir/v=$version").schema.fieldNames.toSet
+      catch {
+        // fileless version dir (_MANIFEST only): nothing to check
+        case _: org.apache.spark.sql.AnalysisException => return
+      }
+    val missing = (schema.fieldNames.toSet - BucketCol) -- actual
+    if (missing.nonEmpty) throw new IllegalStateException(
+      s"$what state at $dir (v=$version) lacks column(s) " +
+        s"${missing.toSeq.sorted.mkString(", ")} — on-disk fields are " +
+        s"${actual.toSeq.sorted.mkString(", ")}. The tenant's state schema " +
+        "changed across a deploy; reading would null the missing columns " +
+        "and corrupt the next fold. Reseed or migrate (SCALE.md: " +
+        "state-layout migrations)")
   }
 
   /** Shared tail of every diff-based fold: read the wanted buckets,
@@ -304,7 +345,7 @@ object BucketedState {
                  numBuckets: Int, schema: StructType, keyCol: String,
                  what: String, growOnly: Boolean = false)
                 (fold: DataFrame => DataFrame): Unit =
-    resolveForFold(spark, dir, batchId, numBuckets, what).foreach {
+    resolveForFold(spark, dir, batchId, numBuckets, schema, what).foreach {
       case (p, manifest) =>
         foldAndCommit(spark, dir, batchId, p, manifest, schema, keyCol,
           growOnly, want = None)(fold)
@@ -336,7 +377,7 @@ object BucketedState {
                       (batchRel: DataFrame)
                       (fold: (DataFrame, DataFrame) => DataFrame)
       : Option[PrunedFold] =
-    resolveForFold(spark, dir, batchId, numBuckets, what).map {
+    resolveForFold(spark, dir, batchId, numBuckets, schema, what).map {
       case (p, manifest) =>
         val batch = batchRel
           .localCheckpoint() // feeds candidate derivation AND the fold
@@ -351,10 +392,11 @@ object BucketedState {
     * the fan-out check every reader must make. */
   def readState(spark: SparkSession, dir: String, schema: StructType,
                 numBuckets: Int, what: String): DataFrame = {
-    val (_, p, manifest) = latestManifest(spark, dir).getOrElse(
+    val (v, p, manifest) = latestManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no $what state under $dir"))
     require(p == numBuckets,
       s"$what at $dir laid out with p=$p, engine uses $numBuckets")
+    verifySchema(spark, dir, v, schema, what)
     read(spark, dir, schema, manifest, None)
   }
 

@@ -311,7 +311,7 @@ object CdcStreamPipeline {
       // candidate bucket is byte-identical state — correct, and cheaper
       // than proving it unchanged each trigger.
       BucketedState.resolveForFold(spark, sinks.serving, batchId,
-        ServingBuckets, "serving view").foreach { case (p, manifest) =>
+        ServingBuckets, servingSchema, "serving view").foreach { case (p, manifest) =>
         val incoming =
           withServingKey(good.select(col("data"), col("metadata")))
         // one tiny job off the persisted batch frame: the candidate set

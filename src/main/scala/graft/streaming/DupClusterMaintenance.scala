@@ -73,7 +73,7 @@ object DupClusterMaintenance {
       : Option[BucketedState.PrunedFold] = {
     val spark = pairs.sparkSession
     BucketedState.resolveForFold(spark, labelDir, batchId, NumBuckets,
-      "labels").map { case (p, manifest) =>
+      stateSchema, "labels").map { case (p, manifest) =>
       def readBuckets(want: Option[Set[Int]]): DataFrame =
         BucketedState.read(spark, labelDir, stateSchema, manifest, want)
           .drop(BucketedState.BucketCol)

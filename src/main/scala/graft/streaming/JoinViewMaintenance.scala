@@ -107,7 +107,7 @@ object JoinViewMaintenance {
     // shared prelude: layout check BEFORE the version fence, then the
     // retry short-circuit (one copy of the ordering contract)
     val (p, manifest) = BucketedState.resolveForFold(spark, dir, batchId,
-      NumBuckets, "join view") match {
+      NumBuckets, stateSchema, "join view") match {
       case Some(pm) => pm
       case None     => return
     }

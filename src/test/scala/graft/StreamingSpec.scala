@@ -1101,6 +1101,29 @@ class StreamingSpec extends SparkTestBase {
         VocabMaintenance.NumBuckets, "vocabulary")
       .select(col("f"), col("first_doc"))) ===
       fsMap(VocabMaintenance.firstSeen(spark, shelf)))
+
+    // SCHEMA-DRIFT guard: a round-10 vocab dir (raw shingle strings,
+    // column `s`) opened by round-11 code (fingerprint column `f`) must
+    // fail loudly on BOTH the fold and the read path — an explicit-
+    // schema read would otherwise null the missing column for every
+    // prior row and the next fold would silently corrupt the state
+    import spark.implicits._
+    val oldShelf = tmpDir("vocab_state_old") + "/vocab"
+    val oldRows = Seq(("alpha beta gamma", 1L), ("beta gamma delta", 2L))
+      .toDF("s", "first_doc")
+      .withColumn(BucketedState.BucketCol,
+        BucketedState.bucketOf(col("s"), VocabMaintenance.NumBuckets))
+    BucketedState.commit(oldRows, oldShelf, 0L,
+      VocabMaintenance.NumBuckets,
+      (0 until VocabMaintenance.NumBuckets).toSet, Map.empty)
+    val foldErr = intercept[IllegalStateException] {
+      VocabMaintenance.update(oldShelf, oneShingle, 1L)
+    }
+    assert(foldErr.getMessage.contains("f"),
+      s"error must name the missing column: ${foldErr.getMessage}")
+    intercept[IllegalStateException] {
+      VocabMaintenance.firstSeen(spark, oldShelf).count()
+    }
   }
 
   test("live stats maintenance: streamed value counts == batch; q216 selectivity served from state; retry no-op; order-invariant; single-value batch dirties one bucket") {
@@ -1200,12 +1223,15 @@ class StreamingSpec extends SparkTestBase {
     assert(v === 3L)
     assert(manifest.values.toSet.subsetOf(Set(2L, 3L)),
       s"pointer behind the compaction point: $manifest")
-    // ...and the pre-compaction versions were physically pruned
+    // reader grace: compaction must NOT yank pre-compaction versions
+    // from an in-flight reader — they age out through the normal
+    // reference-driven retention, not at the compaction instant
     val fs = new org.apache.hadoop.fs.Path(shelf)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(shelf))
+    def vdirs = fs.listStatus(new org.apache.hadoop.fs.Path(shelf))
       .map(_.getPath.getName).filter(_.startsWith("v=")).toSet
-    assert(vdirs === Set("v=2", "v=3"), s"stale versions survive: $vdirs")
+    assert(Set("v=0", "v=1", "v=2", "v=3").subsetOf(vdirs),
+      s"compaction yanked a pre-compaction version: $vdirs")
 
     // retried compaction batch: the fence short-circuits (fold and
     // rewrite landed in ONE atomic rename), so counts must not change —
@@ -1215,5 +1241,17 @@ class StreamingSpec extends SparkTestBase {
     assert(StatsMaintenance.update(shelf, vals(spark.read.text(src)), 3L)
       .isEmpty, "retried batch must fence, not refold")
     assert(vcMap(StatsMaintenance.valueCounts(spark, shelf)) === served)
+
+    // ...and once the retention horizon passes (4 newer manifests), the
+    // pre-compaction versions DO prune — compaction's file-listing bound
+    // arrives, just reader-safely
+    import spark.implicits._
+    (4L to 5L).foreach { id =>
+      StatsMaintenance.update(shelf, Seq(10L).toDF("v"), id): Unit }
+    assert((vdirs & Set("v=0", "v=1")) === Set.empty[String],
+      s"pre-compaction versions survived the retention horizon: $vdirs")
+    val finalCounts = vcMap(StatsMaintenance.valueCounts(spark, shelf))
+    assert(finalCounts(10L) === served(10L) + 2L)
+    assert(finalCounts - 10L === served - 10L)
   }
 }
