@@ -125,6 +125,67 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // ---- Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    //      — LOCAL fingerprinting next to q44's whole-doc hash: hash
+    //      every word 3-gram (the q44 31-ary polynomial per gram, so
+    //      both engines fold identically), slide a window of w = 4 over
+    //      the gram-hash sequence, keep each window's MINIMUM — the
+    //      guarantee is that any shared run of ≥ w + k - 1 tokens
+    //      yields at least one shared fingerprint, at an expected
+    //      density of 2/(w+1) selections per gram. Docs shorter than
+    //      one window winnow to their global minimum (one fingerprint —
+    //      never zero). The gate reports doc pairs sharing ≥ 2
+    //      fingerprints: the copy-detection primitive for partial
+    //      overlap that whole-doc hashing (q44) and set-Jaccard (q123)
+    //      both miss. Scale: fingerprinting is a stateless per-row HOF
+    //      map (codegen, no shuffle); the pair step shuffles on the
+    //      FINGERPRINT and joins within hash buckets — never all-pairs,
+    //      and the winnowed relation is ~2/(w+1) the size of the gram
+    //      relation before it ever reaches the exchange. ----
+    gated("q222_winnowing",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id < 300),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM t WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        list_distinct([list_min(kg[i : least(i + 3, len(kg))])
+        |                       for i in range(1, greatest(1, len(kg) - 3) + 1)]) AS fps
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .withColumn("kg", transform(TextOps.trigramsAll(col("w")),
+          g => TextOps.fingerprint(g)))
+        .withColumn("gl", size(col("kg")))
+      val fps = t.withColumn("fps", array_distinct(transform(
+          sequence(lit(1), greatest(lit(1), col("gl") - 3)),
+          i => array_min(slice(col("kg"), i,
+            least(lit(4), col("gl") - i + 1))))))
+        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val a = fps.select(col("doc_id").as("a_id"), col("fp"))
+      val b = fps.select(col("doc_id").as("b_id"), col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
     //      document-frequency side is vocabulary-sized (≪ corpus), so it
     //      broadcasts; at 100 TB a long-tail vocabulary falls back to a
