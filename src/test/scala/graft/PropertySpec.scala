@@ -719,4 +719,50 @@ class PropertySpec extends SparkTestBase {
     assert(Hll.merge(Hll.build(none, "grp", "key"),
       Hll.build(none, "grp", "key")).count() === 0)
   }
+
+  test("pruned fold == full fold == counting model, for random value-batch streams with retries") {
+    import graft.streaming.{BucketedState, StatsMaintenance}
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("v", LongType), StructField("cnt", LongType),
+      StructField(BucketedState.BucketCol, IntegerType)))
+    // small value domain: key collisions within batches and co-hashed
+    // keys across buckets are guaranteed, exercising the carryover path
+    val batchesGen: Gen[List[List[Long]]] = for {
+      nb <- Gen.choose(1, 4)
+      bs <- Gen.listOfN(nb, Gen.nonEmptyListOf(Gen.choose(0L, 20L)))
+    } yield bs
+    samples(batchesGen, 4).zipWithIndex.foreach { case (batches, run) =>
+      val rootA = java.nio.file.Files
+        .createTempDirectory(s"pf_prop_a$run").toString + "/s"
+      val rootB = java.nio.file.Files
+        .createTempDirectory(s"pf_prop_b$run").toString + "/s"
+      batches.zipWithIndex.foreach { case (vs, i) =>
+        val rep = StatsMaintenance.update(rootA, vs.toDF("v"), i.toLong)
+          .getOrElse(fail(s"run $run batch $i: fresh batch must fold"))
+        assert(rep.dirtyBuckets.subsetOf(rep.candidateBuckets),
+          s"run $run batch $i: dirty ⊄ candidates")
+        // retry fences even when the replayed payload differs (the fence
+        // keys on the id, never the content)
+        assert(StatsMaintenance.update(rootA,
+          Seq(999L).toDF("v"), i.toLong).isEmpty)
+        BucketedState.foldCommit(spark, rootB, i.toLong,
+          StatsMaintenance.NumBuckets, schema, "v", "stats",
+          growOnly = true) { prev =>
+          prev.unionByName(
+              vs.toDF("v").groupBy("v").agg(count(lit(1)).as("cnt")))
+            .groupBy("v").agg(sum(col("cnt")).as("cnt"))
+        }
+      }
+      val model = batches.flatten.groupBy(identity)
+        .map { case (k, xs) => k -> xs.size.toLong }
+      def vcMap(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val prunedServed = vcMap(StatsMaintenance.valueCounts(spark, rootA))
+      val fullServed = vcMap(BucketedState.readState(spark, rootB, schema,
+        StatsMaintenance.NumBuckets, "stats").select(col("v"), col("cnt")))
+      assert(prunedServed === model, s"run $run: pruned fold diverged")
+      assert(fullServed === model, s"run $run: full fold diverged")
+    }
+  }
 }
