@@ -171,11 +171,8 @@ object Text {
         .filter(size(col("w")) >= 3)
         .withColumn("kg", transform(TextOps.trigramsAll(col("w")),
           g => TextOps.fingerprint(g)))
-        .withColumn("gl", size(col("kg")))
-      val fps = t.withColumn("fps", array_distinct(transform(
-          sequence(lit(1), greatest(lit(1), col("gl") - 3)),
-          i => array_min(slice(col("kg"), i,
-            least(lit(4), col("gl") - i + 1))))))
+      val fps = t
+        .withColumn("fps", TextOps.winnow(col("kg"), w = 4))
         .select(col("doc_id"), explode(col("fps")).as("fp"))
       val a = fps.select(col("doc_id").as("a_id"), col("fp"))
       val b = fps.select(col("doc_id").as("b_id"), col("fp"))

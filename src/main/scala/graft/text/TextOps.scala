@@ -53,4 +53,19 @@ object TextOps {
       filter(split(text, ""), ch => ch =!= ""),
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
+
+  /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    * over a sequence of gram hashes: slide a window of `w` positions,
+    * keep each window's minimum, distinct the selections. Guarantees:
+    * any shared gram run spanning a full window yields ≥ 1 shared
+    * fingerprint; expected density 2/(w+1). A sequence shorter than one
+    * window winnows to its global minimum — one fingerprint, never
+    * zero. Pure HOF expression (codegen, per-row, no shuffle). */
+  def winnow(gramHashes: Column, w: Int): Column = {
+    require(w >= 1, s"winnow: window must be >= 1, got $w")
+    val n = size(gramHashes)
+    array_distinct(transform(
+      sequence(lit(1), greatest(lit(1), n - (w - 1))),
+      i => array_min(slice(gramHashes, i, least(lit(w), n - i + 1)))))
+  }
 }

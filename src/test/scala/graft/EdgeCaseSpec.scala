@@ -313,4 +313,30 @@ class EdgeCaseSpec extends SparkTestBase {
       ShortestPaths.bellmanFord(e, Seq("a").toDF("node"), -1)
     }
   }
+
+  test("winnowing: short-sequence floor, window-min model, shared-run guarantee, density bound") {
+    import graft.text.TextOps
+    def winnowOf(hashes: Seq[Long], w: Int): Set[Long] =
+      Seq(Tuple1(hashes)).toDF("kg")
+        .select(TextOps.winnow(col("kg"), w).as("f"))
+        .collect().head.getSeq[Long](0).toSet
+    // shorter than one window → the global minimum, exactly one
+    assert(winnowOf(Seq(7L, 3L, 9L), 4) === Set(3L))
+    assert(winnowOf(Seq(42L), 4) === Set(42L))
+    // window-min model: windows of 2 over [5,1,4,2] → mins {1,1,2} → {1,2}
+    assert(winnowOf(Seq(5L, 1L, 4L, 2L), 2) === Set(1L, 2L))
+    // the SIGMOD'03 guarantee on a planted shared run: two sequences
+    // sharing a run of >= w consecutive gram hashes share >= 1 selection
+    val shared = Seq(100L, 50L, 75L, 60L) // one full w=4 window
+    val a = winnowOf(Seq(999L, 998L) ++ shared ++ Seq(997L), 4)
+    val b = winnowOf(Seq(1L, 2L) ++ shared ++ Seq(3L, 4L), 4)
+    assert((a & b).nonEmpty, s"shared window selected nothing: $a vs $b")
+    // density: selections never exceed window starts (n - w + 1)
+    val rng = new scala.util.Random(7)
+    val long = Seq.fill(200)(rng.nextLong().abs)
+    assert(winnowOf(long, 4).size <= 197)
+    // and winnowing a permuted DISTINCT sequence keeps every selection a
+    // member of the input (sanity on the slice arithmetic)
+    assert(winnowOf(long, 4).subsetOf(long.toSet))
+  }
 }
