@@ -6,6 +6,7 @@ import graft.Norm._
 import graft.cdc.{Envelope, Materialize}
 import graft.functions.VectorOps
 import graft.text.TextOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -37,6 +38,51 @@ object Analytics {
 
   /** Decimal-string rendering at scale 4 with 18-digit headroom (lift
     * ratios can exceed DECIMAL(9,4)'s integral range on rare words). */
+  /** The ONE copy of the indexed-BM25 probe (q197's steady-state serving
+    * path, shared with its append-built twin q218): read the query
+    * terms' postings through the pruned index probe, derive tf/df from
+    * those postings alone, join dl for the matched docs, and score with
+    * q120's log-free integer-rational formulation (per-term
+    * contributions pivoted into FIXED-ORDER columns — a groupBy float
+    * sum would be order-nondeterministic at the 6th decimal). Expects
+    * the layout `dir/post` (posting index), `dir/docs` (doc_id, dl),
+    * `dir/corpus` (n, sumdl); `terms` must be exactly the three
+    * (hash, scan, window) the pivot columns encode. */
+  private def bm25IndexProbe(s: SparkSession, dir: String,
+                             terms: Seq[String]): DataFrame = {
+    import graft.text.Phrase
+    val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
+    val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds the doc pivot AND the df aggregation
+    def tcol(t: String) =
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
+    val piv = tf.groupBy("doc_id")
+      .agg(tcol("hash").as("tf_h"), tcol("scan").as("tf_s"),
+        tcol("window").as("tf_w"))
+    def dcol(t: String) =
+      coalesce(max(when(col("term") === t, col("df"))), lit(0L))
+    val dfs = tf.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .agg(dcol("hash").as("df_h"), dcol("scan").as("df_s"),
+        dcol("window").as("df_w"))
+    val g = broadcast(s.read.parquet(s"$dir/corpus").crossJoin(dfs))
+    val dl = s.read.parquet(s"$dir/docs")
+    def term(tfc: String, dfc: String) =
+      ((lit(2) * col("n") - lit(2) * col(dfc) + lit(1)).cast("double") /
+        (lit(2) * col(dfc) + lit(1)).cast("double")) *
+        ((lit(22) * col(tfc) * col("sumdl")).cast("double") /
+          (lit(10) * col(tfc) * col("sumdl") + lit(3) * col("sumdl") +
+            lit(9) * col("dl") * col("n")).cast("double"))
+    val score = round(
+      term("tf_h", "df_h") + term("tf_s", "df_s") + term("tf_w", "df_w"), 6)
+    piv.join(dl, "doc_id").crossJoin(g)
+      .select(col("doc_id"), score.as("sc"))
+      .orderBy(col("sc").desc, col("doc_id"))
+      .limit(10)
+      .select(col("doc_id"),
+        col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+  }
+
   private def dec184Str(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 4)).cast("string")
 
@@ -1108,39 +1154,10 @@ object Analytics {
       s.read.parquet(s"$dir/docs")
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         .write.mode("overwrite").parquet(s"$dir/corpus")
-      // ---- probe: postings of the query terms only, through the ONE
-      //      bucket-prune implementation (Phrase.prunedPostings) ----
-      val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
-      val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // feeds the doc pivot AND the df aggregation
-      def tcol(t: String) =
-        coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
-      val piv = tf.groupBy("doc_id")
-        .agg(tcol("hash").as("tf_h"), tcol("scan").as("tf_s"),
-          tcol("window").as("tf_w"))
-      def dcol(t: String) =
-        coalesce(max(when(col("term") === t, col("df"))), lit(0L))
-      val dfs = tf.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .agg(dcol("hash").as("df_h"), dcol("scan").as("df_s"),
-          dcol("window").as("df_w"))
-      val g = broadcast(
-        s.read.parquet(s"$dir/corpus").crossJoin(dfs))
-      val dl = s.read.parquet(s"$dir/docs")
-      def term(tfc: String, dfc: String) =
-        ((lit(2) * col("n") - lit(2) * col(dfc) + lit(1)).cast("double") /
-          (lit(2) * col(dfc) + lit(1)).cast("double")) *
-          ((lit(22) * col(tfc) * col("sumdl")).cast("double") /
-            (lit(10) * col(tfc) * col("sumdl") + lit(3) * col("sumdl") +
-              lit(9) * col("dl") * col("n")).cast("double"))
-      val score = round(
-        term("tf_h", "df_h") + term("tf_s", "df_s") + term("tf_w", "df_w"), 6)
-      piv.join(dl, "doc_id").crossJoin(g)
-        .select(col("doc_id"), score.as("sc"))
-        .orderBy(col("sc").desc, col("doc_id"))
-        .limit(10)
-        .select(col("doc_id"),
-          col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+      // ---- probe: the ONE indexed-BM25 probe implementation
+      //      (bm25IndexProbe — bucket-pruned postings via
+      //      Phrase.prunedPostings, fixed-order pivot, q120 scoring) ----
+      bm25IndexProbe(s, dir, terms)
     },
 
     // ---- q197's INGEST-path sibling (paired with q217's phrase leg):
@@ -1205,37 +1222,9 @@ object Analytics {
       s.read.parquet(s"$dir/docs")
         .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
         .write.mode("overwrite").parquet(s"$dir/corpus")
-      val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
-      val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
-        .localCheckpoint() // feeds the doc pivot AND the df aggregation
-      def tcol(t: String) =
-        coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
-      val piv = tf.groupBy("doc_id")
-        .agg(tcol("hash").as("tf_h"), tcol("scan").as("tf_s"),
-          tcol("window").as("tf_w"))
-      def dcol(t: String) =
-        coalesce(max(when(col("term") === t, col("df"))), lit(0L))
-      val dfs = tf.groupBy("term")
-        .agg(countDistinct(col("doc_id")).as("df"))
-        .agg(dcol("hash").as("df_h"), dcol("scan").as("df_s"),
-          dcol("window").as("df_w"))
-      val g = broadcast(
-        s.read.parquet(s"$dir/corpus").crossJoin(dfs))
-      val dl = s.read.parquet(s"$dir/docs")
-      def term(tfc: String, dfc: String) =
-        ((lit(2) * col("n") - lit(2) * col(dfc) + lit(1)).cast("double") /
-          (lit(2) * col(dfc) + lit(1)).cast("double")) *
-          ((lit(22) * col(tfc) * col("sumdl")).cast("double") /
-            (lit(10) * col(tfc) * col("sumdl") + lit(3) * col("sumdl") +
-              lit(9) * col("dl") * col("n")).cast("double"))
-      val score = round(
-        term("tf_h", "df_h") + term("tf_s", "df_s") + term("tf_w", "df_w"), 6)
-      piv.join(dl, "doc_id").crossJoin(g)
-        .select(col("doc_id"), score.as("sc"))
-        .orderBy(col("sc").desc, col("doc_id"))
-        .limit(10)
-        .select(col("doc_id"),
-          col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
+      // probe: the SAME single implementation q197 serves from — batch
+      // boundaries must be invisible to scoring
+      bm25IndexProbe(s, dir, terms)
     },
 
     // ---- Mergeable Misra-Gries summary (operators/MgSummary): the
