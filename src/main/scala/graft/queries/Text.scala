@@ -169,11 +169,10 @@ object Text {
         .filter(col("doc_id") < 300)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
-        .withColumn("kg", transform(TextOps.trigramsAll(col("w")),
-          g => TextOps.fingerprint(g)))
-      val fps = t
-        .withColumn("fps", TextOps.winnow(col("kg"), w = 4))
-        .select(col("doc_id"), explode(col("fps")).as("fp"))
+      val fps = TextOps.winnowRel(t, "doc_id",
+          transform(TextOps.trigramsAll(col("w")),
+            g => TextOps.fingerprint(g)), w = 4)
+        .select(col("id").as("doc_id"), col("fp"))
       val a = fps.select(col("doc_id").as("a_id"), col("fp"))
       val b = fps.select(col("doc_id").as("b_id"), col("fp"))
       a.join(b, Seq("fp"))

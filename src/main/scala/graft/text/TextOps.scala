@@ -54,18 +54,38 @@ object TextOps {
       lit(0L),
       (acc, ch) => (acc * 31L + ascii(ch).cast("long")) % 1000000007L)
 
-  /** Winnowing fingerprint SET (Schleimer/Wilkerson/Aiken, SIGMOD'03)
-    * over a sequence of gram hashes: slide a window of `w` positions,
-    * keep each window's minimum, distinct the selections. Guarantees:
-    * any shared gram run spanning a full window yields ≥ 1 shared
-    * fingerprint; expected density 2/(w+1). A sequence shorter than one
-    * window winnows to its global minimum — one fingerprint, never
-    * zero. Pure HOF expression (codegen, per-row, no shuffle). */
-  def winnow(gramHashes: Column, w: Int): Column = {
+  /** Winnowing fingerprint RELATION (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03) — `(id, fp)` distinct selections per document: slide a
+    * window of `w` positions over the per-document gram-hash sequence,
+    * keep each window's minimum. Guarantees: any shared gram run
+    * spanning a full window yields ≥ 1 shared fingerprint; expected
+    * density 2/(w+1). A sequence shorter than one window winnows to its
+    * global minimum — one fingerprint, never zero.
+    *
+    * Formulated as posexplode + rows-frame window min, NOT a nested
+    * array HOF: CollapseProject inlines a gram-hash column into every
+    * lambda reference, so the HOF form re-evaluates the whole per-gram
+    * hash pipeline once PER WINDOW START — O(grams² · chars) per
+    * document (measured: 90 s for 300 fifty-token docs). The Generate
+    * boundary pins ONE evaluation per document; the frame min streams.
+    * Scale: one shuffle on the doc id (the exchange any per-doc
+    * aggregation pays), frame width w per row after it. */
+  def winnowRel(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                gramHashes: Column, w: Int): org.apache.spark.sql.DataFrame = {
     require(w >= 1, s"winnow: window must be >= 1, got $w")
-    val n = size(gramHashes)
-    array_distinct(transform(
-      sequence(lit(1), greatest(lit(1), n - (w - 1))),
-      i => array_min(slice(gramHashes, i, least(lit(w), n - i + 1)))))
+    import org.apache.spark.sql.expressions.Window
+    val pe = docs.select(col(idCol).as("id"),
+      posexplode(gramHashes).as(Seq("pos", "h")))
+    val frame = Window.partitionBy("id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val whole = Window.partitionBy("id")
+    pe.withColumn("n", count(lit(1)).over(whole))
+      .withColumn("m", min(col("h")).over(frame))
+      // window starts only (pos ≤ n−w); a doc shorter than one window
+      // keeps exactly its pos-0 row, whose clipped frame is the whole doc
+      .filter(col("pos") <= col("n") - w ||
+        (col("n") < w && col("pos") === 0))
+      .select(col("id"), col("m").as("fp"))
+      .distinct()
   }
 }

@@ -317,9 +317,9 @@ class EdgeCaseSpec extends SparkTestBase {
   test("winnowing: short-sequence floor, window-min model, shared-run guarantee, density bound") {
     import graft.text.TextOps
     def winnowOf(hashes: Seq[Long], w: Int): Set[Long] =
-      Seq(Tuple1(hashes)).toDF("kg")
-        .select(TextOps.winnow(col("kg"), w).as("f"))
-        .collect().head.getSeq[Long](0).toSet
+      TextOps.winnowRel(Seq((1L, hashes)).toDF("id", "kg"), "id",
+          col("kg"), w)
+        .collect().map(_.getLong(1)).toSet
     // shorter than one window → the global minimum, exactly one
     assert(winnowOf(Seq(7L, 3L, 9L), 4) === Set(3L))
     assert(winnowOf(Seq(42L), 4) === Set(42L))
