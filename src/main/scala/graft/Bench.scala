@@ -111,17 +111,23 @@ object Bench {
       * must never kill the bench. */
     def warm(spark: SparkSession, dir: String): Unit = {
       import org.apache.spark.sql.functions.{col, count, lit, pmod}
-      try {
-        spark.range(1000)
-          .groupBy(pmod(col("id"), lit(10)).as("g"))
-          .agg(count(lit(1)).as("c"))
-          .write.format("noop").mode("overwrite").save()
-        Seq[(SparkSession, String) => org.apache.spark.sql.DataFrame](
-          Tables.region, Tables.nation, Tables.customer, Tables.supplier,
-          Tables.part, Tables.orders, Tables.lineitem, Tables.events,
-          Tables.documents, Tables.embeddings)
-          .foreach(t => t(spark, dir).schema: Unit)
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try spark.range(1000)
+        .groupBy(pmod(col("id"), lit(10)).as("g"))
+        .agg(count(lit(1)).as("c"))
+        .write.format("noop").mode("overwrite").save()
+      catch { case scala.util.control.NonFatal(_) => () }
+      // per-table try: one failing loader must not skip the tables after
+      // it (that would re-introduce the per-table cold-start bias this
+      // warmup exists to remove). Tables.names is the single catalog —
+      // a table added there is warmed automatically.
+      Tables.names.foreach { n =>
+        // events must warm through its real loader (the raw footer is
+        // TIMESTAMP(NANOS), which plain parquet inference rejects)
+        try {
+          (if (n == "events") Tables.events(spark, dir)
+           else Tables.load(spark, dir, n)).schema: Unit
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
 
     /** One timed pass over `names` at `dir`, chunked into fresh sessions. */

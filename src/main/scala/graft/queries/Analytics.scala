@@ -36,8 +36,6 @@ object Analytics {
     """metadata."record-type" = 'data' AND metadata."schema-name" = 'testdb'
       |AND metadata."table-name" = 'retail_trans'""".stripMargin
 
-  /** Decimal-string rendering at scale 4 with 18-digit headroom (lift
-    * ratios can exceed DECIMAL(9,4)'s integral range on rare words). */
   /** The ONE copy of the indexed-BM25 probe (q197's steady-state serving
     * path, shared with its append-built twin q218): read the query
     * terms' postings through the pruned index probe, derive tf/df from
@@ -83,6 +81,8 @@ object Analytics {
         col("sc").cast(DecimalType(18, 6)).cast("string").as("score"))
   }
 
+  /** Decimal-string rendering at scale 4 with 18-digit headroom (lift
+    * ratios can exceed DECIMAL(9,4)'s integral range on rare words). */
   private def dec184Str(c: org.apache.spark.sql.Column) =
     c.cast(DecimalType(18, 4)).cast("string")
 

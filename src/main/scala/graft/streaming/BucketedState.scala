@@ -203,15 +203,15 @@ object BucketedState {
     * WITH its fold applied, since fold and rewrite land in the same
     * atomic rename).
     *
-    * keepManifests = 2, NOT 1: the stream has live concurrent readers,
-    * and a reader that resolved the PRE-compaction manifest must keep
-    * its pinned versions until the normal retention horizon passes —
-    * keeping the previous manifest keeps every version it references,
-    * so compaction never yanks files from an in-flight scan (the
-    * out-of-band [[compact]] keeps 1 because ITS contract is
-    * caller-assigned ids, i.e. the caller also controls reader
-    * quiescence). The pre-compaction versions then age out through the
-    * following commits' reference-driven pruning.
+    * Retention stays the DEFAULT 4-manifest horizon, not compact()'s 1:
+    * the stream has live concurrent readers, and a reader that resolved
+    * ANY of the last few manifests must keep its pinned versions until
+    * the normal horizon passes — a narrower keep would yank files whose
+    * only reference is an older manifest (the out-of-band [[compact]]
+    * keeps 1 because ITS contract is caller-assigned ids, i.e. the
+    * caller also controls reader quiescence). The pre-compaction
+    * versions then age out through the following commits'
+    * reference-driven pruning.
     * Cost is one full-state read + write, which is what compaction is;
     * run it on a cadence (every N-th trigger / when the manifest's
     * version spread exceeds a bound), with plain folds between. */
@@ -226,10 +226,11 @@ object BucketedState {
           .withColumn(BucketCol, bucketOf(col(keyCol), p))
         // prior manifest deliberately dropped from the POINTERS: every
         // bucket (rows or not) re-homes at batchId, so no pointer can
-        // reach behind the compaction point — while keepManifests = 2
-        // retains the previous manifest's files for in-flight readers
+        // reach behind the compaction point — while the DEFAULT
+        // keepManifests retains the last 4 manifests' files, the same
+        // reader horizon every normal commit honors
         commit(merged, dir, batchId, p, (0 until p).toSet,
-          Map.empty, keepManifests = 2)
+          Map.empty)
     }
 
   /** Report of one pruned fold — the spec seam for READ-side pruning
@@ -254,40 +255,65 @@ object BucketedState {
       case Some((v, mp, m)) =>
         require(mp == numBuckets,
           s"$what at $dir laid out with p=$mp, engine uses $numBuckets")
-        verifySchema(spark, dir, v, schema, what)
+        verifySchema(spark, dir, v, m, schema, what)
         (mp, m)
       case None => (numBuckets, Map.empty[Int, Long])
     }
     if (committed(spark, dir, batchId)) None else Some((p, manifest))
   }
 
+  /** Every "path.to.leaf" in a struct, recursively — nullability and
+    * types ignored (a rename/drop is the corruption class; a type change
+    * surfaces as a read error on its own). */
+  private def fieldPaths(t: StructType, prefix: String = ""): Set[String] =
+    t.fields.flatMap { f =>
+      val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+      f.dataType match {
+        case s: StructType => fieldPaths(s, p) + p
+        case _             => Set(p)
+      }
+    }.toSet
+
   /** Guard against tenant SCHEMA drift WITHIN the BucketedState layout
     * (a state column renamed or dropped across a deploy — e.g. round
     * 11's vocab key moving from raw shingle strings to fingerprints):
     * the explicit-schema read would silently materialize the renamed
     * column as NULL for every prior row and the next fold would corrupt
-    * the state, so verify the newest version's on-disk fields cover the
-    * expected non-bucket fields BEFORE any read, and fail with the same
-    * reseed-or-migrate posture as the foreign-layout throw. Cost: one
-    * driver-side listing + footer inference per resolve. An all-pointer
-    * (fileless) newest version skips the check — every version it
-    * references passed it when IT was newest. */
+    * the state, so verify that some live version's on-disk fields cover
+    * the expected non-bucket field PATHS (recursively — a nested rename
+    * inside the serving tenant's envelope structs is the same
+    * corruption class one level down) BEFORE any read, failing with the
+    * reseed-or-migrate posture of the foreign-layout throw. Cost: one
+    * driver-side listing + footer inference per resolve.
+    *
+    * The newest version can be FILELESS (an all-pointer manifest from a
+    * no-change batch) — checking nothing there would reopen the hole
+    * for exactly the deploy that follows a quiet trigger, so the check
+    * walks back through the manifest's referenced versions (newest
+    * first) to the first one holding data files; a state with no data
+    * files anywhere is legitimately empty. */
   private def verifySchema(spark: SparkSession, dir: String, version: Long,
-      schema: StructType, what: String): Unit = {
-    val actual =
-      try spark.read.parquet(s"$dir/v=$version").schema.fieldNames.toSet
+      manifest: Map[Int, Long], schema: StructType, what: String): Unit = {
+    val candidates =
+      (version +: manifest.values.toSeq.distinct.sorted.reverse).distinct
+    val checked = candidates.iterator.map { v =>
+      try Some(v ->
+        fieldPaths(spark.read.parquet(s"$dir/v=$v").schema))
       catch {
-        // fileless version dir (_MANIFEST only): nothing to check
-        case _: org.apache.spark.sql.AnalysisException => return
+        // fileless version dir (_MANIFEST only): walk back
+        case _: org.apache.spark.sql.AnalysisException => None
       }
-    val missing = (schema.fieldNames.toSet - BucketCol) -- actual
-    if (missing.nonEmpty) throw new IllegalStateException(
-      s"$what state at $dir (v=$version) lacks column(s) " +
-        s"${missing.toSeq.sorted.mkString(", ")} — on-disk fields are " +
-        s"${actual.toSeq.sorted.mkString(", ")}. The tenant's state schema " +
-        "changed across a deploy; reading would null the missing columns " +
-        "and corrupt the next fold. Reseed or migrate (SCALE.md: " +
-        "state-layout migrations)")
+    }.collectFirst { case Some(va) => va }
+    checked.foreach { case (v, actual) =>
+      val missing = (fieldPaths(schema) - BucketCol) -- actual
+      if (missing.nonEmpty) throw new IllegalStateException(
+        s"$what state at $dir (v=$v) lacks column path(s) " +
+          s"${missing.toSeq.sorted.mkString(", ")} — on-disk paths are " +
+          s"${actual.toSeq.sorted.mkString(", ")}. The tenant's state schema " +
+          "changed across a deploy; reading would null the missing columns " +
+          "and corrupt the next fold. Reseed or migrate (SCALE.md: " +
+          "state-layout migrations)")
+    }
   }
 
   /** Shared tail of every diff-based fold: read the wanted buckets,
@@ -396,7 +422,7 @@ object BucketedState {
       throw new IllegalStateException(s"no $what state under $dir"))
     require(p == numBuckets,
       s"$what at $dir laid out with p=$p, engine uses $numBuckets")
-    verifySchema(spark, dir, v, schema, what)
+    verifySchema(spark, dir, v, manifest, schema, what)
     read(spark, dir, schema, manifest, None)
   }
 
