@@ -182,6 +182,66 @@ object Text {
         .orderBy("a_id", "b_id")
     },
 
+    // ---- q222's INGEST-path sibling (the q217/q218 discipline applied
+    //      to the fingerprint family): the EXISTING corpus's winnowed
+    //      fingerprints persist as an index (even doc_ids), a NEW batch
+    //      (odd doc_ids) winnows fresh and probes the index FROM DISK —
+    //      "which incoming documents copy passages of the corpus", the
+    //      question a steady-state ingest pipeline asks at every batch.
+    //      Fingerprints are per-document (no cross-document state), so
+    //      the index appends at |batch| cost and the probe is one
+    //      fp-keyed join against the persisted relation — never a
+    //      corpus rescan. Oracle recomputes both sides from scratch:
+    //      the disk round trip must lose no selection. ----
+    gated("q223_winnow_ingest",
+      """WITH t AS (SELECT doc_id,
+        |             list_filter(string_split(lower(text), ' '), x -> x <> '') AS w
+        |           FROM documents WHERE doc_id < 300),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM t WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        list_distinct([list_min(kg[i : least(i + 3, len(kg))])
+        |                       for i in range(1, greatest(1, len(kg) - 3) + 1)]) AS fps
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f)
+        |SELECT a.doc_id AS idx_id, b.doc_id AS new_id,
+        |       CAST(COUNT(*) AS BIGINT) AS shared
+        |FROM e a JOIN e b
+        |  ON a.fp = b.fp AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY idx_id, new_id""") { (s, d) =>
+      val t = Tables.documents(s, d)
+        .filter(col("doc_id") < 300)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+      def winnowed(part: org.apache.spark.sql.DataFrame) =
+        TextOps.winnowRel(part, "doc_id",
+          transform(TextOps.trigramsAll(col("w")),
+            g => TextOps.fingerprint(g)), w = 4)
+      val dir = graft.GatedQuery.indexScratch(d, "winnow_index_q223")
+      // corpus index: one-time build, then the append-only ingest layout
+      // (split the evens once more to exercise a real append)
+      winnowed(t.filter(col("doc_id") % 4 === 0))
+        .write.mode("overwrite").parquet(dir)
+      winnowed(t.filter(col("doc_id") % 2 === 0 && col("doc_id") % 4 =!= 0))
+        .write.mode("append").parquet(dir)
+      val probe = winnowed(t.filter(col("doc_id") % 2 =!= 0))
+        .select(col("id").as("new_id"), col("fp"))
+      s.read.parquet(dir)
+        .select(col("id").as("idx_id"), col("fp"))
+        .join(probe, Seq("fp"))
+        .groupBy("idx_id", "new_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .orderBy("idx_id", "new_id")
+    },
+
     // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
     //      document-frequency side is vocabulary-sized (≪ corpus), so it
     //      broadcasts; at 100 TB a long-tail vocabulary falls back to a
