@@ -292,8 +292,20 @@ object BucketedState {
     * walks back through the manifest's referenced versions (newest
     * first) to the first one holding data files; a state with no data
     * files anywhere is legitimately empty. */
+  /** Dirs whose on-disk schema already passed [[verifySchema]] this
+    * process, with the expected paths it passed AGAINST. Schema drift is
+    * a cross-DEPLOY event (a new binary opening an old dir) — within one
+    * process the only writer is this engine, so re-inferring footers on
+    * every trigger would buy nothing and cost a driver-side listing per
+    * micro-batch. A changed expected schema (same dir, different tenant
+    * code path) misses the cache and re-verifies. */
+  private val verifiedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
   private def verifySchema(spark: SparkSession, dir: String, version: Long,
       manifest: Map[Int, Long], schema: StructType, what: String): Unit = {
+    val want = fieldPaths(schema) - BucketCol
+    if (verifiedDirs.get(dir) == want) return
     val candidates =
       (version +: manifest.values.toSeq.distinct.sorted.reverse).distinct
     val checked = candidates.iterator.map { v =>
@@ -305,7 +317,7 @@ object BucketedState {
       }
     }.collectFirst { case Some(va) => va }
     checked.foreach { case (v, actual) =>
-      val missing = (fieldPaths(schema) - BucketCol) -- actual
+      val missing = want -- actual
       if (missing.nonEmpty) throw new IllegalStateException(
         s"$what state at $dir (v=$v) lacks column path(s) " +
           s"${missing.toSeq.sorted.mkString(", ")} — on-disk paths are " +
@@ -313,6 +325,7 @@ object BucketedState {
           "changed across a deploy; reading would null the missing columns " +
           "and corrupt the next fold. Reseed or migrate (SCALE.md: " +
           "state-layout migrations)")
+      verifiedDirs.put(dir, want): Unit
     }
   }
 
