@@ -2549,6 +2549,8 @@ object Analytics {
           size(graft.text.TextOps.tokens(col("text"))).cast("long").as("nt"))
         .groupBy("lang")
         .agg(cntLong.as("n_docs"), sum(col("nt")).as("n_tokens"))
+        .localCheckpoint() // L rows feed g, j, AND te — without this the
+        // corpus token count re-scans once per consumer (PlanSpec pins 1)
       val g = broadcast(per.agg(sum(col("n_tokens")).as("tt"),
         cntLong.as("l")))
       val j = per.crossJoin(g)

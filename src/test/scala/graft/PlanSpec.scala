@@ -236,4 +236,32 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastNestedLoopJoin"),
       s"n/actual scalars must broadcast:\n$p")
   }
+
+  test("q222: winnowing is Generate + ONE window exchange on the doc id — never a nested HOF") {
+    // The HOF form re-evaluated the gram-hash pipeline once per window
+    // start (96.5 s on 300 docs); this pins the posexplode + frame-min
+    // shape so a refactor back to array slicing fails here, not in the
+    // bench. doc-id scan filter must also push.
+    val p = planOf("q222_winnowing")
+    assert(p.contains("Generate posexplode"),
+      s"winnowing must posexplode gram hashes:\n$p")
+    assert(p.contains("Window"), s"frame-min window lost:\n$p")
+    assert(!p.contains("array_min(slice"),
+      s"nested HOF slicing reintroduced:\n$p")
+    assert(p.contains("LessThan(doc_id,300)"),
+      s"doc bound not pushed to scan:\n$p")
+  }
+
+  test("q221: at most one corpus pass in the final plan; all scalar sides broadcast") {
+    // the per-lang aggregate is localCheckpointed (L rows feed three
+    // consumers), so the final plan reads `Scan ExistingRDD` — what this
+    // pins is that the corpus parquet is NOT re-scanned per consumer
+    // (the pre-checkpoint regression read it four times)
+    val p = planOf("q221_mixture_weights")
+    assert("Scan parquet".r.findAllIn(p).size <= 1,
+      s"mixture weighting must not re-scan the corpus per consumer:\n$p")
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"the totals must broadcast, not shuffle L rows:\n$p")
+  }
 }
