@@ -70,4 +70,18 @@ object Hll {
   def estimateDistinct(sketch: DataFrame): DataFrame =
     sketch.select(col("grp"),
       hll_sketch_estimate(col("sketch")).cast("double").as("est"))
+
+  /** Inline estimate COLUMN — the one-pass composition form: a
+    * distinct-count estimate of `key` as an ordinary aggregate
+    * expression, so a profiling query folds n_rows + k sketch estimates
+    * into ONE scan (the q219 FD-discovery shape: at 100 TB the scan is
+    * the cost and every candidate must ride the same pass). Same
+    * DataSketches registers as [[build]]; use build/merge when the
+    * sketch itself must persist or fold across shards. */
+  def estimateAgg(key: org.apache.spark.sql.Column, lgK: Int = 12)
+      : org.apache.spark.sql.Column = {
+    require(lgK >= 4 && lgK <= 21,
+      s"lgK must be in [4, 21] (DataSketches HLL bounds), got $lgK")
+    hll_sketch_estimate(hll_sketch_agg(key, lit(lgK))).cast("double")
+  }
 }

@@ -2463,22 +2463,22 @@ object Analytics {
       import graft.operators.Hll
       def leg(tbl: String, df: org.apache.spark.sql.DataFrame,
               lhs: Seq[String], rhs: String) = {
-        val n = df.agg(cntLong.as("n_rows"))
+        // ONE pass carries the row count AND both sketch estimates
+        // (Hll.estimateAgg composes as an ordinary aggregate) —
+        // composite candidates hash to one 64-bit key (the SimJoin
+        // fingerprint discipline; collision odds immaterial next to the
+        // sketch's RSE). The two exact DISTINCTs are the oracle payload
+        // this gate carries; the 100 TB form drops them and keeps only
+        // this combined scan per candidate.
+        val n = df.agg(cntLong.as("n_rows"),
+          Hll.estimateAgg(xxhash64(lhs.map(col): _*)).as("est_lhs"),
+          Hll.estimateAgg(xxhash64((lhs :+ rhs).map(col): _*))
+            .as("est_pair"))
         val nl = df.select(lhs.map(col): _*).distinct()
           .agg(cntLong.as("ndv_lhs"))
         val np = df.select((lhs :+ rhs).map(col): _*).distinct()
           .agg(cntLong.as("ndv_pair"))
-        // sketch legs: one HLL per candidate side, composite candidates
-        // hashed to one 64-bit key (same fingerprint discipline as
-        // SimJoin; collision odds immaterial next to the sketch's RSE)
-        def est(cols: Seq[String]) = Hll.estimateDistinct(
-          Hll.build(df.select(xxhash64(cols.map(col): _*).as("k"))
-            .withColumn("g", lit(tbl)), "g", "k"))
-          .select(col("est"))
-        val el = est(lhs).select(col("est").as("est_lhs"))
-        val ep = est(lhs :+ rhs).select(col("est").as("est_pair"))
         n.crossJoin(broadcast(nl)).crossJoin(broadcast(np))
-          .crossJoin(broadcast(el)).crossJoin(broadcast(ep))
           .select(lit(tbl).as("tbl"), lit(lhs.mkString(",")).as("lhs"),
             lit(rhs).as("rhs"), col("n_rows"), col("ndv_lhs"),
             col("ndv_pair"),
