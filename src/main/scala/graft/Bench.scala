@@ -121,12 +121,8 @@ object Bench {
       // warmup exists to remove). Tables.names is the single catalog —
       // a table added there is warmed automatically.
       Tables.names.foreach { n =>
-        // events must warm through its real loader (the raw footer is
-        // TIMESTAMP(NANOS), which plain parquet inference rejects)
-        try {
-          (if (n == "events") Tables.events(spark, dir)
-           else Tables.load(spark, dir, n)).schema: Unit
-        } catch { case scala.util.control.NonFatal(_) => () }
+        try Tables.loader(n)(spark, dir).schema: Unit
+        catch { case scala.util.control.NonFatal(_) => () }
       }
     }
 

@@ -44,6 +44,14 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  /** Name → loader dispatch, owned by the catalog: generic tooling
+    * (bench warmup, smoke sweeps) iterating [[names]] must go through
+    * here so a table with a non-generic loader (events' nanos-conf
+    * read) is opened the way real queries open it — a bare [[load]]
+    * would throw on such footers and silently skip the table. */
+  def loader(name: String): (SparkSession, String) => DataFrame =
+    if (name == "events") events else (s, d) => load(s, d, name)
+
   /** Path of the deterministic CDC envelope fixture (FIXTURES.md §3); both
     * this engine and the DuckDB oracle read the same file. */
   val cdcFixturePath = "/root/repo/fixtures/cdc_retail_trans.jsonl"

@@ -48,6 +48,11 @@ object Analytics {
     * (hash, scan, window) the pivot columns encode. */
   private def bm25IndexProbe(s: SparkSession, dir: String,
                              terms: Seq[String]): DataFrame = {
+    // the pivot columns below encode exactly these three terms; any
+    // other term list would coalesce every tf/df to 0 and return
+    // plausible-looking zeros instead of failing
+    require(terms == Seq("hash", "scan", "window"),
+      s"bm25IndexProbe's fixed-order pivot encodes (hash, scan, window); got $terms")
     import graft.text.Phrase
     val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
     val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
@@ -2358,9 +2363,13 @@ object Analytics {
       // each candidate at one, not three
       def leg(tbl: String, df: org.apache.spark.sql.DataFrame,
               lhs: Seq[String], rhs: String) =
+        // countDistinct over a STRUCT, not bare columns: bare-column
+        // multi-distinct drops rows where ANY column is NULL, while the
+        // oracle's SELECT DISTINCT counts NULL-containing tuples — the
+        // struct is never null itself, so tuple semantics match exactly
         df.agg(cntLong.as("n_rows"),
-            countDistinct(lhs.head, lhs.tail: _*).as("ndv_lhs"),
-            countDistinct((lhs :+ rhs).head, (lhs :+ rhs).tail: _*)
+            countDistinct(struct(lhs.map(col): _*)).as("ndv_lhs"),
+            countDistinct(struct((lhs :+ rhs).map(col): _*))
               .as("ndv_pair"))
           .select(lit(tbl).as("tbl"), lit(lhs.mkString(",")).as("lhs"),
             lit(rhs).as("rhs"), col("n_rows"), col("ndv_lhs"),

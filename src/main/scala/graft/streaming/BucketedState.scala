@@ -268,11 +268,22 @@ object BucketedState {
   private def fieldPaths(t: StructType, prefix: String = ""): Set[String] =
     t.fields.flatMap { f =>
       val p = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-      f.dataType match {
-        case s: StructType => fieldPaths(s, p) + p
-        case _             => Set(p)
-      }
+      dataTypePaths(f.dataType, p)
     }.toSet
+
+  /** Paths within one field's type — recursing through struct fields AND
+    * array/map element structs (a rename inside array<struct<...>> is
+    * the same corruption class; both sides of the comparison come
+    * through here, so the path shapes always align). */
+  private def dataTypePaths(dt: org.apache.spark.sql.types.DataType,
+      p: String): Set[String] = dt match {
+    case s: StructType => fieldPaths(s, p) + p
+    case a: org.apache.spark.sql.types.ArrayType =>
+      dataTypePaths(a.elementType, s"$p.element")
+    case m: org.apache.spark.sql.types.MapType =>
+      dataTypePaths(m.valueType, s"$p.value")
+    case _ => Set(p)
+  }
 
   /** Guard against tenant SCHEMA drift WITHIN the BucketedState layout
     * (a state column renamed or dropped across a deploy — e.g. round
@@ -308,7 +319,15 @@ object BucketedState {
     if (verifiedDirs.get(dir) == want) return
     val candidates =
       (version +: manifest.values.toSeq.distinct.sorted.reverse).distinct
+    val fs = fsOf(spark, dir)
     val checked = candidates.iterator.map { v =>
+      // a referenced version whose DIRECTORY is gone is broken state
+      // (out-of-band deletion / retention bug) — surface it here at the
+      // verification seam, not later as a confusing mid-fold read error
+      if (!fs.exists(new Path(s"$dir/v=$v")))
+        throw new IllegalStateException(
+          s"$what state at $dir references v=$v but the directory is " +
+            "missing — state was deleted out-of-band or over-pruned")
       try Some(v ->
         fieldPaths(spark.read.parquet(s"$dir/v=$v").schema))
       catch {
@@ -325,8 +344,12 @@ object BucketedState {
           "changed across a deploy; reading would null the missing columns " +
           "and corrupt the next fold. Reseed or migrate (SCALE.md: " +
           "state-layout migrations)")
-      verifiedDirs.put(dir, want): Unit
     }
+    // cache on walk COMPLETION (data-bearing or legitimately empty): an
+    // all-pointer early state would otherwise re-pay the full candidate
+    // walk every trigger — and within one process the first data commit
+    // comes from this engine with this same schema
+    verifiedDirs.put(dir, want): Unit
   }
 
   /** Shared tail of every diff-based fold: read the wanted buckets,
