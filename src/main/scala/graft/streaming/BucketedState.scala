@@ -146,6 +146,12 @@ object BucketedState {
     }.toSet
     versions.filterNot(live).filter(_ < batchId)
       .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
+    // refresh the version-keyed verification cache to THIS commit: the
+    // writer knows the on-disk schema it just published (every fold path
+    // verified the prior state before folding), so the next trigger's
+    // verifySchema hits without re-inferring footers
+    verifiedDirs.put(dir,
+      (batchId, fieldPaths(dirtyState.schema) - BucketCol)): Unit
   }
 
   /** Fold the current state into ONE fresh full version at `batchId`
@@ -173,8 +179,14 @@ object BucketedState {
   def compact(spark: SparkSession, dir: String, schema: StructType,
               batchId: Long): Unit = {
     if (committed(spark, dir, batchId)) return
-    val (_, p, manifest) = latestManifest(spark, dir).getOrElse(
+    val (v, p, manifest) = latestManifest(spark, dir).getOrElse(
       throw new IllegalStateException(s"no state to compact under $dir"))
+    // compact is a state-REWRITING entry point: an explicit-schema read
+    // of a schema-drifted dir would materialize the missing columns as
+    // NULL and republish that as the full snapshot — and keepManifests=1
+    // prunes the pre-drift versions in the same call, making the
+    // corruption unrecoverable. Same guard as every fold/read path.
+    verifySchema(spark, dir, v, manifest, schema, "compact")
     // Guard against ALL v= directory names, not just live manifest
     // values: a stray directory above batchId (crashed foreign writer,
     // or a caller-chosen compaction id colliding with an id the engine
@@ -214,31 +226,55 @@ object BucketedState {
     * reference-driven pruning.
     * Cost is one full-state read + write, which is what compaction is;
     * run it on a cadence (every N-th trigger / when the manifest's
-    * version spread exceeds a bound), with plain folds between. */
+    * version spread exceeds a bound), with plain folds between.
+    *
+    * RE-BUCKETING: `rebucketTo` changes the tenant's bucket fan-out in
+    * the same rewrite. The fan-out is otherwise pinned for the life of a
+    * dir (resolveForFold rejects a mismatched p), but production sizing
+    * is p ≈ state / 128 MB (SCALE.md) — a growing tenant must be able to
+    * raise p without a reseed from source. foldCompact already rewrites
+    * every bucket, so it is the ONE safe place to re-home rows under a
+    * new hash: the commit's manifest records the new p, every bucket
+    * 0..newP-1 points at `batchId`, and folds ABOVE this id resolve the
+    * new fan-out (callers switch their `numBuckets` constant with the
+    * same deploy that requests the re-bucket). `numBuckets` here still
+    * names the CURRENT on-disk fan-out — the pin check stays, so a
+    * re-bucket is always an explicit old→new statement, never an
+    * accidental mismatch. */
   def foldCompact(spark: SparkSession, dir: String, batchId: Long,
                   numBuckets: Int, schema: StructType, keyCol: String,
-                  what: String)
+                  what: String, rebucketTo: Option[Int] = None)
                  (fold: DataFrame => DataFrame): Unit =
     resolveForFold(spark, dir, batchId, numBuckets, schema, what).foreach {
       case (p, manifest) =>
+        val pNew = rebucketTo.getOrElse(p)
+        require(pNew > 0, s"rebucketTo must be positive, got $pNew")
         val merged = fold(read(spark, dir, schema, manifest, None)
           .drop(BucketCol))
-          .withColumn(BucketCol, bucketOf(col(keyCol), p))
+          .withColumn(BucketCol, bucketOf(col(keyCol), pNew))
         // prior manifest deliberately dropped from the POINTERS: every
         // bucket (rows or not) re-homes at batchId, so no pointer can
         // reach behind the compaction point — while the DEFAULT
         // keepManifests retains the last 4 manifests' files, the same
         // reader horizon every normal commit honors
-        commit(merged, dir, batchId, p, (0 until p).toSet,
+        commit(merged, dir, batchId, pNew, (0 until pNew).toSet,
           Map.empty)
     }
 
   /** Report of one pruned fold — the spec seam for READ-side pruning
     * assertions: `candidateBuckets` is exactly the `want` set the fold
-    * passed to [[read]] (derived from the batch's keys), `dirtyBuckets`
-    * what the commit wrote. A 1-key batch must read ≤ 1 bucket. */
+    * passed to BUCKET-pruned [[read]]s (derived from the batch's keys),
+    * `dirtyBuckets` what the commit wrote. A 1-key batch must read ≤ 1
+    * bucket THROUGH THE BUCKET-PRUNED PATH — but a tenant whose fold is
+    * not key-local may ALSO perform reads that bucket pruning cannot
+    * bound (e.g. [[DupClusterMaintenance]]'s phase-2 row-pruned scan of
+    * the whole label relation's two projected columns); those are
+    * counted in `unprunedScans`, so a spec asserting full read pruning
+    * must require `unprunedScans == 0`, not just a small candidate
+    * set. */
   final case class PrunedFold(candidateBuckets: Set[Int],
-                              dirtyBuckets: Set[Int])
+                              dirtyBuckets: Set[Int],
+                              unprunedScans: Int = 0)
 
   /** Shared prelude of every fold: layout check BEFORE the version
     * fence (against a foreign flat-VersionedState dir whose v= ids
@@ -304,19 +340,28 @@ object BucketedState {
     * first) to the first one holding data files; a state with no data
     * files anywhere is legitimately empty. */
   /** Dirs whose on-disk schema already passed [[verifySchema]] this
-    * process, with the expected paths it passed AGAINST. Schema drift is
-    * a cross-DEPLOY event (a new binary opening an old dir) — within one
-    * process the only writer is this engine, so re-inferring footers on
-    * every trigger would buy nothing and cost a driver-side listing per
-    * micro-batch. A changed expected schema (same dir, different tenant
-    * code path) misses the cache and re-verifies. */
+    * process — keyed on (latest version id, expected paths), NOT the dir
+    * alone: an out-of-band reseed/migration at the same path (the drift
+    * error's own prescribed recovery) changes the latest version id, so
+    * a still-alive driver that verified the OLD contents re-verifies the
+    * new ones instead of skipping the guard. Within one process the only
+    * other writer is this engine, and [[commit]] refreshes the entry to
+    * its own new version (same driver-side cost as before: no footer
+    * re-inference per micro-batch). A changed expected schema (same dir,
+    * different tenant code path) misses the cache and re-verifies. */
   private val verifiedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Set[String])]()
+
+  /** Drop the process-local verification cache for `dir` — for callers
+    * that mutate a state dir outside [[commit]] (tests, manual
+    * surgery). Normal reseeds/migrations don't need it: the cache is
+    * version-keyed, so a new latest version re-verifies on its own. */
+  def invalidateVerified(dir: String): Unit = { verifiedDirs.remove(dir): Unit }
 
   private def verifySchema(spark: SparkSession, dir: String, version: Long,
       manifest: Map[Int, Long], schema: StructType, what: String): Unit = {
     val want = fieldPaths(schema) - BucketCol
-    if (verifiedDirs.get(dir) == want) return
+    if (verifiedDirs.get(dir) == ((version, want))) return
     val candidates =
       (version +: manifest.values.toSeq.distinct.sorted.reverse).distinct
     val fs = fsOf(spark, dir)
@@ -349,7 +394,7 @@ object BucketedState {
     // all-pointer early state would otherwise re-pay the full candidate
     // walk every trigger — and within one process the first data commit
     // comes from this engine with this same schema
-    verifiedDirs.put(dir, want): Unit
+    verifiedDirs.put(dir, (version, want)): Unit
   }
 
   /** Shared tail of every diff-based fold: read the wanted buckets,
@@ -449,6 +494,54 @@ object BucketedState {
         foldAndCommit(spark, dir, batchId, p, manifest, schema, keyCol,
           growOnly, want = Some(candidates))(prev => fold(prev, batch))
     }
+
+  /** One-shot migration of a flat [[VersionedState]] shelf into the
+    * bucketed layout — the codified form of the reseed-or-migrate
+    * posture the foreign-layout throw prescribes (and the serving
+    * bootstrap's v=-1 pattern generalized,
+    * [[CdcStreamPipeline.bootstrapEnvelope]]): read the flat shelf's
+    * `latestSnapshot`, bucket it on `keyCol`, and commit it at
+    * `reservedId` — an id BELOW every id the stream has used or will
+    * use (default -1, below engine batch ids by construction) — so the
+    * stream's next fold resolves it as ordinary prior state and the
+    * retry fence keeps its meaning for every real batch id.
+    *
+    * Supports in-place cutover (`dir == flatDir`): the old manifest-less
+    * `v=` dirs stay honored by [[committed]] as retry fences for the
+    * batches already folded into the snapshot (exactly right — a
+    * replayed pre-migration batch must skip), resolution ignores them
+    * (no `_MANIFEST`), and the first post-migration commits age them out
+    * through reference-driven pruning. Unmigrated dirs keep the loud
+    * foreign-layout throw — this helper is the only sanctioned bridge.
+    *
+    * `schema`'s non-bucket fields are SELECTED from the snapshot (not
+    * inferred), so a flat shelf that drifted from the tenant's expected
+    * columns fails loudly at analysis instead of materializing NULLs —
+    * the same guarantee [[verifySchema]] gives live tenants. */
+  def migrateFromVersionedState(spark: SparkSession, flatDir: String,
+      dir: String, schema: StructType, keyCol: String, numBuckets: Int,
+      reservedId: Long = -1L): Unit = {
+    val snap = VersionedState.latestSnapshot(spark, flatDir).getOrElse(
+      throw new IllegalStateException(
+        s"no flat VersionedState snapshot under $flatDir to migrate"))
+    val fs = fsOf(spark, dir)
+    val existing =
+      if (!fs.exists(new Path(dir))) Seq.empty
+      else fs.listStatus(new Path(dir)).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v=")).flatMap(_.stripPrefix("v=").toLongOption)
+    require(existing.forall(v => !fs.exists(manifestPath(v, dir))),
+      s"$dir already holds a BucketedState manifest — refusing to migrate " +
+        "over a live bucketed tenant")
+    require(existing.forall(_ > reservedId),
+      s"migration reservedId=$reservedId must be below every existing v= " +
+        s"id under $dir (found ${existing.sorted.mkString(",")}) — the " +
+        "reserved id must precede the stream's whole sequence")
+    val cols = schema.fieldNames.filterNot(_ == BucketCol).map(col)
+    val bucketed = snap.select(cols.toSeq: _*)
+      .withColumn(BucketCol, bucketOf(col(keyCol), numBuckets))
+    commit(bucketed, dir, reservedId, numBuckets,
+      (0 until numBuckets).toSet, Map.empty)
+  }
 
   /** Newest committed full state for a tenant, manifest-resolved, with
     * the fan-out check every reader must make. */

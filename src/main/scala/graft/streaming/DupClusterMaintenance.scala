@@ -67,7 +67,10 @@ object DupClusterMaintenance {
     * state at `labelDir` — call from foreachBatch. Returns the
     * pruned-fold report: `candidateBuckets` = the buckets actually READ
     * bucket-pruned (batch-id anchors ∪ dirty carryover),
-    * `dirtyBuckets` = what the commit wrote. None = retried batch
+    * `dirtyBuckets` = what the commit wrote, `unprunedScans` = 1 for the
+    * phase-2 row-pruned scan of the whole label relation (two projected
+    * columns) that bucket pruning cannot bound — this tenant is NOT
+    * fully read-pruned and its report says so. None = retried batch
     * short-circuited by the version fence. */
   def update(labelDir: String, pairs: DataFrame, batchId: Long)
       : Option[BucketedState.PrunedFold] = {
@@ -124,7 +127,8 @@ object DupClusterMaintenance {
         .filter(if (dirty.isEmpty) lit(false)
           else col(BucketedState.BucketCol).isin(dirty.toSeq: _*))
       BucketedState.commit(dirtyState, labelDir, batchId, p, dirty, manifest)
-      BucketedState.PrunedFold(anchorBuckets ++ dirty, dirty)
+      BucketedState.PrunedFold(anchorBuckets ++ dirty, dirty,
+        unprunedScans = 1)
     }
   }
 

@@ -1254,4 +1254,159 @@ class StreamingSpec extends SparkTestBase {
     assert(finalCounts(10L) === served(10L) + 2L)
     assert(finalCounts - 10L === served - 10L)
   }
+
+  // ---- shared mini-tenant for the layout-lifecycle tests below: the
+  // stats shape (v → cnt, SUM fold) driven straight through the
+  // BucketedState protocol so fan-out and ids are test-controlled ----
+  private val vcntSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField(
+      graft.streaming.BucketedState.BucketCol,
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def vcounts(vs: Seq[Long]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    vs.toDF("v").groupBy("v").agg(count(lit(1)).as("cnt"))
+  }
+
+  private def vfold(dir: String, id: Long, p: Int, vs: Seq[Long])
+      : Option[graft.streaming.BucketedState.PrunedFold] =
+    graft.streaming.BucketedState.foldCommitPruned(spark, dir, id, p,
+      vcntSchema, "v", "vcnt", growOnly = true)(vcounts(vs)) {
+      (prev, batch) => prev.unionByName(batch)
+        .groupBy("v").agg(sum(col("cnt")).as("cnt"))
+    }
+
+  private def vread(dir: String, p: Int): Map[Long, Long] =
+    graft.streaming.BucketedState.readState(spark, dir, vcntSchema, p, "vcnt")
+      .select(col("v"), col("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("re-bucketing via foldCompact: tenant grows p=8 to p=16 mid-stream; folds continue above at the new fan-out; parity held; old fan-out rejected") {
+    import graft.streaming.BucketedState
+    val shelf = tmpDir("rebucket_state") + "/vcnt"
+    vfold(shelf, 0L, 8, Seq(1L, 2L, 3L, 1L))
+    vfold(shelf, 1L, 8, Seq(2L, 4L))
+    val before = vread(shelf, 8)
+    assert(before === Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+
+    // the growth trigger: fold batch 2 AND re-home every row under p=16
+    // in the same atomic rewrite (SCALE.md sizes p ≈ state / 128 MB — a
+    // growing tenant must be able to raise p without a reseed)
+    BucketedState.foldCompact(spark, shelf, 2L, 8, vcntSchema, "v", "vcnt",
+      rebucketTo = Some(16)) { prev =>
+      prev.unionByName(vcounts(Seq(5L, 1L)))
+        .groupBy("v").agg(sum(col("cnt")).as("cnt"))
+    }
+    val (v2, p2, manifest2) = BucketedState.latestManifest(spark, shelf).get
+    assert(v2 === 2L && p2 === 16)
+    assert(manifest2 === (0 until 16).map(_ -> 2L).toMap,
+      "every new-fan-out bucket must re-home at the compaction id")
+    // rows really moved to their p=16 homes (partition dirs match the
+    // new hash, not the old one)
+    val expectedDirs = vcounts(Seq(1L, 2L, 3L, 4L, 5L))
+      .select(BucketedState.bucketOf(col("v"), 16)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    assert(BucketedState.bucketDirs(spark, shelf, 2L) === expectedDirs)
+    assert(vread(shelf, 16) ===
+      Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+
+    // folds continue ABOVE the re-bucket at the new fan-out; a
+    // single-value batch prunes to its p=16 bucket
+    vfold(shelf, 3L, 16, Seq(4L, 6L))
+    val rep = vfold(shelf, 4L, 16, Seq(9L))
+      .getOrElse(fail("fresh batch must fold, not fence"))
+    val b9 = vcounts(Seq(9L))
+      .select(BucketedState.bucketOf(col("v"), 16)).collect().head.getInt(0)
+    assert(rep.candidateBuckets === Set(b9) && rep.dirtyBuckets === Set(b9))
+    assert(rep.unprunedScans === 0)
+    assert(vread(shelf, 16) === Map(1L -> 3L, 2L -> 2L, 3L -> 1L,
+      4L -> 2L, 5L -> 1L, 6L -> 1L, 9L -> 1L))
+
+    // the fan-out pin survives the re-bucket: the OLD p is now foreign
+    val err = intercept[IllegalArgumentException] {
+      vfold(shelf, 5L, 8, Seq(1L))
+    }
+    assert(err.getMessage.contains("p=16"))
+  }
+
+  test("state-rewrite guards: compact refuses a schema-drifted dir; an out-of-band reseed at the same path re-verifies despite the process cache") {
+    import graft.streaming.BucketedState
+    import spark.implicits._
+    // a dir whose on-disk column is `s` (the drift: tenant expects `v`)
+    val drifted = Seq(("a", 1L), ("b", 2L)).toDF("s", "cnt")
+      .withColumn(BucketedState.BucketCol,
+        BucketedState.bucketOf(col("s"), 8))
+    val shelf = tmpDir("compact_drift") + "/vcnt"
+    BucketedState.commit(drifted, shelf, 0L, 8, (0 until 8).toSet, Map.empty)
+    // compact is a state-REWRITING entry point with keepManifests=1: an
+    // unguarded explicit-schema read would null the missing column and
+    // prune the pre-drift versions in the same call
+    val err = intercept[IllegalStateException] {
+      BucketedState.compact(spark, shelf, vcntSchema, 1L)
+    }
+    assert(err.getMessage.contains("v") &&
+      err.getMessage.contains("Reseed or migrate"),
+      s"compact must hit the drift guard, got: ${err.getMessage}")
+
+    // version-keyed verification cache: a dir that PASSED verification
+    // gets reseeded out-of-band (fs-level, no in-process commit) with a
+    // drifted schema at a NEW version id — the next read must re-verify
+    // and throw, not skip on the stale per-dir cache entry
+    val shelf2 = tmpDir("reseed_cache") + "/vcnt"
+    vfold(shelf2, 0L, 8, Seq(1L, 2L))
+    assert(vread(shelf2, 8) === Map(1L -> 1L, 2L -> 1L)) // cache primed
+    val side = tmpDir("reseed_side") + "/vcnt"
+    BucketedState.commit(drifted, side, 1L, 8, (0 until 8).toSet, Map.empty)
+    val fs = new org.apache.hadoop.fs.Path(shelf2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$shelf2/v=0"), true)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$side/v=1"),
+      new org.apache.hadoop.fs.Path(s"$shelf2/v=1")))
+    val err2 = intercept[IllegalStateException] { vread(shelf2, 8) }
+    assert(err2.getMessage.contains("v=1"),
+      s"reseed at the same path must re-verify: ${err2.getMessage}")
+  }
+
+  test("flat VersionedState migration: one-shot migrate at a reserved id in place; replayed pre-migration batches fence; folds resume on top; unmigrated dirs still throw") {
+    import graft.streaming.{BucketedState, VersionedState}
+    import spark.implicits._
+    val flat = tmpDir("flat_migrate") + "/vcnt"
+    // the flat shelf's history: two full-snapshot commits at engine ids
+    VersionedState.commit(Seq((1L, 2L), (2L, 1L)).toDF("v", "cnt"), flat, 0L)
+    VersionedState.commit(
+      Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("v", "cnt"), flat, 1L)
+
+    // unmigrated: the bucketed engine refuses the foreign layout — on
+    // read AND on fold — rather than treating prior state as empty
+    intercept[IllegalStateException] { vread(flat, 8) }
+    intercept[IllegalStateException] { vfold(flat, 2L, 8, Seq(9L)) }
+
+    // one-shot in-place migration: latest flat snapshot re-homes under
+    // the bucketed layout at the reserved id -1, below the whole stream
+    // sequence
+    BucketedState.migrateFromVersionedState(spark, flat, flat, vcntSchema,
+      "v", 8)
+    assert(vread(flat, 8) === Map(1L -> 2L, 2L -> 1L, 3L -> 1L))
+    val (mv, mp, _) = BucketedState.latestManifest(spark, flat).get
+    assert(mv === -1L && mp === 8)
+
+    // the old flat v= dirs stay honored as retry fences: a replayed
+    // pre-migration batch (its fold is IN the migrated snapshot) skips
+    assert(vfold(flat, 1L, 8, Seq(99L)).isEmpty,
+      "replayed pre-migration batch must fence, not refold")
+    // ...and fresh engine ids fold on top as ordinary prior state
+    vfold(flat, 2L, 8, Seq(3L, 4L))
+    assert(vread(flat, 8) ===
+      Map(1L -> 2L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+
+    // a live bucketed tenant refuses a second migration over itself
+    intercept[IllegalArgumentException] {
+      BucketedState.migrateFromVersionedState(spark, flat, flat,
+        vcntSchema, "v", 8)
+    }
+  }
 }
