@@ -96,7 +96,8 @@ object CdcStreamPipeline {
   def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
             lateness: String = "1 hour",
             rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules,
-            rotation: Rotation = Rotation.NoRotation)
+            rotation: Rotation = Rotation.NoRotation,
+            flatServing: Boolean = false)
       : (StreamingQuery, StreamingQuery) = {
     // fail an invalid rule set HERE, not inside foreachBatch at batch 0 —
     // a misconfiguration must abort start(), never a running query
@@ -144,7 +145,8 @@ object CdcStreamPipeline {
       .withWatermark("event_ts", lateness)
       .dropDuplicatesWithinWatermark("sch", "tbl", "pk", "txid", "event_ts")
       .drop("sch", "tbl", "pk", "txid")
-      .writeStream.foreachBatch(sinkBatch(sinks, rules, rotation) _)
+      .writeStream
+      .foreachBatch(sinkBatch(sinks, rules, rotation, flatServing) _)
       .trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
@@ -236,7 +238,8 @@ object CdcStreamPipeline {
     * deleted key); the serving read path filters tombstones out. */
   def sinkBatch(sinks: Sinks,
                 rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules,
-                rotation: Rotation = Rotation.NoRotation)
+                rotation: Rotation = Rotation.NoRotation,
+                flatServing: Boolean = false)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     batch.persist()
@@ -310,6 +313,26 @@ object CdcStreamPipeline {
       // at the 100k-line batch size. Re-publishing an unchanged
       // candidate bucket is byte-identical state — correct, and cheaper
       // than proving it unchanged each trigger.
+      // BENCH-CALIBRATION seam (flatServing=true): the round-10 flat
+      // full-rewrite merge, retained as the pre-migration reference so
+      // every bench artifact can carry a SAME-BINARY, SAME-BOX pre/post
+      // comparison of the serving layout — replay throughput proved
+      // box-dependent across rounds (24.3k → 10.7k rec/s with no code
+      // regression), so the cross-round signal of record is the ratio
+      // against this frozen baseline, not the absolute number. Never use
+      // in production: per-trigger write is O(state), the exact cost the
+      // BucketedState migration removed. Protocol and shape match the
+      // pre-migration code exactly: read newest full snapshot, union the
+      // batch, one LWW reduction, commit the full state via the shared
+      // staging+rename versioned protocol.
+      if (flatServing) {
+        val incoming = good.select(col("data"), col("metadata"))
+        val merged = latestPerKey(
+          VersionedState.latestSnapshot(spark, sinks.serving)
+            .map(_.unionByName(incoming)).getOrElse(incoming))
+        VersionedState.commit(merged, sinks.serving, batchId,
+          keepVersions = 5)
+      } else
       BucketedState.resolveForFold(spark, sinks.serving, batchId,
         ServingBuckets, servingSchema, "serving view").foreach { case (p, manifest) =>
         val incoming =

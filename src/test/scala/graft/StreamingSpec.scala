@@ -88,6 +88,39 @@ class StreamingSpec extends SparkTestBase {
       s"listener counted ${listener.totalInputRows} input rows")
   }
 
+  test("flat-calibration serving merge (bench pre-migration baseline) converges to the same snapshot as the bucketed path") {
+    // the bench's flatServing leg exists to price the serving LAYOUT, so
+    // it must compute the identical serving state — pin it against the
+    // batch materializer (the same oracle the bucketed path is pinned to)
+    // across a multi-batch replay, including the LWW reduction across
+    // triggers
+    val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
+    val src = tmpDir("cdc_flatcal")
+    val (a, b) = (0 until lines.size).partition(_ % 2 == 0)
+    Files.write(Paths.get(s"$src/a.jsonl"),
+      a.map(lines.get).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$src/b.jsonl"),
+      b.map(lines.get).mkString("\n").getBytes)
+    val root = tmpDir("cdc_flatcal_out")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(src), sinks,
+      Trigger.AvailableNow(), flatServing = true)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
+    val flat = graft.streaming.VersionedState
+      .latestSnapshot(spark, sinks.serving)
+      .getOrElse(fail("flat calibration wrote no serving state"))
+      .filter(col("metadata.operation") =!= "delete")
+      .select(col("data.*"))
+    val batch = Materialize.snapshot(
+      Envelope.changelog(spark, Tables.cdcFixturePath))
+    assert(flat.count() === 210)
+    assert(flat.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(flat).count() === 0)
+  }
+
   test("multi-batch incremental merge equals one-shot materialization") {
     // split the fixture across two files and force one file per trigger →
     // the serving state is built by two successive merges, which must
