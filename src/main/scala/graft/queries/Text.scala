@@ -5,6 +5,7 @@ import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import graft.functions.VectorOps
 import graft.text.{Bpe, Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** North-star LLM-data-pipeline text/vector analysis (SURVEY.md O38/O39/O40
@@ -838,17 +839,8 @@ object Text {
         |  SELECT r.s, e.b FROM reach r JOIN e ON r.d = e.a)
         |SELECT s AS doc_id, CAST(LEAST(s, MIN(d)) AS BIGINT) AS cluster
         |FROM reach GROUP BY s ORDER BY doc_id""") { (s, d) =>
-      val g = Tables.documents(s, d)
-        .filter(col("doc_id") < 100)
-        .withColumn("w", TextOps.tokens(col("text")))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
-      val a = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
-      val b = g.select(col("doc_id").as("b_id"), col("tg").as("b_tg"))
-      val pairs = a.join(b, col("a_id") < col("b_id"))
-        .filter(TextOps.jaccard(col("a_tg"), col("b_tg")) >= 0.01)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      graft.operators.ConnectedComponents.run(pairs)
+      graft.operators.ConnectedComponents.run(
+          dupPairs(s, d, maxDocId = 100))
         .select(col("id").as("doc_id"), col("cluster"))
         .orderBy("doc_id")
     },
@@ -895,16 +887,8 @@ object Text {
         |            WHEN cluster % 10 = 8 THEN 'val' ELSE 'test' END AS split
         |FROM f ORDER BY doc_id""") { (s, d) =>
       val docs = Tables.documents(s, d).filter(col("doc_id") < 100)
-      val g = docs
-        .withColumn("w", TextOps.tokens(col("text")))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), TextOps.trigrams(col("w")).as("tg"))
-      val a = g.select(col("doc_id").as("a_id"), col("tg").as("a_tg"))
-      val b = g.select(col("doc_id").as("b_id"), col("tg").as("b_tg"))
-      val pairs = a.join(b, col("a_id") < col("b_id"))
-        .filter(TextOps.jaccard(col("a_tg"), col("b_tg")) >= 0.01)
-        .select(col("a_id").as("a"), col("b_id").as("b"))
-      val labels = graft.operators.ConnectedComponents.run(pairs)
+      val labels = graft.operators.ConnectedComponents.run(
+          dupPairs(s, d, maxDocId = 100))
         .select(col("id").as("doc_id"), col("cluster"))
       docs.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
@@ -2093,6 +2077,28 @@ object Text {
     * the same greedy LEFT-TO-RIGHT non-overlapping rule as
     * Bpe.applyMerge: islands of consecutive match positions keep only
     * their odd ranks (match at p consumes p+1, so p+1's match is void). */
+  /** q78/q220's shared near-dup PAIR relation (trigram Jaccard ≥ 0.01
+    * over doc_id < maxDocId), produced by the prefix-filtered exact
+    * similarity join ([[SimJoin.jaccardJoin]], recall 1.0) rather than
+    * an all-pairs a × b comparison — the identical pair set (the
+    * integer threshold compare decides J == τ boundaries exactly,
+    * where the float form was already exact on integer set sizes), but
+    * the plan a 100 TB run would use: a token-keyed candidate join,
+    * never a quadratic nested-loop (PlanSpec pins no Cartesian/BNLJ in
+    * the executed plan). Pairs oriented a < b, the ConnectedComponents
+    * input contract. */
+  private[graft] def dupPairs(s: SparkSession, d: String, maxDocId: Int)
+      : DataFrame =
+    SimJoin.jaccardJoin(
+      Tables.documents(s, d)
+        .filter(col("doc_id") < maxDocId)
+        .withColumn("w", TextOps.tokens(col("text")))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id").as("id"),
+          TextOps.trigrams(col("w")).as("set")),
+      tNum = 1, tDen = 100)
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+
   private def bpeChain(n: Int): String = {
     val head =
       s"""wc AS MATERIALIZED (

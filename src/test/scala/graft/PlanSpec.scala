@@ -264,4 +264,16 @@ class PlanSpec extends SparkTestBase {
       p.contains("BroadcastNestedLoopJoin"),
       s"the totals must broadcast, not shuffle L rows:\n$p")
   }
+
+  test("q78/q220: the near-dup pair relation is token-keyed — no all-pairs Cartesian/BNLJ") {
+    // asserted on the PAIR relation itself, not the gated query's final
+    // frame: ConnectedComponents localCheckpoints per round, so the
+    // final plan reads Scan ExistingRDD and would hide a resurrected
+    // quadratic join in the derivation
+    val p = graft.queries.Text.dupPairs(spark, sf, maxDocId = 100)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs join resurfaced in the q78/q220 pair relation:\n$p")
+  }
 }
