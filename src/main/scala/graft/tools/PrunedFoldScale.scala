@@ -1,6 +1,6 @@
 package graft.tools
 
-import graft.streaming.{BucketedState, StatsMaintenance}
+import graft.streaming.{BucketedState, DupClusterMaintenance, StatsMaintenance}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -13,6 +13,14 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructTyp
   * bucket), while the pruned fold's stays at the fixed trigger floor +
   * ONE bucket's read (state/p rows) — at a production fan-out sized to
   * keep bucket size bounded, that is O(batch), flat in corpus size.
+  *
+  * Round 12 adds the DUP-CLUSTER leg: the one tenant whose fold is not
+  * key-local keeps an O(state) term — phase 2's row-pruned scan of the
+  * whole label relation's two projected columns
+  * (DupClusterMaintenance.scala trade-off note). A fixed one-edge batch
+  * against a growing singleton-cluster label state prices exactly that
+  * term's slope, deciding whether a cluster-keyed secondary index (and
+  * its double write amplification on every relabel) is worth building.
   *
   * Usage: runMain graft.tools.PrunedFoldScale [sizes-csv]
   * Prints one JSON line per state size. */
@@ -58,7 +66,31 @@ object PrunedFoldScale {
         })
       val tPruned = math.min(prunedOnce(1L), prunedOnce(2L))
       val tFull = math.min(fullOnce(1L), fullOnce(2L))
-      println(f"""{"n_state":$n,"pruned_trigger_s":$tPruned%.2f,"full_trigger_s":$tFull%.2f,"buckets":${StatsMaintenance.NumBuckets}}""")
+
+      // dup-cluster leg: n singleton labels (id → itself, a legal state:
+      // labels are edges to representatives), seeded directly through the
+      // shared commit, then a one-edge trigger bridging two singletons —
+      // anchors and the dirty write stay O(1) buckets; what grows with n
+      // is ONLY phase 2's two-column row-pruned scan. Distinct edges per
+      // trigger id (a repeated edge's second fold diffs to empty and
+      // skips the write, which would flatter the number).
+      val labelSchema = StructType(Seq(
+        StructField("id", LongType), StructField("cluster", LongType),
+        StructField(BucketedState.BucketCol, IntegerType)))
+      val labelSeed = spark.range(n)
+        .select(col("id"), col("id").as("cluster"))
+        .withColumn(BucketedState.BucketCol,
+          BucketedState.bucketOf(col("id"), DupClusterMaintenance.NumBuckets))
+      BucketedState.commit(labelSeed, s"$root/dup", 0L,
+        DupClusterMaintenance.NumBuckets,
+        (0 until DupClusterMaintenance.NumBuckets).toSet, Map.empty)
+      def dupOnce(id: Long) = {
+        val edge = spark.range(1)
+          .select(lit(2 * id).as("a"), lit(2 * id + 1).as("b"))
+        secs(DupClusterMaintenance.update(s"$root/dup", edge, id): Unit)
+      }
+      val tDup = math.min(dupOnce(1L), dupOnce(2L))
+      println(f"""{"n_state":$n,"pruned_trigger_s":$tPruned%.2f,"full_trigger_s":$tFull%.2f,"dup_trigger_s":$tDup%.2f,"buckets":${StatsMaintenance.NumBuckets}}""")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
     }
     spark.stop()
