@@ -243,6 +243,92 @@ object Text {
         .orderBy("idx_id", "new_id")
     },
 
+    // ---- q222's PAYOFF query: cross-document COPY DETECTION with run
+    //      LOCALIZATION (Schleimer/Wilkerson/Aiken SIGMOD'03 §1 — the
+    //      MOSS use case). Copies are PLANTED deterministically: every
+    //      doc_id % 10 == 7 document appends the first 12 tokens of
+    //      doc_id − 7's text (when that source has ≥ 12 tokens), so the
+    //      corpus provably contains local copies token-set Jaccard
+    //      underweights (12 copied tokens in a ~90-token pair is
+    //      J ≈ 0.07 of trigram sets, but a CONTIGUOUS run). Detection:
+    //      position-carrying winnow selections (TextOps.winnowRelPos)
+    //      joined on fingerprint equality; a pair's matched-run extent
+    //      is the min/max of the shared selections' window positions per
+    //      side — doc 0's opening tokens localize at doc 7's appended
+    //      tail, not just "these docs match". The winnowing guarantee
+    //      (a shared run spanning ≥ w+g−1 tokens yields ≥ 1 shared
+    //      selection; EdgeCaseSpec pins it on planted runs) makes the
+    //      12-token plant ≥ 2 shared fingerprints in practice — all 19
+    //      plantable pairs at sf0.01 are detected. Scale: selections are
+    //      a 2/(w+1) density sample of grams, the join is fp-keyed
+    //      (inverted index), never all-pairs; the span aggregation rides
+    //      the join's own (a_id, b_id) shuffle. ----
+    gated("q224_copy_detection",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |src AS (SELECT doc_id + 7 AS doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS stoks
+        |        FROM base WHERE doc_id % 10 = 0),
+        |d2 AS (SELECT b.doc_id,
+        |          lower(b.text) ||
+        |          CASE WHEN s.doc_id IS NOT NULL AND len(s.stoks) >= 12
+        |               THEN ' ' || array_to_string(s.stoks[1:12], ' ') ELSE '' END AS t
+        |       FROM base b LEFT JOIN src s ON b.doc_id = s.doc_id),
+        |tt AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w FROM d2),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM tt WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        [i for i in range(1, greatest(1, len(kg) - 3) + 1)] AS ps,
+        |        [list_min(kg[i : least(i + 3, len(kg))])
+        |         for i in range(1, greatest(1, len(kg) - 3) + 1)] AS fs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(ps) AS pos, unnest(fs) AS fp FROM f),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp,
+        |             a.pos AS a_pos, b.pos AS b_pos
+        |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id)
+        |SELECT a_id, b_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS shared,
+        |       CAST(MIN(a_pos) AS BIGINT) AS a_lo, CAST(MAX(a_pos) AS BIGINT) AS a_hi,
+        |       CAST(MIN(b_pos) AS BIGINT) AS b_lo, CAST(MAX(b_pos) AS BIGINT) AS b_hi
+        |FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 2
+        |ORDER BY a_id, b_id""") { (s, d) =>
+      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val src = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 7).as("doc_id"),
+          TextOps.tokens(col("text")).as("stoks"))
+        .filter(size(col("stoks")) >= 12)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("stoks"), 1, 12)).as("passage"))
+      val d2 = base.join(src, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          concat(lower(col("text")),
+            when(col("passage").isNotNull,
+              concat(lit(" "), col("passage"))).otherwise(lit(""))).as("t"))
+      val t = d2.select(col("doc_id"), TextOps.tokens(col("t")).as("w"))
+        .filter(size(col("w")) >= 3)
+      val sel = TextOps.winnowRelPos(t, "doc_id",
+        transform(TextOps.trigramsAll(col("w")),
+          g => TextOps.fingerprint(g)), w = 4)
+      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+        col("fp"))
+      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+        col("fp"))
+      a.join(b, Seq("fp"))
+        .filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(countDistinct(col("fp")).as("shared"),
+          min(col("a_pos")).as("a_lo"), max(col("a_pos")).as("a_hi"),
+          min(col("b_pos")).as("b_lo"), max(col("b_pos")).as("b_hi"))
+        .filter(col("shared") >= 2)
+        .orderBy("a_id", "b_id")
+    },
+
     // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
     //      document-frequency side is vocabulary-sized (≪ corpus), so it
     //      broadcasts; at 100 TB a long-tail vocabulary falls back to a

@@ -71,7 +71,22 @@ object TextOps {
     * Scale: one shuffle on the doc id (the exchange any per-doc
     * aggregation pays), frame width w per row after it. */
   def winnowRel(docs: org.apache.spark.sql.DataFrame, idCol: String,
-                gramHashes: Column, w: Int): org.apache.spark.sql.DataFrame = {
+                gramHashes: Column, w: Int): org.apache.spark.sql.DataFrame =
+    winnowRelPos(docs, idCol, gramHashes, w)
+      .select(col("id"), col("fp"))
+      .distinct()
+
+  /** Position-carrying winnow selections `(id, pos, fp)` — one row per
+    * WINDOW START (`pos` = 1-based gram index of the window's first
+    * gram), `fp` = that window's min gram hash. NOT deduplicated: a
+    * fingerprint selected by several windows appears at each start —
+    * the shape copy LOCALIZATION needs (a matched run's extent is the
+    * min/max over the shared selections' positions), where the deduped
+    * [[winnowRel]] only answers set membership. Same plan discipline:
+    * posexplode + ONE doc-id window exchange, never a nested HOF. */
+  def winnowRelPos(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                   gramHashes: Column, w: Int)
+      : org.apache.spark.sql.DataFrame = {
     require(w >= 1, s"winnow: window must be >= 1, got $w")
     import org.apache.spark.sql.expressions.Window
     val pe = docs.select(col(idCol).as("id"),
@@ -85,7 +100,7 @@ object TextOps {
       // keeps exactly its pos-0 row, whose clipped frame is the whole doc
       .filter(col("pos") <= col("n") - w ||
         (col("n") < w && col("pos") === 0))
-      .select(col("id"), col("m").as("fp"))
-      .distinct()
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("m").as("fp"))
   }
 }

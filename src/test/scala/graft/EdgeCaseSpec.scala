@@ -339,4 +339,82 @@ class EdgeCaseSpec extends SparkTestBase {
     // member of the input (sanity on the slice arithmetic)
     assert(winnowOf(long, 4).subsetOf(long.toSet))
   }
+
+  test("winnow copy detection: planted substring copies always detected; pairs, shared counts and spans equal the sliding-window model") {
+    import graft.text.TextOps
+    val W = 4 // winnow window (grams); g = 3 tokens per gram
+    // the one copy of the gram hash, replicated as a Scala model
+    // (TextOps.fingerprint: 31-ary char fold mod 1e9+7 over "t1 t2 t3")
+    def fpOf(gram: String): Long =
+      gram.foldLeft(0L)((acc, ch) => (acc * 31L + ch.toLong) % 1000000007L)
+    // model selections (pos 1-based window start, fp = window min) —
+    // the spec's independent re-derivation of winnowRelPos
+    def modelSel(toks: Seq[String]): Seq[(Long, Long)] = {
+      val h = toks.sliding(3).map(g => fpOf(g.mkString(" "))).toSeq
+      if (h.size < W) Seq((1L, h.min))
+      else (0 to h.size - W).map(i => ((i + 1).toLong, h.slice(i, i + W).min))
+    }
+    val rng = new scala.util.Random(20260815L)
+    def tok() = s"t${rng.nextInt(500)}"
+    (1 to 6).foreach { trial =>
+      // 8 docs per trial: 0..5 independent random token sequences; docs
+      // 6/7 PLANT a contiguous copy (length >= w+g-1 = 6 tokens, the
+      // SIGMOD'03 guarantee bound) of a random slice of docs 0/1 at a
+      // random offset — the substring-containment ground truth
+      val free: Seq[Seq[String]] =
+        (0 to 5).map(_ => Seq.fill(30 + rng.nextInt(30))(tok()))
+      val planted: Seq[Seq[String]] = Seq(0, 1).map { srcId =>
+        val source = free(srcId)
+        val from = rng.nextInt(source.size - 16)
+        val run = source.slice(from, from + 6 + rng.nextInt(10))
+        val host = Seq.fill(15 + rng.nextInt(15))(tok())
+        val at = rng.nextInt(host.size)
+        host.take(at) ++ run ++ host.drop(at)
+      }
+      val docs = free ++ planted
+
+      // Spark side: the q224 pipeline shape over these docs, threshold 1
+      val df = docs.zipWithIndex
+        .map { case (ts, i) => (i.toLong, ts.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val sel = TextOps.winnowRelPos(
+        df.select(col("doc_id"), TextOps.tokens(col("text")).as("w")),
+        "doc_id",
+        transform(TextOps.trigramsAll(col("w")),
+          g => TextOps.fingerprint(g)), w = W)
+      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+        col("fp"))
+      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+        col("fp"))
+      val got = a.join(b, Seq("fp")).filter(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(countDistinct(col("fp")).as("shared"),
+          min(col("a_pos")).as("a_lo"), max(col("a_pos")).as("a_hi"),
+          min(col("b_pos")).as("b_lo"), max(col("b_pos")).as("b_hi"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+            r.getLong(6)))
+        .toMap
+
+      // model side: identical join over the Scala selections
+      val msel = docs.map(modelSel)
+      val model = (for {
+        i <- docs.indices; j <- docs.indices if i < j
+        shared = msel(i).map(_._2).toSet & msel(j).map(_._2).toSet
+        if shared.nonEmpty
+        ai = msel(i).filter(s => shared(s._2)).map(_._1)
+        bj = msel(j).filter(s => shared(s._2)).map(_._1)
+      } yield (i.toLong, j.toLong) ->
+        (shared.size.toLong, ai.min, ai.max, bj.min, bj.max)).toMap
+
+      assert(got === model,
+        s"trial $trial: winnow copy-detection diverged from the model")
+      // the guarantee, on the ground truth: each planted pair detected
+      Seq(0, 1).zipWithIndex.foreach { case (srcId, k) =>
+        assert(model.contains((srcId.toLong, (6 + k).toLong)),
+          s"trial $trial: planted copy ($srcId, ${6 + k}) not detected")
+      }
+    }
+  }
 }
