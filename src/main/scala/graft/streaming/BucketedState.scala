@@ -244,7 +244,21 @@ object BucketedState {
   def foldCompact(spark: SparkSession, dir: String, batchId: Long,
                   numBuckets: Int, schema: StructType, keyCol: String,
                   what: String, rebucketTo: Option[Int] = None)
-                 (fold: DataFrame => DataFrame): Unit =
+                 (fold: DataFrame => DataFrame): Unit = {
+    // RETRY FENCE FOR A RE-BUCKETING BATCH, checked before the generic
+    // prelude: once the re-bucket commit lands, the manifest records the
+    // NEW fan-out, so a retried batch (crash after rename, before the
+    // checkpoint offset commit) would hit resolveForFold's pin check
+    // (numBuckets still names the OLD p) and crash-loop the stream —
+    // exactly the retry the scaladoc promises is a no-op. Recognize our
+    // own landed commit: this batch's version exists AND the newest
+    // manifest already carries the requested fan-out. Anything else
+    // (foreign layout, genuinely mismatched p) falls through to the
+    // loud checks.
+    val rebucketLanded = rebucketTo.exists(pNew =>
+      committed(spark, dir, batchId) &&
+        latestManifest(spark, dir).exists { case (_, mp, _) => mp == pNew })
+    if (rebucketLanded) return
     resolveForFold(spark, dir, batchId, numBuckets, schema, what).foreach {
       case (p, manifest) =>
         val pNew = rebucketTo.getOrElse(p)
@@ -260,6 +274,7 @@ object BucketedState {
         commit(merged, dir, batchId, pNew, (0 until pNew).toSet,
           Map.empty)
     }
+  }
 
   /** Report of one pruned fold — the spec seam for READ-side pruning
     * assertions: `candidateBuckets` is exactly the `want` set the fold
@@ -532,6 +547,15 @@ object BucketedState {
     require(existing.forall(v => !fs.exists(manifestPath(v, dir))),
       s"$dir already holds a BucketedState manifest — refusing to migrate " +
         "over a live bucketed tenant")
+    // the "old v= dirs stay honored as retry fences" reasoning holds
+    // ONLY in place, where those ids ARE the flat shelf's own folded
+    // batches — a fresh-dir migration must not adopt unrelated debris
+    // as fences (batches 0..k of the new stream would silently skip)
+    require(dir == flatDir || existing.isEmpty,
+      s"fresh-dir migration target $dir is not empty (v= ids " +
+        s"${existing.sorted.mkString(",")}) — foreign version dirs would " +
+        "fence batches that were never folded; migrate in place or pick " +
+        "an empty target")
     require(existing.forall(_ > reservedId),
       s"migration reservedId=$reservedId must be below every existing v= " +
         s"id under $dir (found ${existing.sorted.mkString(",")}) — the " +

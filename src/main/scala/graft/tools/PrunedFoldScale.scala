@@ -74,9 +74,6 @@ object PrunedFoldScale {
       // is ONLY phase 2's two-column row-pruned scan. Distinct edges per
       // trigger id (a repeated edge's second fold diffs to empty and
       // skips the write, which would flatter the number).
-      val labelSchema = StructType(Seq(
-        StructField("id", LongType), StructField("cluster", LongType),
-        StructField(BucketedState.BucketCol, IntegerType)))
       val labelSeed = spark.range(n)
         .select(col("id"), col("id").as("cluster"))
         .withColumn(BucketedState.BucketCol,

@@ -1347,6 +1347,17 @@ class StreamingSpec extends SparkTestBase {
     assert(vread(shelf, 16) ===
       Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
 
+    // RETRIED re-bucketing batch (crash after the rename, before the
+    // checkpoint offset commit): the manifest already reads p=16, so
+    // the pin check against the OLD numBuckets would crash-loop — the
+    // dedicated fence must no-op instead, leaving state untouched
+    BucketedState.foldCompact(spark, shelf, 2L, 8, vcntSchema, "v", "vcnt",
+      rebucketTo = Some(16)) { prev =>
+      fail("retried re-bucket batch must fence, not refold"); prev
+    }
+    assert(vread(shelf, 16) ===
+      Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 4L -> 1L, 5L -> 1L))
+
     // folds continue ABOVE the re-bucket at the new fan-out; a
     // single-value batch prunes to its p=16 bucket
     vfold(shelf, 3L, 16, Seq(4L, 6L))
@@ -1441,5 +1452,20 @@ class StreamingSpec extends SparkTestBase {
       BucketedState.migrateFromVersionedState(spark, flat, flat,
         vcntSchema, "v", 8)
     }
+
+    // a FRESH-dir migration refuses a target holding manifest-less v=
+    // debris: those ids would fence stream batches that were never
+    // folded into the migrated snapshot (the in-place reasoning holds
+    // only when the ids ARE the flat shelf's own folded batches)
+    val flat2 = tmpDir("flat_migrate_src2") + "/vcnt"
+    VersionedState.commit(Seq((1L, 1L)).toDF("v", "cnt"), flat2, 0L)
+    val dirty = tmpDir("flat_migrate_dirty") + "/vcnt"
+    VersionedState.commit(Seq((9L, 9L)).toDF("v", "cnt"), dirty, 3L)
+    val err = intercept[IllegalArgumentException] {
+      BucketedState.migrateFromVersionedState(spark, flat2, dirty,
+        vcntSchema, "v", 8)
+    }
+    assert(err.getMessage.contains("not empty"),
+      s"fresh-dir migration must refuse debris: ${err.getMessage}")
   }
 }
