@@ -44,7 +44,8 @@ object ExplainAudit {
     "q194_percentile_cont",    // same two-pass shape, two ranks/percentile
     "q193_auc",                // score-cardinality agg + tiny cumsum
     "q192_attribution",        // one user-keyed window, integer lookback
-    "q197_indexed_bm25")       // bucket-pruned posting read, no corpus scan
+    "q197_indexed_bm25",       // bucket-pruned posting read, no corpus scan
+    "q224_copy_detection")     // fp-keyed selection join, no all-pairs
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

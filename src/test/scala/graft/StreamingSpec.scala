@@ -683,6 +683,10 @@ class StreamingSpec extends SparkTestBase {
       Set(bucketOf(100L), bucketOf(101L)))
     assert(report.dirtyBuckets === Set(bucketOf(100L), bucketOf(101L)))
     assert(report.candidateBuckets === Set(bucketOf(100L), bucketOf(101L)))
+    // this tenant is NOT fully read-pruned: the report must admit the
+    // phase-2 row-pruned full-relation scan, so a spec (or operator
+    // audit) can never misread it as bucket-pruned-only
+    assert(report.unprunedScans === 1)
     // ...and the new pair is labeled without disturbing old clusters
     val after = labelMap(DupClusterMaintenance.labels(spark, shelf))
     assert(after(100L) === 100L && after(101L) === 100L)
