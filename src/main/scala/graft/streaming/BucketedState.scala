@@ -301,14 +301,29 @@ object BucketedState {
     * check-ordering contract must not be re-derived per tenant. */
   private[streaming] def resolveForFold(spark: SparkSession, dir: String,
       batchId: Long, numBuckets: Int, schema: StructType, what: String)
-      : Option[(Int, Map[Int, Long])] = {
+      : Option[(Int, Map[Int, Long])] =
+    resolveForFoldAnyP(spark, dir, batchId, schema, what,
+      freshP = numBuckets).map { case (p, manifest) =>
+      require(p == numBuckets,
+        s"$what at $dir laid out with p=$p, engine uses $numBuckets")
+      (p, manifest)
+    }
+
+  /** [[resolveForFold]] WITHOUT the fan-out pin — for the one tenant
+    * class that handles a fan-out change itself (the serving view's
+    * self-healing re-bucket merge, [[CdcStreamPipeline.sinkBatch]]):
+    * same layout check, schema guard, and retry fence, but the caller
+    * receives whatever p the manifest records (`freshP` for an empty
+    * dir) and decides. Every other tenant should keep the pinned form —
+    * an unnoticed p mismatch is a misconfiguration, not a migration. */
+  private[streaming] def resolveForFoldAnyP(spark: SparkSession,
+      dir: String, batchId: Long, schema: StructType, what: String,
+      freshP: Int): Option[(Int, Map[Int, Long])] = {
     val (p, manifest) = latestManifest(spark, dir) match {
       case Some((v, mp, m)) =>
-        require(mp == numBuckets,
-          s"$what at $dir laid out with p=$mp, engine uses $numBuckets")
         verifySchema(spark, dir, v, m, schema, what)
         (mp, m)
-      case None => (numBuckets, Map.empty[Int, Long])
+      case None => (freshP, Map.empty[Int, Long])
     }
     if (committed(spark, dir, batchId)) None else Some((p, manifest))
   }

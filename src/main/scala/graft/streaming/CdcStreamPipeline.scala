@@ -97,7 +97,8 @@ object CdcStreamPipeline {
             lateness: String = "1 hour",
             rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules,
             rotation: Rotation = Rotation.NoRotation,
-            flatServing: Boolean = false)
+            flatServing: Boolean = false,
+            servingBuckets: Int = ServingBuckets)
       : (StreamingQuery, StreamingQuery) = {
     // fail an invalid rule set HERE, not inside foreachBatch at batch 0 —
     // a misconfiguration must abort start(), never a running query
@@ -146,7 +147,8 @@ object CdcStreamPipeline {
       .dropDuplicatesWithinWatermark("sch", "tbl", "pk", "txid", "event_ts")
       .drop("sch", "tbl", "pk", "txid")
       .writeStream
-      .foreachBatch(sinkBatch(sinks, rules, rotation, flatServing) _)
+      .foreachBatch(
+        sinkBatch(sinks, rules, rotation, flatServing, servingBuckets) _)
       .trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
@@ -239,7 +241,8 @@ object CdcStreamPipeline {
   def sinkBatch(sinks: Sinks,
                 rules: Seq[Envelope.SelectionRule] = Envelope.defaultRules,
                 rotation: Rotation = Rotation.NoRotation,
-                flatServing: Boolean = false)
+                flatServing: Boolean = false,
+                servingBuckets: Int = ServingBuckets)
                (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     batch.persist()
@@ -333,8 +336,39 @@ object CdcStreamPipeline {
         VersionedState.commit(merged, sinks.serving, batchId,
           keepVersions = 5)
       } else
-      BucketedState.resolveForFold(spark, sinks.serving, batchId,
-        ServingBuckets, servingSchema, "serving view").foreach { case (p, manifest) =>
+      // resolveForFoldAnyP, not the pinned resolve: the serving view is
+      // the tenant whose fan-out CHANGES over its life (SCALE.md sizes
+      // p ≈ state / 128 MB and this view grows with the source), so a
+      // deploy that raises `servingBuckets` SELF-HEALS on the next
+      // trigger — the re-bucket branch below — instead of crash-looping
+      // on a pin. Wrong-dir accidents stay loudly caught one layer
+      // down: the schema guard rejects any non-serving tenant's layout
+      // (the envelope struct paths are this tenant's signature).
+      BucketedState.resolveForFoldAnyP(spark, sinks.serving, batchId,
+        servingSchema, "serving view", freshP = servingBuckets)
+        .foreach { case (p, manifest) =>
+        if (p != servingBuckets) {
+          // IN-STREAM RE-BUCKET MERGE, at the engine's own id (the
+          // foldCompact discipline — no id-coordination hazard): fold
+          // this batch into the FULL state and re-home every row under
+          // the configured fan-out; every bucket 0..new-1 points at this
+          // id, no pointer reaches behind the re-bucket. A retried
+          // re-bucket trigger fences normally (p now matches, and the
+          // version fence short-circuits inside the resolve). Cost is
+          // one full-state read + write — the price of any compaction,
+          // paid once per fan-out change.
+          val incoming =
+            withServingKey(good.select(col("data"), col("metadata")))
+          val prev = BucketedState.read(spark, sinks.serving,
+            servingSchema, manifest, None).drop(BucketedState.BucketCol, "k")
+          val merged = withServingKey(
+              latestPerKey(prev.unionByName(incoming.drop("k"))))
+            .withColumn(BucketedState.BucketCol,
+              BucketedState.bucketOf(col("k"), servingBuckets))
+            .repartition(col(BucketedState.BucketCol))
+          BucketedState.commit(merged, sinks.serving, batchId,
+            servingBuckets, (0 until servingBuckets).toSet, Map.empty)
+        } else {
         val incoming =
           withServingKey(good.select(col("data"), col("metadata")))
         // one tiny job off the persisted batch frame: the candidate set
@@ -365,6 +399,7 @@ object CdcStreamPipeline {
           .repartition(col(BucketedState.BucketCol))
         BucketedState.commit(merged, sinks.serving, batchId, p,
           candidates, manifest)
+        }
       }
     } finally batch.unpersist()
   }
@@ -385,18 +420,19 @@ object CdcStreamPipeline {
 
   /** Full persisted serving state (tombstones included), manifest-
     * resolved through [[BucketedState.readState]]. */
-  private def servingState(spark: SparkSession, servingDir: String)
-      : DataFrame =
+  private def servingState(spark: SparkSession, servingDir: String,
+      servingBuckets: Int): DataFrame =
     BucketedState.readState(spark, servingDir, servingSchema,
-      ServingBuckets, "serving view")
+      servingBuckets, "serving view")
 
   /** The user-facing serving view: live rows only (tombstones hidden).
     * Resolves the newest COMMITTED manifest; concurrent merges create
     * new versions rather than touching resolved ones, and a resolved
     * version survives for the manifest retention horizon — a reader
     * must consume its DataFrame within that many triggers. */
-  def servingSnapshot(spark: SparkSession, servingDir: String): DataFrame =
-    servingState(spark, servingDir)
+  def servingSnapshot(spark: SparkSession, servingDir: String,
+                      servingBuckets: Int = ServingBuckets): DataFrame =
+    servingState(spark, servingDir, servingBuckets)
       .filter(col("metadata.operation") =!= "delete")
       .select(col("data.*"))
 
@@ -404,8 +440,9 @@ object CdcStreamPipeline {
     * of EVERY table with their (schema, table) identity — the fan-out
     * counterpart of [[servingSnapshot]], same columns as the batch
     * [[graft.cdc.Materialize.snapshotByTable]]. */
-  def servingTables(spark: SparkSession, servingDir: String): DataFrame =
-    servingState(spark, servingDir)
+  def servingTables(spark: SparkSession, servingDir: String,
+                    servingBuckets: Int = ServingBuckets): DataFrame =
+    servingState(spark, servingDir, servingBuckets)
       .filter(col("metadata.operation") =!= "delete")
       .select(col("metadata.`schema-name`").as("sch"),
         col("metadata.`table-name`").as("tbl"), col("data.*"))

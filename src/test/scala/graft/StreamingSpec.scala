@@ -121,6 +121,61 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(flat).count() === 0)
   }
 
+  test("serving fan-out re-bucket: a deploy raising servingBuckets self-heals on the next trigger; retry fences; merges resume at the new p; stale readers throw") {
+    import graft.streaming.BucketedState
+    val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
+    val (a, b) = (0 until lines.size).partition(_ % 2 == 0)
+    val pa = tmpDir("srv_rb_a"); val pb = tmpDir("srv_rb_b")
+    Files.write(Paths.get(s"$pa/a.jsonl"),
+      a.map(lines.get).mkString("\n").getBytes)
+    Files.write(Paths.get(s"$pb/b.jsonl"),
+      b.map(lines.get).mkString("\n").getBytes)
+    val batchA = CdcStreamPipeline.parseLines(spark.read.text(s"$pa/a.jsonl"))
+    val batchB = CdcStreamPipeline.parseLines(spark.read.text(s"$pb/b.jsonl"))
+    val root = tmpDir("srv_rb_out")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+
+    // life at the default fan-out
+    CdcStreamPipeline.sinkBatch(sinks)(batchA, 0L)
+    assert(BucketedState.latestManifest(spark, sinks.serving).get._2 ===
+      CdcStreamPipeline.ServingBuckets)
+
+    // the deploy raises the fan-out: the NEXT trigger both folds its
+    // batch and re-homes every row under p=32 (SCALE.md sizes the
+    // serving fan-out by state volume — this is the growth path)
+    CdcStreamPipeline.sinkBatch(sinks, servingBuckets = 32)(batchB, 1L)
+    val (v1, p1, m1) = BucketedState.latestManifest(spark, sinks.serving).get
+    assert(v1 === 1L && p1 === 32)
+    assert(m1 === (0 until 32).map(_ -> 1L).toMap,
+      "every new-fan-out bucket must re-home at the re-bucket id")
+    val served = CdcStreamPipeline.servingSnapshot(spark, sinks.serving, 32)
+    val oneShot = Materialize.snapshot(
+      Envelope.changelog(spark, Tables.cdcFixturePath))
+    assert(served.count() === 210)
+    assert(served.exceptAll(oneShot).count() === 0)
+    assert(oneShot.exceptAll(served).count() === 0)
+
+    // retried re-bucket trigger: the version fence short-circuits
+    CdcStreamPipeline.sinkBatch(sinks, servingBuckets = 32)(batchB, 1L)
+    assert(BucketedState.latestManifest(spark, sinks.serving).get._1 === 1L)
+
+    // merges resume normally at the new fan-out (a replayed batch is
+    // LWW-idempotent; its dirty buckets live under the new p)
+    CdcStreamPipeline.sinkBatch(sinks, servingBuckets = 32)(batchB, 2L)
+    val dirs2 = BucketedState.bucketDirs(spark, sinks.serving, 2L)
+    assert(dirs2.nonEmpty && dirs2.subsetOf((0 until 32).toSet))
+    val after = CdcStreamPipeline.servingSnapshot(spark, sinks.serving, 32)
+    assert(after.count() === 210)
+    assert(after.exceptAll(oneShot).count() === 0)
+
+    // a reader still on the OLD fan-out constant fails loudly — readers
+    // must ride the same deploy that changed the fan-out
+    intercept[IllegalArgumentException] {
+      CdcStreamPipeline.servingSnapshot(spark, sinks.serving).count()
+    }
+  }
+
   test("multi-batch incremental merge equals one-shot materialization") {
     // split the fixture across two files and force one file per trigger →
     // the serving state is built by two successive merges, which must
