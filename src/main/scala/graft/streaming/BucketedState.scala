@@ -302,12 +302,8 @@ object BucketedState {
   private[streaming] def resolveForFold(spark: SparkSession, dir: String,
       batchId: Long, numBuckets: Int, schema: StructType, what: String)
       : Option[(Int, Map[Int, Long])] =
-    resolveForFoldAnyP(spark, dir, batchId, schema, what,
-      freshP = numBuckets).map { case (p, manifest) =>
-      require(p == numBuckets,
-        s"$what at $dir laid out with p=$p, engine uses $numBuckets")
-      (p, manifest)
-    }
+    resolveCore(spark, dir, batchId, schema, what,
+      pin = Some(numBuckets), freshP = numBuckets)
 
   /** [[resolveForFold]] WITHOUT the fan-out pin — for the one tenant
     * class that handles a fan-out change itself (the serving view's
@@ -318,9 +314,24 @@ object BucketedState {
     * an unnoticed p mismatch is a misconfiguration, not a migration. */
   private[streaming] def resolveForFoldAnyP(spark: SparkSession,
       dir: String, batchId: Long, schema: StructType, what: String,
-      freshP: Int): Option[(Int, Map[Int, Long])] = {
+      freshP: Int): Option[(Int, Map[Int, Long])] =
+    resolveCore(spark, dir, batchId, schema, what, pin = None,
+      freshP = freshP)
+
+  /** Shared body of the two resolve forms. Check order is part of the
+    * contract: layout throw (inside latestManifest), then the fan-out
+    * PIN when one is given, then the schema guard, and the retry fence
+    * LAST — a fence-first order would let a misconfigured dir whose v=
+    * ids collide with incoming batchIds silently swallow those batches
+    * as "already folded" instead of failing loudly on the very first
+    * trigger. */
+  private def resolveCore(spark: SparkSession, dir: String, batchId: Long,
+      schema: StructType, what: String, pin: Option[Int], freshP: Int)
+      : Option[(Int, Map[Int, Long])] = {
     val (p, manifest) = latestManifest(spark, dir) match {
       case Some((v, mp, m)) =>
+        pin.foreach(nb => require(mp == nb,
+          s"$what at $dir laid out with p=$mp, engine uses $nb"))
         verifySchema(spark, dir, v, m, schema, what)
         (mp, m)
       case None => (freshP, Map.empty[Int, Long])

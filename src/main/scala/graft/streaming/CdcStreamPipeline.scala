@@ -103,6 +103,10 @@ object CdcStreamPipeline {
     // fail an invalid rule set HERE, not inside foreachBatch at batch 0 —
     // a misconfiguration must abort start(), never a running query
     Envelope.selection(rules)
+    require(servingBuckets > 0,
+      s"servingBuckets must be positive, got $servingBuckets — pmod by 0 " +
+        "would NULL every bucket and each trigger would discard all " +
+        "prior serving state")
     val parsed = parseLines(lines)
 
     // Dedup key = (pk, transaction-id, event time) — the reference's `_id`
@@ -182,9 +186,11 @@ object CdcStreamPipeline {
     * same contract DMS itself places on the binlog position). */
   def bootstrap(snapshot: DataFrame, loadTs: String, sinks: Sinks,
                 schemaName: String = "testdb",
-                tableName: String = "retail_trans"): Unit =
+                tableName: String = "retail_trans",
+                servingBuckets: Int = ServingBuckets): Unit =
     bootstrapEnvelope(
-      Bootstrap.asLoadEnvelope(snapshot, loadTs, schemaName, tableName), sinks)
+      Bootstrap.asLoadEnvelope(snapshot, loadTs, schemaName, tableName),
+      sinks, servingBuckets)
 
   /** Serving-state bucket fan-out; fixed for the life of a serving dir.
     * Sized for the fixture/test scale — a production deployment sizes
@@ -219,8 +225,15 @@ object CdcStreamPipeline {
     * [[BucketedState]] protocol as every stream merge, at version -1
     * with EVERY bucket owned by the seed — batch 0 resolves it as
     * ordinary prior state. */
-  def bootstrapEnvelope(seedEnv: DataFrame, sinks: Sinks): Unit = {
+  def bootstrapEnvelope(seedEnv: DataFrame, sinks: Sinks,
+                        servingBuckets: Int = ServingBuckets): Unit = {
     val spark = seedEnv.sparkSession
+    // seeds are the LARGEST state the pipeline ever writes at once, so
+    // a deployment at a raised fan-out must seed AT that fan-out —
+    // hardcoding the default here would make batch 0 immediately pay a
+    // full-state re-bucket rewrite of the entire seed
+    require(servingBuckets > 0,
+      s"servingBuckets must be positive, got $servingBuckets")
     require(BucketedState.latestManifest(spark, sinks.serving).isEmpty,
       s"bootstrap requires an empty serving state under ${sinks.serving}; " +
         "it seeds v=-1 BELOW every stream version and must run before the stream")
@@ -229,9 +242,9 @@ object CdcStreamPipeline {
     // seed's shape byte-identical to every later merge's output
     val seed = withServingKey(latestPerKey(seedEnv))
       .withColumn(BucketedState.BucketCol,
-        BucketedState.bucketOf(col("k"), ServingBuckets))
-    BucketedState.commit(seed, sinks.serving, -1L, ServingBuckets,
-      (0 until ServingBuckets).toSet, Map.empty)
+        BucketedState.bucketOf(col("k"), servingBuckets))
+    BucketedState.commit(seed, sinks.serving, -1L, servingBuckets,
+      (0 until servingBuckets).toSet, Map.empty)
   }
 
   /** Batch merge applied by foreachBatch: DLQ split, archive append, and
@@ -244,6 +257,8 @@ object CdcStreamPipeline {
                 flatServing: Boolean = false,
                 servingBuckets: Int = ServingBuckets)
                (batch: DataFrame, batchId: Long): Unit = {
+    require(servingBuckets > 0,
+      s"servingBuckets must be positive, got $servingBuckets")
     val spark = batch.sparkSession
     batch.persist()
     try {
@@ -357,12 +372,11 @@ object CdcStreamPipeline {
           // version fence short-circuits inside the resolve). Cost is
           // one full-state read + write — the price of any compaction,
           // paid once per fan-out change.
-          val incoming =
-            withServingKey(good.select(col("data"), col("metadata")))
+          val incoming = good.select(col("data"), col("metadata"))
           val prev = BucketedState.read(spark, sinks.serving,
             servingSchema, manifest, None).drop(BucketedState.BucketCol, "k")
           val merged = withServingKey(
-              latestPerKey(prev.unionByName(incoming.drop("k"))))
+              latestPerKey(prev.unionByName(incoming)))
             .withColumn(BucketedState.BucketCol,
               BucketedState.bucketOf(col("k"), servingBuckets))
             .repartition(col(BucketedState.BucketCol))

@@ -1434,6 +1434,15 @@ class StreamingSpec extends SparkTestBase {
       vfold(shelf, 5L, 8, Seq(1L))
     }
     assert(err.getMessage.contains("p=16"))
+    // ...and the pin runs BEFORE the retry fence: a replayed batch id
+    // that IS committed (id 4) against the wrong fan-out must still
+    // throw, never silently fence as "already folded" — the check
+    // ordering that keeps a misconfigured dir with colliding v= ids
+    // from swallowing batches
+    val err2 = intercept[IllegalArgumentException] {
+      vfold(shelf, 4L, 8, Seq(1L))
+    }
+    assert(err2.getMessage.contains("p=16"))
   }
 
   test("state-rewrite guards: compact refuses a schema-drifted dir; an out-of-band reseed at the same path re-verifies despite the process cache") {
