@@ -247,6 +247,27 @@ object CdcStreamPipeline {
       (0 until servingBuckets).toSet, Map.empty)
   }
 
+  /** DISASTER RECOVERY: rebuild the serving state from the ARCHIVE —
+    * the payoff of the dual-sink design (reference: the S3 archive
+    * exists precisely so OpenSearch is rebuildable,
+    * firehose.py/README.md "backup" posture). The archive holds every
+    * selected post-dedup envelope, so `latestPerKey` over it IS the
+    * serving state; the rebuild seeds it through the bootstrap protocol
+    * (v=-1, below every stream version). Caller wipes the lost/corrupt
+    * serving dir first (bootstrap refuses a non-empty one).
+    *
+    * Safe against the checkpoint: a restarted stream may replay batches
+    * whose rows are already in the archive-derived seed — the serving
+    * merge is LWW-idempotent, so refolds are no-ops (this DR path is
+    * sound for THIS tenant; a SUM-folded tenant cannot rebuild this
+    * way). Works over compacted archives too — partition discovery
+    * reads folded and per-batch dirs alike. */
+  def rebuildServingFromArchive(spark: SparkSession, sinks: Sinks,
+      servingBuckets: Int = ServingBuckets): Unit =
+    bootstrapEnvelope(
+      spark.read.parquet(sinks.archive).select(col("data"), col("metadata")),
+      sinks, servingBuckets)
+
   /** Batch merge applied by foreachBatch: DLQ split, archive append, and
     * last-write-wins serving merge that RETAINS delete tombstones in the
     * persisted state (so a stale update replayed later cannot resurrect a

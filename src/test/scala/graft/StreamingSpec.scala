@@ -121,6 +121,39 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(flat).count() === 0)
   }
 
+  test("serving rebuild from archive: a wiped serving dir recovers byte-equal from the archive sink; checkpoint replays after recovery are no-ops") {
+    import graft.streaming.BucketedState
+    // normal life: the full fixture through the real pipeline
+    val src = tmpDir("srv_dr_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath),
+      Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    val sinks = runPipeline(src, tmpDir("srv_dr_out"))
+    val before = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().toSet
+    assert(before.size === 210)
+
+    // disaster: the serving state is lost
+    val fs = new org.apache.hadoop.fs.Path(sinks.serving)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(sinks.serving), true))
+
+    // recovery: rebuild from the archive (the dual-sink payoff) — the
+    // serving view must come back EXACTLY, tombstone semantics included
+    CdcStreamPipeline.rebuildServingFromArchive(spark, sinks)
+    assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().toSet === before)
+    assert(BucketedState.latestManifest(spark, sinks.serving).get._1 === -1L,
+      "rebuild must seed below the stream's whole id sequence")
+
+    // a restarted stream replays its last batch (checkpoint behind the
+    // archive): the LWW merge makes the refold a no-op on the seed
+    val batch = CdcStreamPipeline.parseLines(
+      spark.read.text(Tables.cdcFixturePath))
+    CdcStreamPipeline.sinkBatch(sinks)(batch, 0L)
+    assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().toSet === before)
+  }
+
   test("serving fan-out re-bucket: a deploy raising servingBuckets self-heals on the next trigger; retry fences; merges resume at the new p; stale readers throw") {
     import graft.streaming.BucketedState
     val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
