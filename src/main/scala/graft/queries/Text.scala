@@ -297,24 +297,7 @@ object Text {
         |       CAST(MIN(b_pos) AS BIGINT) AS b_lo, CAST(MAX(b_pos) AS BIGINT) AS b_hi
         |FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 2
         |ORDER BY a_id, b_id""") { (s, d) =>
-      val base = Tables.documents(s, d).filter(col("doc_id") < 200)
-        .select(col("doc_id"), col("text"))
-      val src = base.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 7).as("doc_id"),
-          TextOps.tokens(col("text")).as("stoks"))
-        .filter(size(col("stoks")) >= 12)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("stoks"), 1, 12)).as("passage"))
-      val d2 = base.join(src, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          concat(lower(col("text")),
-            when(col("passage").isNotNull,
-              concat(lit(" "), col("passage"))).otherwise(lit(""))).as("t"))
-      val t = d2.select(col("doc_id"), TextOps.tokens(col("t")).as("w"))
-        .filter(size(col("w")) >= 3)
-      val sel = TextOps.winnowRelPos(t, "doc_id",
-        transform(TextOps.trigramsAll(col("w")),
-          g => TextOps.fingerprint(g)), w = 4)
+      val sel = plantedCopySelections(s, d)
       val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
         col("fp"))
       val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
@@ -327,6 +310,75 @@ object Text {
           min(col("b_pos")).as("b_lo"), max(col("b_pos")).as("b_hi"))
         .filter(col("shared") >= 2)
         .orderBy("a_id", "b_id")
+    },
+
+    // ---- q224's INGEST twin (the q217/q218/q223 discipline): the
+    //      corpus side's position-carrying winnow selections persist as
+    //      an index (even doc_ids, written in two appends to exercise
+    //      the real append layout), a NEW batch (odd doc_ids) winnows
+    //      fresh and probes the index FROM DISK — "which incoming
+    //      documents copy corpus passages, and WHERE", the steady-state
+    //      per-batch question. Fingerprints are per-document, so the
+    //      index appends at |batch| cost; the probe is one fp-keyed
+    //      join; localization spans ride the join's own shuffle. The
+    //      oracle recomputes both sides from scratch — the disk round
+    //      trip must lose neither selections nor positions. All 19
+    //      planted pairs land cross-split by construction (source
+    //      doc_id % 10 == 0 is even → index; target % 10 == 7 is odd →
+    //      probe). ----
+    gated("q225_copy_ingest",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |src AS (SELECT doc_id + 7 AS doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS stoks
+        |        FROM base WHERE doc_id % 10 = 0),
+        |d2 AS (SELECT b.doc_id,
+        |          lower(b.text) ||
+        |          CASE WHEN s.doc_id IS NOT NULL AND len(s.stoks) >= 12
+        |               THEN ' ' || array_to_string(s.stoks[1:12], ' ') ELSE '' END AS t
+        |       FROM base b LEFT JOIN src s ON b.doc_id = s.doc_id),
+        |tt AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w FROM d2),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM tt WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        [i for i in range(1, greatest(1, len(kg) - 3) + 1)] AS ps,
+        |        [list_min(kg[i : least(i + 3, len(kg))])
+        |         for i in range(1, greatest(1, len(kg) - 3) + 1)] AS fs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(ps) AS pos, unnest(fs) AS fp FROM f),
+        |p AS (SELECT a.doc_id AS idx_id, b.doc_id AS new_id, a.fp,
+        |             a.pos AS idx_pos, b.pos AS new_pos
+        |      FROM e a JOIN e b ON a.fp = b.fp
+        |      WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1)
+        |SELECT idx_id, new_id, CAST(COUNT(DISTINCT fp) AS BIGINT) AS shared,
+        |       CAST(MIN(idx_pos) AS BIGINT) AS idx_lo, CAST(MAX(idx_pos) AS BIGINT) AS idx_hi,
+        |       CAST(MIN(new_pos) AS BIGINT) AS new_lo, CAST(MAX(new_pos) AS BIGINT) AS new_hi
+        |FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 2
+        |ORDER BY idx_id, new_id""") { (s, d) =>
+      val sel = plantedCopySelections(s, d)
+      val dir = graft.GatedQuery.indexScratch(d, "copy_index_q225")
+      // corpus index: one-time build, then the append-only ingest layout
+      sel.filter(col("id") % 4 === 0)
+        .write.mode("overwrite").parquet(dir)
+      sel.filter(col("id") % 2 === 0 && col("id") % 4 =!= 0)
+        .write.mode("append").parquet(dir)
+      val probe = sel.filter(col("id") % 2 =!= 0)
+        .select(col("id").as("new_id"), col("pos").as("new_pos"), col("fp"))
+      s.read.parquet(dir)
+        .select(col("id").as("idx_id"), col("pos").as("idx_pos"), col("fp"))
+        .join(probe, Seq("fp"))
+        .groupBy("idx_id", "new_id")
+        .agg(countDistinct(col("fp")).as("shared"),
+          min(col("idx_pos")).as("idx_lo"), max(col("idx_pos")).as("idx_hi"),
+          min(col("new_pos")).as("new_lo"), max(col("new_pos")).as("new_hi"))
+        .filter(col("shared") >= 2)
+        .orderBy("idx_id", "new_id")
     },
 
     // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
@@ -2184,6 +2236,34 @@ object Text {
           TextOps.trigrams(col("w")).as("set")),
       tNum = 1, tDen = 100)
       .select(col("a_id").as("a"), col("b_id").as("b"))
+
+  /** q224/q225's shared position-carrying winnow selections over the
+    * PLANTED-copy corpus (doc_id < 200; every doc_id % 10 == 7 document
+    * appends the first 12 tokens of doc_id − 7's text when that source
+    * has ≥ 12 tokens) — `(id, pos, fp)` per window start. One copy of
+    * the plant + selection pipeline so the one-shot and ingest gates
+    * cannot drift. */
+  private def plantedCopySelections(s: SparkSession, d: String)
+      : DataFrame = {
+    val base = Tables.documents(s, d).filter(col("doc_id") < 200)
+      .select(col("doc_id"), col("text"))
+    val src = base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 7).as("doc_id"),
+        TextOps.tokens(col("text")).as("stoks"))
+      .filter(size(col("stoks")) >= 12)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("stoks"), 1, 12)).as("passage"))
+    val d2 = base.join(src, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        concat(lower(col("text")),
+          when(col("passage").isNotNull,
+            concat(lit(" "), col("passage"))).otherwise(lit(""))).as("t"))
+    val t = d2.select(col("doc_id"), TextOps.tokens(col("t")).as("w"))
+      .filter(size(col("w")) >= 3)
+    TextOps.winnowRelPos(t, "doc_id",
+      transform(TextOps.trigramsAll(col("w")),
+        g => TextOps.fingerprint(g)), w = 4)
+  }
 
   private def bpeChain(n: Int): String = {
     val head =
