@@ -2263,6 +2263,13 @@ object Text {
     TextOps.winnowRelPos(t, "doc_id",
       transform(TextOps.trigramsAll(col("w")),
         g => TextOps.fingerprint(g)), w = 4)
+    // DELIBERATELY not localCheckpoint'd although q225 consumes this
+    // three times (two index writes + the probe) and q224 twice: the
+    // gate bounds the corpus to 200 docs, and MEASURED at sf0.1 the
+    // eager materialization costs more than the recomputes it saves
+    // (q225 1.78 s → 2.24 s min-of-3 with a checkpoint here). At a real
+    // corpus size the q221 repeated-scan rule applies and the caller
+    // should pin the selection relation before fanning out.
   }
 
   private def bpeChain(n: Int): String = {

@@ -251,22 +251,43 @@ object CdcStreamPipeline {
     * the payoff of the dual-sink design (reference: the S3 archive
     * exists precisely so OpenSearch is rebuildable,
     * firehose.py/README.md "backup" posture). The archive holds every
-    * selected post-dedup envelope, so `latestPerKey` over it IS the
-    * serving state; the rebuild seeds it through the bootstrap protocol
-    * (v=-1, below every stream version). Caller wipes the lost/corrupt
-    * serving dir first (bootstrap refuses a non-empty one).
+    * selected post-dedup envelope the STREAM processed, so
+    * `latestPerKey` over it (∪ the original seed, below) IS the serving
+    * state; the rebuild commits through the bootstrap protocol (v=-1,
+    * below every stream version). Caller wipes the lost/corrupt serving
+    * dir first (bootstrap refuses a non-empty one).
     *
-    * Safe against the checkpoint: a restarted stream may replay batches
-    * whose rows are already in the archive-derived seed — the serving
+    * PRECONDITIONS — both matter, both are about what the archive does
+    * NOT contain:
+    *  1. A deployment that BOOTSTRAPPED (S1 full-load) must pass the
+    *     same seed envelope again via `seedEnv`: the bootstrap wrote
+    *     the seed to the serving sink only, never to the archive, so an
+    *     archive-only rebuild would silently drop every key the CDC
+    *     stream never touched. The LWW stamps resolve the seed-vs-log
+    *     boundary here exactly as they did live.
+    *  2. This helper assumes the CHECKPOINT survived. If the checkpoint
+    *     was lost too, restart the stream against a FRESH archive
+    *     prefix (and union prefixes on read/rebuild): engine batch ids
+    *     restart at 0 and the per-batch overwrite that makes retries
+    *     exactly-once would otherwise replace archived history — the
+    *     system of record for the NEXT disaster.
+    *
+    * Safe against checkpoint REPLAY: a restarted stream may redeliver
+    * batches whose rows are already in the rebuilt state — the serving
     * merge is LWW-idempotent, so refolds are no-ops (this DR path is
     * sound for THIS tenant; a SUM-folded tenant cannot rebuild this
     * way). Works over compacted archives too — partition discovery
     * reads folded and per-batch dirs alike. */
   def rebuildServingFromArchive(spark: SparkSession, sinks: Sinks,
-      servingBuckets: Int = ServingBuckets): Unit =
+      servingBuckets: Int = ServingBuckets,
+      seedEnv: Option[DataFrame] = None): Unit = {
+    val archived =
+      spark.read.parquet(sinks.archive).select(col("data"), col("metadata"))
     bootstrapEnvelope(
-      spark.read.parquet(sinks.archive).select(col("data"), col("metadata")),
+      seedEnv.map(se => archived.unionByName(
+        se.select(col("data"), col("metadata")))).getOrElse(archived),
       sinks, servingBuckets)
+  }
 
   /** Batch merge applied by foreachBatch: DLQ split, archive append, and
     * last-write-wins serving merge that RETAINS delete tombstones in the
@@ -384,6 +405,18 @@ object CdcStreamPipeline {
         servingSchema, "serving view", freshP = servingBuckets)
         .foreach { case (p, manifest) =>
         if (p != servingBuckets) {
+          // GROW-ONLY: production fan-out changes are growth-driven
+          // (p ≈ state / 128 MB), and the asymmetry is load-bearing —
+          // a surviving OLD-binary driver in a rolling deploy would
+          // otherwise alternate full-state re-buckets with the new one
+          // (16→32→16→… — an O(state) rewrite every trigger, forever,
+          // silently). Up-only makes the zombie fail loudly instead;
+          // a deliberate shrink is a reseed/migration, not a trigger.
+          require(servingBuckets > p,
+            s"serving fan-out can only GROW in-stream (on-disk p=$p, " +
+              s"engine asks $servingBuckets) — a shrink (or a stale " +
+              "binary's old constant) must not re-bucket; reseed or " +
+              "migrate explicitly")
           // IN-STREAM RE-BUCKET MERGE, at the engine's own id (the
           // foldCompact discipline — no id-coordination hazard): fold
           // this batch into the FULL state and re-home every row under

@@ -154,6 +154,54 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSet === before)
   }
 
+  test("serving rebuild with a bootstrap seed: archive-only rebuild loses seed-only keys (the documented hazard); seedEnv restores full parity") {
+    import graft.cdc.Bootstrap
+    // a seed whose keys the CDC log NEVER touches — the rows only the
+    // bootstrap ever wrote, which the archive (stream-fed only) lacks
+    val loadTs = "2022-03-14T14:01:12.193068Z"
+    val log = Envelope.changelog(spark, Tables.cdcFixturePath)
+    val seedSnap = Materialize.snapshot(
+        log.filter(col("metadata.timestamp") <= loadTs))
+      .withColumn("trans_id", col("trans_id") + lit(900000))
+    val nSeed = seedSnap.count()
+    assert(nSeed > 0)
+
+    val root = tmpDir("srv_dr_boot_out")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    CdcStreamPipeline.bootstrap(seedSnap, loadTs, sinks)
+    val src = tmpDir("srv_dr_boot_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath),
+      Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.text(src), sinks, Trigger.AvailableNow())
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
+    val before = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().toSet
+    assert(before.size === 210 + nSeed)
+
+    val fs = new org.apache.hadoop.fs.Path(sinks.serving)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def wipe(): Unit =
+      assert(fs.delete(new org.apache.hadoop.fs.Path(sinks.serving), true))
+
+    // archive-only rebuild: the stream-fed archive never saw the seed,
+    // so the seed-only keys are GONE — precisely why seedEnv exists
+    wipe()
+    CdcStreamPipeline.rebuildServingFromArchive(spark, sinks)
+    assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .count() === 210)
+
+    // seed-aware rebuild: byte-equal recovery, boundary resolved by the
+    // same LWW stamps that resolved it live
+    wipe()
+    CdcStreamPipeline.rebuildServingFromArchive(spark, sinks,
+      seedEnv = Some(Bootstrap.asLoadEnvelope(seedSnap, loadTs)))
+    assert(CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().toSet === before)
+  }
+
   test("serving fan-out re-bucket: a deploy raising servingBuckets self-heals on the next trigger; retry fences; merges resume at the new p; stale readers throw") {
     import graft.streaming.BucketedState
     val lines = Files.readAllLines(Paths.get(Tables.cdcFixturePath))
@@ -207,6 +255,15 @@ class StreamingSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       CdcStreamPipeline.servingSnapshot(spark, sinks.serving).count()
     }
+
+    // ...and so does a WRITER asking to shrink (a stale binary's old
+    // constant, or the zombie half of a rolling deploy): grow-only is
+    // what stops two binaries re-bucketing the full state back and
+    // forth every trigger
+    val shrink = intercept[IllegalArgumentException] {
+      CdcStreamPipeline.sinkBatch(sinks, servingBuckets = 8)(batchB, 3L)
+    }
+    assert(shrink.getMessage.contains("GROW"))
   }
 
   test("multi-batch incremental merge equals one-shot materialization") {
