@@ -493,6 +493,44 @@ object CdcStreamPipeline {
     BucketedState.readState(spark, servingDir, servingSchema,
       servingBuckets, "serving view")
 
+  /** POINT LOOKUP against the serving state — the read-side payoff of
+    * the bucketed layout (reference §3.3: the serving store answers
+    * interactive key queries): resolve the manifest, hash the
+    * (schema, table, pk) key to its ONE bucket, and read only that
+    * bucket's files — I/O is O(state/p), not O(state), at any view
+    * size. Returns the live row (0 or 1 rows, `data.*`); a tombstoned
+    * key reads as absent. The fingerprint pre-filter prunes to the
+    * bucket and the exact composite predicate decides — a 64-bit
+    * collision can only co-locate keys, never confuse them. */
+  def servingLookup(spark: SparkSession, servingDir: String,
+      schemaName: String, tableName: String, pk: Long,
+      servingBuckets: Int = ServingBuckets): DataFrame = {
+    val (v, p, manifest) =
+      BucketedState.latestManifest(spark, servingDir).getOrElse(
+        throw new IllegalStateException(
+          s"no serving state under $servingDir"))
+    require(p == servingBuckets,
+      s"serving view at $servingDir laid out with p=$p, engine uses " +
+        s"$servingBuckets")
+    // driver-side eval of the SAME catalyst expressions the write path
+    // uses — no Spark job to hash one literal key. Two hash layers, as
+    // written: k = xxhash64(composite) (withServingKey), then the
+    // bucket = pmod(xxhash64(k), p) (bucketOf re-hashes its key column).
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    def xx(lits: Any*): Long = // 42L = the functions.xxhash64 default seed
+      XxHash64(lits.map(Literal(_)), 42L).eval(null).asInstanceOf[Long]
+    val k = xx(schemaName, tableName, pk)
+    val bucket = ((xx(k) % p) + p) % p // pmod
+    BucketedState.read(spark, servingDir, servingSchema, manifest,
+      Some(Set(bucket.toInt)))
+      .filter(col("k") === k &&
+        col("metadata.`schema-name`") === schemaName &&
+        col("metadata.`table-name`") === tableName &&
+        col("data.trans_id") === pk &&
+        col("metadata.operation") =!= "delete")
+      .select(col("data.*"))
+  }
+
   /** The user-facing serving view: live rows only (tombstones hidden).
     * Resolves the newest COMMITTED manifest; concurrent merges create
     * new versions rather than touching resolved ones, and a resolved

@@ -154,6 +154,49 @@ class StreamingSpec extends SparkTestBase {
       .collect().toSet === before)
   }
 
+  test("serving point lookup: bucket-pruned key read matches the snapshot; tombstoned and absent keys read empty; only the key's bucket is touched") {
+    import graft.streaming.BucketedState
+    val src = tmpDir("srv_lookup_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath),
+      Paths.get(s"$src/cdc.jsonl"), StandardCopyOption.REPLACE_EXISTING)
+    val sinks = runPipeline(src, tmpDir("srv_lookup_out"))
+    val snap = CdcStreamPipeline.servingSnapshot(spark, sinks.serving)
+      .collect().map(r => r.getLong(r.fieldIndex("trans_id")) -> r).toMap
+
+    // live keys: the lookup returns exactly the snapshot's row
+    snap.keys.take(5).foreach { pk =>
+      val got = CdcStreamPipeline.servingLookup(spark, sinks.serving,
+        "testdb", "retail_trans", pk).collect()
+      assert(got.length === 1, s"lookup($pk) returned ${got.length} rows")
+      assert(got.head === snap(pk), s"lookup($pk) row mismatch")
+    }
+
+    // a tombstoned key (in the changelog, absent from the live view)
+    // and a never-seen key both read EMPTY, not an error
+    val deleted = Envelope.changelog(spark, Tables.cdcFixturePath)
+      .select(col("data.trans_id").cast("long")).distinct()
+      .collect().map(_.getLong(0)).filterNot(snap.contains).head
+    assert(CdcStreamPipeline.servingLookup(spark, sinks.serving,
+      "testdb", "retail_trans", deleted).isEmpty)
+    assert(CdcStreamPipeline.servingLookup(spark, sinks.serving,
+      "testdb", "retail_trans", 999999999L).isEmpty)
+
+    // I/O: the lookup touches ONLY the key's bucket — the read-side
+    // payoff of the layout (O(state/p) per point query at any size)
+    val pk = snap.keys.head
+    val expectBucket = spark.range(1).select(BucketedState.bucketOf(
+        xxhash64(lit("testdb"), lit("retail_trans"), lit(pk)),
+        CdcStreamPipeline.ServingBuckets))
+      .collect().head.getInt(0)
+    val files = CdcStreamPipeline.servingLookup(spark, sinks.serving,
+        "testdb", "retail_trans", pk)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(files.nonEmpty &&
+      files.forall(_.contains(s"${BucketedState.BucketCol}=$expectBucket")),
+      s"lookup read outside its bucket (want bucket=$expectBucket): " +
+        files.mkString(", "))
+  }
+
   test("serving rebuild with a bootstrap seed: archive-only rebuild loses seed-only keys (the documented hazard); seedEnv restores full parity") {
     import graft.cdc.Bootstrap
     // a seed whose keys the CDC log NEVER touches — the rows only the
