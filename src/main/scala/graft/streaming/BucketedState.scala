@@ -605,6 +605,23 @@ object BucketedState {
     read(spark, dir, schema, manifest, None)
   }
 
+  /** Manifest-resolved, schema-GUARDED read of selected buckets — the
+    * point-lookup read path. `want` receives the RESOLVED fan-out and
+    * names the buckets to read, so a reader that derives its bucket
+    * from p (a key lookup) stays correct across re-buckets and through
+    * the grow window between a fan-out-raising deploy and the next
+    * trigger — no pin, because the answer doesn't depend on which p the
+    * writer WILL use, only on the layout that exists. The schema guard
+    * still applies: a wrong/foreign dir fails loudly, never "key
+    * absent". */
+  def readPruned(spark: SparkSession, dir: String, schema: StructType,
+                 what: String)(want: Int => Set[Int]): DataFrame = {
+    val (v, p, manifest) = latestManifest(spark, dir).getOrElse(
+      throw new IllegalStateException(s"no $what state under $dir"))
+    verifySchema(spark, dir, v, manifest, schema, what)
+    read(spark, dir, schema, manifest, Some(want(p)))
+  }
+
   /** Buckets materialized under one version directory — the spec hook for
     * the partition-count assertion (a batch that dirties k buckets must
     * write exactly k `bucket=` directories). */

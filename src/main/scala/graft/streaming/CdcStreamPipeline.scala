@@ -496,22 +496,19 @@ object CdcStreamPipeline {
   /** POINT LOOKUP against the serving state — the read-side payoff of
     * the bucketed layout (reference §3.3: the serving store answers
     * interactive key queries): resolve the manifest, hash the
-    * (schema, table, pk) key to its ONE bucket, and read only that
-    * bucket's files — I/O is O(state/p), not O(state), at any view
-    * size. Returns the live row (0 or 1 rows, `data.*`); a tombstoned
-    * key reads as absent. The fingerprint pre-filter prunes to the
-    * bucket and the exact composite predicate decides — a 64-bit
-    * collision can only co-locate keys, never confuse them. */
+    * (schema, table, pk) key to its ONE bucket under the RESOLVED
+    * fan-out, and read only that bucket's files — I/O is O(state/p),
+    * not O(state), at any view size. Returns the live row (0 or 1
+    * rows, `data.*`); a tombstoned key reads as absent; a wrong or
+    * schema-drifted dir fails loudly through the shared guard, never
+    * as "key absent". No fan-out pin: the lookup derives the bucket
+    * from the on-disk p, so it keeps answering through the grow window
+    * between a fan-out-raising deploy and the next trigger's
+    * re-bucket. The fingerprint pre-filter prunes to the bucket and
+    * the exact composite predicate decides — a 64-bit collision can
+    * only co-locate keys, never confuse them. */
   def servingLookup(spark: SparkSession, servingDir: String,
-      schemaName: String, tableName: String, pk: Long,
-      servingBuckets: Int = ServingBuckets): DataFrame = {
-    val (v, p, manifest) =
-      BucketedState.latestManifest(spark, servingDir).getOrElse(
-        throw new IllegalStateException(
-          s"no serving state under $servingDir"))
-    require(p == servingBuckets,
-      s"serving view at $servingDir laid out with p=$p, engine uses " +
-        s"$servingBuckets")
+      schemaName: String, tableName: String, pk: Long): DataFrame = {
     // driver-side eval of the SAME catalyst expressions the write path
     // uses — no Spark job to hash one literal key. Two hash layers, as
     // written: k = xxhash64(composite) (withServingKey), then the
@@ -520,9 +517,8 @@ object CdcStreamPipeline {
     def xx(lits: Any*): Long = // 42L = the functions.xxhash64 default seed
       XxHash64(lits.map(Literal(_)), 42L).eval(null).asInstanceOf[Long]
     val k = xx(schemaName, tableName, pk)
-    val bucket = ((xx(k) % p) + p) % p // pmod
-    BucketedState.read(spark, servingDir, servingSchema, manifest,
-      Some(Set(bucket.toInt)))
+    BucketedState.readPruned(spark, servingDir, servingSchema,
+        "serving view")(p => Set(((((xx(k) % p) + p) % p)).toInt)) // pmod
       .filter(col("k") === k &&
         col("metadata.`schema-name`") === schemaName &&
         col("metadata.`table-name`") === tableName &&

@@ -191,8 +191,10 @@ class StreamingSpec extends SparkTestBase {
     val files = CdcStreamPipeline.servingLookup(spark, sinks.serving,
         "testdb", "retail_trans", pk)
       .select(input_file_name()).distinct().collect().map(_.getString(0))
+    // trailing separator: contains("bucket=1") would also match
+    // bucket=10..15 and could green-light an out-of-bucket regression
     assert(files.nonEmpty &&
-      files.forall(_.contains(s"${BucketedState.BucketCol}=$expectBucket")),
+      files.forall(_.contains(s"${BucketedState.BucketCol}=$expectBucket/")),
       s"lookup read outside its bucket (want bucket=$expectBucket): " +
         files.mkString(", "))
   }
@@ -307,6 +309,13 @@ class StreamingSpec extends SparkTestBase {
       CdcStreamPipeline.sinkBatch(sinks, servingBuckets = 8)(batchB, 3L)
     }
     assert(shrink.getMessage.contains("GROW"))
+
+    // point lookups are PIN-FREE (bucket derived from the on-disk p):
+    // they answered at p=16 before the deploy, and answer at p=32 now —
+    // no interactive-read outage across the grow window
+    val anyPk = after.collect().head.getLong(0)
+    assert(CdcStreamPipeline.servingLookup(spark, sinks.serving,
+      "testdb", "retail_trans", anyPk).count() === 1)
   }
 
   test("multi-batch incremental merge equals one-shot materialization") {
