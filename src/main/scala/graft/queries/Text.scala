@@ -4,7 +4,7 @@ import graft.{GatedQuery, Tables}
 import graft.GatedQuery.{gated, ungated}
 import graft.Norm._
 import graft.functions.VectorOps
-import graft.text.{Bpe, Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}
+import graft.text.{Bpe, CopyIndex, Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -302,13 +302,9 @@ object Text {
         col("fp"))
       val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
         col("fp"))
-      a.join(b, Seq("fp"))
-        .filter(col("a_id") < col("b_id"))
-        .groupBy("a_id", "b_id")
-        .agg(countDistinct(col("fp")).as("shared"),
-          min(col("a_pos")).as("a_lo"), max(col("a_pos")).as("a_hi"),
-          min(col("b_pos")).as("b_lo"), max(col("b_pos")).as("b_hi"))
-        .filter(col("shared") >= 2)
+      CopyIndex.localize(
+          a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
+          "a", "b", minShared = 2)
         .orderBy("a_id", "b_id")
     },
 
@@ -319,8 +315,11 @@ object Text {
     //      fresh and probes the index FROM DISK — "which incoming
     //      documents copy corpus passages, and WHERE", the steady-state
     //      per-batch question. Fingerprints are per-document, so the
-    //      index appends at |batch| cost; the probe is one fp-keyed
-    //      join; localization spans ride the join's own shuffle. The
+    //      index appends at |batch| cost; the index is PARTITIONED BY
+    //      pmod(fp, 64) and the probe prunes to the batch's fingerprint
+    //      buckets before reading a row (CopyIndex — the Phrase
+    //      postings layout), then one fp-keyed join; localization spans
+    //      ride the join's own shuffle. The
     //      oracle recomputes both sides from scratch — the disk round
     //      trip must lose neither selections nor positions. All 19
     //      planted pairs land cross-split by construction (source
@@ -361,23 +360,27 @@ object Text {
         |       CAST(MIN(new_pos) AS BIGINT) AS new_lo, CAST(MAX(new_pos) AS BIGINT) AS new_hi
         |FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 2
         |ORDER BY idx_id, new_id""") { (s, d) =>
-      val sel = plantedCopySelections(s, d)
+      // four consumers now (two index writes, the probe's bucket-set
+      // resolution, the probe join) — past the measured break-even, so
+      // pin the selection relation (round 12 measured 3 consumers
+      // cheaper RECOMPUTED; the bucketed probe added a fourth and
+      // flipped it: 2.34 s recomputed vs 2.10 s pinned, min-of-3 at
+      // sf0.1 with p = 16)
+      val sel = plantedCopySelections(s, d).localCheckpoint()
       val dir = graft.GatedQuery.indexScratch(d, "copy_index_q225")
-      // corpus index: one-time build, then the append-only ingest layout
-      sel.filter(col("id") % 4 === 0)
-        .write.mode("overwrite").parquet(dir)
-      sel.filter(col("id") % 2 === 0 && col("id") % 4 =!= 0)
-        .write.mode("append").parquet(dir)
-      val probe = sel.filter(col("id") % 2 =!= 0)
-        .select(col("id").as("new_id"), col("pos").as("new_pos"), col("fp"))
-      s.read.parquet(dir)
-        .select(col("id").as("idx_id"), col("pos").as("idx_pos"), col("fp"))
-        .join(probe, Seq("fp"))
-        .groupBy("idx_id", "new_id")
-        .agg(countDistinct(col("fp")).as("shared"),
-          min(col("idx_pos")).as("idx_lo"), max(col("idx_pos")).as("idx_hi"),
-          min(col("new_pos")).as("new_lo"), max(col("new_pos")).as("new_hi"))
-        .filter(col("shared") >= 2)
+      // corpus index: one-time build, then the append-only ingest
+      // layout — both through CopyIndex, so the on-disk relation is
+      // PARTITIONED BY pmod(fp, 64) and the probe below prunes to the
+      // batch's fingerprint buckets before reading a row (round-12
+      // verdict item 1: the flat layout read O(index) per batch)
+      // fan-out sized for THIS corpus (a deployment sizes p once by
+      // |selections| / target-bucket-bytes — BucketedState discipline);
+      // 64 dirs over a 200-doc gate is pure commit overhead
+      val p = 16
+      CopyIndex.writeIndex(sel.filter(col("id") % 4 === 0), dir, p)
+      CopyIndex.appendToIndex(
+        sel.filter(col("id") % 2 === 0 && col("id") % 4 =!= 0), dir, p)
+      CopyIndex.probe(s, dir, sel.filter(col("id") % 2 =!= 0), p)
         .orderBy("idx_id", "new_id")
     },
 

@@ -1,0 +1,144 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted winnowing-fingerprint index for cross-document COPY
+  * DETECTION (Schleimer/Wilkerson/Aiken, SIGMOD'03) — the steady-state
+  * layout behind q225's ingest gate and the streaming contamination
+  * tenant. A row is one position-carrying winnow selection
+  * `(id, pos, fp)` ([[TextOps.winnowRelPos]]); the relation is written
+  * PARTITIONED BY an fp bucket so a probe prunes to the incoming
+  * batch's fingerprint buckets BEFORE any row is read — the same
+  * directory-pruning posture as [[Phrase]] postings, [[NearDup]] bands
+  * and `Ivf` cells. Engine-side re-expression of the reference's
+  * content-indexed serving store (documents land in an OpenSearch index
+  * and are queried by content, cdk_stacks/opensearch.py).
+  *
+  * Plan shape at 100 TB:
+  *   - BUILD/APPEND cost is |docs| selections (density 2/(w+1) of
+  *     grams — a sub-linear sample); fingerprints are per-document, so
+  *     appends never rewrite old files;
+  *   - PROBE resolves the batch's bucket set first (an O(batch)
+  *     aggregation returning ≤ nBuckets ints — parameter-sized, the Ivf
+  *     probe-resolution rule), reads ONLY those `bucket=` directories,
+  *     and joins on fp — inverted index, never all-pairs; localization
+  *     spans (min/max shared window positions per side) ride the
+  *     join's own (idx_id, new_id) shuffle, no second pass;
+  *   - RETENTION is append-only: rows are immutable per-document facts.
+  *     Re-ingesting a document appends duplicate selections — harmless
+  *     to probe answers (shared = COUNT(DISTINCT fp); spans are
+  *     min/max) but dead weight on disk; [[compactIndex]] rewrites a
+  *     bucket-preserving deduplicated copy, and a full rebuild is just
+  *     [[writeIndex]] over the current corpus (the index carries no
+  *     cross-document state to lose). Document DELETION (right-to-be-
+  *     forgotten) is an anti-join rewrite of the victim's buckets only
+  *     — fingerprints hash-spread, so that is still an O(index) rewrite
+  *     in the worst case; at 100 TB delete-heavy deployments should
+  *     ride the index on a versioned layout instead.
+  */
+object CopyIndex {
+
+  /** Default fan-out. Sized so a single bucket of a 100 TB corpus's
+    * selection sample stays well under one task's comfortable read; a
+    * deployment sizes once by |selections| / target-bucket-bytes and
+    * must keep it constant for the life of a directory (the
+    * [[graft.streaming.BucketedState]] pin discipline — the bucket
+    * function is baked into the on-disk layout). */
+  val DefaultBuckets = 64
+
+  /** Partition bucket of a fingerprint. One copy of the bucket math —
+    * writers and probers both resolve through here, so a fan-out or
+    * hash change lands in every prober or none (the
+    * [[Phrase.prunedPostings]] rule). */
+  def bucketOf(fp: Column, nBuckets: Int): Column =
+    pmod(fp, lit(nBuckets.toLong)).cast("int")
+
+  /** One-time build: persist a selection relation `(id, pos, fp)`
+    * PARTITIONED BY fp bucket. OVERWRITES the path; ingest uses
+    * [[appendToIndex]]. Also the REBUILD recipe: selections are pure
+    * per-document functions of the text, so a lost or bloated index is
+    * reproduced bit-for-bit from the corpus. */
+  def writeIndex(selections: DataFrame, path: String,
+                 nBuckets: Int = DefaultBuckets): Unit =
+    withBucket(selections, nBuckets)
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+  /** Ingest path: append a NEW batch's selections inside the same
+    * bucket layout — steady-state cost is |batch| selections; old
+    * files never rewrite. */
+  def appendToIndex(selections: DataFrame, path: String,
+                    nBuckets: Int = DefaultBuckets): Unit =
+    withBucket(selections, nBuckets)
+      .write.partitionBy("bucket").mode("append").parquet(path)
+
+  /** Bucket column + co-location: repartition BY the bucket before the
+    * partitionBy write, or every task writes into every bucket
+    * directory — tasks × buckets small files per append (the
+    * BucketedState serving-merge lesson; measured 2× on q225's gate). */
+  private def withBucket(selections: DataFrame, nBuckets: Int): DataFrame =
+    selections.withColumn("bucket", bucketOf(col("fp"), nBuckets))
+      .repartition(col("bucket"))
+
+  /** The batch's bucket set — ≤ nBuckets ints collected from an
+    * O(batch) aggregation (parameter-sized by construction; the bounded
+    * collect the Ivf probe rule allows). Callers that already hold the
+    * batch's selections materialized pay one cheap scan of them. */
+  def bucketsOf(batchSelections: DataFrame, nBuckets: Int = DefaultBuckets)
+      : Seq[Int] =
+    batchSelections.select(bucketOf(col("fp"), nBuckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSeq.sorted
+
+  /** Pruned read of a persisted index: a literal `bucket IN (...)` over
+    * the partition column — directory pruning; nothing outside the
+    * named buckets is read. */
+  def prunedIndex(spark: SparkSession, path: String, buckets: Seq[Int])
+      : DataFrame =
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(buckets.distinct: _*))
+
+  /** PROBE: localized copy matches of a new batch against the persisted
+    * corpus index — `(idx_id, new_id, shared, idx_lo, idx_hi, new_lo,
+    * new_hi)` for pairs sharing ≥ `minShared` distinct fingerprints.
+    * Reads only the batch's fingerprint buckets; the winnowing
+    * guarantee (a shared run ≥ w+g−1 tokens yields ≥ 1 shared
+    * selection) makes `minShared = 2` robust to single-fp noise while
+    * catching every planted 12-token run (EdgeCaseSpec). */
+  def probe(spark: SparkSession, path: String, batchSelections: DataFrame,
+            nBuckets: Int = DefaultBuckets, minShared: Int = 2): DataFrame = {
+    val idx = prunedIndex(spark, path, bucketsOf(batchSelections, nBuckets))
+      .select(col("id").as("idx_id"), col("pos").as("idx_pos"), col("fp"))
+    val nb = batchSelections.select(col("id").as("new_id"),
+      col("pos").as("new_pos"), col("fp"))
+    localize(idx.join(nb, Seq("fp")), "idx", "new", minShared)
+  }
+
+  /** Shared localization aggregation over a joined selection-pair
+    * relation carrying (`<a>_id`, `<a>_pos`, `<b>_id`, `<b>_pos`, fp) —
+    * the one copy of the span math for the one-shot gate, the ingest
+    * probe and the streaming tenant. */
+  private[graft] def localize(pairs: DataFrame, a: String, b: String,
+                              minShared: Int): DataFrame =
+    pairs.groupBy(s"${a}_id", s"${b}_id")
+      .agg(countDistinct(col("fp")).as("shared"),
+        min(col(s"${a}_pos")).as(s"${a}_lo"),
+        max(col(s"${a}_pos")).as(s"${a}_hi"),
+        min(col(s"${b}_pos")).as(s"${b}_lo"),
+        max(col(s"${b}_pos")).as(s"${b}_hi"))
+      .filter(col("shared") >= minShared)
+
+  /** Compaction for a re-ingestion-heavy index: rewrite with exact
+    * duplicate `(id, pos, fp)` rows collapsed, same bucket layout.
+    * Probe answers are invariant (COUNT(DISTINCT fp) + min/max spans
+    * ignore duplicates) — this reclaims disk, it never changes results.
+    * O(index) rewrite; schedule it like any table maintenance, not per
+    * batch. */
+  def compactIndex(spark: SparkSession, path: String,
+                   nBuckets: Int = DefaultBuckets): Unit = {
+    val deduped = spark.read.parquet(path)
+      .select("id", "pos", "fp")
+      .dropDuplicates("id", "pos", "fp")
+      .localCheckpoint() // sever lineage from the files about to be replaced
+    writeIndex(deduped, path, nBuckets)
+  }
+}

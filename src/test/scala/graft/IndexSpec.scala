@@ -362,4 +362,76 @@ class IndexSpec extends SparkTestBase {
     assert(kmvInline.nonEmpty && kmvDisk === kmvInline,
       s"disk-merged KMV diverged: $kmvDisk vs $kmvInline")
   }
+
+  test("persisted copy index: bucket-pruned probe == flat recompute; probe partition-prunes to the batch's fingerprint buckets only; compaction collapses re-ingested duplicates without changing answers") {
+    import graft.text.CopyIndex
+    val dir = tmp("copy_index")
+    // corpus = originals (< 100) + near-verbatim dups (≥ 100000): every
+    // dup shares its full text run with its original, so probes are
+    // provably non-empty. One materialization — consumed 5× below.
+    val sel = TextOps.winnowRelPos(corpus,
+      "doc_id", transform(TextOps.trigramsAll(col("w")),
+        g => TextOps.fingerprint(g)), w = 4)
+      .localCheckpoint()
+    val idxSel = sel.filter(col("id") < 100000)
+    // a SMALL batch (2 docs) — its fingerprints cannot cover all 64
+    // buckets, so the containment check below proves real pruning
+    val batchSel = sel.filter(col("id").isin(100000L, 100001L))
+    CopyIndex.writeIndex(idxSel, dir)
+
+    def key(r: org.apache.spark.sql.Row): (Long, Long) =
+      (r.getLong(r.fieldIndex("idx_id")), r.getLong(r.fieldIndex("new_id")))
+    val inline = CopyIndex.localize(
+        idxSel.select(col("id").as("idx_id"), col("pos").as("idx_pos"),
+            col("fp"))
+          .join(batchSel.select(col("id").as("new_id"),
+            col("pos").as("new_pos"), col("fp")), Seq("fp")),
+        "idx", "new", minShared = 2)
+      .collect().map(r => key(r) -> r).toMap
+    val probed = CopyIndex.probe(spark, dir, batchSel)
+    val got = probed.collect().map(r => key(r) -> r).toMap
+    assert(inline.nonEmpty, "planted dups must match — vacuous otherwise")
+    assert(got === inline, "disk probe diverged from the flat recompute")
+    // each dup must localize against ITS original over (nearly) the
+    // whole shared run — the SIGMOD'03 payoff, not just "docs match"
+    assert(got.contains((0L, 100000L)) && got.contains((1L, 100001L)))
+
+    // the fp bucket predicate must be a PARTITION filter (directory
+    // pruning before any row is read) …
+    val plan = probed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*bucket".r.findFirstIn(plan).isDefined,
+      s"bucket IN (...) did not become a partition filter:\n$plan")
+    // … and the probe's index read touches ONLY files under the batch's
+    // bucket directories (trailing separator: "bucket=1" would also
+    // match bucket=10..15)
+    val want = CopyIndex.bucketsOf(batchSel).toSet
+    assert(want.nonEmpty && want.size < CopyIndex.DefaultBuckets,
+      s"batch covers all ${CopyIndex.DefaultBuckets} buckets — containment check vacuous")
+    // runtime input_file_name(), not .inputFiles — the latter lists the
+    // whole table before partition pruning and would fail spuriously
+    val touched = CopyIndex.prunedIndex(spark, dir, want.toSeq)
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty &&
+      touched.forall(f => want.exists(b => f.contains(s"bucket=$b/"))),
+      s"probe read outside the batch's buckets $want: ${touched.mkString(", ")}")
+
+    // RE-INGESTION: append the same batch twice (duplicate rows), probe
+    // answers must not move (COUNT(DISTINCT fp) + min/max spans are
+    // duplicate-blind) …
+    CopyIndex.appendToIndex(batchSel, dir)
+    CopyIndex.appendToIndex(batchSel, dir)
+    val withSelf = CopyIndex.probe(spark, dir, batchSel)
+      .collect().map(r => key(r) -> r).toMap
+    val before = spark.read.parquet(dir).count()
+    // … then compaction reclaims the duplicate rows, same layout, same
+    // probe answer
+    CopyIndex.compactIndex(spark, dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() < before, "compaction reclaimed nothing")
+    assert(after.count() ===
+      after.select("id", "pos", "fp").distinct().count())
+    val recheck = CopyIndex.probe(spark, dir, batchSel)
+      .collect().map(r => key(r) -> r).toMap
+    assert(recheck === withSelf, "compaction changed probe answers")
+  }
 }
