@@ -2246,7 +2246,12 @@ object Text {
     * has ≥ 12 tokens) — `(id, pos, fp)` per window start. One copy of
     * the plant + selection pipeline so the one-shot and ingest gates
     * cannot drift. */
-  private def plantedCopySelections(s: SparkSession, d: String)
+  /** The PLANTED-copy corpus `(doc_id, t)` shared by q224/q225 and the
+    * streaming tenant's parity spec: doc_id < 200, and every
+    * doc_id % 10 == 7 document appends the first 12 tokens of
+    * doc_id − 7's text when that source has ≥ 12 tokens. One copy of
+    * the plant so the gates and the spec cannot drift. */
+  private[graft] def plantedCopyDocs(s: SparkSession, d: String)
       : DataFrame = {
     val base = Tables.documents(s, d).filter(col("doc_id") < 200)
       .select(col("doc_id"), col("text"))
@@ -2256,24 +2261,21 @@ object Text {
       .filter(size(col("stoks")) >= 12)
       .select(col("doc_id"),
         concat_ws(" ", slice(col("stoks"), 1, 12)).as("passage"))
-    val d2 = base.join(src, Seq("doc_id"), "left")
+    base.join(src, Seq("doc_id"), "left")
       .select(col("doc_id"),
         concat(lower(col("text")),
           when(col("passage").isNotNull,
             concat(lit(" "), col("passage"))).otherwise(lit(""))).as("t"))
-    val t = d2.select(col("doc_id"), TextOps.tokens(col("t")).as("w"))
-      .filter(size(col("w")) >= 3)
-    TextOps.winnowRelPos(t, "doc_id",
-      transform(TextOps.trigramsAll(col("w")),
-        g => TextOps.fingerprint(g)), w = 4)
-    // DELIBERATELY not localCheckpoint'd although q225 consumes this
-    // three times (two index writes + the probe) and q224 twice: the
-    // gate bounds the corpus to 200 docs, and MEASURED at sf0.1 the
-    // eager materialization costs more than the recomputes it saves
-    // (q225 1.78 s → 2.24 s min-of-3 with a checkpoint here). At a real
+  }
+
+  private def plantedCopySelections(s: SparkSession, d: String)
+      : DataFrame =
+    CopyIndex.selections(plantedCopyDocs(s, d), "doc_id", "t", w = 4)
+    // q224 DELIBERATELY consumes this recomputed (two consumers under a
+    // 200-doc gate — cheaper than an eager materialization); q225 pins
+    // it (four consumers, measured at the gated entry). At a real
     // corpus size the q221 repeated-scan rule applies and the caller
     // should pin the selection relation before fanning out.
-  }
 
   private def bpeChain(n: Int): String = {
     val head =

@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.text.CopyIndex
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Streaming cross-document COPY DETECTION — live contamination alerts
+  * for the ingest pipeline (q224/q225's semantics as a foreachBatch
+  * tenant; reference: documents land in a content-indexed serving store
+  * precisely so fresh arrivals are checkable against the corpus,
+  * cdk_stacks/opensearch.py + the README's content-query walkthrough).
+  * Per micro-batch of `(id, text)` documents:
+  *   1. winnow the batch into position-carrying selections
+  *      ([[CopyIndex.selections]] — the same fingerprint pipeline the
+  *      persisted index holds, so the two sides cannot drift);
+  *   2. probe the bucket-partitioned index for localized matches
+  *      against every EARLIER batch — the read prunes to the batch's
+  *      fingerprint buckets, so per-trigger I/O is O(batch + touched
+  *      buckets), never O(index);
+  *   3. self-join the batch for same-trigger pairs (copies that arrive
+  *      together must not slip through);
+  *   4. emit canonicalized alerts (a_id < b_id, each side's matched-run
+  *      span) under the batch's own alert directory;
+  *   5. append the batch's selections to the index under the batch's
+  *      own directory.
+  *
+  * Exactly-once: both writes are batch-scoped `batch_id=` dirs in
+  * overwrite mode (the DocIngest index discipline) — a retried batch
+  * overwrites its own contribution, and the probe reads only COMMITTED
+  * dirs with `batch_id < this batch`, so a retry probes the identical
+  * pre-batch index and recomputes identical alerts.
+  *
+  * Completeness: the alert UNION over ANY partition of a corpus into
+  * ordered batches equals the one-shot q224 answer — a pair lands in
+  * the later document's trigger (cross-probe) or in their shared
+  * trigger (self-join), exactly once either way. StreamingSpec replays
+  * the planted-copy corpus across triggers and pins parity. */
+object CopyDetectMaintenance {
+
+  /** Fold one micro-batch of documents — call from foreachBatch.
+    * `w`/`nBuckets`/`minShared` must be constant for the life of an
+    * index directory (the fingerprint function and bucket layout are
+    * baked into the files). */
+  def update(indexDir: String, alertDir: String, docs: DataFrame,
+             batchId: Long, idCol: String = "doc_id",
+             textCol: String = "text", w: Int = 4,
+             nBuckets: Int = CopyIndex.DefaultBuckets,
+             minShared: Int = 2): Unit = {
+    val spark = docs.sparkSession
+    // four consumers below (bucket resolution, probe join, self-join,
+    // index append) — pin once; the relation is batch-sized
+    val sel = CopyIndex.selections(docs, idCol, textCol, w).localCheckpoint()
+
+    val cross = priorIndex(spark, indexDir, batchId, sel, nBuckets) match {
+      case None => emptyAlerts(spark)
+      case Some(idx) =>
+        val raw = CopyIndex.localize(
+          idx.select(col("id").as("idx_id"), col("pos").as("idx_pos"),
+              col("fp"))
+            .join(sel.select(col("id").as("new_id"),
+              col("pos").as("new_pos"), col("fp")), Seq("fp")),
+          "idx", "new", minShared)
+        // canonical orientation (a_id < b_id): arrival order is the
+        // source's business; alerts must align with the one-shot answer
+        // whichever side was indexed first
+        val older = col("idx_id") < col("new_id")
+        raw.select(
+          least(col("idx_id"), col("new_id")).as("a_id"),
+          greatest(col("idx_id"), col("new_id")).as("b_id"),
+          col("shared"),
+          when(older, col("idx_lo")).otherwise(col("new_lo")).as("a_lo"),
+          when(older, col("idx_hi")).otherwise(col("new_hi")).as("a_hi"),
+          when(older, col("new_lo")).otherwise(col("idx_lo")).as("b_lo"),
+          when(older, col("new_hi")).otherwise(col("idx_hi")).as("b_hi"))
+    }
+    val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+      col("fp"))
+    val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+      col("fp"))
+    val within = CopyIndex.localize(
+      a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
+      "a", "b", minShared)
+
+    cross.unionByName(within)
+      .write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
+    CopyIndex.writeIndex(sel, s"$indexDir/batch_id=$batchId", nBuckets)
+  }
+
+  /** Every alert emitted so far, with its `batch_id` provenance —
+    * committed batch directories only. */
+  def alerts(spark: SparkSession, alertDir: String): DataFrame = {
+    require(hasCommitted(spark, alertDir),
+      s"no committed copy-detect alerts under $alertDir")
+    spark.read.parquet(alertDir)
+  }
+
+  /** Bucket-pruned selections of every committed batch BEFORE
+    * `batchId` — None when this is the first batch (or every earlier
+    * dir is uncommitted debris, which holds no readable rows anyway).
+    * The `batch_id < batchId` partition filter is what makes a RETRY
+    * probe identical to the original run: the retrying batch's own
+    * committed dir is invisible to it. */
+  private def priorIndex(spark: SparkSession, indexDir: String,
+                         batchId: Long, sel: DataFrame, nBuckets: Int)
+      : Option[DataFrame] =
+    if (!hasCommitted(spark, indexDir)) None
+    else Some(spark.read.parquet(indexDir)
+      .filter(col("batch_id") < batchId)
+      .filter(col("bucket").isin(CopyIndex.bucketsOf(sel, nBuckets): _*))
+      .select("id", "pos", "fp"))
+
+  /** Any committed (`_SUCCESS`-marked) `batch_id=` dir under `dir`?
+    * The DocIngest index rule: a crash mid-write must neither
+    * crash-loop retries nor count as prior state. */
+  private def hasCommitted(spark: SparkSession, dir: String): Boolean = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(root) && fs.listStatus(root).exists(s => s.isDirectory &&
+      s.getPath.getName.startsWith("batch_id=") &&
+      fs.exists(new Path(s.getPath, "_SUCCESS")))
+  }
+
+  private def emptyAlerts(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq("a_id", "b_id", "shared").map(StructField(_, LongType)) ++
+        Seq("a_lo", "a_hi", "b_lo", "b_hi").map(StructField(_, LongType))))
+  }
+}

@@ -54,6 +54,22 @@ object CopyIndex {
   def bucketOf(fp: Column, nBuckets: Int): Column =
     pmod(fp, lit(nBuckets.toLong)).cast("int")
 
+  /** Position-carrying winnow selections `(id, pos, fp)` from raw text —
+    * the ONE copy of the text → selections pipeline (whitespace
+    * tokenize, word trigrams, 31-ary rolling-hash fingerprints, winnow
+    * at window `w`): the batch gates, the ingest twin and the streaming
+    * tenant all derive selections here, so index rows and probe rows
+    * can never disagree on the fingerprint function. Documents with
+    * fewer than 3 tokens have no trigram and produce no rows. */
+  def selections(docs: DataFrame, idCol: String, textCol: String,
+                 w: Int = 4): DataFrame = {
+    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("w"))
+      .filter(size(col("w")) >= 3)
+    TextOps.winnowRelPos(toks, idCol,
+      transform(TextOps.trigramsAll(col("w")), g => TextOps.fingerprint(g)),
+      w)
+  }
+
   /** One-time build: persist a selection relation `(id, pos, fp)`
     * PARTITIONED BY fp bucket. OVERWRITES the path; ingest uses
     * [[appendToIndex]]. Also the REBUILD recipe: selections are pure

@@ -1678,4 +1678,69 @@ class StreamingSpec extends SparkTestBase {
     assert(err.getMessage.contains("not empty"),
       s"fresh-dir migration must refuse debris: ${err.getMessage}")
   }
+
+  test("streaming copy detection: alert union across triggers equals the one-shot q224 answer; retried batch rewrites identical alerts; probe prunes to the batch's buckets") {
+    import graft.streaming.CopyDetectMaintenance
+    import org.apache.spark.sql.DataFrame
+
+    // the SAME planted corpus the q224/q225 gates use (one copy of the
+    // plant), split into 4 doc_id-ordered files → 4 triggers. Parity
+    // must hold for ANY split: a pair alerts in the later doc's trigger
+    // (cross-probe) or their shared trigger (self-join), exactly once.
+    val docs = graft.queries.Text.plantedCopyDocs(spark, sf)
+      .localCheckpoint()
+    assert(docs.count() > 0)
+    val src = tmpDir("copydetect_src")
+    (0 until 4).foreach { i =>
+      docs.filter(col("doc_id") % 4 === i)
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    val idx = tmpDir("copydetect_state") + "/index"
+    val alertDir = tmpDir("copydetect_state") + "/alerts"
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        CopyDetectMaintenance.update(idx, alertDir, b, id,
+          idCol = "doc_id", textCol = "t")
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("copydetect_ckpt")).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+
+    def rows(df: DataFrame): Set[String] =
+      df.select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
+        .collect().map(_.toString).toSet
+    val got = rows(CopyDetectMaintenance.alerts(spark, alertDir))
+    val oneShot = rows(
+      SparkEntry.queries("q224_copy_detection")(spark, sf))
+    assert(oneShot.nonEmpty, "planted corpus produced no pairs — vacuous")
+    assert(got === oneShot,
+      s"streaming alerts diverged from the one-shot answer: " +
+        s"missing=${oneShot -- got} extra=${got -- oneShot}")
+
+    // RETRY: re-run the LAST batch (its commit already landed) — the
+    // probe must see only batch_id < 3, so the rewritten alert dir and
+    // therefore the union are byte-identical
+    val lastBatch = docs.filter(col("doc_id") % 4 === 3)
+    CopyDetectMaintenance.update(idx, alertDir, lastBatch, 3L,
+      idCol = "doc_id", textCol = "t")
+    assert(rows(CopyDetectMaintenance.alerts(spark, alertDir)) === got,
+      "retried batch changed the alert union")
+
+    // the steady-state probe reads ONLY the incoming batch's fingerprint
+    // buckets of earlier batches — never the whole index
+    import graft.text.CopyIndex
+    val oneDoc = CopyIndex.selections(
+      docs.filter(col("doc_id") === 1), "doc_id", "t")
+    val want = CopyIndex.bucketsOf(oneDoc).toSet
+    assert(want.nonEmpty && want.size < CopyIndex.DefaultBuckets)
+    val touched = spark.read.parquet(idx)
+      .filter(col("batch_id") < 1 &&
+        col("bucket").isin(want.toSeq: _*))
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(touched.nonEmpty &&
+      touched.forall(f => f.contains("batch_id=0/") &&
+        want.exists(b => f.contains(s"bucket=$b/"))),
+      s"probe read outside batch 0's buckets $want: ${touched.mkString(", ")}")
+  }
 }
