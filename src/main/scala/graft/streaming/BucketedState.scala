@@ -66,6 +66,12 @@ object BucketedState {
     (p, entries)
   }
 
+  /** Spec hook: count of manifest resolutions ([[latestManifest]]
+    * calls) — a BATCHED point lookup must resolve exactly once for its
+    * whole key set (the PrunedFold counting discipline, read-side). */
+  private[graft] val manifestResolutions =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Newest committed manifest: (version, p, bucket → owning version).
     * None ONLY when no state exists yet; a dir holding `v=` versions
     * none of which carry a manifest is a FOREIGN layout (e.g. a flat
@@ -74,6 +80,7 @@ object BucketedState {
     * still honored its version numbers as a retry fence. */
   def latestManifest(spark: SparkSession, dir: String)
       : Option[(Long, Int, Map[Int, Long])] = {
+    manifestResolutions.incrementAndGet()
     val fs = fsOf(spark, dir)
     val root = new Path(dir)
     if (!fs.exists(root)) return None

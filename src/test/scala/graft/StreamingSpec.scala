@@ -591,6 +591,72 @@ class StreamingSpec extends SparkTestBase {
       .filter(col("count") > 1).count() === 0)
   }
 
+  test("batched multi-table point lookup: 10 keys across two tables resolve ONE manifest, read only the union of the keys' buckets, and match the serving view") {
+    import graft.streaming.BucketedState
+    val rules = Seq(Envelope.SelectionRule("testdb", "retail_trans%"),
+      Envelope.SelectionRule("%", "%backup", action = "exclude"))
+    val src = tmpDir("cdc_batchlookup_src")
+    Files.copy(Paths.get(Tables.cdcFixturePath), Paths.get(s"$src/a.jsonl"))
+    Files.copy(Paths.get(Tables.cdcShardFixturePath),
+      Paths.get(s"$src/b.jsonl"))
+    val root = tmpDir("cdc_batchlookup")
+    val sinks = Sinks(s"$root/serving", s"$root/archive", s"$root/error",
+      s"$root/checkpoint")
+    val (main, dlq) = CdcStreamPipeline.start(
+      spark.readStream.text(src), sinks, Trigger.AvailableNow(),
+      rules = rules)
+    assert(main.awaitTermination(120000), "stream did not finish in 120s")
+    assert(dlq.awaitTermination(120000), "stream did not finish in 120s")
+
+    val snap = CdcStreamPipeline.servingTables(spark, sinks.serving)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getLong(r.fieldIndex("trans_id"))) -> r).toMap
+    val mainKeys = snap.keys.filter(_._2 == "retail_trans").take(5).toSeq
+    val euKeys = snap.keys.filter(_._2 == "retail_trans_eu").take(5).toSeq
+    assert(mainKeys.size === 5 && euKeys.size === 5)
+    // 10 live keys spanning both tables + one never-seen key
+    val keys = mainKeys ++ euKeys :+ (("testdb", "retail_trans", 999999999L))
+
+    val before = BucketedState.manifestResolutions.get()
+    val looked = CdcStreamPipeline.servingLookupBatch(
+      spark, sinks.serving, keys)
+    val rows = looked.collect()
+    // the whole key batch resolved the manifest ONCE — not per key
+    assert(BucketedState.manifestResolutions.get() - before === 1,
+      "batched lookup resolved the manifest more than once")
+
+    // every live key returns exactly its serving row, with its table
+    // identity; the absent key is absent (11 asked, 10 live)
+    assert(rows.length === 10, s"expected 10 live rows, got ${rows.length}")
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getString(1), r.getLong(2))
+      assert(snap.contains(key), s"lookup invented a row for $key")
+      // identity columns (sch, tbl, pk) prefix the data payload; the
+      // snapshot row is (sch, tbl, data.*)
+      assert(r.toSeq.drop(3) === snap(key).toSeq.drop(2),
+        s"row mismatch for $key")
+    }
+
+    // I/O containment: the read touches ONLY the union of the keys'
+    // buckets (trailing separator — "bucket=1" must not match 10..15)
+    val expectBuckets = keys.map { case (s0, t0, p0) =>
+      spark.range(1).select(BucketedState.bucketOf(
+          xxhash64(lit(s0), lit(t0), lit(p0)),
+          CdcStreamPipeline.ServingBuckets))
+        .collect().head.getInt(0)
+    }.toSet
+    assert(expectBuckets.size < CdcStreamPipeline.ServingBuckets,
+      "keys cover every bucket — containment check vacuous")
+    val files = looked.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty && files.forall(f =>
+      expectBuckets.exists(b =>
+        f.contains(s"${BucketedState.BucketCol}=$b/"))),
+      s"lookup read outside its buckets $expectBuckets: " +
+        files.mkString(", "))
+  }
+
   test("bootstrap of an EMPTY snapshot yields a readable serving state and the stream proceeds (S1 edge)") {
     // a table empty at the full-load cut is a legal full-load-and-cdc
     // start; the v=-1 seed must still be schema-bearing parquet or the
