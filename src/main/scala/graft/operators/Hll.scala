@@ -47,6 +47,27 @@ object Hll {
       .withColumn("lgk", lit(lgK))
   }
 
+  /** Shelf build for ALL shards in ONE corpus scan: `(grp, sketch, lgk,
+    * shard)` grouped by (group, shard) — the caller writes
+    * `partitionBy("shard")` to land the per-shard directory layout
+    * without re-scanning the corpus once per shard (N shards × K sketch
+    * types cost K scans, not N·K; at 100 TB the scan IS the cost). Each
+    * shard's rows are exactly what [[build]] over that shard alone
+    * produces — IndexSpec pins disk-merged == inline-merged. */
+  def buildSharded(df: DataFrame, groupCol: String, keyCol: String,
+                   shardCol: org.apache.spark.sql.Column,
+                   lgK: Int = 12): DataFrame = {
+    require(lgK >= 4 && lgK <= 21,
+      s"lgK must be in [4, 21] (DataSketches HLL bounds), got $lgK")
+    df.select(col(groupCol).as("grp"), col(keyCol).as("key"),
+        shardCol.as("shard"))
+      .where(col("key").isNotNull)
+      .groupBy("grp", "shard")
+      .agg(hll_sketch_agg(col("key"), lit(lgK)).as("sketch"))
+      .withColumn("lgk", lit(lgK))
+      .select("grp", "sketch", "lgk", "shard")
+  }
+
   /** Fold sketches built with the SAME lgK into one — register-wise
     * union per group (HLL union is a semilattice). Mismatched lgK fails
     * loudly at the driver; an all-empty union (every shard had zero

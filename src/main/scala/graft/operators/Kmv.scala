@@ -49,12 +49,15 @@ object Kmv {
   private[operators] def frac(h: Column): Column =
     conv(substring(h, 1, 13), 16, 10).cast("long") / lit(4503599627370496.0)
 
-  private def bottomK(withH: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("grp").orderBy(col("h"), col("key"))
+  private def bottomK(withH: DataFrame, k: Int,
+                      parts: Seq[String] = Seq("grp")): DataFrame = {
+    val w = Window.partitionBy(parts.map(col): _*)
+      .orderBy(col("h"), col("key"))
     withH.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .withColumn("k", lit(k))
-      .select("grp", "key", "h", "rn", "k")
+      .select((Seq("grp", "key", "h", "rn", "k") ++
+        parts.filterNot(_ == "grp")).map(col): _*)
   }
 
   /** Build the sketch `(grp, key, h, rn, k)` — the k distinct keys with
@@ -67,6 +70,24 @@ object Kmv {
       .where(col("key").isNotNull)
       .distinct()
     bottomK(pairs.withColumn("h", hashOf(col("key"))), k)
+  }
+
+  /** Shelf build for ALL shards in ONE distinct pass: `(grp, key, h,
+    * rn, k, shard)` ranked per (group, shard) — the caller writes
+    * `partitionBy("shard")` for the per-shard directory layout without
+    * one scan per shard (the [[Hll.buildSharded]] rationale). Each
+    * shard's rows are exactly what [[build]] over that shard alone
+    * yields: the hash is a pure key function, so per-shard bottom-k
+    * needs no cross-shard coordination. */
+  def buildSharded(df: DataFrame, groupCol: String, keyCol: String,
+                   shardCol: Column, k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (the estimator reads the k-th minimum), got $k")
+    val pairs = df.select(col(groupCol).as("grp"), col(keyCol).as("key"),
+        shardCol.as("shard"))
+      .where(col("key").isNotNull)
+      .distinct()
+    bottomK(pairs.withColumn("h", hashOf(col("key"))), k,
+      parts = Seq("grp", "shard"))
   }
 
   /** Fold sketches built with the SAME k into one — re-rank the deduped

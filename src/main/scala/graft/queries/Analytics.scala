@@ -887,16 +887,22 @@ object Analytics {
       val docs = Tables.documents(s, d)
       val root = graft.GatedQuery.indexScratch(d, "sketch_shelf_q117")
       val shard = pmod(abs(hash(col("doc_id"))), lit(3))
-      (0 until 3).foreach { i =>
-        Hll.build(docs.filter(shard === i), "lang", "doc_id")
-          .write.mode("overwrite").parquet(s"$root/hll/shard$i")
-        Kmv.build(docs.filter(shard === i), "lang", "doc_id", k = 256)
-          .write.mode("overwrite").parquet(s"$root/kmv/shard$i")
-      }
+      // ONE corpus scan per sketch TYPE (buildSharded groups by
+      // (lang, shard); partitionBy lands the same per-shard dirs) — the
+      // old per-shard loop paid 3 filtered scans per type (round-12
+      // verdict item 4); at 100 TB the scan is the whole cost
+      Hll.buildSharded(docs, "lang", "doc_id", shard)
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$root/hll")
+      Kmv.buildSharded(docs, "lang", "doc_id", shard, k = 256)
+        .write.partitionBy("shard").mode("overwrite").parquet(s"$root/kmv")
+      // merge still folds the shards AS PERSISTED RELATIONS (the 90-day
+      // rollup read path) — each read prunes to one shard directory
+      def shardOf(path: String)(i: Int) =
+        s.read.parquet(path).filter(col("shard") === i).drop("shard")
       val hllEst = Hll.estimateDistinct(Hll.merge(
-        (0 until 3).map(i => s.read.parquet(s"$root/hll/shard$i")): _*))
+        (0 until 3).map(shardOf(s"$root/hll")): _*))
       val kmvEst = Kmv.estimateDistinct(Kmv.merge(
-        (0 until 3).map(i => s.read.parquet(s"$root/kmv/shard$i")): _*))
+        (0 until 3).map(shardOf(s"$root/kmv")): _*))
       // left + null-safe for the same reason as q112b (NULL lang groups)
       docs.groupBy(col("lang"))
         .agg(countDistinct(col("doc_id")).as("d_exact"))
