@@ -152,7 +152,43 @@ object Bench {
         case Some(want) => SparkEntry.queries.keys.toSeq.filter(want).sorted
         case None       => SparkEntry.queries.keys.toSeq.sorted
       }
+    // BOX-DRIFT CALIBRATION PROBE (round 13): a fixed synthetic
+    // workload whose code never changes round to round — a shuffled
+    // aggregation + top-k over range(5e7), no files, its own fresh
+    // session, min of 3 timed runs after one untimed warm run. Cross-
+    // round BENCH comparisons read this first: a uniform query-time
+    // shift WITH a matching probe shift is box drift (rounds 11→12 each
+    // burned a manual old-binary rebuild to prove exactly that for a
+    // uniform 1.1-1.4× overlap); a query moving against a flat probe is
+    // real. Runs before the timed board so it reads the same box state
+    // the queries get; subset (dev-smoke) runs keep it — their numbers
+    // swing ±30% on this box and the probe is the context. cpus-
+    // dependent, so compare only probes taken at the same SPARK_GRAFT_
+    // CPUS (the driver always runs 32).
+    def calibrationProbe(): Double =
+      if (streamOnly) -1.0
+      else {
+        import org.apache.spark.sql.functions._
+        val s = newSession()
+        try {
+          val times = (0 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            s.range(50000000L)
+              .select(pmod(col("id") * 2654435761L, lit(1048576)).as("g"),
+                col("id"))
+              .groupBy("g").agg(sum(col("id")).as("s"),
+                count(lit(1)).as("c"))
+              .orderBy(col("s").desc).limit(100)
+              .write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          times.tail.min // first run is the untimed-in-spirit warm pass
+        } catch { case scala.util.control.NonFatal(_) => -1.0 }
+        finally { s.stop(); System.gc() }
+      }
+
     runPass(names, "/root/testdata/sf0.001") // warmup: JIT + codegen
+    val probeSec = calibrationProbe()
 
     // min of two timed iterations — single-run numbers on a shared 32-way
     // box swing 2-4x per query from scheduler noise.
@@ -286,15 +322,21 @@ object Bench {
     // PAIRWISE ratio is immune to monotone load drift that would skew a
     // best-of/best-of quotient; the median of the three pairs resists
     // one outlier pair
-    def medianRatio(g: Seq[Double], fl: Seq[Double]): Double = {
+    // true median for EVEN survivor counts too (round-12 ADVICE: taking
+    // rs(n/2) makes a 2-survivor "median" the MAX, biasing the declared
+    // cross-round signal upward exactly on noisy runs) — and the pair
+    // count rides the artifact so a degraded sample is visible
+    def medianRatio(g: Seq[Double], fl: Seq[Double]): (Double, Int) = {
       val rs = g.zip(fl).collect { case (a, b) if a > 0 && b > 0 => a / b }
         .sorted
-      if (rs.isEmpty) -1.0 else rs(rs.size / 2)
+      if (rs.isEmpty) (-1.0, 0)
+      else if (rs.size % 2 == 1) (rs(rs.size / 2), rs.size)
+      else ((rs(rs.size / 2 - 1) + rs(rs.size / 2)) / 2.0, rs.size)
     }
-    val ratioSmall = medianRatio(smallRuns, flatSmallRuns)
-    val ratioLarge = medianRatio(largeRuns, flatLargeRuns)
+    val (ratioSmall, pairsSmall) = medianRatio(smallRuns, flatSmallRuns)
+    val (ratioLarge, pairsLarge) = medianRatio(largeRuns, flatLargeRuns)
 
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"streaming_flatcal_rec_per_sec":${f(flatSmall)},"streaming_flatcal_rec_per_sec_100k":${f(flatLarge)},"streaming_vs_flatcal":${f(ratioSmall)},"streaming_vs_flatcal_100k":${f(ratioLarge)},"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"calibration_probe_sec":${f(probeSec)},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"streaming_flatcal_rec_per_sec":${f(flatSmall)},"streaming_flatcal_rec_per_sec_100k":${f(flatLarge)},"streaming_vs_flatcal":${f(ratioSmall)},"streaming_vs_flatcal_100k":${f(ratioLarge)},"streaming_ratio_pairs":[$pairsSmall,$pairsLarge],"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar first, then the metric line as the ABSOLUTE last stdout
     // output (after spark.stop()): round 7's artifact recorded `parsed:
     // null` because the driver's structured extraction missed the line
