@@ -258,13 +258,21 @@ object BucketedState {
     // checkpoint offset commit) would hit resolveForFold's pin check
     // (numBuckets still names the OLD p) and crash-loop the stream —
     // exactly the retry the scaladoc promises is a no-op. Recognize our
-    // own landed commit: this batch's version exists AND the newest
-    // manifest already carries the requested fan-out. Anything else
-    // (foreign layout, genuinely mismatched p) falls through to the
-    // loud checks.
+    // OWN landed commit and nothing weaker (round-12 ADVICE: a fence on
+    // mere `committed && p matches` would let a wrong-but-bucketed dir
+    // of another tenant with a colliding v= id silently swallow the
+    // batch): the NEWEST manifest must be this very batchId — a
+    // legitimate retry can see no later version, because the engine
+    // only starts batch N+1 after N's offsets commit — AND carry the
+    // requested fan-out, AND pass the schema guard so a foreign dir
+    // fails loudly instead of no-opping. Anything else falls through
+    // to the loud checks.
     val rebucketLanded = rebucketTo.exists(pNew =>
-      committed(spark, dir, batchId) &&
-        latestManifest(spark, dir).exists { case (_, mp, _) => mp == pNew })
+      latestManifest(spark, dir).exists { case (v, mp, m) =>
+        v == batchId && mp == pNew && {
+          verifySchema(spark, dir, v, m, schema, what); true
+        }
+      })
     if (rebucketLanded) return
     resolveForFold(spark, dir, batchId, numBuckets, schema, what).foreach {
       case (p, manifest) =>

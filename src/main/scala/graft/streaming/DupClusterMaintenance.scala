@@ -72,10 +72,11 @@ object DupClusterMaintenance {
     * columns) that bucket pruning cannot bound — this tenant is NOT
     * fully read-pruned and its report says so. None = retried batch
     * short-circuited by the version fence. */
-  def update(labelDir: String, pairs: DataFrame, batchId: Long)
+  def update(labelDir: String, pairs: DataFrame, batchId: Long,
+             numBuckets: Int = NumBuckets)
       : Option[BucketedState.PrunedFold] = {
     val spark = pairs.sparkSession
-    BucketedState.resolveForFold(spark, labelDir, batchId, NumBuckets,
+    BucketedState.resolveForFold(spark, labelDir, batchId, numBuckets,
       stateSchema, "labels").map { case (p, manifest) =>
       def readBuckets(want: Option[Set[Int]]): DataFrame =
         BucketedState.read(spark, labelDir, stateSchema, manifest, want)
@@ -132,8 +133,29 @@ object DupClusterMaintenance {
     }
   }
 
+  /** [[update]]'s COMPACTING form: fold the batch's edges into the FULL
+    * label relation (the closure over everything — exact by the same
+    * argument as phase 2, just unpruned: a compaction is an O(state)
+    * rewrite by definition) and republish every bucket at this batch's
+    * id; `rebucketTo` additionally re-homes the labels under a new
+    * fan-out in the same atomic rewrite. */
+  def compactUpdate(labelDir: String, pairs: DataFrame, batchId: Long,
+                    numBuckets: Int = NumBuckets,
+                    rebucketTo: Option[Int] = None): Unit =
+    BucketedState.foldCompact(pairs.sparkSession, labelDir, batchId,
+      numBuckets, stateSchema, "id", "labels", rebucketTo) { prev =>
+      val edges = pairs.toDF("a", "b")
+        .select(col("a").cast("long").as("a"),
+          col("b").cast("long").as("b"))
+      ConnectedComponents.incremental(
+          prev.select(col("id"), col("cluster")), edges)
+        .select(col("id").cast("long").as("id"),
+          col("cluster").cast("long").as("cluster"))
+    }
+
   /** Newest committed label relation `(id, cluster)`. */
-  def labels(spark: SparkSession, labelDir: String): DataFrame =
-    BucketedState.readState(spark, labelDir, stateSchema, NumBuckets,
+  def labels(spark: SparkSession, labelDir: String,
+             numBuckets: Int = NumBuckets): DataFrame =
+    BucketedState.readState(spark, labelDir, stateSchema, numBuckets,
       "labels").select(col("id"), col("cluster"))
 }

@@ -102,12 +102,12 @@ object JoinViewMaintenance {
     * key per batch (pre-collapsed). Either side may be empty but must
     * carry its schema. */
   def update(dir: String, batchL: DataFrame, batchR: DataFrame,
-             batchId: Long): Unit = {
+             batchId: Long, numBuckets: Int = NumBuckets): Unit = {
     val spark = batchL.sparkSession
     // shared prelude: layout check BEFORE the version fence, then the
     // retry short-circuit (one copy of the ordering contract)
     val (p, manifest) = BucketedState.resolveForFold(spark, dir, batchId,
-      NumBuckets, stateSchema, "join view") match {
+      numBuckets, stateSchema, "join view") match {
       case Some(pm) => pm
       case None     => return
     }
@@ -165,18 +165,42 @@ object JoinViewMaintenance {
       dir, batchId, p, dirty, manifest)
   }
 
-  private def readAll(spark: SparkSession, dir: String): DataFrame = {
+  /** [[update]]'s COMPACTING form: fold the batch into the FULL state
+    * and republish every bucket at this batch's id; `rebucketTo`
+    * additionally re-homes the state under a new fan-out in the same
+    * atomic rewrite. The view relation is REBUILT wholesale from the
+    * merged sides (V is a pure function of L and R, and a compaction is
+    * an O(state) rewrite by definition — recomputing it here keeps zero
+    * incremental bookkeeping on the slow path). */
+  def compactUpdate(dir: String, batchL: DataFrame, batchR: DataFrame,
+                    batchId: Long, numBuckets: Int = NumBuckets,
+                    rebucketTo: Option[Int] = None): Unit =
+    BucketedState.foldCompact(batchL.sparkSession, dir, batchId,
+      numBuckets, stateSchema, "k1", "join view", rebucketTo) { prev =>
+      val newL = lww(prev.filter(col("rel") === "L"), batchL, asL)
+      val newR = lww(prev.filter(col("rel") === "R"), batchR, asR)
+      val newV = newL.select(col("k1"), col("k2"), col("pay1").as("lp"))
+        .join(newR.select(col("k1").as("rk"), col("pay1").as("rp")),
+          col("k2") === col("rk"))
+        .select(lit("V").as("rel"), col("k1"), col("k2"),
+          col("lp").as("pay1"), col("rp").as("pay2"))
+      newL.unionByName(newR).unionByName(newV)
+    }
+
+  private def readAll(spark: SparkSession, dir: String,
+                      numBuckets: Int = NumBuckets): DataFrame = {
     val (_, p, manifest) = BucketedState.latestManifest(spark, dir)
       .getOrElse(throw new IllegalStateException(
         s"no join-view state under $dir"))
-    require(p == NumBuckets,
-      s"state at $dir was laid out with p=$p, engine uses $NumBuckets")
+    require(p == numBuckets,
+      s"state at $dir was laid out with p=$p, engine uses $numBuckets")
     BucketedState.read(spark, dir, stateSchema, manifest, None)
   }
 
   /** Newest committed view `(pk, fk, left_payload, right_payload)`. */
-  def view(spark: SparkSession, dir: String): DataFrame =
-    readAll(spark, dir)
+  def view(spark: SparkSession, dir: String,
+           numBuckets: Int = NumBuckets): DataFrame =
+    readAll(spark, dir, numBuckets)
       .filter(col("rel") === "V")
       .select(col("k1").as("pk"), col("k2").as("fk"),
         col("pay1").as("left_payload"), col("pay2").as("right_payload"))

@@ -45,10 +45,11 @@ object StatsMaintenance {
     * strictly increasing on positive deltas) and dirty keys = batch
     * keys. Returns the pruned-fold report (None = retried batch
     * short-circuited by the version fence). */
-  def update(dir: String, values: DataFrame, batchId: Long)
+  def update(dir: String, values: DataFrame, batchId: Long,
+             numBuckets: Int = NumBuckets)
       : Option[BucketedState.PrunedFold] =
     BucketedState.foldCommitPruned(values.sparkSession, dir, batchId,
-      NumBuckets, stateSchema, "v", "stats", growOnly = true)(
+      numBuckets, stateSchema, "v", "stats", growOnly = true)(
       batchCounts(values)) { (prev, batch) =>
       prev.unionByName(batch)
         .groupBy("v").agg(sum(col("cnt")).as("cnt"))
@@ -68,16 +69,19 @@ object StatsMaintenance {
     * bound), at the ENGINE'S OWN batchId — that keeps the id sequence
     * the engine's, which is what makes in-stream compaction safe for
     * foreachBatch-driven tenants (BucketedState ID-COORDINATION). */
-  def compactUpdate(dir: String, values: DataFrame, batchId: Long): Unit =
+  def compactUpdate(dir: String, values: DataFrame, batchId: Long,
+                    numBuckets: Int = NumBuckets,
+                    rebucketTo: Option[Int] = None): Unit =
     BucketedState.foldCompact(values.sparkSession, dir, batchId,
-      NumBuckets, stateSchema, "v", "stats") { prev =>
+      numBuckets, stateSchema, "v", "stats", rebucketTo) { prev =>
       prev.unionByName(batchCounts(values))
         .groupBy("v").agg(sum(col("cnt")).as("cnt"))
     }
 
   /** Newest committed value-count relation `(v, cnt)`. */
-  def valueCounts(spark: SparkSession, dir: String): DataFrame =
-    BucketedState.readState(spark, dir, stateSchema, NumBuckets, "stats")
+  def valueCounts(spark: SparkSession, dir: String,
+                  numBuckets: Int = NumBuckets): DataFrame =
+    BucketedState.readState(spark, dir, stateSchema, numBuckets, "stats")
       .select(col("v"), col("cnt"))
 
   /** q216's equi-depth histogram over any `(v, cnt)` relation:

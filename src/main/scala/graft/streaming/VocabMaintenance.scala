@@ -68,19 +68,35 @@ object VocabMaintenance {
     * per-key MIN (key-local), so the pruned path is exact: dirty keys
     * ⊆ batch keys by construction. Returns the pruned-fold report
     * (None = retried batch short-circuited by the version fence). */
-  def update(dir: String, docs: DataFrame, batchId: Long)
+  def update(dir: String, docs: DataFrame, batchId: Long,
+             numBuckets: Int = NumBuckets)
       : Option[BucketedState.PrunedFold] =
     BucketedState.foldCommitPruned(docs.sparkSession, dir, batchId,
-      NumBuckets, stateSchema, "f", "vocabulary", growOnly = true)(
+      numBuckets, stateSchema, "f", "vocabulary", growOnly = true)(
       batchMins(docs)) { (prev, batch) =>
       prev.unionByName(batch)
         .groupBy("f").agg(min(col("first_doc")).as("first_doc"))
     }
 
+  /** [[update]]'s COMPACTING form — same MIN fold published through
+    * [[BucketedState.foldCompact]]; `rebucketTo` additionally re-homes
+    * the vocabulary under a new fan-out in the same atomic rewrite (the
+    * StatsMaintenance.compactUpdate discipline: call INSTEAD of update
+    * at the engine's own batchId). */
+  def compactUpdate(dir: String, docs: DataFrame, batchId: Long,
+                    numBuckets: Int = NumBuckets,
+                    rebucketTo: Option[Int] = None): Unit =
+    BucketedState.foldCompact(docs.sparkSession, dir, batchId, numBuckets,
+      stateSchema, "f", "vocabulary", rebucketTo) { prev =>
+      prev.unionByName(batchMins(docs))
+        .groupBy("f").agg(min(col("first_doc")).as("first_doc"))
+    }
+
   /** Newest committed first-seen relation `(f, first_doc)` — keys are
     * shingle fingerprints. */
-  def firstSeen(spark: SparkSession, dir: String): DataFrame =
-    BucketedState.readState(spark, dir, stateSchema, NumBuckets,
+  def firstSeen(spark: SparkSession, dir: String,
+                numBuckets: Int = NumBuckets): DataFrame =
+    BucketedState.readState(spark, dir, stateSchema, numBuckets,
       "vocabulary").select(col("f"), col("first_doc"))
 
   /** The q203-shaped growth curve served FROM STATE: (docs_seen,

@@ -1653,6 +1653,90 @@ class StreamingSpec extends SparkTestBase {
     assert(err2.getMessage.contains("p=16"))
   }
 
+  test("re-bucket matrix: every BucketedState tenant family (vocab, stats, join-view, dup-cluster) grows 8→16 via its compacting fold — parity with plain folds, fenced retry, old fan-out rejected") {
+    import graft.streaming.{DupClusterMaintenance, JoinViewMaintenance,
+      StatsMaintenance, VocabMaintenance}
+    import spark.implicits._
+
+    // fixed per-batch inputs, overlapping keys across batches so every
+    // tenant's fold (MIN, SUM, LWW join, closure) has real work to do
+    def docsB(i: Int) = (0 until 3).map { j =>
+      val d = i * 3 + j
+      (d.toLong, s"tok${d % 7} tok${(d + 1) % 7} tok${(d + 2) % 7} tok${d % 5}")
+    }.toDF("doc_id", "text")
+    def valsB(i: Int) = Seq(i.toLong, i + 1L, 7L, 42L).toDF("v")
+    val lB: Map[Int, Seq[(Long, Long, String, String)]] = Map(
+      0 -> Seq((1L, 10L, "a1", "upsert"), (2L, 20L, "b1", "upsert")),
+      1 -> Seq((3L, 10L, "c1", "upsert"), (2L, 20L, "b1", "delete")),
+      2 -> Seq((4L, 30L, "d1", "upsert")),
+      3 -> Seq((1L, 20L, "a2", "upsert")),
+      4 -> Seq((9L, 10L, "e1", "upsert"))) // only the pin-check probe
+    val rB: Map[Int, Seq[(Long, String, String)]] = Map(
+      0 -> Seq((10L, "X", "upsert"), (20L, "Y", "upsert")),
+      1 -> Seq((10L, "X2", "upsert")),
+      2 -> Seq((30L, "Z", "upsert")),
+      3 -> Seq((20L, "Y2", "upsert")),
+      4 -> Seq((40L, "W", "upsert"))) // only the pin-check probe
+    def edgesB(i: Int) = Map(
+      0 -> Seq((1L, 2L), (3L, 4L)), 1 -> Seq((2L, 3L)),
+      2 -> Seq((5L, 6L)), 3 -> Seq((4L, 5L)),
+      4 -> Seq((7L, 8L)))(i).toDF("a_id", "b_id") // 4: pin-check probe
+
+    case class T(name: String,
+                 fold: (String, Long, Int) => Unit,
+                 compact: (String, Long, Int, Option[Int]) => Unit,
+                 read: (String, Int) => Set[String])
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    val tenants = Seq(
+      T("vocab",
+        (d, id, p) => VocabMaintenance.update(d, docsB(id.toInt), id, p): Unit,
+        (d, id, p, to) => VocabMaintenance.compactUpdate(d, docsB(id.toInt), id, p, to),
+        (d, p) => rows(VocabMaintenance.firstSeen(spark, d, p))),
+      T("stats",
+        (d, id, p) => StatsMaintenance.update(d, valsB(id.toInt), id, p): Unit,
+        (d, id, p, to) => StatsMaintenance.compactUpdate(d, valsB(id.toInt), id, p, to),
+        (d, p) => rows(StatsMaintenance.valueCounts(spark, d, p))),
+      T("join-view",
+        (d, id, p) => JoinViewMaintenance.update(d,
+          lB(id.toInt).toDF("pk", "fk", "payload", "op"),
+          rB(id.toInt).toDF("pk", "payload", "op"), id, p),
+        (d, id, p, to) => JoinViewMaintenance.compactUpdate(d,
+          lB(id.toInt).toDF("pk", "fk", "payload", "op"),
+          rB(id.toInt).toDF("pk", "payload", "op"), id, p, to),
+        (d, p) => rows(JoinViewMaintenance.view(spark, d, p))),
+      T("dup-cluster",
+        (d, id, p) => DupClusterMaintenance.update(d, edgesB(id.toInt), id, p): Unit,
+        (d, id, p, to) => DupClusterMaintenance.compactUpdate(d, edgesB(id.toInt), id, p, to),
+        (d, p) => rows(DupClusterMaintenance.labels(spark, d, p))))
+
+    tenants.foreach { t =>
+      // reference: the same four batches folded PLAINLY at p=8
+      val ref = tmpDir(s"rbm_${t.name}_ref") + "/state"
+      (0 to 3).foreach(i => t.fold(ref, i.toLong, 8))
+      val expect = t.read(ref, 8)
+      assert(expect.nonEmpty, s"${t.name}: reference state empty — vacuous")
+
+      // device under test: 2 plain folds at 8, batch 2 compacts AND
+      // re-homes 8→16, batch 3 folds above at the new fan-out
+      val dut = tmpDir(s"rbm_${t.name}") + "/state"
+      t.fold(dut, 0L, 8)
+      t.fold(dut, 1L, 8)
+      t.compact(dut, 2L, 8, Some(16))
+      // retried re-bucket batch (crash after rename, before offset
+      // commit — so no later version exists): must fence, not refold
+      t.compact(dut, 2L, 8, Some(16))
+      t.fold(dut, 3L, 16)
+      assert(t.read(dut, 16) === expect,
+        s"${t.name}: state diverged after the 8→16 re-bucket")
+
+      // the old fan-out is foreign after the grow — loud, not silent
+      val err = intercept[IllegalArgumentException](t.fold(dut, 4L, 8))
+      assert(err.getMessage.contains("p=16"),
+        s"${t.name}: old fan-out not rejected: ${err.getMessage}")
+    }
+  }
+
   test("state-rewrite guards: compact refuses a schema-drifted dir; an out-of-band reseed at the same path re-verifies despite the process cache") {
     import graft.streaming.BucketedState
     import spark.implicits._
