@@ -573,7 +573,18 @@ object BucketedState {
     * `schema`'s non-bucket fields are SELECTED from the snapshot (not
     * inferred), so a flat shelf that drifted from the tenant's expected
     * columns fails loudly at analysis instead of materializing NULLs —
-    * the same guarantee [[verifySchema]] gives live tenants. */
+    * the same guarantee [[verifySchema]] gives live tenants.
+    *
+    * FRESH-DIR PRECONDITION (`dir != flatDir`): pair the migration with
+    * a FRESH stream checkpoint unless the tenant's fold is idempotent.
+    * The new dir carries no `v=` retry fences for the batches already
+    * folded into the flat snapshot, so reusing the OLD checkpoint
+    * replays those pre-migration batches into the migrated state — a
+    * non-idempotent fold (SUM, MG counters) double-counts them
+    * silently. In-place cutover has no such hazard: the flat shelf's
+    * own `v=` dirs keep fencing exactly those ids (the mirror of
+    * [[CdcStreamPipeline.rebuildServingFromArchive]]'s precondition
+    * 2 — round-12 ADVICE item 4). */
   def migrateFromVersionedState(spark: SparkSession, flatDir: String,
       dir: String, schema: StructType, keyCol: String, numBuckets: Int,
       reservedId: Long = -1L): Unit = {
