@@ -384,6 +384,73 @@ object Text {
         .orderBy("idx_id", "new_id")
     },
 
+    // ---- q224/q225's SCREENING form: per-document COPY COVERAGE — for
+    //      each incoming (odd) document, the fraction of its winnow
+    //      selections matched anywhere in the corpus (even) side:
+    //      (new_id, n_sel, n_hit). This is the decontamination SCREEN a
+    //      training pipeline runs on every ingest batch ("how much of
+    //      this document already exists in the corpus?") before the
+    //      expensive pair-localizing probe (q225) runs on the flagged
+    //      tail — the q118 triage discipline applied to verbatim copy.
+    //      Scale: the corpus side collapses to its DISTINCT fingerprint
+    //      set (a sub-linear selection sample of a sample), the match is
+    //      one fp-keyed LEFT SEMI join (each batch selection counted
+    //      once, however many corpus docs share its fp — semi stops at
+    //      first match), and the coverage aggregation is per-doc.
+    //      Planted 12-token copies land well above the organic floor
+    //      (mean coverage 0.27 for target docs vs 0.13 for the rest at
+    //      sf0.01 — the floor is honest fingerprint-collision noise over
+    //      this corpus's near-uniform token draw, and exactly why the
+    //      screen THRESHOLDS rather than boolean-flags). ----
+    gated("q226_copy_coverage",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |src AS (SELECT doc_id + 7 AS doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS stoks
+        |        FROM base WHERE doc_id % 10 = 0),
+        |d2 AS (SELECT b.doc_id,
+        |          lower(b.text) ||
+        |          CASE WHEN s.doc_id IS NOT NULL AND len(s.stoks) >= 12
+        |               THEN ' ' || array_to_string(s.stoks[1:12], ' ') ELSE '' END AS t
+        |       FROM base b LEFT JOIN src s ON b.doc_id = s.doc_id),
+        |tt AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w FROM d2),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM tt WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        [i for i in range(1, greatest(1, len(kg) - 3) + 1)] AS ps,
+        |        [list_min(kg[i : least(i + 3, len(kg))])
+        |         for i in range(1, greatest(1, len(kg) - 3) + 1)] AS fs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(ps) AS pos, unnest(fs) AS fp FROM f),
+        |cfp AS (SELECT DISTINCT fp FROM e WHERE doc_id % 2 = 0),
+        |probe AS (SELECT doc_id AS new_id, pos, fp FROM e WHERE doc_id % 2 = 1),
+        |hit AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        |        FROM probe WHERE fp IN (SELECT fp FROM cfp) GROUP BY 1)
+        |SELECT p.new_id, CAST(COUNT(*) AS BIGINT) AS n_sel,
+        |       CAST(COALESCE(MAX(h.n_hit), 0) AS BIGINT) AS n_hit
+        |FROM probe p LEFT JOIN hit h ON p.new_id = h.new_id
+        |GROUP BY p.new_id
+        |ORDER BY p.new_id""") { (s, d) =>
+      val sel = plantedCopySelections(s, d).localCheckpoint()
+      val corpusFps = sel.filter(col("id") % 2 === 0)
+        .select("fp").distinct()
+      val probe = sel.filter(col("id") % 2 =!= 0)
+        .select(col("id").as("new_id"), col("pos"), col("fp"))
+      val hits = probe.join(corpusFps, Seq("fp"), "left_semi")
+        .groupBy("new_id").agg(count(lit(1)).as("n_hit"))
+      probe.groupBy("new_id").agg(count(lit(1)).as("n_sel"))
+        .join(hits, Seq("new_id"), "left")
+        .select(col("new_id"), col("n_sel"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .orderBy("new_id")
+    },
+
     // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
     //      document-frequency side is vocabulary-sized (≪ corpus), so it
     //      broadcasts; at 100 TB a long-tail vocabulary falls back to a
