@@ -452,6 +452,29 @@ object Media {
       annVerdict(exactTop10(corpus, query), ivf)
     },
 
+    // ---- q48c's INGEST twin (the q218/q225 index-append discipline,
+    //      now for the ANN shelf): the IVF index builds ONCE over the
+    //      even-id half (training included), then the odd half —
+    //      carrying 5 of the 10 planted near-neighbors — arrives as an
+    //      ingest batch through Ivf.appendToIndex: cell assignment is a
+    //      pure function of (vector, frozen centroids), so the append
+    //      lands inside the per-cell partition layout at |batch| cost
+    //      with no re-train and no rewrite of old files, and the disk
+    //      probe sees old and new vectors uniformly. Same planted-
+    //      neighbor gate as the q48 family — losing the appended half
+    //      would cap recall at 5/10, and the verdict requires ≥ 8. ----
+    gated("q227_ivf_append", annOracleSql) { (s, d) =>
+      val (corpus, query) = plantedCorpus(s, d)
+      val path = graft.GatedQuery.indexScratch(d, "ivf_q227")
+      Ivf.writeIndex(corpus.filter(col("vec_id") % 2 === 0), "vec_id",
+        "embedding", nlist = 16, path, iters = 2, sampleMod = 7)
+      Ivf.appendToIndex(corpus.filter(col("vec_id") % 2 =!= 0), "vec_id",
+        "embedding", path)
+      val ivf = Ivf.ivfTopKIndexed(s, path, query, "embedding",
+        k = 10, nprobe = 4)
+      annVerdict(exactTop10(corpus, query), ivf)
+    },
+
     // ---- O39 scale path #3: product quantization + ADC — the vector-
     //      COMPRESSION serving path (a dim-64 float vector becomes 8
     //      small ints; the ADC scan reads only the codes column and
