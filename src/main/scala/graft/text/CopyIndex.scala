@@ -105,13 +105,30 @@ object CopyIndex {
     batchSelections.select(bucketOf(col("fp"), nBuckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSeq.sorted
 
-  /** Pruned read of a persisted index: a literal `bucket IN (...)` over
-    * the partition column — directory pruning; nothing outside the
-    * named buckets is read. */
+  /** Pruned read of a persisted index: ONLY the named buckets'
+    * directories are listed and read — explicit paths + basePath (the
+    * BucketedState manifest-read discipline), not a root read with a
+    * partition filter, because the root read LISTS every bucket
+    * directory before pruning and at P = 1024 that listing costs more
+    * than the pruned data read (measured: tools/CopyIndexScale). The
+    * `bucket IN (...)` partition filter stays on top as belt and
+    * braces (and it is what the plan pin asserts). A wanted bucket
+    * with no directory simply contributes nothing — an fp no corpus
+    * row ever hashed to. */
   def prunedIndex(spark: SparkSession, path: String, buckets: Seq[Int])
-      : DataFrame =
-    spark.read.parquet(path)
-      .filter(col("bucket").isin(buckets.distinct: _*))
+      : DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = buckets.distinct
+      .map(b => new org.apache.hadoop.fs.Path(root, s"bucket=$b"))
+      .filter(fs.exists(_)).map(_.toString)
+    if (dirs.isEmpty)
+      // degenerate: nothing to read — schema still comes from the index
+      spark.read.parquet(path).filter(lit(false))
+    else
+      spark.read.option("basePath", path).parquet(dirs: _*)
+        .filter(col("bucket").isin(buckets.distinct: _*))
+  }
 
   /** PROBE: localized copy matches of a new batch against the persisted
     * corpus index — `(idx_id, new_id, shared, idx_lo, idx_hi, new_lo,
