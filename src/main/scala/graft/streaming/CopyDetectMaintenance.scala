@@ -35,7 +35,18 @@ import org.apache.spark.sql.functions._
   * ordered batches equals the one-shot q224 answer — a pair lands in
   * the later document's trigger (cross-probe) or in their shared
   * trigger (self-join), exactly once either way. StreamingSpec replays
-  * the planted-copy corpus across triggers and pins parity. */
+  * the planted-copy corpus across triggers and pins parity.
+  *
+  * RETENTION (deliberate, like the batch index's append-only posture):
+  * the probe's root read lists one `batch_id=` dir per trigger ever
+  * run, so listing cost grows with trigger count — the operational
+  * compaction is: quiesce the stream at a committed horizon H, rewrite
+  * `union of batch_id ≤ H` into `batch_id=H` of a FRESH root (rows are
+  * immutable per-document facts; probe semantics only read
+  * `batch_id < current`, and no batch ≤ H can retry once H+1's offsets
+  * committed), point the maintenance at the new root, resume with the
+  * SAME checkpoint. Document deletion is the same anti-join rewrite
+  * the batch index documents. */
 object CopyDetectMaintenance {
 
   /** Fold one micro-batch of documents — call from foreachBatch.
