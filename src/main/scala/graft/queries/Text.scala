@@ -2307,12 +2307,6 @@ object Text {
       tNum = 1, tDen = 100)
       .select(col("a_id").as("a"), col("b_id").as("b"))
 
-  /** q224/q225's shared position-carrying winnow selections over the
-    * PLANTED-copy corpus (doc_id < 200; every doc_id % 10 == 7 document
-    * appends the first 12 tokens of doc_id − 7's text when that source
-    * has ≥ 12 tokens) — `(id, pos, fp)` per window start. One copy of
-    * the plant + selection pipeline so the one-shot and ingest gates
-    * cannot drift. */
   /** The PLANTED-copy corpus `(doc_id, t)` shared by q224/q225 and the
     * streaming tenant's parity spec: doc_id < 200, and every
     * doc_id % 10 == 7 document appends the first 12 tokens of

@@ -63,8 +63,18 @@ object CopyDetectMaintenance {
     // index append) — pin once; the relation is batch-sized
     val sel = CopyIndex.selections(docs, idCol, textCol, w).localCheckpoint()
 
+    val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+      col("fp"))
+    val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+      col("fp"))
+    val within = CopyIndex.localize(
+      a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
+      "a", "b", minShared)
+
     val cross = priorIndex(spark, indexDir, batchId, sel, nBuckets) match {
-      case None => emptyAlerts(spark)
+      // first batch: nothing earlier to probe — an alert relation of
+      // the self-join's own shape (no hand-built schema to drift)
+      case None => within.limit(0)
       case Some(idx) =>
         val raw = CopyIndex.localize(
           idx.select(col("id").as("idx_id"), col("pos").as("idx_pos"),
@@ -85,13 +95,6 @@ object CopyDetectMaintenance {
           when(older, col("new_lo")).otherwise(col("idx_lo")).as("b_lo"),
           when(older, col("new_hi")).otherwise(col("idx_hi")).as("b_hi"))
     }
-    val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
-      col("fp"))
-    val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
-      col("fp"))
-    val within = CopyIndex.localize(
-      a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
-      "a", "b", minShared)
 
     cross.unionByName(within)
       .write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
@@ -99,43 +102,58 @@ object CopyDetectMaintenance {
   }
 
   /** Every alert emitted so far, with its `batch_id` provenance —
-    * committed batch directories only. */
+    * COMMITTED batch directories only, read as explicit paths: a crash
+    * mid-job-commit leaves partial files under an unmarked dir, and a
+    * monitoring reader must never see them as data
+    * ([[CommittedDirs]]). */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
-    require(hasCommitted(spark, alertDir),
+    val dirs = CommittedDirs.list(spark, alertDir)
+    require(dirs.nonEmpty,
       s"no committed copy-detect alerts under $alertDir")
-    spark.read.parquet(alertDir)
+    spark.read.option("basePath", alertDir)
+      .parquet(dirs.map(_._2.toString): _*)
   }
 
-  /** Bucket-pruned selections of every committed batch BEFORE
+  /** Bucket-pruned selections of every COMMITTED batch BEFORE
     * `batchId` — None when this is the first batch (or every earlier
-    * dir is uncommitted debris, which holds no readable rows anyway).
-    * The `batch_id < batchId` partition filter is what makes a RETRY
-    * probe identical to the original run: the retrying batch's own
-    * committed dir is invisible to it. */
+    * dir is uncommitted debris). Reads explicit
+    * `batch_id=N/bucket=B` paths (the CopyIndex.prunedIndex
+    * discipline): a root read would list every bucket dir of every
+    * trigger ever run before pruning — O(triggers × P) listings per
+    * trigger — and would crash on a fileless committed dir (an
+    * empty batch's partitioned write emits only _SUCCESS). The
+    * `< batchId` cut is what makes a RETRY probe identical to the
+    * original run: the retrying batch's own committed dir is invisible
+    * to it. */
   private def priorIndex(spark: SparkSession, indexDir: String,
                          batchId: Long, sel: DataFrame, nBuckets: Int)
-      : Option[DataFrame] =
-    if (!hasCommitted(spark, indexDir)) None
-    else Some(spark.read.parquet(indexDir)
-      .filter(col("batch_id") < batchId)
-      .filter(col("bucket").isin(CopyIndex.bucketsOf(sel, nBuckets): _*))
-      .select("id", "pos", "fp"))
-
-  /** Any committed (`_SUCCESS`-marked) `batch_id=` dir under `dir`?
-    * The DocIngest index rule: a crash mid-write must neither
-    * crash-loop retries nor count as prior state. */
-  private def hasCommitted(spark: SparkSession, dir: String): Boolean = {
-    val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(root) && fs.listStatus(root).exists(s => s.isDirectory &&
-      s.getPath.getName.startsWith("batch_id=") &&
-      fs.exists(new Path(s.getPath, "_SUCCESS")))
-  }
-
-  private def emptyAlerts(spark: SparkSession): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq("a_id", "b_id", "shared").map(StructField(_, LongType)) ++
-        Seq("a_lo", "a_hi", "b_lo", "b_hi").map(StructField(_, LongType))))
+      : Option[DataFrame] = {
+    val prior = CommittedDirs.list(spark, indexDir)
+      .filter(_._1 < batchId).map(_._2)
+    if (prior.isEmpty) return None
+    // the fan-out is baked into every batch dir's layout — a drifted
+    // caller constant must fail loudly here, not prune the wrong
+    // modulus's directories (one marker read per trigger)
+    CopyIndex.verifyFanout(spark, prior.head.toString, nBuckets)
+    val want = CopyIndex.bucketsOf(sel, nBuckets)
+      .map(b => s"bucket=$b").toSet
+    val fs = new Path(indexDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one listing per committed batch dir — O(triggers), not O(P);
+    // bucket dirs exist only where data landed, so the selected paths
+    // always carry parquet footers
+    val bucketDirs = prior.flatMap { d =>
+      fs.listStatus(d).filter(s => s.isDirectory &&
+        want.contains(s.getPath.getName)).map(_.getPath.toString)
+    }
+    Some(
+      if (bucketDirs.isEmpty)
+        spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            CopyIndex.indexSchema)
+          .select("id", "pos", "fp")
+      else
+        spark.read.option("basePath", indexDir).parquet(bucketDirs: _*)
+          .select("id", "pos", "fp"))
   }
 }

@@ -161,18 +161,14 @@ object DocIngest {
           .filter(size(col("w")) >= 3) // shingle-less docs cannot near-dup
         val newSig = NearDup.signatureRelation(docsW, "doc_id", "w")
           .localCheckpoint()
-        val fs = new Path(idx).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
-        // only COMMITTED batch dirs count (_SUCCESS marker): a crash
-        // mid-write must not leave an unreadable root that crash-loops
-        // every retry, and an uncommitted dir holds no rows anyway.
-        // Reading our own batchId's committed dir on a retry is harmless:
-        // the drop rule is a pure function of (ids, signatures), so the
-        // outcome is identical either way.
-        val hasIndex = fs.exists(new Path(idx)) &&
-          fs.listStatus(new Path(idx)).exists(s => s.isDirectory &&
-            s.getPath.getName.startsWith("batch_id=") &&
-            fs.exists(new Path(s.getPath, "_SUCCESS")))
+        // only COMMITTED batch dirs count ([[CommittedDirs]] — the one
+        // copy of the marker protocol): a crash mid-write must not
+        // leave an unreadable root that crash-loops every retry, and an
+        // uncommitted dir holds no rows anyway. Reading our own
+        // batchId's committed dir on a retry is harmless: the drop rule
+        // is a pure function of (ids, signatures), so the outcome is
+        // identical either way.
+        val hasIndex = CommittedDirs.list(spark, idx).nonEmpty
         val index =
           if (hasIndex)
             spark.read.parquet(idx).select("id", "sh", "band_idx", "band_hash")

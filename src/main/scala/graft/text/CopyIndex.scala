@@ -63,12 +63,31 @@ object CopyIndex {
     * fewer than 3 tokens have no trigram and produce no rows. */
   def selections(docs: DataFrame, idCol: String, textCol: String,
                  w: Int = 4): DataFrame = {
-    val toks = docs.select(col(idCol), TextOps.tokens(col(textCol)).as("w"))
+    // ids NORMALIZE to long here — the one place the relation's schema
+    // is decided — so every index file, probe side and alert row agrees
+    // on (id long, pos long, fp long) whatever integral type the caller
+    // holds, and the empty-relation fallbacks below can be concrete
+    val toks = docs
+      .select(col(idCol).cast("long").as(idCol),
+        TextOps.tokens(col(textCol)).as("w"))
       .filter(size(col("w")) >= 3)
     TextOps.winnowRelPos(toks, idCol,
       transform(TextOps.trigramsAll(col("w")), g => TextOps.fingerprint(g)),
       w)
   }
+
+  /** The selection relation's fixed schema (with its bucket column) —
+    * what [[selections]] produces and every index file holds. */
+  val indexSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("bucket",
+        org.apache.spark.sql.types.IntegerType)))
 
   /** One-time build: persist a selection relation `(id, pos, fp)`
     * PARTITIONED BY fp bucket. OVERWRITES the path; ingest uses
@@ -76,17 +95,62 @@ object CopyIndex {
     * per-document functions of the text, so a lost or bloated index is
     * reproduced bit-for-bit from the corpus. */
   def writeIndex(selections: DataFrame, path: String,
-                 nBuckets: Int = DefaultBuckets): Unit =
+                 nBuckets: Int = DefaultBuckets): Unit = {
     withBucket(selections, nBuckets)
       .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    writeFanout(selections.sparkSession, path, nBuckets)
+  }
 
   /** Ingest path: append a NEW batch's selections inside the same
     * bucket layout — steady-state cost is |batch| selections; old
-    * files never rewrite. */
+    * files never rewrite. Refuses a fan-out that disagrees with the
+    * directory's persisted one. */
   def appendToIndex(selections: DataFrame, path: String,
-                    nBuckets: Int = DefaultBuckets): Unit =
+                    nBuckets: Int = DefaultBuckets): Unit = {
+    verifyFanout(selections.sparkSession, path, nBuckets)
     withBucket(selections, nBuckets)
       .write.partitionBy("bucket").mode("append").parquet(path)
+  }
+
+  /** The bucket fan-out is part of the ON-DISK layout (the
+    * BucketedState manifest-p discipline): [[writeIndex]] persists it
+    * in a `_FANOUT` marker and every append/probe verifies it, so a
+    * caller whose constant drifted (e.g. after following SCALE.md's
+    * P-sizing advice on an EXISTING dir) fails loudly instead of
+    * silently probing buckets laid out under a different modulus —
+    * which would read as "no copies found" on the contamination path. */
+  private val FanoutMarker = "_FANOUT"
+
+  private def fsOf(spark: SparkSession, path: String) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def writeFanout(spark: SparkSession, path: String,
+                          nBuckets: Int): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(root, FanoutMarker), true)
+    try out.write(s"p=$nBuckets\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private[graft] def verifyFanout(spark: SparkSession, path: String,
+                                  nBuckets: Int): Unit = {
+    val (fs, root) = fsOf(spark, path)
+    val m = new org.apache.hadoop.fs.Path(root, FanoutMarker)
+    require(fs.exists(m),
+      s"no $FanoutMarker marker under $path — not a CopyIndex layout " +
+        "(or a pre-marker dir: rebuild with writeIndex)")
+    val in = fs.open(m)
+    val p =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        .stripPrefix("p=").toInt
+      finally in.close()
+    require(p == nBuckets,
+      s"copy index at $path laid out with p=$p, caller uses $nBuckets " +
+        "— probing would silently miss matches; re-bucket explicitly " +
+        "(writeIndex) or fix the constant")
+  }
 
   /** Bucket column + co-location: repartition BY the bucket before the
     * partitionBy write, or every task writes into every bucket
@@ -123,8 +187,12 @@ object CopyIndex {
       .map(b => new org.apache.hadoop.fs.Path(root, s"bucket=$b"))
       .filter(fs.exists(_)).map(_.toString)
     if (dirs.isEmpty)
-      // degenerate: nothing to read — schema still comes from the index
-      spark.read.parquet(path).filter(lit(false))
+      // degenerate: nothing to read. The schema is the layout CONTRACT
+      // ([[indexSchema]]) — re-reading the root for it would pay the
+      // all-P listing this helper exists to avoid, and would crash
+      // outright on a data-fileless (empty-corpus) index
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
     else
       spark.read.option("basePath", path).parquet(dirs: _*)
         .filter(col("bucket").isin(buckets.distinct: _*))
@@ -139,6 +207,7 @@ object CopyIndex {
     * catching every planted 12-token run (EdgeCaseSpec). */
   def probe(spark: SparkSession, path: String, batchSelections: DataFrame,
             nBuckets: Int = DefaultBuckets, minShared: Int = 2): DataFrame = {
+    verifyFanout(spark, path, nBuckets)
     val idx = prunedIndex(spark, path, bucketsOf(batchSelections, nBuckets))
       .select(col("id").as("idx_id"), col("pos").as("idx_pos"), col("fp"))
     val nb = batchSelections.select(col("id").as("new_id"),
@@ -168,6 +237,7 @@ object CopyIndex {
     * batch. */
   def compactIndex(spark: SparkSession, path: String,
                    nBuckets: Int = DefaultBuckets): Unit = {
+    verifyFanout(spark, path, nBuckets)
     val deduped = spark.read.parquet(path)
       .select("id", "pos", "fp")
       .dropDuplicates("id", "pos", "fp")
