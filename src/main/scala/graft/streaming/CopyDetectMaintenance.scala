@@ -38,15 +38,18 @@ import org.apache.spark.sql.functions._
   * the planted-copy corpus across triggers and pins parity.
   *
   * RETENTION (deliberate, like the batch index's append-only posture):
-  * the probe's root read lists one `batch_id=` dir per trigger ever
-  * run, so listing cost grows with trigger count — the operational
-  * compaction is: quiesce the stream at a committed horizon H, rewrite
-  * `union of batch_id ≤ H` into `batch_id=H` of a FRESH root (rows are
-  * immutable per-document facts; probe semantics only read
-  * `batch_id < current`, and no batch ≤ H can retry once H+1's offsets
-  * committed), point the maintenance at the new root, resume with the
-  * SAME checkpoint. Document deletion is the same anti-join rewrite
-  * the batch index documents. */
+  * the probe lists every committed `batch_id=` dir per trigger, so
+  * listing cost grows with trigger count — the operational compaction
+  * is: quiesce the stream at a committed horizon H, rewrite the union
+  * of `batch_id ≤ H` selections THROUGH [[CopyIndex.writeIndex]] into
+  * `batch_id=H` of a FRESH root (writeIndex is what lays down the
+  * bucket dirs AND the `_FANOUT` marker the probe verifies — a plain
+  * parquet write would crash-loop every later trigger on the marker
+  * check) plus a `_SUCCESS` marker, then point the maintenance at the
+  * new root and resume with the SAME checkpoint. Safe because rows are
+  * immutable per-document facts, probes only read `batch_id < current`,
+  * and no batch ≤ H can retry once H+1's offsets committed. Document
+  * deletion is the same anti-join rewrite the batch index documents. */
 object CopyDetectMaintenance {
 
   /** Fold one micro-batch of documents — call from foreachBatch.

@@ -168,10 +168,15 @@ object DocIngest {
         // batchId's committed dir on a retry is harmless: the drop rule
         // is a pure function of (ids, signatures), so the outcome is
         // identical either way.
-        val hasIndex = CommittedDirs.list(spark, idx).nonEmpty
+        val committed = CommittedDirs.list(spark, idx)
+        // read the committed dirs as EXPLICIT paths — a root read would
+        // also ingest partial part-files of an unmarked (crashed) batch
+        // dir as index rows, the window CommittedDirs exists to close
         val index =
-          if (hasIndex)
-            spark.read.parquet(idx).select("id", "sh", "band_idx", "band_hash")
+          if (committed.nonEmpty)
+            spark.read.option("basePath", idx)
+              .parquet(committed.map(_._2.toString): _*)
+              .select("id", "sh", "band_idx", "band_hash")
           else newSig.limit(0)
         val pairs = NearDup.incrementalPairs(index, newSig, nearDupThreshold)
         // drop a NEW doc paired with an indexed doc (any id) or a

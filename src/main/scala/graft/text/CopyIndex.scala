@@ -66,7 +66,17 @@ object CopyIndex {
     // ids NORMALIZE to long here — the one place the relation's schema
     // is decided — so every index file, probe side and alert row agrees
     // on (id long, pos long, fp long) whatever integral type the caller
-    // holds, and the empty-relation fallbacks below can be concrete
+    // holds, and the empty-relation fallbacks below can be concrete.
+    // INTEGRAL ids only, checked loudly: a silent cast of a string id
+    // would null every row and read as "no copies found"
+    val idType = docs.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"copy-index ids must be integral (got $idCol: $idType) — a " +
+        "non-integral id would cast to NULL and silently detect nothing; " +
+        "fingerprint it to a long first (xxhash64)")
     val toks = docs
       .select(col(idCol).cast("long").as(idCol),
         TextOps.tokens(col(textCol)).as("w"))
@@ -126,12 +136,22 @@ object CopyIndex {
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
+  /** Marker publish is write-temp-then-RENAME — atomic on HDFS/posix,
+    * so no reader can observe a half-written marker. The residual
+    * window (crash after the data commit, before the rename) leaves a
+    * dir that fails [[verifyFanout]] LOUDLY until rebuilt — the right
+    * failure mode for a torn one-time build (the streaming per-batch
+    * writeIndex self-heals: the unacknowledged offset forces a retry
+    * that overwrites the dir). */
   private def writeFanout(spark: SparkSession, path: String,
                           nBuckets: Int): Unit = {
     val (fs, root) = fsOf(spark, path)
-    val out = fs.create(
-      new org.apache.hadoop.fs.Path(root, FanoutMarker), true)
+    val tmp = new org.apache.hadoop.fs.Path(root, s".$FanoutMarker.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"p=$nBuckets\n".getBytes("UTF-8")) finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(root, FanoutMarker)
+    fs.delete(dst, false)
+    require(fs.rename(tmp, dst), s"could not publish $FanoutMarker at $path")
   }
 
   private[graft] def verifyFanout(spark: SparkSession, path: String,
@@ -142,10 +162,13 @@ object CopyIndex {
       s"no $FanoutMarker marker under $path — not a CopyIndex layout " +
         "(or a pre-marker dir: rebuild with writeIndex)")
     val in = fs.open(m)
-    val p =
+    val raw =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        .stripPrefix("p=").toInt
       finally in.close()
+    val p = raw.stripPrefix("p=").toIntOption.getOrElse(
+      throw new IllegalArgumentException(
+        s"malformed $FanoutMarker under $path (content: '$raw') — " +
+          "rebuild with writeIndex"))
     require(p == nBuckets,
       s"copy index at $path laid out with p=$p, caller uses $nBuckets " +
         "— probing would silently miss matches; re-bucket explicitly " +
@@ -179,8 +202,13 @@ object CopyIndex {
     * braces (and it is what the plan pin asserts). A wanted bucket
     * with no directory simply contributes nothing — an fp no corpus
     * row ever hashed to. */
-  def prunedIndex(spark: SparkSession, path: String, buckets: Seq[Int])
-      : DataFrame = {
+  def prunedIndex(spark: SparkSession, path: String, buckets: Seq[Int],
+                  nBuckets: Int = DefaultBuckets): DataFrame = {
+    // the drift guard lives at THIS choke point — every pruned read,
+    // including direct bucketsOf+prunedIndex callers, passes it; a
+    // drifted constant fails loudly instead of pruning under the wrong
+    // modulus (which reads as "no copies found")
+    verifyFanout(spark, path, nBuckets)
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirs = buckets.distinct
@@ -207,8 +235,8 @@ object CopyIndex {
     * catching every planted 12-token run (EdgeCaseSpec). */
   def probe(spark: SparkSession, path: String, batchSelections: DataFrame,
             nBuckets: Int = DefaultBuckets, minShared: Int = 2): DataFrame = {
-    verifyFanout(spark, path, nBuckets)
-    val idx = prunedIndex(spark, path, bucketsOf(batchSelections, nBuckets))
+    val idx = prunedIndex(spark, path,
+        bucketsOf(batchSelections, nBuckets), nBuckets)
       .select(col("id").as("idx_id"), col("pos").as("idx_pos"), col("fp"))
     val nb = batchSelections.select(col("id").as("new_id"),
       col("pos").as("new_pos"), col("fp"))
@@ -238,7 +266,12 @@ object CopyIndex {
   def compactIndex(spark: SparkSession, path: String,
                    nBuckets: Int = DefaultBuckets): Unit = {
     verifyFanout(spark, path, nBuckets)
-    val deduped = spark.read.parquet(path)
+    // full read through the PRUNED path with every bucket named: same
+    // files a root read would touch (compaction is O(index) by
+    // definition), but a data-fileless index (empty-corpus build)
+    // degrades to the schema-contract empty relation instead of
+    // crashing schema inference
+    val deduped = prunedIndex(spark, path, 0 until nBuckets, nBuckets)
       .select("id", "pos", "fp")
       .dropDuplicates("id", "pos", "fp")
       .localCheckpoint() // sever lineage from the files about to be replaced

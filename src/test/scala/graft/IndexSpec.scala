@@ -415,6 +415,16 @@ class IndexSpec extends SparkTestBase {
       touched.forall(f => want.exists(b => f.contains(s"bucket=$b/"))),
       s"probe read outside the batch's buckets $want: ${touched.mkString(", ")}")
 
+    // the fan-out is baked into the layout: a caller whose constant
+    // drifted must fail LOUDLY (a wrong-modulus probe would silently
+    // read as "no copies found" on the contamination path)
+    val drift = intercept[IllegalArgumentException](
+      CopyIndex.probe(spark, dir, batchSel, nBuckets = 16))
+    assert(drift.getMessage.contains("p=64"), drift.getMessage)
+    val driftA = intercept[IllegalArgumentException](
+      CopyIndex.appendToIndex(batchSel, dir, nBuckets = 16))
+    assert(driftA.getMessage.contains("p=64"), driftA.getMessage)
+
     // RE-INGESTION: append the same batch twice (duplicate rows), probe
     // answers must not move (COUNT(DISTINCT fp) + min/max spans are
     // duplicate-blind) …
