@@ -451,6 +451,131 @@ object Text {
         .orderBy("new_id")
     },
 
+    // ---- The copy family's CURATION ACTION: detect → DROP. A document
+    //      is pruned when it shares ≥ 3 distinct winnow fingerprints
+    //      with an EARLIER (lower-id) document — run-level copying that
+    //      token-set Jaccard underweights (the q224 rationale), with
+    //      the original always surviving (drops are b-side only).
+    //      minShared = 3 is a measured policy point: at sf0.01 it drops
+    //      20 docs of which 17 are the planted copies, vs 29/19 at 2
+    //      (collision-noisy) and 10/7 at 4 (misses plants). Scale: the
+    //      pair relation is the fp-keyed winnow join (never all-pairs);
+    //      the prune is one anti-join on the drop set. ----
+    gated("q228_copy_prune",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |src AS (SELECT doc_id + 7 AS doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS stoks
+        |        FROM base WHERE doc_id % 10 = 0),
+        |d2 AS (SELECT b.doc_id,
+        |          lower(b.text) ||
+        |          CASE WHEN s.doc_id IS NOT NULL AND len(s.stoks) >= 12
+        |               THEN ' ' || array_to_string(s.stoks[1:12], ' ') ELSE '' END AS t
+        |       FROM base b LEFT JOIN src s ON b.doc_id = s.doc_id),
+        |tt AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w FROM d2),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM tt WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        [i for i in range(1, greatest(1, len(kg) - 3) + 1)] AS ps,
+        |        [list_min(kg[i : least(i + 3, len(kg))])
+        |         for i in range(1, greatest(1, len(kg) - 3) + 1)] AS fs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(ps) AS pos, unnest(fs) AS fp FROM f),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp
+        |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |drops AS (SELECT b_id FROM p GROUP BY a_id, b_id
+        |          HAVING COUNT(DISTINCT fp) >= 3)
+        |SELECT doc_id FROM d2
+        |WHERE doc_id NOT IN (SELECT b_id FROM drops)
+        |ORDER BY doc_id""") { (s, d) =>
+      // three consumers (both join sides + the doc anti-join's shared
+      // lineage) — past the measured break-even, pin (3.84 s recomputed
+      // vs 1.99 s pinned, min-of-3 back-to-back at sf0.1)
+      val sel = plantedCopySelections(s, d).localCheckpoint()
+      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+        col("fp"))
+      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+        col("fp"))
+      val drops = CopyIndex.localize(
+          a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
+          "a", "b", minShared = 3)
+        .select(col("b_id")).distinct()
+      plantedCopyDocs(s, d).select(col("doc_id"))
+        .join(drops, col("doc_id") === col("b_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
+    // ---- …and its PROVENANCE report: every pruned document's BEST
+    //      source (most shared fingerprints, smallest id on ties) with
+    //      the matched-run span on the pruned side — "what did this doc
+    //      copy, from whom, and where", the audit a curation decision
+    //      must be able to answer. One window over the pair relation
+    //      (partitioned by the pruned doc — bounded groups). ----
+    gated("q229_copy_attribution",
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+        |src AS (SELECT doc_id + 7 AS doc_id,
+        |          list_filter(string_split(lower(text), ' '), x -> x <> '') AS stoks
+        |        FROM base WHERE doc_id % 10 = 0),
+        |d2 AS (SELECT b.doc_id,
+        |          lower(b.text) ||
+        |          CASE WHEN s.doc_id IS NOT NULL AND len(s.stoks) >= 12
+        |               THEN ' ' || array_to_string(s.stoks[1:12], ' ') ELSE '' END AS t
+        |       FROM base b LEFT JOIN src s ON b.doc_id = s.doc_id),
+        |tt AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS w FROM d2),
+        |g AS (SELECT doc_id,
+        |        [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(
+        |             list_filter(string_split(w[i] || ' ' || w[i+1] || ' ' || w[i+2], ''),
+        |                         x -> x <> ''),
+        |             x -> CAST(ascii(x) AS BIGINT))),
+        |           (acc, x) -> (acc * 31 + x) % 1000000007)
+        |         for i in range(1, len(w) - 1)] AS kg
+        |      FROM tt WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |        [i for i in range(1, greatest(1, len(kg) - 3) + 1)] AS ps,
+        |        [list_min(kg[i : least(i + 3, len(kg))])
+        |         for i in range(1, greatest(1, len(kg) - 3) + 1)] AS fs
+        |      FROM g),
+        |e AS (SELECT doc_id, unnest(ps) AS pos, unnest(fs) AS fp FROM f),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.fp,
+        |             b.pos AS b_pos
+        |      FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+        |pairs AS (SELECT a_id, b_id,
+        |            CAST(COUNT(DISTINCT fp) AS BIGINT) AS shared,
+        |            CAST(MIN(b_pos) AS BIGINT) AS b_lo,
+        |            CAST(MAX(b_pos) AS BIGINT) AS b_hi
+        |          FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 3)
+        |SELECT b_id, a_id AS src_id, shared, b_lo, b_hi FROM pairs
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY b_id
+        |                           ORDER BY shared DESC, a_id) = 1
+        |ORDER BY b_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // two consumers of the selection relation — the q224 break-even
+      // rule says recompute (pin measured within noise on a drifting
+      // box; the 3-consumer q228 pins, this one follows q224)
+      val sel = plantedCopySelections(s, d)
+      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+        col("fp"))
+      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+        col("fp"))
+      val pairs = CopyIndex.localize(
+        a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
+        "a", "b", minShared = 3)
+      val w = Window.partitionBy("b_id")
+        .orderBy(col("shared").desc, col("a_id"))
+      pairs.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("b_id"), col("a_id").as("src_id"), col("shared"),
+          col("b_lo"), col("b_hi"))
+        .orderBy("b_id")
+    },
+
     // ---- O38: tf-idf — two aggregations + a join (SURVEY O38). The
     //      document-frequency side is vocabulary-sized (≪ corpus), so it
     //      broadcasts; at 100 TB a long-tail vocabulary falls back to a
