@@ -165,6 +165,77 @@ object Media {
         .select(col("q_id"), col("b_id"), col("simd").cast("string").as("sim"))
     },
 
+    // ---- HARD-NEGATIVE MINING (q74's training-data twin): per anchor,
+    //      the top-5 corpus vectors INSIDE a similarity band — similar
+    //      enough to be informative (floor 0.05 cuts easy negatives)
+    //      but provably not a near-duplicate (ceiling 0.90 cuts
+    //      positives/copies) — the standard pair-construction step for
+    //      training retrieval/embedding models with contrastive loss.
+    //      The ceiling is NON-VACUOUS by construction: each anchor gets
+    //      a planted near-copy (id 200000+q, dim-0 nudged 0.02, cosine
+    //      ≈ 1) that plain top-k would rank first and the band must
+    //      exclude. Same plan shape as q74 (broadcast anchor block, one
+    //      corpus pass, WindowGroupLimit top-5 per anchor); at 100 TB
+    //      the corpus pass becomes an IVF candidate probe (q48b) with
+    //      the same band re-rank. ----
+    gated("q230_hard_negatives",
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
+        |           WHERE vec_id < 5),
+        |pl AS (SELECT 200000 + q_id AS vec_id,
+        |         [CASE WHEN i = 1 THEN CAST(qe[i] AS DOUBLE) + 0.02
+        |               ELSE CAST(qe[i] AS DOUBLE) END
+        |          for i in range(1, len(qe) + 1)] AS embedding
+        |       FROM q),
+        |corpus AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+        |           FROM embeddings WHERE vec_id >= 5
+        |           UNION ALL SELECT vec_id, embedding FROM pl),
+        |s AS (SELECT q.q_id, b.vec_id AS b_id,
+        |        list_sum(list_transform(list_zip(b.embedding, q.qe),
+        |                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot,
+        |        sqrt(list_sum(list_transform(b.embedding,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb,
+        |        sqrt(list_sum(list_transform(q.qe,
+        |                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq
+        |      FROM corpus b, q),
+        |r AS (SELECT q_id, b_id, CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) AS simd
+        |      FROM s
+        |      WHERE CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) >= 0.05
+        |        AND CAST(ROUND(dot/(nb*nq), 4) AS DECIMAL(9,4)) < 0.90)
+        |SELECT q_id, b_id, CAST(simd AS VARCHAR) AS sim
+        |FROM (SELECT q_id, b_id, simd,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id
+        |                           ORDER BY simd DESC, b_id) AS rn
+        |      FROM r)
+        |WHERE rn <= 5 ORDER BY q_id, simd DESC, b_id""") { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.embeddings(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"),
+          col("embedding").cast("array<double>").as("qe")))
+      val planted = q.select((col("q_id") + 200000L).as("vec_id"),
+        transform(col("qe"),
+          (x, j) => when(j === 0, x + lit(0.02)).otherwise(x))
+          .as("embedding"))
+      val corpus = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .unionByName(planted)
+      val scored = corpus.crossJoin(q)
+        .select(col("q_id"), col("vec_id").as("b_id"),
+          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
+            .cast(DecimalType(9, 4)).as("simd"))
+        .filter(col("simd") >= lit(BigDecimal("0.05")) &&
+          col("simd") < lit(BigDecimal("0.90")))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("simd").desc, col("b_id"))))
+        .filter(col("rn") <= 5)
+        .orderBy(col("q_id"), col("simd").desc, col("b_id"))
+        .select(col("q_id"), col("b_id"), col("simd").cast("string").as("sim"))
+    },
+
     // ---- per-label embedding centroids — the class-prototype / coarse-
     //      quantizer-training primitive, unpivoted to one row per (label,
     //      dim). posexplode widens map-side (×64), then ONE shuffle on the
