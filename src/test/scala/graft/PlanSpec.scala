@@ -163,6 +163,20 @@ class PlanSpec extends SparkTestBase {
       s"per-query top-k must push a partial limit below the exchange:\n$p")
   }
 
+  test("q230: hard-negative mining keeps q74's shape — broadcast anchors, band filter BELOW the rank, partial top-k per task") {
+    val p = planOf("q230_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"anchor block not broadcast:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-anchor top-k must push a partial limit below the exchange:\n$p")
+    // the similarity band must filter BEFORE the window exchange — a
+    // post-rank band would ship every scored row
+    val wglAt = p.indexOf("WindowGroupLimit")
+    val bandAt = p.lastIndexOf("Filter")
+    assert(bandAt > wglAt,
+      s"band filter must sit below (after, in plan print order) the rank:\n$p")
+  }
+
   test("q75: centroid aggregation is two-phase over ONE (label, dim) shuffle") {
     val p = planOf("q75_label_centroids")
     assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
