@@ -297,14 +297,7 @@ object Text {
         |       CAST(MIN(b_pos) AS BIGINT) AS b_lo, CAST(MAX(b_pos) AS BIGINT) AS b_hi
         |FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 2
         |ORDER BY a_id, b_id""") { (s, d) =>
-      val sel = plantedCopySelections(s, d)
-      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
-        col("fp"))
-      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
-        col("fp"))
-      CopyIndex.localize(
-          a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
-          "a", "b", minShared = 2)
+      copyPairs(plantedCopySelections(s, d), minShared = 2)
         .orderBy("a_id", "b_id")
     },
 
@@ -494,17 +487,7 @@ object Text {
         |SELECT doc_id FROM d2
         |WHERE doc_id NOT IN (SELECT b_id FROM drops)
         |ORDER BY doc_id""") { (s, d) =>
-      // three consumers (both join sides + the doc anti-join's shared
-      // lineage) — past the measured break-even, pin (3.84 s recomputed
-      // vs 1.99 s pinned, min-of-3 back-to-back at sf0.1)
-      val sel = plantedCopySelections(s, d).localCheckpoint()
-      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
-        col("fp"))
-      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
-        col("fp"))
-      val drops = CopyIndex.localize(
-          a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
-          "a", "b", minShared = 3)
+      val drops = copyPairs(plantedCopySelections(s, d), minShared = 3)
         .select(col("b_id")).distinct()
       plantedCopyDocs(s, d).select(col("doc_id"))
         .join(drops, col("doc_id") === col("b_id"), "left_anti")
@@ -556,17 +539,7 @@ object Text {
         |                           ORDER BY shared DESC, a_id) = 1
         |ORDER BY b_id""") { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      // two consumers of the selection relation — the q224 break-even
-      // rule says recompute (pin measured within noise on a drifting
-      // box; the 3-consumer q228 pins, this one follows q224)
-      val sel = plantedCopySelections(s, d)
-      val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
-        col("fp"))
-      val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
-        col("fp"))
-      val pairs = CopyIndex.localize(
-        a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
-        "a", "b", minShared = 3)
+      val pairs = copyPairs(plantedCopySelections(s, d), minShared = 3)
       val w = Window.partitionBy("b_id")
         .orderBy(col("shared").desc, col("a_id"))
       pairs.withColumn("rn", row_number().over(w))
@@ -2452,6 +2425,22 @@ object Text {
         concat(lower(col("text")),
           when(col("passage").isNotNull,
             concat(lit(" "), col("passage"))).otherwise(lit(""))).as("t"))
+  }
+
+  /** The ONE copy of the one-shot pair-building block the copy gates
+    * share: fp-keyed self-join of a selection relation, ordered pairs
+    * (a_id < b_id), localized via [[CopyIndex.localize]]. Two consumers
+    * of `sel` — per the q224/q225 break-even measurements the caller
+    * passes it RECOMPUTED at gate scope and pins only when it fans out
+    * further. */
+  private def copyPairs(sel: DataFrame, minShared: Int): DataFrame = {
+    val a = sel.select(col("id").as("a_id"), col("pos").as("a_pos"),
+      col("fp"))
+    val b = sel.select(col("id").as("b_id"), col("pos").as("b_pos"),
+      col("fp"))
+    CopyIndex.localize(
+      a.join(b, Seq("fp")).filter(col("a_id") < col("b_id")),
+      "a", "b", minShared)
   }
 
   private def plantedCopySelections(s: SparkSession, d: String)

@@ -169,12 +169,15 @@ class PlanSpec extends SparkTestBase {
       s"anchor block not broadcast:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-anchor top-k must push a partial limit below the exchange:\n$p")
-    // the similarity band must filter BEFORE the window exchange — a
-    // post-rank band would ship every scored row
-    val wglAt = p.indexOf("WindowGroupLimit")
-    val bandAt = p.lastIndexOf("Filter")
-    assert(bandAt > wglAt,
-      s"band filter must sit below (after, in plan print order) the rank:\n$p")
+    // the similarity band must apply BEFORE the window exchange (it
+    // fuses into the broadcast join's condition — rows outside the band
+    // never materialize); anchor on the band's own decimal literal, not
+    // a generic "Filter" (scan filters always print below the rank and
+    // would make that check vacuous). In tree print children follow
+    // parents, so below-the-rank == after WindowGroupLimit's line.
+    assert(p.contains("0.9000"), s"band ceiling missing from the plan:\n$p")
+    assert(p.indexOf("0.9000") > p.indexOf("WindowGroupLimit"),
+      s"band must evaluate below the rank, not after it:\n$p")
   }
 
   test("q75: centroid aggregation is two-phase over ONE (label, dim) shuffle") {
