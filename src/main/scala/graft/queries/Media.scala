@@ -147,22 +147,10 @@ object Media {
         |                           ORDER BY simd DESC, b_id) AS rn
         |      FROM r)
         |WHERE rn <= 5 ORDER BY q_id, simd DESC, b_id""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
       val e = Tables.embeddings(s, d)
-      val q = broadcast(e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
-      val scored = e.filter(col("vec_id") >= 5)
-        .crossJoin(q)
-        .select(col("q_id"), col("vec_id").as("b_id"),
-          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
-            .cast(org.apache.spark.sql.types.DecimalType(9, 4)).as("simd"))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("simd").desc, col("b_id"))))
-        .filter(col("rn") <= 5)
-        .orderBy(col("q_id"), col("simd").desc, col("b_id"))
-        .select(col("q_id"), col("b_id"), col("simd").cast("string").as("sim"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      batchTopK(e.filter(col("vec_id") >= 5), q, k = 5)()
     },
 
     // ---- HARD-NEGATIVE MINING (q74's training-data twin): per anchor,
@@ -181,7 +169,7 @@ object Media {
     gated("q230_hard_negatives",
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings
         |           WHERE vec_id < 5),
-        |pl AS (SELECT 200000 + q_id AS vec_id,
+        |pl AS (SELECT CAST(1000000000000 AS BIGINT) + q_id AS vec_id,
         |         [CASE WHEN i = 1 THEN CAST(qe[i] AS DOUBLE) + 0.02
         |               ELSE CAST(qe[i] AS DOUBLE) END
         |          for i in range(1, len(qe) + 1)] AS embedding
@@ -208,32 +196,23 @@ object Media {
         |                           ORDER BY simd DESC, b_id) AS rn
         |      FROM r)
         |WHERE rn <= 5 ORDER BY q_id, simd DESC, b_id""") { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      import org.apache.spark.sql.types.DecimalType
       val e = Tables.embeddings(s, d)
-      val q = broadcast(e.filter(col("vec_id") < 5)
+      val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"),
-          col("embedding").cast("array<double>").as("qe")))
-      val planted = q.select((col("q_id") + 200000L).as("vec_id"),
+          col("embedding").cast("array<double>").as("qe"))
+      // planted ids at the GenScaledData reserve offset (10^12 — far
+      // above any real key at any regeneration scale), never a small
+      // constant a grown embeddings table could collide with
+      val planted = q.select((col("q_id") + PlantedIdOffset).as("vec_id"),
         transform(col("qe"),
           (x, j) => when(j === 0, x + lit(0.02)).otherwise(x))
           .as("embedding"))
       val corpus = e.filter(col("vec_id") >= 5)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
         .unionByName(planted)
-      val scored = corpus.crossJoin(q)
-        .select(col("q_id"), col("vec_id").as("b_id"),
-          round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
-            .cast(DecimalType(9, 4)).as("simd"))
-        .filter(col("simd") >= lit(BigDecimal("0.05")) &&
-          col("simd") < lit(BigDecimal("0.90")))
-      scored
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("q_id"))
-            .orderBy(col("simd").desc, col("b_id"))))
-        .filter(col("rn") <= 5)
-        .orderBy(col("q_id"), col("simd").desc, col("b_id"))
-        .select(col("q_id"), col("b_id"), col("simd").cast("string").as("sim"))
+      batchTopK(corpus, q, k = 5)(
+        _.filter(col("simd") >= lit(BigDecimal("0.05")) &&
+          col("simd") < lit(BigDecimal("0.90"))))
     },
 
     // ---- per-label embedding centroids — the class-prototype / coarse-
@@ -1083,6 +1062,39 @@ object Media {
          |sel$i AS MATERIALIZED (SELECT id, rel, score, $i AS rk FROM pick$i
          |  UNION ALL SELECT id, rel, score, rk FROM sel${i - 1})""".stripMargin
     }.mkString(",\n")
+
+  /** Reserved id offset for planted rows — GenScaledData's replica
+    * stripe unit (10^12), far above any real key at any regeneration
+    * scale, so a planted id can never alias a genuine corpus row (both
+    * engines would agree on the aliased answer, making the collision
+    * invisible to the oracle gate). */
+  private val PlantedIdOffset = 1000000000000L
+
+  /** Shared score → per-anchor top-k → render block of the batched
+    * retrieval gates (q74, q230): cosine against a BROADCAST anchor
+    * block `(q_id, qe)`, dec(9,4) rounding, WindowGroupLimit top-k,
+    * ordered string render. `refine` runs BETWEEN scoring and ranking —
+    * q230's similarity band plugs in there, so it evaluates below the
+    * rank (PlanSpec pins the fused position). One copy of the shape
+    * both gates' oracles mirror. */
+  private def batchTopK(corpus: org.apache.spark.sql.DataFrame,
+                        anchors: org.apache.spark.sql.DataFrame, k: Int)
+                       (refine: org.apache.spark.sql.DataFrame =>
+                          org.apache.spark.sql.DataFrame = identity)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = corpus.crossJoin(broadcast(anchors))
+      .select(col("q_id"), col("vec_id").as("b_id"),
+        round(graft.functions.VectorOps.cosine(col("embedding"), col("qe")), 4)
+          .cast(org.apache.spark.sql.types.DecimalType(9, 4)).as("simd"))
+    refine(scored)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id"))
+          .orderBy(col("simd").desc, col("b_id"))))
+      .filter(col("rn") <= k)
+      .orderBy(col("q_id"), col("simd").desc, col("b_id"))
+      .select(col("q_id"), col("b_id"), col("simd").cast("string").as("sim"))
+  }
 
   /** Corpus ∪ 10 planted near-neighbors of the query vector (ids
     * 100001..100010; component 0 nudged by 0.01·i), plus the query row —

@@ -487,6 +487,11 @@ object Text {
         |SELECT doc_id FROM d2
         |WHERE doc_id NOT IN (SELECT b_id FROM drops)
         |ORDER BY doc_id""") { (s, d) =>
+      // deliberately RECOMPUTED (two consumers inside copyPairs; the
+      // doc anti-join below derives its own lineage): a pinned variant
+      // measured SLOWER back-to-back at sf0.1 — 1.99 s pinned vs 1.49 s
+      // recomputed min-of-4; an earlier 3.84 s "recomputed" reading was
+      // box drift, not plan cost
       val drops = copyPairs(plantedCopySelections(s, d), minShared = 3)
         .select(col("b_id")).distinct()
       plantedCopyDocs(s, d).select(col("doc_id"))

@@ -298,4 +298,24 @@ class TextVectorSpec extends SparkTestBase {
     }
     assert(rows.map(_.getLong(1)).max > 0)
   }
+
+  test("q230 hard negatives: the band ceiling really binds — every anchor's planted near-copy scores above 0.90 and none reaches the output") {
+    // value-level twin of the PlanSpec band pin: the oracle gate alone
+    // cannot see a dead ceiling (both engines would agree), so assert
+    // (a) each anchor's planted twin (dim-0 + 0.02) has cosine > 0.90 —
+    // a band-free top-1 would be the plant — and (b) the gated output
+    // contains no planted id (offset 10^12, the gate's constant)
+    val anchors = emb.filter(col("vec_id") < 5)
+      .select(col("embedding").cast("array<double>").as("qe"))
+    val twinCos = anchors.select(VectorOps.cosine(col("qe"),
+        transform(col("qe"),
+          (x, j) => when(j === 0, x + lit(0.02)).otherwise(x))).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(twinCos.length === 5 && twinCos.forall(_ > 0.90),
+      s"planted twins no longer score above the ceiling: ${twinCos.mkString(",")}")
+    val out = SparkEntry.queries("q230_hard_negatives")(spark, sf)
+      .select(col("b_id")).collect().map(_.getLong(0))
+    assert(out.nonEmpty && out.forall(_ < 1000000000000L),
+      s"a planted near-copy leaked through the band: ${out.filter(_ >= 1000000000000L).mkString(",")}")
+  }
 }
