@@ -1860,6 +1860,22 @@ class StreamingSpec extends SparkTestBase {
       df.select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
         .collect().map(_.toString).toSet
     val got = rows(CopyDetectMaintenance.alerts(spark, alertDir))
+
+    // EMPTY FIRST BATCH regression pin (round-13 review): a partitioned
+    // write of zero selections commits only _SUCCESS — no data file —
+    // and the old root-read probe crash-looped every later trigger on
+    // schema inference. A fresh tenant fed an empty batch 0 must keep
+    // folding and alerting normally.
+    {
+      val idx2 = tmpDir("copydetect_empty") + "/index"
+      val al2 = tmpDir("copydetect_empty") + "/alerts"
+      CopyDetectMaintenance.update(idx2, al2,
+        docs.filter(lit(false)), 0L, idCol = "doc_id", textCol = "t")
+      CopyDetectMaintenance.update(idx2, al2, docs, 1L,
+        idCol = "doc_id", textCol = "t")
+      assert(rows(CopyDetectMaintenance.alerts(spark, al2)) === got,
+        "empty batch 0 broke the later trigger's probe or alerts")
+    }
     val oneShot = rows(
       SparkEntry.queries("q224_copy_detection")(spark, sf))
     assert(oneShot.nonEmpty, "planted corpus produced no pairs — vacuous")
