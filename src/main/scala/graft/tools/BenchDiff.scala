@@ -63,6 +63,22 @@ object BenchDiff {
     val geo = math.exp(ratios.map(r => math.log(r._2)).sum / ratios.size)
     println(f"overlap ${overlap.size} queries; geomean new/old = $geo%.3f" +
       f" (uniform shift ~ box drift, not code)")
+    // round-13 artifacts carry a fixed synthetic probe — when BOTH
+    // sides have one, its ratio prices the box directly and the
+    // remaining geomean/probe quotient is the code's own movement
+    def probeOf(p: String): Option[Double] =
+      """"calibration_probe_sec":(-?[0-9.]+)""".r
+        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(p)), "UTF-8").replace("\\\"", "\""))
+        .map(_.group(1).toDouble).filter(_ > 0)
+    (probeOf(args(0)), probeOf(args(1))) match {
+      case (Some(a), Some(b)) =>
+        println(f"calibration probe $a%.3f -> $b%.3f s (${b / a}%.3fx box); " +
+          f"probe-normalized geomean = ${geo / (b / a)}%.3f")
+      case _ =>
+        println("calibration probe absent on one side — " +
+          "normalize by hand (pre-round-13 artifact)")
+    }
     def show(tag: String, rs: Seq[(String, Double)]): Unit = {
       println(s"-- $tag --")
       rs.foreach { case (k, r) =>
