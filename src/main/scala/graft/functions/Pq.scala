@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   * to the lowest code (array_position returns the first match).
   *
   * Reference scope: the reference stack ships embeddings to a managed
-  * vector store (cdk_stacks/opensearch.py); PQ/ADC is the standard
+  * vector store (cdk_stacks/ops.py); PQ/ADC is the standard
   * re-expression of that serving path when the index must live in the
   * engine itself (Jégou et al., "Product Quantization for Nearest
   * Neighbor Search", TPAMI 2011).

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * for the ingest pipeline (q224/q225's semantics as a foreachBatch
   * tenant; reference: documents land in a content-indexed serving store
   * precisely so fresh arrivals are checkable against the corpus,
-  * cdk_stacks/opensearch.py + the README's content-query walkthrough).
+  * cdk_stacks/ops.py + the README's content-query walkthrough).
   * Per micro-batch of `(id, text)` documents:
   *   1. winnow the batch into position-carrying selections
   *      ([[CopyIndex.selections]] — the same fingerprint pipeline the
@@ -79,11 +79,18 @@ object CopyDetectMaintenance {
       // the self-join's own shape (no hand-built schema to drift)
       case None => within.limit(0)
       case Some(idx) =>
+        // idx_id =!= new_id: a re-ingested doc_id (the same doc in a
+        // later batch) must not alert as "copying itself" against its
+        // own earlier selections. It DOES re-alert against its earlier
+        // cross-doc partners — by design (re-ingestion re-raises the
+        // contamination fact); the q224-parity claim assumes the
+        // batches PARTITION the corpus (each doc_id arrives once).
         val raw = CopyIndex.localize(
           idx.select(col("id").as("idx_id"), col("pos").as("idx_pos"),
               col("fp"))
             .join(sel.select(col("id").as("new_id"),
-              col("pos").as("new_pos"), col("fp")), Seq("fp")),
+              col("pos").as("new_pos"), col("fp")), Seq("fp"))
+            .filter(col("idx_id") =!= col("new_id")),
           "idx", "new", minShared)
         // canonical orientation (a_id < b_id): arrival order is the
         // source's business; alerts must align with the one-shot answer

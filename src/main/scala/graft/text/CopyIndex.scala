@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * directory-pruning posture as [[Phrase]] postings, [[NearDup]] bands
   * and `Ivf` cells. Engine-side re-expression of the reference's
   * content-indexed serving store (documents land in an OpenSearch index
-  * and are queried by content, cdk_stacks/opensearch.py).
+  * and are queried by content, cdk_stacks/ops.py).
   *
   * Plan shape at 100 TB:
   *   - BUILD/APPEND cost is |docs| selections (density 2/(w+1) of
@@ -232,7 +232,15 @@ object CopyIndex {
     * Reads only the batch's fingerprint buckets; the winnowing
     * guarantee (a shared run ≥ w+g−1 tokens yields ≥ 1 shared
     * selection) makes `minShared = 2` robust to single-fp noise while
-    * catching every planted 12-token run (EdgeCaseSpec). */
+    * catching every planted 12-token run (EdgeCaseSpec).
+    *
+    * SELF-PAIRS are filtered: when the probe batch overlaps the index
+    * (the re-ingestion scenario the retention notes bless), a document
+    * would otherwise trivially "copy itself" (idx_id == new_id, shared
+    * = its full selection set) — noise, not contamination. A
+    * re-ingested document DOES still re-match its earlier cross-doc
+    * partners; consumers dedupe on (idx_id, new_id) if they need
+    * report-once semantics. */
   def probe(spark: SparkSession, path: String, batchSelections: DataFrame,
             nBuckets: Int = DefaultBuckets, minShared: Int = 2): DataFrame = {
     val idx = prunedIndex(spark, path,
@@ -240,7 +248,8 @@ object CopyIndex {
       .select(col("id").as("idx_id"), col("pos").as("idx_pos"), col("fp"))
     val nb = batchSelections.select(col("id").as("new_id"),
       col("pos").as("new_pos"), col("fp"))
-    localize(idx.join(nb, Seq("fp")), "idx", "new", minShared)
+    localize(idx.join(nb, Seq("fp"))
+      .filter(col("idx_id") =!= col("new_id")), "idx", "new", minShared)
   }
 
   /** Shared localization aggregation over a joined selection-pair

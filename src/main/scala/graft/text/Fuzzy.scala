@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Fuzzy term matching by delete-neighborhood blocking (the SymSpell
   * construction) — the engine-side counterpart of the reference serving
   * store's fuzzy query surface (OpenSearch `fuzziness` matching over the
-  * indexed documents, cdk_stacks/opensearch.py). Two terms within edit
+  * indexed documents, cdk_stacks/ops.py). Two terms within edit
   * distance 1 ALWAYS share a key in each other's delete neighborhood
   * `D(s) = {s} ∪ {s minus one char}`:
   *   - equal terms share `s` itself;

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 /** Positional inverted index + phrase search — the engine-side
   * re-expression of the reference's serving store (documents are upserted
   * into an OpenSearch index and queried by content,
-  * cdk_stacks/opensearch.py; README.md's Kibana query walkthrough). A
+  * cdk_stacks/ops.py; README.md's Kibana query walkthrough). A
   * posting is `(term, doc_id, pos)`; a phrase of k terms matches wherever
   * the terms' postings align at k consecutive positions — evaluated as a
   * chained equi-join on `(doc_id, pos + offset)`, never by rescanning

@@ -45,7 +45,15 @@ object CopyIndexScale {
     val OFF = 1000000000000L
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text"))
-    val topStripe = docs.agg(max(expr(s"doc_id div $OFF"))).first().getLong(0)
+    val topRow = docs.agg(max(expr(s"doc_id div $OFF"))).first()
+    require(!topRow.isNullAt(0),
+      s"no documents under $sfDir — nothing to price")
+    val topStripe = topRow.getLong(0)
+    // topStripe == 0 would make the corpus side empty and the "probe"
+    // cover the whole table — a vacuous parity/price, not a measurement
+    require(topStripe > 0,
+      s"$sfDir has a single id stripe — this tool needs a " +
+        "GenScaledData-replicated corpus (run graft.tools.GenScaledData first)")
     val cut = topStripe * OFF
     // corpus = everything below the top replica stripe; the probe doc
     // comes from the stripe (unseen by the index — the ingest shape)

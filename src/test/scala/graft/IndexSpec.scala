@@ -432,6 +432,13 @@ class IndexSpec extends SparkTestBase {
     CopyIndex.appendToIndex(batchSel, dir)
     val withSelf = CopyIndex.probe(spark, dir, batchSel)
       .collect().map(r => key(r) -> r).toMap
+    // … the batch now OVERLAPS the index (re-ingestion): a document must
+    // never read as "copying itself" — self-pairs are filtered in probe —
+    // while its genuine cross-doc matches survive
+    assert(withSelf.keys.forall { case (i, n) => i != n },
+      s"re-ingested batch produced self-pair alerts: ${withSelf.keys}")
+    assert(inline.keySet.subsetOf(withSelf.keySet),
+      "re-ingestion lost cross-doc matches")
     val before = spark.read.parquet(dir).count()
     // … then compaction reclaims the duplicate rows, same layout, same
     // probe answer
