@@ -1,9 +1,10 @@
 package graft.streaming
 
 import graft.text.CopyIndex
-import org.apache.hadoop.fs.Path
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Streaming cross-document COPY DETECTION — live contamination alerts
   * for the ingest pipeline (q224/q225's semantics as a foreachBatch
@@ -23,7 +24,9 @@ import org.apache.spark.sql.functions._
   *   4. emit canonicalized alerts (a_id < b_id, each side's matched-run
   *      span) under the batch's own alert directory;
   *   5. append the batch's selections to the index under the batch's
-  *      own directory.
+  *      own directory;
+  *   6. when the committed tail has grown past `consolidateAfter`
+  *      directories, fold it into ONE consolidated dir (see RETENTION).
   *
   * Exactly-once: both writes are batch-scoped `batch_id=` dirs in
   * overwrite mode (the DocIngest index discipline) — a retried batch
@@ -35,32 +38,65 @@ import org.apache.spark.sql.functions._
   * ordered batches equals the one-shot q224 answer — a pair lands in
   * the later document's trigger (cross-probe) or in their shared
   * trigger (self-join), exactly once either way. StreamingSpec replays
-  * the planted-copy corpus across triggers and pins parity.
+  * the planted-copy corpus across triggers and pins parity, including
+  * across a consolidation boundary.
   *
-  * RETENTION (deliberate, like the batch index's append-only posture):
-  * the probe lists every committed `batch_id=` dir per trigger, so
-  * listing cost grows with trigger count — the operational compaction
-  * is: quiesce the stream at a committed horizon H, rewrite the union
-  * of `batch_id ≤ H` selections THROUGH [[CopyIndex.writeIndex]] into
-  * `batch_id=H` of a FRESH root (writeIndex is what lays down the
-  * bucket dirs AND the `_FANOUT` marker the probe verifies — a plain
-  * parquet write would crash-loop every later trigger on the marker
-  * check) plus a `_SUCCESS` marker, then point the maintenance at the
-  * new root and resume with the SAME checkpoint. Safe because rows are
-  * immutable per-document facts, probes only read `batch_id < current`,
-  * and no batch ≤ H can retry once H+1's offsets committed. Document
-  * deletion is the same anti-join rewrite the batch index documents. */
+  * RETENTION — automated consolidation: without maintenance the probe
+  * would list every `batch_id=` dir ever committed, O(triggers)
+  * metadata per trigger — at production trigger counts (thousands/day)
+  * that listing dominates data I/O long before the data does. So batch
+  * N's own update folds the committed tail once it exceeds
+  * `consolidateAfter` dirs: the union of `consol_id=H_old` and every
+  * committed `batch_id ≤ H` (H = the largest committed id < N) is
+  * deduplicated and rewritten THROUGH [[CopyIndex.writeIndex]] into
+  * `consol_id=H` (writeIndex lays the bucket dirs AND renames the
+  * `_FANOUT` marker into place LAST, so the marker is the consolidated
+  * dir's commit point), after which the folded dirs delete. Probes read
+  * {latest committed consol, committed batch dirs in (H, N)} — the
+  * listed-dir count is bounded by the threshold, not the stream's age.
+  * Crash-safe at every window: a torn fold has no `_FANOUT` → invisible
+  * to probes, overwritten by the next fold; a committed fold whose
+  * deletes didn't run is healed lazily (every update deletes dirs at or
+  * below the current horizon). Retries stay exactly-once because the
+  * fold only touches `batch_id < N` — a retried batch N probes the
+  * same union whether or not its first attempt consolidated. Alert
+  * dirs get the same fold (they are immutable facts keyed by batch_id,
+  * carried as a column in the consolidated file; `_SUCCESS` — written
+  * at job commit, after the data moves — is the marker there).
+  * Document deletion is the anti-join rewrite the batch index
+  * documents ([[CopyIndex.forget]]). */
 object CopyDetectMaintenance {
+
+  /** Default consolidation threshold: fold once more than this many
+    * committed batch dirs sit outside the consolidated dir. Sized so
+    * fold cost (a full rewrite of the tail + prior consol) amortizes
+    * to ~2 extra writes per row while the per-trigger listing stays
+    * ≤ threshold + 1 directories. */
+  val DefaultConsolidateAfter = 16
+
+  private val ConsolPrefix = "consol_id="
+
+  /** The alert relation's fixed schema — the layout CONTRACT for every
+    * alert dir (batch-scoped dirs carry batch_id as the partition dir;
+    * consolidated files carry it as a column). All-long by
+    * construction: ids normalize to long in [[CopyIndex.selections]],
+    * COUNT(DISTINCT) and the span min/max are long. StreamingSpec pins
+    * this against a written dir's actual footer. */
+  private[graft] val alertSchema: StructType = StructType(
+    Seq("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi",
+      "batch_id").map(StructField(_, LongType)))
 
   /** Fold one micro-batch of documents — call from foreachBatch.
     * `w`/`nBuckets`/`minShared` must be constant for the life of an
     * index directory (the fingerprint function and bucket layout are
-    * baked into the files). */
+    * baked into the files); `consolidateAfter` may vary freely (it
+    * only gates maintenance cadence). */
   def update(indexDir: String, alertDir: String, docs: DataFrame,
              batchId: Long, idCol: String = "doc_id",
              textCol: String = "text", w: Int = 4,
              nBuckets: Int = CopyIndex.DefaultBuckets,
-             minShared: Int = 2): Unit = {
+             minShared: Int = 2,
+             consolidateAfter: Int = DefaultConsolidateAfter): Unit = {
     val spark = docs.sparkSession
     // four consumers below (bucket resolution, probe join, self-join,
     // index append) — pin once; the relation is batch-sized
@@ -109,50 +145,84 @@ object CopyDetectMaintenance {
     cross.unionByName(within)
       .write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
     CopyIndex.writeIndex(sel, s"$indexDir/batch_id=$batchId", nBuckets)
+
+    if (consolidateAfter > 0) {
+      consolidateIndex(spark, indexDir, batchId, nBuckets, consolidateAfter)
+      consolidateAlerts(spark, alertDir, batchId, consolidateAfter)
+    }
   }
 
   /** Every alert emitted so far, with its `batch_id` provenance —
-    * COMMITTED batch directories only, read as explicit paths: a crash
+    * the latest COMMITTED consolidated dir plus the committed batch
+    * directories beyond it, read as explicit paths: a crash
     * mid-job-commit leaves partial files under an unmarked dir, and a
     * monitoring reader must never see them as data
-    * ([[CommittedDirs]]). */
+    * ([[CommittedDirs]]). The explicit [[alertSchema]] makes the read
+    * independent of footer inference — a tail of all-empty alert dirs
+    * (the common no-contamination case) still reads cleanly. */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
-    val dirs = CommittedDirs.list(spark, alertDir)
-    require(dirs.nonEmpty,
+    val fs = fsOf(spark, alertDir)
+    val consol = latestConsol(fs, alertDir, "_SUCCESS")
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    val tail = CommittedDirs.list(spark, alertDir).filter(_._1 > horizon)
+    require(consol.nonEmpty || tail.nonEmpty,
       s"no committed copy-detect alerts under $alertDir")
-    spark.read.option("basePath", alertDir)
-      .parquet(dirs.map(_._2.toString): _*)
+    val consolDf = consol match {
+      case Some((_, p)) => spark.read.schema(alertSchema).parquet(p.toString)
+      case None => emptyAlerts(spark)
+    }
+    val tailDf =
+      if (tail.isEmpty) emptyAlerts(spark)
+      else spark.read.option("basePath", alertDir).schema(alertSchema)
+        .parquet(tail.map(_._2.toString): _*)
+    consolDf.unionByName(tailDf)
   }
 
-  /** Bucket-pruned selections of every COMMITTED batch BEFORE
-    * `batchId` — None when this is the first batch (or every earlier
-    * dir is uncommitted debris). Reads explicit
-    * `batch_id=N/bucket=B` paths (the CopyIndex.prunedIndex
-    * discipline): a root read would list every bucket dir of every
-    * trigger ever run before pruning — O(triggers × P) listings per
-    * trigger — and would crash on a fileless committed dir (an
-    * empty batch's partitioned write emits only _SUCCESS). The
-    * `< batchId` cut is what makes a RETRY probe identical to the
-    * original run: the retrying batch's own committed dir is invisible
-    * to it. */
+  /** What a probe at `batchId` would list: (committed consolidation
+    * horizon if any, committed tail batch ids beyond it) — the bound
+    * the consolidation exists to enforce, exposed so StreamingSpec can
+    * pin the listed-dir count dropping across a fold. */
+  private[graft] def indexParts(spark: SparkSession, indexDir: String,
+                                batchId: Long): (Option[Long], Seq[Long]) = {
+    val consol = latestConsol(fsOf(spark, indexDir), indexDir,
+      CopyIndex.FanoutMarker)
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    (consol.map(_._1),
+      CommittedDirs.list(spark, indexDir)
+        .map(_._1).filter(i => i > horizon && i < batchId).sorted)
+  }
+
+  /** Bucket-pruned selections of everything COMMITTED BEFORE `batchId`
+    * — the latest consolidated dir plus the batch dirs beyond it; None
+    * when this is the first batch (or every earlier dir is uncommitted
+    * debris). Reads explicit `…/bucket=B` paths (the
+    * CopyIndex.prunedIndex discipline): a root read would list every
+    * bucket dir of every trigger ever run before pruning and would
+    * crash on a fileless committed dir (an empty batch's partitioned
+    * write emits only markers). The `< batchId` cut is what makes a
+    * RETRY probe identical to the original run: the retrying batch's
+    * own committed dir is invisible to it, and consolidation never
+    * folds past batchId − 1. */
   private def priorIndex(spark: SparkSession, indexDir: String,
                          batchId: Long, sel: DataFrame, nBuckets: Int)
       : Option[DataFrame] = {
-    val prior = CommittedDirs.list(spark, indexDir)
-      .filter(_._1 < batchId).map(_._2)
-    if (prior.isEmpty) return None
-    // the fan-out is baked into every batch dir's layout — a drifted
-    // caller constant must fail loudly here, not prune the wrong
-    // modulus's directories (one marker read per trigger)
-    CopyIndex.verifyFanout(spark, prior.head.toString, nBuckets)
+    val fs = fsOf(spark, indexDir)
+    val consol = latestConsol(fs, indexDir, CopyIndex.FanoutMarker)
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    val tail = CommittedDirs.list(spark, indexDir)
+      .filter(t => t._1 > horizon && t._1 < batchId).map(_._2)
+    val roots = consol.map(_._2).toSeq ++ tail
+    if (roots.isEmpty) return None
+    // the fan-out is baked into every dir's layout — a drifted caller
+    // constant must fail loudly here, not prune the wrong modulus's
+    // directories (one marker read per trigger)
+    CopyIndex.verifyFanout(spark, roots.head.toString, nBuckets)
     val want = CopyIndex.bucketsOf(sel, nBuckets)
       .map(b => s"bucket=$b").toSet
-    val fs = new Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // one listing per committed batch dir — O(triggers), not O(P);
-    // bucket dirs exist only where data landed, so the selected paths
-    // always carry parquet footers
-    val bucketDirs = prior.flatMap { d =>
+    // one listing per prior dir — bounded by consolidateAfter + 1, not
+    // by the stream's age; bucket dirs exist only where data landed, so
+    // the selected paths always carry parquet footers
+    val bucketDirs = roots.flatMap { d =>
       fs.listStatus(d).filter(s => s.isDirectory &&
         want.contains(s.getPath.getName)).map(_.getPath.toString)
     }
@@ -163,7 +233,113 @@ object CopyDetectMaintenance {
             CopyIndex.indexSchema)
           .select("id", "pos", "fp")
       else
-        spark.read.option("basePath", indexDir).parquet(bucketDirs: _*)
-          .select("id", "pos", "fp"))
+        // no basePath: the roots mix batch_id= and consol_id= names, so
+        // partition inference would see conflicting columns; the files
+        // carry (id, pos, fp) and that is all the probe needs
+        spark.read.parquet(bucketDirs: _*).select("id", "pos", "fp"))
   }
+
+  /** Fold the committed index tail into `consol_id=H` once it exceeds
+    * the threshold, and lazily heal any leftovers of an earlier fold
+    * whose deletes didn't run. The fold dedupes exact (id, pos, fp)
+    * rows (probe answers are duplicate-blind — the compactIndex
+    * argument — so consolidation doubles as compaction for
+    * re-ingestion-heavy streams). */
+  private def consolidateIndex(spark: SparkSession, indexDir: String,
+                               batchId: Long, nBuckets: Int,
+                               after: Int): Unit = {
+    val fs = fsOf(spark, indexDir)
+    val consol = latestConsol(fs, indexDir, CopyIndex.FanoutMarker)
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    cleanupBelow(fs, indexDir, horizon)
+    val tail = CommittedDirs.list(spark, indexDir)
+      .filter(t => t._1 > horizon && t._1 < batchId)
+    if (tail.size <= after) return
+    val h = tail.map(_._1).max
+    val parts = consol.map(_._2).toSeq ++ tail.map(_._2)
+    val union = parts.map(p =>
+        CopyIndex.prunedIndex(spark, p.toString, 0 until nBuckets, nBuckets)
+          .select("id", "pos", "fp"))
+      .reduce(_ unionAll _)
+      .dropDuplicates("id", "pos", "fp")
+      // sever lineage before writeIndex: the fold's own write must not
+      // re-open the (about-to-be-deleted) source files lazily
+      .localCheckpoint()
+    // writeIndex renames _FANOUT into place LAST — the commit point; a
+    // crash before it leaves an unmarked dir no probe reads and the
+    // next fold overwrites
+    CopyIndex.writeIndex(union, s"$indexDir/$ConsolPrefix$h", nBuckets)
+    cleanupBelow(fs, indexDir, h)
+  }
+
+  /** Alert-side fold: same cadence and commit shape as the index fold,
+    * but alerts are plain immutable rows — the consolidated file just
+    * carries batch_id as a column. `_SUCCESS` (created at job commit,
+    * after the data files move) is the marker. */
+  private def consolidateAlerts(spark: SparkSession, alertDir: String,
+                                batchId: Long, after: Int): Unit = {
+    val fs = fsOf(spark, alertDir)
+    val consol = latestConsol(fs, alertDir, "_SUCCESS")
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    cleanupBelow(fs, alertDir, horizon)
+    val tail = CommittedDirs.list(spark, alertDir)
+      .filter(t => t._1 > horizon && t._1 < batchId)
+    if (tail.size <= after) return
+    val h = tail.map(_._1).max
+    val tailDf = spark.read.option("basePath", alertDir).schema(alertSchema)
+      .parquet(tail.map(_._2.toString): _*)
+    val union = consol match {
+      case Some((_, p)) =>
+        spark.read.schema(alertSchema).parquet(p.toString)
+          .unionByName(tailDf)
+      case None => tailDf
+    }
+    union.localCheckpoint()
+      .write.mode("overwrite").parquet(s"$alertDir/$ConsolPrefix$h")
+    cleanupBelow(fs, alertDir, h)
+  }
+
+  /** Delete batch dirs at or below the committed horizon and consol
+    * dirs below it — safe at any time: probes only read the LATEST
+    * committed consol plus dirs ABOVE its id, and no batch ≤ horizon
+    * can retry once a later batch's offsets committed. */
+  private def cleanupBelow(fs: FileSystem, dir: String,
+                           horizon: Long): Unit =
+    if (horizon >= 0) {
+      fs.listStatus(new Path(dir)).foreach { s =>
+        val n = s.getPath.getName
+        val stale =
+          (n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLongOption.exists(_ <= horizon)) ||
+            (n.startsWith(ConsolPrefix) &&
+              n.stripPrefix(ConsolPrefix).toLongOption.exists(_ < horizon))
+        if (stale) fs.delete(s.getPath, true): Unit
+      }
+    }
+
+  /** Latest COMMITTED `consol_id=` dir under `dir` (commit marker:
+    * `_FANOUT` for index folds — renamed into place last — or
+    * `_SUCCESS` for alert folds). Older committed consols are
+    * shadowed (their content is a subset of the latest) and deleted
+    * lazily by [[cleanupBelow]]. */
+  private def latestConsol(fs: FileSystem, dir: String,
+                           marker: String): Option[(Long, Path)] = {
+    val root = new Path(dir)
+    if (!fs.exists(root)) return None
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(ConsolPrefix))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix(ConsolPrefix).toLongOption
+          .filter(_ => fs.exists(new Path(s.getPath, marker)))
+          .map(_ -> s.getPath)
+      }
+      .sortBy(_._1).lastOption
+  }
+
+  private def emptyAlerts(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], alertSchema)
+
+  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

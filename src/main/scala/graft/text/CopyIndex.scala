@@ -129,7 +129,7 @@ object CopyIndex {
     * P-sizing advice on an EXISTING dir) fails loudly instead of
     * silently probing buckets laid out under a different modulus —
     * which would read as "no copies found" on the contamination path. */
-  private val FanoutMarker = "_FANOUT"
+  private[graft] val FanoutMarker = "_FANOUT"
 
   private def fsOf(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)

@@ -1909,4 +1909,89 @@ class StreamingSpec extends SparkTestBase {
         want.exists(b => f.contains(s"bucket=$b/"))),
       s"probe read outside batch 0's buckets $want: ${touched.mkString(", ")}")
   }
+
+  test("copy-detect consolidation: parity vs q224 across a fold boundary; probe's listed-dir count drops and stays bounded; straddling retry rewrites identical alerts; alert dirs fold under the schema contract") {
+    import graft.streaming.CopyDetectMaintenance
+    import graft.text.CopyIndex
+    import org.apache.spark.sql.DataFrame
+
+    // 8 doc_id-ordered splits -> 8 triggers with consolidateAfter = 3:
+    // folds MUST fire mid-stream (tail grows past 3 twice), so parity
+    // below proves the consolidated dir carries exactly the folded
+    // batches' selections and alerts
+    val docs = graft.queries.Text.plantedCopyDocs(spark, sf)
+      .localCheckpoint()
+    val src = tmpDir("copyconsol_src")
+    (0 until 8).foreach { i =>
+      docs.filter(col("doc_id") % 8 === i)
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    val idx = tmpDir("copyconsol_state") + "/index"
+    val alertDir = tmpDir("copyconsol_state") + "/alerts"
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        CopyDetectMaintenance.update(idx, alertDir, b, id,
+          idCol = "doc_id", textCol = "t", consolidateAfter = 3)
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("copyconsol_ckpt")).start()
+    assert(q.awaitTermination(180000), "stream did not finish in 180s")
+
+    def rows(df: DataFrame): Set[String] =
+      df.select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
+        .collect().map(_.toString).toSet
+    val got = rows(CopyDetectMaintenance.alerts(spark, alertDir))
+    val oneShot = rows(
+      SparkEntry.queries("q224_copy_detection")(spark, sf))
+    assert(oneShot.nonEmpty, "planted corpus produced no pairs — vacuous")
+    assert(got === oneShot,
+      s"post-fold alerts diverged from the one-shot answer: " +
+        s"missing=${oneShot -- got} extra=${got -- oneShot}")
+
+    // the LISTED-DIR BOUND — the defect consolidation exists to fix: a
+    // probe at batch 8 lists the latest consol + a tail no longer than
+    // the threshold, NOT the stream's 8 batch dirs
+    val (consol, tail) = CopyDetectMaintenance.indexParts(spark, idx, 8L)
+    assert(consol.isDefined, "no committed consolidated dir after 8 triggers")
+    // bound is threshold + 1: the fold runs AFTER a batch's own probe
+    // and write, so the next probe can see at most after+1 tail dirs
+    assert(tail.size <= 3 + 1,
+      s"probe tail ${tail} exceeds consolidateAfter + 1 — fold did not bound the listing")
+    assert(1 + tail.size < 8,
+      "listed-dir count did not drop below the trigger count")
+    // ... and the folded batch dirs are physically gone (lazy cleanup ran)
+    val fs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchDirsLeft = fs.listStatus(new org.apache.hadoop.fs.Path(idx))
+      .map(_.getPath.getName).count(_.startsWith("batch_id="))
+    assert(batchDirsLeft === tail.size,
+      s"stale batch dirs survived the fold: $batchDirsLeft vs tail ${tail.size}")
+    // the consolidated dir is a real CopyIndex layout (marker verified)
+    CopyIndex.verifyFanout(spark, s"$idx/consol_id=${consol.get}",
+      CopyIndex.DefaultBuckets)
+
+    // RETRY STRADDLING THE FOLD: re-run the last batch — its probe must
+    // read {consol, tail < 7}, the same union as the original attempt,
+    // so the rewritten alert dir leaves the union byte-identical
+    val lastBatch = docs.filter(col("doc_id") % 8 === 7)
+    CopyDetectMaintenance.update(idx, alertDir, lastBatch, 7L,
+      idCol = "doc_id", textCol = "t", consolidateAfter = 3)
+    assert(rows(CopyDetectMaintenance.alerts(spark, alertDir)) === got,
+      "retried batch across the consolidation boundary changed the union")
+
+    // ALERT SCHEMA CONTRACT: the consolidated alert read depends on the
+    // pinned schema (empty tails carry no footers to infer from) — a
+    // drift between the update()'s select and the contract must fail
+    // HERE, not as silent nulls in production
+    val aDirs = fs.listStatus(new org.apache.hadoop.fs.Path(alertDir))
+      .map(_.getPath).filter(_.getName.startsWith("batch_id="))
+    val withData = aDirs.find(d => fs.listStatus(d)
+      .exists(f => f.getPath.getName.endsWith(".parquet") && f.getLen > 0))
+    assert(withData.isDefined, "no alert batch dir with data to pin against")
+    val written = spark.read.parquet(withData.get.toString).schema
+    val contract = org.apache.spark.sql.types.StructType(
+      CopyDetectMaintenance.alertSchema.dropRight(1))
+    assert(written === contract,
+      s"alert dir schema drifted from the contract: $written vs $contract")
+  }
 }
