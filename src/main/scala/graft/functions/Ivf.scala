@@ -216,6 +216,8 @@ object Ivf {
                      query: DataFrame, vecCol: String, k: Int,
                      nprobe: Int = 4): DataFrame = {
     import spark.implicits._
+    // deletion fence: refuse a shelf a forget() died on
+    graft.operators.IndexForget.assertClean(spark, s"$path/cells")
     val centroids = readCentroids(spark, path)
     val probes = query.select(
       explode(probeCells(unit(col(vecCol)), centroids, nprobe)).as("p"))
@@ -231,6 +233,19 @@ object Ivf {
       .orderBy(col("sim").desc, col("nn_id"))
       .limit(k)
   }
+
+  /** Right-to-be-forgotten on a persisted IVF (or IVF-PQ — same cell
+    * layout) shelf: delete every vector row of `ids`, rewriting only
+    * the cells holding victim rows — each vector lives in exactly ONE
+    * cell, so the rewrite is ≤ |ids| cell directories of nlist (the
+    * [[graft.operators.IndexForget]] protocol: marker-fenced,
+    * crash-recoverable, idempotent). Centroids are unchanged — they
+    * are training artifacts, not member data; recall for the survivors
+    * is exactly what the same centroids gave before. */
+  def forget(spark: org.apache.spark.sql.SparkSession, path: String,
+             ids: Seq[Long]): Seq[String] =
+    graft.operators.IndexForget.forget(spark, s"$path/cells", "cell",
+      "nn_id", ids)
 
   /** Approximate top-k cosine neighbors of one query vector via IVF:
     * filter the corpus to the query's nprobe cells, exact-rerank.

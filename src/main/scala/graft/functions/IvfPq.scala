@@ -68,6 +68,8 @@ object IvfPq {
   def topKIndexed(spark: SparkSession, path: String, query: DataFrame,
                   vecCol: String, k: Int, nprobe: Int = 4,
                   rerankC: Int = 100): DataFrame = {
+    // deletion fence: refuse a shelf a forget() died on
+    graft.operators.IndexForget.assertClean(spark, s"$path/cells")
     val centroids = Ivf.readCentroids(spark, path)
     val cb = Pq.readCodebooks(spark, path)
     val qu = Pq.queryUnit(query, vecCol)

@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** RIGHT-TO-BE-FORGOTTEN maintenance for the persisted partitioned
+  * index families — the ONE copy of the victim-partition rewrite
+  * protocol behind `CopyIndex.forget`, `Phrase.forget`, `Ivf.forget`
+  * (and through it the IVF-PQ shelf) and `Bm25Index.forget`. The
+  * reference's serving store deletes a document by `_id` natively
+  * (README.md:455-457, the OpenSearch DELETE walkthrough); an
+  * engine-owned index has to express the same request as a partition
+  * rewrite.
+  *
+  * Cost model (the 100 TB posture): ONE column-pruned scan of
+  * (idCol, partCol) finds the victim partitions — parquet reads two
+  * small columns, never payloads — then ONLY those partitions rewrite.
+  * A single document's rows live in 1 cell (IVF), |terms| buckets
+  * (postings) or |selections| buckets (winnow fingerprints) — bounded
+  * by the VICTIM's size, not the index's. Deleting most of an index
+  * this way degenerates to a full rewrite; delete-heavy deployments
+  * should batch ids into one forget() call (one scan, one rewrite per
+  * touched partition — NOT one pass per id).
+  *
+  * Crash safety: partition swaps cannot be atomic as a group, so a
+  * `_FORGET_INPROGRESS` marker fences the whole operation — every
+  * probe choke point ([[assertClean]]) refuses a marked index LOUDLY
+  * instead of silently serving half-forgotten answers. Each partition
+  * swap is recoverable at every window (write tmp → retire dir to
+  * trash → publish tmp → drop trash); re-running forget first heals
+  * any leftovers ([[repair]]) and then re-filters, so the retry is
+  * idempotent. */
+object IndexForget {
+
+  /** Operation fence: exists while (or after a crash of) a forget().
+    * Probes refuse an index carrying it. */
+  val Marker = "_FORGET_INPROGRESS"
+
+  private val TmpPrefix = ".forget_tmp."
+  private val TrashPrefix = ".forget_trash."
+
+  /** Probe-side guard: refuse to read an index a forget() died on —
+    * a half-rewritten index would silently serve partial answers (the
+    * "no copies found" failure mode the fan-out marker exists for,
+    * now for deletions). Re-running forget with the same ids heals
+    * the layout and clears the fence. */
+  def assertClean(spark: SparkSession, root: String): Unit = {
+    val (fs, p) = fsPath(spark, root)
+    require(!fs.exists(new Path(p, Marker)),
+      s"a forget() is in progress (or died mid-rewrite) under $root — " +
+        "re-run forget with the same ids to heal before probing")
+  }
+
+  /** Delete every row of `ids` from the `partCol=`-partitioned index
+    * rooted at `root`, rewriting only the partitions that hold victim
+    * rows. Returns the rewritten partition values (empty = no victim
+    * rows existed; nothing was touched). Idempotent: a re-run finds no
+    * victims and returns empty. */
+  def forget(spark: SparkSession, root: String, partCol: String,
+             idCol: String, ids: Seq[Long]): Seq[String] = {
+    require(ids.nonEmpty, "forget needs at least one id")
+    val (fs, rootP) = fsPath(spark, root)
+    require(fs.exists(rootP), s"no index at $root")
+    repair(fs, rootP)
+    // victim partitions: one column-pruned (idCol, partCol) scan — the
+    // only whole-index read; everything below touches victim dirs only.
+    // Parameter-sized collect: ≤ P partition values by construction.
+    val victims = spark.read.option("basePath", root).parquet(root)
+      .filter(col(idCol).isin(ids: _*))
+      .select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSeq.sorted
+    if (victims.isEmpty) return Nil
+    touch(fs, new Path(rootP, Marker))
+    victims.foreach { v =>
+      val dirName = s"$partCol=$v"
+      val dir = new Path(rootP, dirName)
+      val trash = new Path(rootP, TrashPrefix + dirName)
+      // pin the survivors BEFORE the swap: the write must not lazily
+      // re-open files that are mid-rename
+      val cleaned = spark.read.parquet(dir.toString)
+        .filter(!col(idCol).isin(ids: _*))
+        .localCheckpoint()
+      if (cleaned.isEmpty) {
+        // every row was a victim — absence of the dir IS zero rows for
+        // every prober, while a published fileless dir would crash
+        // explicit-path schema inference
+        require(fs.rename(dir, trash), s"could not retire $dir")
+        fs.delete(trash, true)
+      } else {
+        val tmp = new Path(rootP, TmpPrefix + dirName)
+        fs.delete(tmp, true)
+        cleaned.write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(dir, trash), s"could not retire $dir")
+        require(fs.rename(tmp, dir), s"could not publish rewritten $dir")
+        fs.delete(trash, true)
+      }
+    }
+    fs.delete(new Path(rootP, Marker), false)
+    victims
+  }
+
+  /** Heal the leftovers of a forget() that died mid-swap, window by
+    * window: a trash dir whose original is missing restores (the swap
+    * hadn't published — the original rows must come back before the
+    * re-filter); a trash dir whose original exists is the already-
+    * published window's debris; tmp dirs are always uncommitted. Runs
+    * before every forget, so the retry sees a consistent layout. */
+  private def repair(fs: FileSystem, root: Path): Unit = {
+    val entries = fs.listStatus(root).map(_.getPath).toSeq
+    val names = entries.map(_.getName).toSet
+    entries.filter(_.getName.startsWith(TrashPrefix)).foreach { t =>
+      val orig = t.getName.stripPrefix(TrashPrefix)
+      if (!names.contains(orig))
+        require(fs.rename(t, new Path(root, orig)),
+          s"could not restore $orig from trash")
+      else fs.delete(t, true)
+    }
+    entries.filter(_.getName.startsWith(TmpPrefix))
+      .foreach(fs.delete(_, true))
+    fs.delete(new Path(root, Marker), false): Unit
+  }
+
+  private def touch(fs: FileSystem, p: Path): Unit = {
+    val out = fs.create(p, true)
+    out.close()
+  }
+
+  private def fsPath(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+}

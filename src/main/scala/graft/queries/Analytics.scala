@@ -46,8 +46,8 @@ object Analytics {
     * the layout `dir/post` (posting index), `dir/docs` (doc_id, dl),
     * `dir/corpus` (n, sumdl); `terms` must be exactly the three
     * (hash, scan, window) the pivot columns encode. */
-  private def bm25IndexProbe(s: SparkSession, dir: String,
-                             terms: Seq[String]): DataFrame = {
+  private[graft] def bm25IndexProbe(s: SparkSession, dir: String,
+                                    terms: Seq[String]): DataFrame = {
     // the pivot columns below encode exactly these three terms; any
     // other term list would coalesce every tf/df to 0 and return
     // plausible-looking zeros instead of failing

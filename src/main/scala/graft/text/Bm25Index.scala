@@ -1,0 +1,39 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance surface for the persisted BM25 index family
+  * (q197/q218's layout): `dir/post` — positional postings through
+  * [[Phrase]] — plus two stat sidecars, `dir/docs` (doc_id, dl) and
+  * the one-row `dir/corpus` (n, sumdl). Engine-side counterpart of the
+  * reference serving store's native delete-by-`_id` (README.md's
+  * OpenSearch DELETE walkthrough): deleting a document must remove its
+  * postings AND shift every score, because N, Σdl and the per-term df
+  * all change. */
+object Bm25Index {
+
+  /** Right-to-be-forgotten across the whole BM25 layout:
+    *   1. victim postings rewrite out of `dir/post` ([[Phrase.forget]]
+    *      — victim buckets only, marker-fenced);
+    *   2. the KB-scale dl sidecar filter-rewrites in place (pinned via
+    *      localCheckpoint first — overwrite must not read its own
+    *      target lazily);
+    *   3. `dir/corpus` recomputes from the cleaned sidecar — the same
+    *      derivation ingest uses, so scores afterward are exactly an
+    *      index built without the victims.
+    * Sidecars are derivable state: dl = per-doc posting count, so a
+    * crash between 1 and 3 is recoverable by re-running forget (the
+    * postings side is idempotent; the sidecar filter re-runs) or, in
+    * the worst case, rebuilding both sidecars from `dir/post`. */
+  def forget(spark: SparkSession, dir: String, ids: Seq[Long]): Seq[String] = {
+    val rewritten = Phrase.forget(spark, s"$dir/post", ids)
+    val cleaned = spark.read.parquet(s"$dir/docs")
+      .filter(!col("doc_id").isin(ids: _*))
+      .localCheckpoint()
+    cleaned.write.mode("overwrite").parquet(s"$dir/docs")
+    cleaned.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+      .write.mode("overwrite").parquet(s"$dir/corpus")
+    rewritten
+  }
+}

@@ -32,10 +32,12 @@ import org.apache.spark.sql.functions._
   *     bucket-preserving deduplicated copy, and a full rebuild is just
   *     [[writeIndex]] over the current corpus (the index carries no
   *     cross-document state to lose). Document DELETION (right-to-be-
-  *     forgotten) is an anti-join rewrite of the victim's buckets only
-  *     — fingerprints hash-spread, so that is still an O(index) rewrite
-  *     in the worst case; at 100 TB delete-heavy deployments should
-  *     ride the index on a versioned layout instead.
+  *     forgotten) is [[forget]]: rewrite ONLY the buckets holding the
+  *     victims' rows — bounded by the victims' own selection counts
+  *     (≤ min(|selections|, P) buckets per doc), found by one
+  *     column-pruned (id, bucket) scan. Delete-heavy deployments batch
+  *     ids into one call; deleting most of an index degenerates to a
+  *     full rewrite by construction.
   */
 object CopyIndex {
 
@@ -155,7 +157,15 @@ object CopyIndex {
   }
 
   private[graft] def verifyFanout(spark: SparkSession, path: String,
-                                  nBuckets: Int): Unit = {
+                                  nBuckets: Int,
+                                  requireClean: Boolean = true): Unit = {
+    // every probe/append resolves through here — also the choke point
+    // for the deletion fence (a torn forget() must fail loudly, not
+    // serve half-forgotten answers). forget() itself passes
+    // requireClean = false: it is the one caller allowed to see — and
+    // heal — a marked index.
+    if (requireClean)
+      graft.operators.IndexForget.assertClean(spark, path)
     val (fs, root) = fsOf(spark, path)
     val m = new org.apache.hadoop.fs.Path(root, FanoutMarker)
     require(fs.exists(m),
@@ -265,6 +275,19 @@ object CopyIndex {
         min(col(s"${b}_pos")).as(s"${b}_lo"),
         max(col(s"${b}_pos")).as(s"${b}_hi"))
       .filter(col("shared") >= minShared)
+
+  /** Right-to-be-forgotten: delete every selection row of `ids`,
+    * rewriting only the buckets that hold victim rows (the
+    * [[graft.operators.IndexForget]] protocol — marker-fenced,
+    * crash-recoverable, idempotent). Returns the rewritten bucket
+    * values. Probe answers afterward equal an index built without the
+    * victims (selections are independent per-document facts — removing
+    * one document's rows perturbs nothing else). */
+  def forget(spark: SparkSession, path: String, ids: Seq[Long],
+             nBuckets: Int = DefaultBuckets): Seq[String] = {
+    verifyFanout(spark, path, nBuckets, requireClean = false)
+    graft.operators.IndexForget.forget(spark, path, "bucket", "id", ids)
+  }
 
   /** Compaction for a re-ingestion-heavy index: rewrite with exact
     * duplicate `(id, pos, fp)` rows collapsed, same bucket layout.

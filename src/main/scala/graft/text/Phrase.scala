@@ -87,6 +87,9 @@ object Phrase {
   def prunedPostings(spark: SparkSession, path: String,
                      terms: Seq[String], nBuckets: Int = 64): DataFrame = {
     require(terms.nonEmpty, "index probe needs at least one term")
+    // deletion fence: a forget() that died mid-rewrite must fail the
+    // probe loudly, not serve half-forgotten posting lists
+    graft.operators.IndexForget.assertClean(spark, path)
     spark.read.parquet(path)
       .filter(col("bucket").isin(
         terms.map(t => math.floorMod(TermHash.xx64(t), nBuckets.toLong).toInt)
@@ -98,6 +101,18 @@ object Phrase {
   def phraseHitsIndexed(spark: SparkSession, path: String,
                         terms: Seq[String], nBuckets: Int = 64): DataFrame =
     phraseHits(prunedPostings(spark, path, terms, nBuckets), terms)
+
+  /** Right-to-be-forgotten: delete every posting of `ids`, rewriting
+    * only the buckets holding victim rows — bounded by the victims'
+    * distinct-term counts, found by one column-pruned (doc_id, bucket)
+    * scan (the [[graft.operators.IndexForget]] protocol: marker-fenced,
+    * crash-recoverable, idempotent). Postings are independent
+    * per-document facts, so probe results afterward equal an index
+    * built without the victims. Derived stat sidecars (the BM25 dl /
+    * corpus relations) must be refreshed by the caller —
+    * [[Bm25Index.forget]] owns that composition. */
+  def forget(spark: SparkSession, path: String, ids: Seq[Long]): Seq[String] =
+    graft.operators.IndexForget.forget(spark, path, "bucket", "doc_id", ids)
 }
 
 /** Driver-side twin of Spark's xxhash64(string, seed=42) for resolving a

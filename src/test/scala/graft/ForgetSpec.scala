@@ -1,0 +1,213 @@
+package graft
+
+import java.nio.file.Files
+import graft.functions.{Ivf, IvfPq}
+import graft.operators.IndexForget
+import graft.text.{Bm25Index, CopyIndex, Phrase, TextOps}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Right-to-be-forgotten across the persisted index families
+  * (IndexForget protocol): a deleted document must never appear in any
+  * probe/search answer afterward, survivors' answers must equal an
+  * index built WITHOUT the victim (not just "victim filtered from
+  * output"), only victim partitions may rewrite, a torn run must fence
+  * probes loudly, and a re-run must be idempotent. */
+class ForgetSpec extends SparkTestBase {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def fs(dir: String) =
+    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** File names per partition dir — the "untouched partitions keep
+    * their exact files" witness. */
+  private def filesByPart(dir: String): Map[String, Set[String]] = {
+    val f = fs(dir)
+    f.listStatus(new Path(dir)).filter(_.isDirectory).map { d =>
+      d.getPath.getName ->
+        f.listStatus(d.getPath).map(_.getPath.getName).toSet
+    }.toMap
+  }
+
+  /** documents + planted near-verbatim dups (the IndexSpec recipe) —
+    * victims with guaranteed cross-doc matches. */
+  private lazy val docs = {
+    val base = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    base.unionAll(
+        base.filter(col("doc_id") < 100)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" xdup marker")).as("text")))
+      .localCheckpoint()
+  }
+
+  test("CopyIndex.forget: victim pairs vanish; survivors equal a rebuild without the victim; untouched buckets keep their exact files; torn run fences probes; re-run is a no-op") {
+    val sel = CopyIndex.selections(docs, "doc_id", "text").localCheckpoint()
+    val dir = tmp("forget_copyindex")
+    CopyIndex.writeIndex(sel.filter(col("id") < 100000), dir)
+    val batch = sel.filter(col("id") >= 100000).localCheckpoint()
+
+    def probe() = CopyIndex.probe(spark, dir, batch)
+      .collect().map(_.toString).toSet
+    val before = probe()
+    assert(before.exists(_.contains("[0,100000,")),
+      s"victim doc 0 has no planted match — vacuous: $before")
+
+    val inventory = filesByPart(dir)
+    val rewritten = CopyIndex.forget(spark, dir, Seq(0L)).toSet
+    assert(rewritten.nonEmpty, "victim had selections but no bucket rewrote")
+
+    // victim gone; everything else byte-identical to a ground-up
+    // rebuild WITHOUT the victim (the only acceptable meaning of
+    // "forgotten": not filtered late, absent from the relation)
+    val after = probe()
+    assert(!after.exists(_.contains("[0,100000,")), s"victim survived: $after")
+    val rebuilt = tmp("forget_copyindex_rebuilt")
+    CopyIndex.writeIndex(
+      sel.filter(col("id") < 100000 && col("id") =!= 0), rebuilt)
+    val want = CopyIndex.probe(spark, rebuilt, batch)
+      .collect().map(_.toString).toSet
+    assert(after === want,
+      s"forget diverged from rebuild-without: missing=${want -- after} extra=${after -- want}")
+
+    // ONLY victim buckets rewrote — the others keep their exact files
+    val inventoryAfter = filesByPart(dir)
+    inventory.keys.filterNot(k =>
+        rewritten.map(v => s"bucket=$v").contains(k)).foreach { k =>
+      assert(inventoryAfter(k) === inventory(k),
+        s"untouched $k was rewritten")
+    }
+
+    // torn-run fence: a crash mid-forget leaves the marker — every
+    // probe choke point must refuse loudly
+    val f = fs(dir)
+    f.create(new Path(dir, IndexForget.Marker), true).close()
+    val err = intercept[IllegalArgumentException](probe())
+    assert(err.getMessage.contains("forget"), err.getMessage)
+    // crash-window repair: a retired-but-unpublished bucket (trash dir,
+    // original missing) must restore before the re-filter
+    val someBucket = inventoryAfter.keys.head
+    assert(f.rename(new Path(dir, someBucket),
+      new Path(dir, s".forget_trash.$someBucket")))
+    // re-running forget (idempotent — victim already gone) heals both
+    assert(CopyIndex.forget(spark, dir, Seq(0L)).isEmpty,
+      "re-run found victim rows after a completed forget")
+    assert(probe() === want, "repair did not restore the retired bucket")
+  }
+
+  test("Phrase.forget: victim drops out of phrase hits; survivors equal a rebuild; rewrite bounded by the victim's term buckets") {
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) >= 2)
+      .localCheckpoint()
+    val dir = tmp("forget_phrase")
+    Phrase.writeIndex(toks, "doc_id", "w", dir, nBuckets = 64)
+
+    // a real two-term phrase from some document, and a victim that has it
+    val first = toks.select(col("doc_id"), col("w")).first()
+    val terms = first.getSeq[String](1).take(2)
+    def hits(d: String) = Phrase.phraseHitsIndexed(spark, d, terms)
+      .collect().map(_.toString).toSet
+    val victim = first.getLong(0)
+    val before = hits(dir)
+    assert(before.exists(_.startsWith(s"[$victim,")),
+      s"victim $victim does not match the phrase — vacuous")
+
+    val nTerms = toks.filter(col("doc_id") === victim)
+      .select(explode(col("w"))).distinct().count()
+    val rewritten = Phrase.forget(spark, dir, Seq(victim))
+    assert(rewritten.size <= nTerms,
+      s"rewrote ${rewritten.size} buckets for a $nTerms-distinct-term victim")
+
+    val rebuilt = tmp("forget_phrase_rebuilt")
+    Phrase.writeIndex(toks.filter(col("doc_id") =!= victim), "doc_id", "w",
+      rebuilt, nBuckets = 64)
+    assert(hits(dir) === hits(rebuilt),
+      "forgotten index diverged from rebuild-without")
+    assert(!hits(dir).exists(_.startsWith(s"[$victim,")), "victim survived")
+  }
+
+  test("Bm25Index.forget: postings AND stat sidecars update — scores equal an index built without the victim (N, Σdl, df all shift)") {
+    val terms = Seq("hash", "scan", "window")
+    val toks = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .localCheckpoint()
+    def build(dir: String, t: org.apache.spark.sql.DataFrame): Unit = {
+      Phrase.writeIndex(t, "doc_id", "w", s"$dir/post", nBuckets = 64)
+      t.select(col("doc_id"), size(col("w")).cast("long").as("dl"))
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      spark.read.parquet(s"$dir/docs")
+        .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+        .write.mode("overwrite").parquet(s"$dir/corpus")
+    }
+    val dir = tmp("forget_bm25")
+    build(dir, toks)
+    def top10(d: String) = graft.queries.Analytics
+      .bm25IndexProbe(spark, d, terms).collect().map(_.toString).toSeq
+    val before = top10(dir)
+    assert(before.nonEmpty, "no scored docs — vacuous")
+    // victim = the current top doc: its removal must change the answer
+    val victim = before.head.stripPrefix("[").takeWhile(_ != ',').toLong
+
+    Bm25Index.forget(spark, dir, Seq(victim))
+    val rebuilt = tmp("forget_bm25_rebuilt")
+    build(rebuilt, toks.filter(col("doc_id") =!= victim))
+    assert(top10(dir) === top10(rebuilt),
+      "forgotten BM25 diverged from rebuild-without — a sidecar did not update")
+    assert(!top10(dir).exists(_.startsWith(s"[$victim,")), "victim survived")
+  }
+
+  test("Ivf.forget: victim leaves exactly its one cell; survivors' top-k equals the same centroids over the corpus minus the victim; fence guards both IVF and IVF-PQ reads") {
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val query = e.filter(col("vec_id") === 0)
+    val corpus = e.filter(col("vec_id") =!= 0)
+    val path = tmp("forget_ivf")
+    Ivf.writeIndex(corpus, "vec_id", "v", nlist = 8, path,
+      iters = 2, sampleMod = 7)
+
+    def top(d: String) = Ivf.ivfTopKIndexed(spark, d, query, "v",
+        k = 10, nprobe = 3)
+      .select(col("nn_id"), round(col("sim"), 9).as("s"))
+      .collect().map(_.toString).toSeq
+    val before = top(path)
+    val victim = before.head.stripPrefix("[").takeWhile(_ != ',').toLong
+
+    val cells = Ivf.forget(spark, path, Seq(victim))
+    assert(cells.size === 1,
+      s"a single vector rewrote ${cells.size} cells — should live in exactly one")
+
+    val after = top(path)
+    assert(!after.exists(_.startsWith(s"[$victim,")), "victim survived")
+    // survivors: same frozen centroids, corpus minus victim, inline path
+    val want = Ivf.ivfTopK(corpus.filter(col("vec_id") =!= victim), query,
+        "vec_id", "v", k = 10, Ivf.readCentroids(spark, path), nprobe = 3)
+      .select(col("nn_id"), round(col("sim"), 9).as("s"))
+      .collect().map(_.toString).toSeq
+    assert(after === want, s"survivor answers diverged: $after vs $want")
+
+    // the same fence covers the IVF-PQ shelf (shared cell layout)
+    val pq = tmp("forget_ivfpq")
+    IvfPq.writeIndex(corpus, "vec_id", "v", nlist = 8, m = 8, ksub = 16,
+      pq, iters = 2, sampleMod = 7)
+    val pqBefore = IvfPq.topKIndexed(spark, pq, query, "v", k = 10,
+      nprobe = 3).collect().map(_.getLong(0)).toSeq
+    val pqVictim = pqBefore.head
+    Ivf.forget(spark, pq, Seq(pqVictim))
+    val pqAfter = IvfPq.topKIndexed(spark, pq, query, "v", k = 10,
+      nprobe = 3).collect().map(_.getLong(0)).toSeq
+    assert(!pqAfter.contains(pqVictim), "IVF-PQ victim survived")
+    // removing one candidate keeps the relative order of the rest
+    assert(pqAfter.take(9) === pqBefore.filterNot(_ == pqVictim).take(9),
+      "IVF-PQ survivor ordering shifted")
+
+    fs(pq).create(new Path(s"$pq/cells", IndexForget.Marker), true).close()
+    intercept[IllegalArgumentException](
+      IvfPq.topKIndexed(spark, pq, query, "v", k = 10))
+    intercept[IllegalArgumentException](
+      Ivf.ivfTopKIndexed(spark, pq, query, "v", k = 10))
+  }
+}
