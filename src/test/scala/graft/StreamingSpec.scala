@@ -1994,4 +1994,87 @@ class StreamingSpec extends SparkTestBase {
     assert(written === contract,
       s"alert dir schema drifted from the contract: $written vs $contract")
   }
+
+  test("streaming IVF ingest: appended vectors serve identically to an inline scan under the same frozen centroids; a planted arrival is retrievable; a retried batch changes nothing; a distribution-shifted batch flags retrain_due") {
+    import graft.functions.Ivf
+    import graft.streaming.IvfIngestMaintenance
+    import org.apache.spark.sql.DataFrame
+
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val query = e.filter(col("vec_id") === 0).localCheckpoint()
+    val base = e.filter(col("vec_id") % 2 === 0 && col("vec_id") =!= 0)
+    // arrivals = the odd half ∪ one planted near-copy of the query —
+    // the appended half must be RETRIEVABLE, not just written
+    val planted = query.select(lit(1000000000001L).as("vec_id"),
+      transform(col("v"), (x, j) => when(j === 0, x + lit(0.02)).otherwise(x))
+        .as("v"))
+    val arrivals = e.filter(col("vec_id") % 2 =!= 0).unionByName(planted)
+      .localCheckpoint()
+
+    val idx = tmpDir("ivf_ingest_state") + "/index"
+    Ivf.writeIndex(base, "vec_id", "v", nlist = 8, idx,
+      iters = 2, sampleMod = 7)
+    IvfIngestMaintenance.writeBaseline(spark, idx, sampleMod = 7)
+
+    val src = tmpDir("ivf_ingest_src")
+    (0 until 3).foreach { i =>
+      arrivals.filter(col("vec_id") % 3 === i)
+        .repartition(1).write.mode("append").parquet(src)
+    }
+    val q = spark.readStream.schema(arrivals.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        IvfIngestMaintenance.update(idx, b, id, idCol = "vec_id",
+          vecCol = "v")
+      }.trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", tmpDir("ivf_ingest_ckpt")).start()
+    assert(q.awaitTermination(120000), "stream did not finish in 120s")
+
+    def live(): Seq[String] = IvfIngestMaintenance
+      .topKLive(spark, idx, query, "v", k = 10, nprobe = 3)
+      .select(col("nn_id"), round(col("sim"), 9).as("s"))
+      .collect().map(_.toString).toSeq
+    val got = live()
+    // the planted arrival (cos ≈ 1) must be the live top-1 — losing the
+    // appended half would silently cap recall at the base corpus
+    assert(got.head.startsWith("[1000000000001,"),
+      s"planted arrival not served first: ${got.take(3)}")
+    // full parity: inline scan over base ∪ arrivals with the SAME
+    // frozen centroids — batch boundaries must be invisible
+    val want = Ivf.ivfTopK(base.unionByName(arrivals), query, "vec_id", "v",
+        k = 10, Ivf.readCentroids(spark, idx), nprobe = 3)
+      .select(col("nn_id"), round(col("sim"), 9).as("s"))
+      .collect().map(_.toString).toSeq
+    assert(got === want, s"live shelf diverged from inline: $got vs $want")
+
+    // RETRY: re-run the last batch — batch-scoped overwrite, same rows
+    IvfIngestMaintenance.update(idx,
+      arrivals.filter(col("vec_id") % 3 === 2), 2L,
+      idCol = "vec_id", vecCol = "v")
+    assert(live() === got, "retried batch changed the served shelf")
+
+    // DRIFT: the in-distribution batches must NOT flag; a batch from a
+    // genuinely different distribution MUST. The shift is the
+    // anti-centroid direction (−mean of the trained centroids): its dot
+    // with EVERY centroid is negative, so no re-assignment can absorb
+    // it — a plain negation would just argmax into a different cell and
+    // read as in-distribution
+    val cents = Ivf.readCentroids(spark, idx)
+    val dim = cents.head.size
+    val anti = Seq.tabulate(dim)(j => -cents.map(_(j)).sum / cents.size)
+    IvfIngestMaintenance.update(idx,
+      arrivals.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"),
+          typedLit(anti).as("v")),
+      99L, idCol = "vec_id", vecCol = "v")
+    val drift = IvfIngestMaintenance.driftReport(spark, idx)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(r.fieldIndex("retrain_due")))
+      .toMap
+    assert(drift.keySet === Set(0L, 1L, 2L, 99L), s"drift rows: $drift")
+    assert(!drift(0L) && !drift(1L) && !drift(2L),
+      s"in-distribution batches flagged retrain: $drift")
+    assert(drift(99L), s"shifted batch did not flag retrain: $drift")
+  }
 }
