@@ -100,6 +100,47 @@ object IndexForget {
     victims
   }
 
+  /** Multi-column variant for relations where the victim test is not a
+    * single id column (the copy-detect ALERT dirs: a victim may sit on
+    * either side of a pair): rewrite every partition dir whose rows
+    * match `victim`, under the same fence + swap + repair protocol.
+    * Dir-level, not partition-value-level — callers pass the dirs a
+    * commit protocol already resolved (alert dirs are batch-scoped, so
+    * "which partitions can hold victims" has no cheap answer; each dir
+    * pays one column-pruned predicate scan instead). */
+  def forgetWhere(spark: SparkSession, root: String, dirNames: Seq[String],
+                  victim: org.apache.spark.sql.Column,
+                  schema: org.apache.spark.sql.types.StructType): Unit = {
+    val (fs, rootP) = fsPath(spark, root)
+    require(fs.exists(rootP), s"no state at $root")
+    repair(fs, rootP)
+    val dirty = dirNames.filter { d =>
+      val p = new Path(rootP, d)
+      fs.exists(p) &&
+        !spark.read.schema(schema).parquet(p.toString).filter(victim).isEmpty
+    }
+    if (dirty.isEmpty) return
+    touch(fs, new Path(rootP, Marker))
+    dirty.foreach { dirName =>
+      val dir = new Path(rootP, dirName)
+      val trash = new Path(rootP, TrashPrefix + dirName)
+      val cleaned = spark.read.schema(schema).parquet(dir.toString)
+        .filter(!victim).localCheckpoint()
+      if (cleaned.isEmpty) {
+        require(fs.rename(dir, trash), s"could not retire $dir")
+        fs.delete(trash, true)
+      } else {
+        val tmp = new Path(rootP, TmpPrefix + dirName)
+        fs.delete(tmp, true)
+        cleaned.write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(dir, trash), s"could not retire $dir")
+        require(fs.rename(tmp, dir), s"could not publish rewritten $dir")
+        fs.delete(trash, true)
+      }
+    }
+    fs.delete(new Path(rootP, Marker), false): Unit
+  }
+
   /** Heal the leftovers of a forget() that died mid-swap, window by
     * window: a trash dir whose original is missing restores (the swap
     * hadn't published — the original rows must come back before the

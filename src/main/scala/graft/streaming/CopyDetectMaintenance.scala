@@ -161,6 +161,9 @@ object CopyDetectMaintenance {
     * independent of footer inference — a tail of all-empty alert dirs
     * (the common no-contamination case) still reads cleanly. */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
+    // deletion fence: a forget() that died mid-swap must fail the
+    // monitor loudly, not serve a half-forgotten alert history
+    graft.operators.IndexForget.assertClean(spark, alertDir)
     val fs = fsOf(spark, alertDir)
     val consol = latestConsol(fs, alertDir, "_SUCCESS")
     val horizon = consol.map(_._1).getOrElse(-1L)
@@ -176,6 +179,36 @@ object CopyDetectMaintenance {
       else spark.read.option("basePath", alertDir).schema(alertSchema)
         .parquet(tail.map(_._2.toString): _*)
     consolDf.unionByName(tailDf)
+  }
+
+  /** Right-to-be-forgotten across the WHOLE tenant — the victims'
+    * selections leave every committed index dir (consolidated + tail,
+    * via [[CopyIndex.forget]] per dir: victim buckets only) AND every
+    * alert that MENTIONS a victim leaves the alert dirs (a
+    * contamination fact about a forgotten document is part of what
+    * must be forgotten; `a_id`/`b_id` are both checked). QUIESCE the
+    * stream first: a concurrent trigger's probe would race the
+    * partition swaps — the `_FORGET_INPROGRESS` fence turns that race
+    * into a loud failure, not a wrong answer. `nBuckets` must be the
+    * tenant's constant (verified per dir against `_FANOUT`). */
+  def forget(spark: SparkSession, indexDir: String, alertDir: String,
+             ids: Seq[Long],
+             nBuckets: Int = CopyIndex.DefaultBuckets): Unit = {
+    val ifs = fsOf(spark, indexDir)
+    val idxDirs = latestConsol(ifs, indexDir, CopyIndex.FanoutMarker)
+      .map(_._2).toSeq ++ CommittedDirs.list(spark, indexDir).map(_._2)
+    idxDirs.foreach(d => CopyIndex.forget(spark, d.toString, ids, nBuckets))
+    val afs = fsOf(spark, alertDir)
+    val victim = col("a_id").isin(ids: _*) || col("b_id").isin(ids: _*)
+    // batch-scoped dirs carry batch_id in the DIR NAME (7-col files);
+    // the consolidated dir carries it as a column — two passes with the
+    // matching schema contract each
+    graft.operators.IndexForget.forgetWhere(spark, alertDir,
+      CommittedDirs.list(spark, alertDir).map(_._2.getName), victim,
+      org.apache.spark.sql.types.StructType(alertSchema.dropRight(1)))
+    graft.operators.IndexForget.forgetWhere(spark, alertDir,
+      latestConsol(afs, alertDir, "_SUCCESS").map(_._2.getName).toSeq,
+      victim, alertSchema)
   }
 
   /** What a probe at `batchId` would list: (committed consolidation

@@ -210,4 +210,60 @@ class ForgetSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Ivf.ivfTopKIndexed(spark, pq, query, "v", k = 10))
   }
+
+  test("CopyDetectMaintenance.forget: victim leaves every committed index dir (consolidated + tail) and every alert mentioning it; survivors unchanged; a same-text newcomer no longer matches the victim; fence guards the monitor") {
+    import graft.streaming.CopyDetectMaintenance
+    val root = java.nio.file.Files.createTempDirectory("forget_tenant").toString
+    val idx = s"$root/index"
+    val alertDir = s"$root/alerts"
+    // 3 triggers with consolidateAfter = 1 → the fold fires (consol +
+    // tail), so forget must reach BOTH layouts
+    (0 until 3).foreach { i =>
+      CopyDetectMaintenance.update(idx, alertDir,
+        docs.filter(col("doc_id") % 3 === i), i.toLong,
+        idCol = "doc_id", textCol = "text", consolidateAfter = 1)
+    }
+    // keep (a_id, b_id) parsed — a rendered-string contains() check
+    // would false-positive on shared/span fields equal to the victim id
+    def rows(): Set[(Long, Long, String)] =
+      CopyDetectMaintenance.alerts(spark, alertDir)
+        .select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.toString)).toSet
+    val before = rows()
+    def mentions(set: Set[(Long, Long, String)], id: Long) =
+      set.filter(r => r._1 == id || r._2 == id)
+    val victim = 5L
+    assert(mentions(before, victim).nonEmpty,
+      "victim has no alerts — vacuous (planted dup 100005 should pair)")
+
+    CopyDetectMaintenance.forget(spark, idx, alertDir, Seq(victim))
+    val after = rows()
+    assert(mentions(after, victim).isEmpty,
+      s"alerts still mention the victim: ${mentions(after, victim)}")
+    assert(after === before -- mentions(before, victim),
+      "forget changed alerts beyond the victim's rows")
+
+    // the victim's selections are gone from the INDEX too: a newcomer
+    // with the victim's exact text must match the surviving dup
+    // (100005) but never the victim
+    val newcomer = docs.filter(col("doc_id") === victim)
+      .select(lit(999999L).as("doc_id"), col("text"))
+    CopyDetectMaintenance.update(idx, alertDir, newcomer, 3L,
+      idCol = "doc_id", textCol = "text", consolidateAfter = 1)
+    val withNew = rows()
+    assert(mentions(withNew, victim).isEmpty,
+      "a post-forget probe matched the forgotten document")
+    assert(mentions(withNew, 999999L)
+        .exists(r => r._1 == 100000L + victim || r._2 == 100000L + victim),
+      s"newcomer did not match the surviving dup: ${mentions(withNew, 999999L)}")
+
+    // fence: a torn tenant forget must fail the monitor loudly …
+    fs(alertDir).create(new Path(alertDir, IndexForget.Marker), true).close()
+    val err = intercept[IllegalArgumentException](
+      CopyDetectMaintenance.alerts(spark, alertDir))
+    assert(err.getMessage.contains("forget"), err.getMessage)
+    // … and re-running forget heals the fence (idempotent re-filter)
+    CopyDetectMaintenance.forget(spark, idx, alertDir, Seq(victim))
+    assert(rows() === withNew, "healing re-run changed the alert history")
+  }
 }
