@@ -40,6 +40,24 @@ object IndexForget {
   private val TmpPrefix = ".forget_tmp."
   private val TrashPrefix = ".forget_trash."
 
+  /** Composition fence for MULTI-STEP forgets (the streaming tenants,
+    * the BM25 sidecar family): the caller plants the marker at its own
+    * root BEFORE the first step and clears it after the last, so a
+    * crash BETWEEN steps — where every per-dir marker has already
+    * cleared — still fences the whole surface. Pair with
+    * [[assertClean]] at the family's read choke points. */
+  def fence(spark: SparkSession, root: String): Unit = {
+    val (fs, p) = fsPath(spark, root)
+    touch(fs, new Path(p, Marker))
+  }
+
+  /** Clear a [[fence]] — only after every step of the composition
+    * committed. */
+  def unfence(spark: SparkSession, root: String): Unit = {
+    val (fs, p) = fsPath(spark, root)
+    fs.delete(new Path(p, Marker), false): Unit
+  }
+
   /** Probe-side guard: refuse to read an index a forget() died on —
     * a half-rewritten index would silently serve partial answers (the
     * "no copies found" failure mode the fan-out marker exists for,
@@ -108,20 +126,21 @@ object IndexForget {
     * commit protocol already resolved (alert dirs are batch-scoped, so
     * "which partitions can hold victims" has no cheap answer; each dir
     * pays one column-pruned predicate scan instead). */
-  def forgetWhere(spark: SparkSession, root: String, dirNames: Seq[String],
+  def forgetWhere(spark: SparkSession, root: String,
+                  dirs: Seq[(String, org.apache.spark.sql.types.StructType)],
                   victim: org.apache.spark.sql.Column,
-                  schema: org.apache.spark.sql.types.StructType): Unit = {
+                  holdFence: Boolean = false): Unit = {
     val (fs, rootP) = fsPath(spark, root)
     require(fs.exists(rootP), s"no state at $root")
-    repair(fs, rootP)
-    val dirty = dirNames.filter { d =>
+    repair(fs, rootP, keepMarker = holdFence)
+    val dirty = dirs.filter { case (d, schema) =>
       val p = new Path(rootP, d)
       fs.exists(p) &&
         !spark.read.schema(schema).parquet(p.toString).filter(victim).isEmpty
     }
     if (dirty.isEmpty) return
     touch(fs, new Path(rootP, Marker))
-    dirty.foreach { dirName =>
+    dirty.foreach { case (dirName, schema) =>
       val dir = new Path(rootP, dirName)
       val trash = new Path(rootP, TrashPrefix + dirName)
       val cleaned = spark.read.schema(schema).parquet(dir.toString)
@@ -138,7 +157,7 @@ object IndexForget {
         fs.delete(trash, true)
       }
     }
-    fs.delete(new Path(rootP, Marker), false): Unit
+    if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
   }
 
   /** Heal the leftovers of a forget() that died mid-swap, window by
@@ -147,7 +166,8 @@ object IndexForget {
     * re-filter); a trash dir whose original exists is the already-
     * published window's debris; tmp dirs are always uncommitted. Runs
     * before every forget, so the retry sees a consistent layout. */
-  private def repair(fs: FileSystem, root: Path): Unit = {
+  private def repair(fs: FileSystem, root: Path,
+                     keepMarker: Boolean = false): Unit = {
     val entries = fs.listStatus(root).map(_.getPath).toSeq
     val names = entries.map(_.getName).toSet
     entries.filter(_.getName.startsWith(TrashPrefix)).foreach { t =>
@@ -159,7 +179,9 @@ object IndexForget {
     }
     entries.filter(_.getName.startsWith(TmpPrefix))
       .foreach(fs.delete(_, true))
-    fs.delete(new Path(root, Marker), false): Unit
+    // under a caller-held composition fence the marker stays up even
+    // though THIS dir is consistent again — the other steps may not be
+    if (!keepMarker) fs.delete(new Path(root, Marker), false): Unit
   }
 
   private def touch(fs: FileSystem, p: Path): Unit = {

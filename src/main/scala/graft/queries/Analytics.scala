@@ -53,6 +53,11 @@ object Analytics {
     // plausible-looking zeros instead of failing
     require(terms == Seq("hash", "scan", "window"),
       s"bm25IndexProbe's fixed-order pivot encodes (hash, scan, window); got $terms")
+    // deletion fence at the FAMILY root: Bm25Index.forget spans three
+    // pieces (postings + dl sidecar + corpus stats); only the postings
+    // carry their own marker, so a torn multi-step forget is visible
+    // here and must refuse the whole probe, not score with stale N/Σdl
+    graft.operators.IndexForget.assertClean(s, dir)
     import graft.text.Phrase
     val post = Phrase.prunedPostings(s, s"$dir/post", terms, nBuckets = 64)
     val tf = post.groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))

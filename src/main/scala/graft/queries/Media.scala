@@ -1128,7 +1128,7 @@ object Media {
     * nudged 0.02, cosine ≈ 1 — the row the 0.90 ceiling must exclude),
     * planted at the 10^12 id reserve. Checkpointed: q230b consumes the
     * corpus twice (exact leg + index build). */
-  private def hardNegInputs(s: org.apache.spark.sql.SparkSession, d: String)
+  private[graft] def hardNegInputs(s: org.apache.spark.sql.SparkSession, d: String)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") < 5)
@@ -1150,7 +1150,7 @@ object Media {
     * ceiling cuts positives/copies), applied BELOW the per-anchor rank
     * in both the exact and the IVF leg (PlanSpec pins the fused
     * position on q230). */
-  private val hardNegBand: org.apache.spark.sql.DataFrame =>
+  private[graft] val hardNegBand: org.apache.spark.sql.DataFrame =>
       org.apache.spark.sql.DataFrame =
     _.filter(col("simd") >= lit(BigDecimal("0.05")) &&
       col("simd") < lit(BigDecimal("0.90")))

@@ -63,8 +63,9 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * dirs get the same fold (they are immutable facts keyed by batch_id,
   * carried as a column in the consolidated file; `_SUCCESS` — written
   * at job commit, after the data moves — is the marker there).
-  * Document deletion is the anti-join rewrite the batch index
-  * documents ([[CopyIndex.forget]]). */
+  * Document deletion is [[forget]] — quiesce, then one call rewrites
+  * the victims out of every committed index dir AND every alert
+  * mentioning them, under a composition fence at both roots. */
 object CopyDetectMaintenance {
 
   /** Default consolidation threshold: fold once more than this many
@@ -159,7 +160,11 @@ object CopyDetectMaintenance {
     * monitoring reader must never see them as data
     * ([[CommittedDirs]]). The explicit [[alertSchema]] makes the read
     * independent of footer inference — a tail of all-empty alert dirs
-    * (the common no-contamination case) still reads cleanly. */
+    * (the common no-contamination case) still reads cleanly. A LIVE
+    * monitor racing a concurrent trigger's fold can lose a listed tail
+    * dir to the fold's cleanup between listing and reading — that read
+    * fails loudly (FileNotFoundException) and a plain retry sees the
+    * consolidated state; transient by construction, never wrong. */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
     // deletion fence: a forget() that died mid-swap must fail the
     // monitor loudly, not serve a half-forgotten alert history
@@ -194,21 +199,36 @@ object CopyDetectMaintenance {
   def forget(spark: SparkSession, indexDir: String, alertDir: String,
              ids: Seq[Long],
              nBuckets: Int = CopyIndex.DefaultBuckets): Unit = {
+    import graft.operators.IndexForget
+    // COMPOSITION fence at both roots: the per-dir markers clear as
+    // each dir's rewrite commits, so a crash BETWEEN dirs (or between
+    // the index and alert passes) would otherwise leave a clean-looking
+    // half-forgotten tenant. Probes check these roots too.
+    IndexForget.fence(spark, indexDir)
+    IndexForget.fence(spark, alertDir)
     val ifs = fsOf(spark, indexDir)
-    val idxDirs = latestConsol(ifs, indexDir, CopyIndex.FanoutMarker)
-      .map(_._2).toSeq ++ CommittedDirs.list(spark, indexDir).map(_._2)
+    // EVERY committed consol dir, not just the newest: a fold's missed
+    // cleanup can leave a shadowed-but-readable older consol holding
+    // the victim's rows — a compliance leak if skipped
+    val idxDirs = consols(ifs, indexDir, CopyIndex.FanoutMarker)
+      .map(_._2) ++ CommittedDirs.list(spark, indexDir).map(_._2)
     idxDirs.foreach(d => CopyIndex.forget(spark, d.toString, ids, nBuckets))
     val afs = fsOf(spark, alertDir)
     val victim = col("a_id").isin(ids: _*) || col("b_id").isin(ids: _*)
-    // batch-scoped dirs carry batch_id in the DIR NAME (7-col files);
-    // the consolidated dir carries it as a column — two passes with the
-    // matching schema contract each
-    graft.operators.IndexForget.forgetWhere(spark, alertDir,
-      CommittedDirs.list(spark, alertDir).map(_._2.getName), victim,
-      org.apache.spark.sql.types.StructType(alertSchema.dropRight(1)))
-    graft.operators.IndexForget.forgetWhere(spark, alertDir,
-      latestConsol(afs, alertDir, "_SUCCESS").map(_._2.getName).toSeq,
-      victim, alertSchema)
+    // one pass over every committed alert dir: batch-scoped dirs carry
+    // batch_id in the DIR NAME (7-col files), consolidated dirs carry
+    // it as a column — per-dir schemas; holdFence keeps the root marker
+    // up until BOTH roots unfence below
+    val batchSchema =
+      org.apache.spark.sql.types.StructType(alertSchema.dropRight(1))
+    IndexForget.forgetWhere(spark, alertDir,
+      CommittedDirs.list(spark, alertDir)
+        .map(d => d._2.getName -> batchSchema) ++
+        consols(afs, alertDir, "_SUCCESS")
+          .map(d => d._2.getName -> alertSchema),
+      victim, holdFence = true)
+    IndexForget.unfence(spark, alertDir)
+    IndexForget.unfence(spark, indexDir)
   }
 
   /** What a probe at `batchId` would list: (committed consolidation
@@ -250,6 +270,13 @@ object CopyDetectMaintenance {
     // constant must fail loudly here, not prune the wrong modulus's
     // directories (one marker read per trigger)
     CopyIndex.verifyFanout(spark, roots.head.toString, nBuckets)
+    // deletion fences: the tenant-level forget marks the ROOT for the
+    // whole composition, and each dir carries its own marker while ITS
+    // rewrite is in flight — a probe must refuse both (an fs.exists
+    // per prior dir, bounded by the consolidation threshold)
+    graft.operators.IndexForget.assertClean(spark, indexDir)
+    roots.foreach(r =>
+      graft.operators.IndexForget.assertClean(spark, r.toString))
     val want = CopyIndex.bucketsOf(sel, nBuckets)
       .map(b => s"bucket=$b").toSet
     // one listing per prior dir — bounded by consolidateAfter + 1, not
@@ -350,15 +377,13 @@ object CopyDetectMaintenance {
       }
     }
 
-  /** Latest COMMITTED `consol_id=` dir under `dir` (commit marker:
-    * `_FANOUT` for index folds — renamed into place last — or
-    * `_SUCCESS` for alert folds). Older committed consols are
-    * shadowed (their content is a subset of the latest) and deleted
-    * lazily by [[cleanupBelow]]. */
-  private def latestConsol(fs: FileSystem, dir: String,
-                           marker: String): Option[(Long, Path)] = {
+  /** Every COMMITTED `consol_id=` dir under `dir` in id order (commit
+    * marker: `_FANOUT` for index folds — renamed into place last — or
+    * `_SUCCESS` for alert folds). */
+  private def consols(fs: FileSystem, dir: String,
+                      marker: String): Seq[(Long, Path)] = {
     val root = new Path(dir)
-    if (!fs.exists(root)) return None
+    if (!fs.exists(root)) return Seq.empty
     fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(ConsolPrefix))
       .flatMap { s =>
@@ -366,8 +391,16 @@ object CopyDetectMaintenance {
           .filter(_ => fs.exists(new Path(s.getPath, marker)))
           .map(_ -> s.getPath)
       }
-      .sortBy(_._1).lastOption
+      .sortBy(_._1)
   }
+
+  /** The newest committed consol dir — the one probes read. Older
+    * committed consols are shadowed (their content is a subset of the
+    * latest) and deleted lazily by [[cleanupBelow]]; [[forget]] still
+    * rewrites them while they exist. */
+  private def latestConsol(fs: FileSystem, dir: String,
+                           marker: String): Option[(Long, Path)] =
+    consols(fs, dir, marker).lastOption
 
   private def emptyAlerts(spark: SparkSession): DataFrame =
     spark.createDataFrame(

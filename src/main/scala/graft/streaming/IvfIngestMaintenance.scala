@@ -75,9 +75,35 @@ object IvfIngestMaintenance {
       .localCheckpoint()
     assigned.write.partitionBy("cell").mode("overwrite")
       .parquet(s"$indexDir/batches/batch_id=$batchId")
-    fitOf(assigned, centroids)
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/drift/batch_id=$batchId")
+    // no drift row for an EMPTY batch (a no-data trigger or recovery
+    // replay): fitOf's global aggregate over zero rows would commit a
+    // one-row all-null record that poisons driftReport (null
+    // retrain_due); absence of the dir is the honest "nothing to
+    // measure". The batch dir above still commits — exactly-once
+    // bookkeeping is the stream's contract, metrics are not.
+    if (!assigned.isEmpty)
+      fitOf(assigned, centroids)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$indexDir/drift/batch_id=$batchId")
+  }
+
+  /** Right-to-be-forgotten for the LIVE shelf: the base cells
+    * ([[graft.functions.Ivf.forget]]) AND every committed streaming
+    * batch dir — a vector that arrived through [[update]] lives under
+    * `batches/batch_id=N/cell=C`, which the base-only forget never
+    * touches. Quiesce the stream first; a composition fence at the
+    * index root keeps [[topKLive]] loudly refused across the multi-dir
+    * rewrite (each dir's own marker clears as it commits). Drift rows
+    * are per-batch aggregates (counts and means), not per-document
+    * data — they carry nothing to forget. */
+  def forget(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit = {
+    import graft.operators.IndexForget
+    IndexForget.fence(spark, indexDir)
+    Ivf.forget(spark, indexDir, ids)
+    CommittedDirs.list(spark, s"$indexDir/batches").foreach { case (_, d) =>
+      IndexForget.forget(spark, d.toString, "cell", "nn_id", ids): Unit
+    }
+    IndexForget.unfence(spark, indexDir)
   }
 
   /** Mean assignment fit + occupancy skew of an assigned relation
@@ -133,6 +159,10 @@ object IvfIngestMaintenance {
   def topKLive(spark: SparkSession, indexDir: String, query: DataFrame,
                vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
+    // deletion fences: the tenant-level forget marks the index ROOT for
+    // its whole multi-dir composition; cells/ and each batch dir carry
+    // their own marker while their rewrite is in flight
+    graft.operators.IndexForget.assertClean(spark, indexDir)
     graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
     val centroids = Ivf.readCentroids(spark, indexDir)
     val probes = query.select(
@@ -144,6 +174,7 @@ object IvfIngestMaintenance {
     val want = probes.map(p => s"cell=$p").toSet
     val batchCellDirs = CommittedDirs.list(spark, s"$indexDir/batches")
       .flatMap { case (_, d) =>
+        graft.operators.IndexForget.assertClean(spark, d.toString)
         fs.listStatus(d).filter(s => s.isDirectory &&
           want.contains(s.getPath.getName)).map(_.getPath.toString)
       }

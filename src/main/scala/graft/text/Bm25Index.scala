@@ -27,6 +27,12 @@ object Bm25Index {
     * postings side is idempotent; the sidecar filter re-runs) or, in
     * the worst case, rebuilding both sidecars from `dir/post`. */
   def forget(spark: SparkSession, dir: String, ids: Seq[Long]): Seq[String] = {
+    // COMPOSITION fence at the family root: the postings step clears
+    // its own marker (under dir/post) when it commits, so a crash
+    // during or between the sidecar overwrites would otherwise leave a
+    // clean-looking index whose scores use stale N/Σdl — the probe
+    // checks THIS root before reading any of the three pieces
+    graft.operators.IndexForget.fence(spark, dir)
     val rewritten = Phrase.forget(spark, s"$dir/post", ids)
     val cleaned = spark.read.parquet(s"$dir/docs")
       .filter(!col("doc_id").isin(ids: _*))
@@ -34,6 +40,7 @@ object Bm25Index {
     cleaned.write.mode("overwrite").parquet(s"$dir/docs")
     cleaned.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .write.mode("overwrite").parquet(s"$dir/corpus")
+    graft.operators.IndexForget.unfence(spark, dir)
     rewritten
   }
 }

@@ -2076,5 +2076,23 @@ class StreamingSpec extends SparkTestBase {
     assert(!drift(0L) && !drift(1L) && !drift(2L),
       s"in-distribution batches flagged retrain: $drift")
     assert(drift(99L), s"shifted batch did not flag retrain: $drift")
+
+    // RIGHT-TO-BE-FORGOTTEN on the live shelf: the planted arrival
+    // came through a STREAMING batch dir — the tenant forget must reach
+    // it there (the base-only Ivf.forget never would)
+    IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L))
+    val afterForget = live()
+    assert(!afterForget.exists(_.startsWith("[1000000000001,")),
+      s"forgotten streamed vector still served: ${afterForget.take(3)}")
+    // the tenant-level composition fence (index ROOT) must refuse
+    // topKLive loudly while a multi-dir forget is in flight
+    val ffs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    ffs.create(new org.apache.hadoop.fs.Path(idx,
+      graft.operators.IndexForget.Marker), true).close()
+    intercept[IllegalArgumentException](live())
+    // re-running forget heals the fence
+    IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L))
+    assert(live() === afterForget, "healing re-run changed the shelf")
   }
 }
