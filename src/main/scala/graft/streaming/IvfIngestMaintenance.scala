@@ -33,10 +33,21 @@ import org.apache.spark.sql.functions._
   * RE-TRAIN is explicit, never automatic: when [[driftReport]] flags
   * (fit below baseline − tolerance), rebuild with `Ivf.writeIndex`
   * over the live corpus at a fresh root and repoint — the same
-  * quiesce-rebuild recipe as every versioned shelf. Batch-dir count
-  * grows O(triggers); the copy-detect consolidation pattern applies
-  * verbatim if trigger counts demand it (fold batch dirs into the
-  * base cells at a threshold — cell layouts are append-compatible). */
+  * quiesce-rebuild recipe as every versioned shelf.
+  *
+  * RETENTION — the copy-detect consolidation pattern, applied here:
+  * batch N's update folds committed batch dirs beyond the horizon into
+  * ONE `batches/consol_id=H` dir (cell-partitioned like everything
+  * else; `_SUCCESS` — created at job commit, after the data moves — is
+  * the fold's marker) once they exceed `consolidateAfter`, then
+  * deletes them; [[topKLive]] reads {base cells, latest consol, tail},
+  * so its listing is bounded by the threshold, not the stream's age.
+  * The fold preserves the exact row multiset (NO dedup — unlike winnow
+  * selections, two ingests of one id with different vectors are
+  * distinct serving rows). Retries stay exactly-once: folds only touch
+  * `batch_id < N`, so a retried batch overwrites its own dir and sees
+  * the same fold state. Drift rows keep one dir per batch — they are
+  * the report's content, read at monitor cadence, not per trigger. */
 object IvfIngestMaintenance {
 
   /** One-time after the base `Ivf.writeIndex`: persist the drift
@@ -62,9 +73,16 @@ object IvfIngestMaintenance {
       .parquet(s"$indexDir/drift_baseline")
   }
 
+  /** Default fold threshold — same sizing argument as
+    * [[CopyDetectMaintenance.DefaultConsolidateAfter]]. */
+  val DefaultConsolidateAfter = 16
+
+  private val ConsolPrefix = "consol_id="
+
   /** Fold one micro-batch of vectors — call from foreachBatch. */
   def update(indexDir: String, vecs: DataFrame, batchId: Long,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             consolidateAfter: Int = DefaultConsolidateAfter): Unit = {
     val spark = vecs.sparkSession
     val centroids = Ivf.readCentroids(spark, indexDir)
     // one assignment pass feeds the write AND the drift row
@@ -85,6 +103,75 @@ object IvfIngestMaintenance {
       fitOf(assigned, centroids)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$indexDir/drift/batch_id=$batchId")
+    if (consolidateAfter > 0)
+      consolidateBatches(spark, indexDir, batchId, consolidateAfter)
+  }
+
+  /** Fold the committed batch-dir tail into `batches/consol_id=H` once
+    * it exceeds the threshold; heal leftover deletes lazily (the
+    * CopyDetectMaintenance recipe — a torn fold has no `_SUCCESS`, is
+    * invisible, and the next fold overwrites it). */
+  private def consolidateBatches(spark: SparkSession, indexDir: String,
+                                 batchId: Long, after: Int): Unit = {
+    val root = s"$indexDir/batches"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(root))) return
+    val consol = latestConsol(spark, root)
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    cleanupBelow(fs, root, horizon)
+    val tail = CommittedDirs.list(spark, root)
+      .filter(t => t._1 > horizon && t._1 < batchId)
+    if (tail.size <= after) return
+    val h = tail.map(_._1).max
+    // explicit cell-dir reads (fileless committed dirs — empty batches
+    // — carry no footers for inference); basePath keeps the cell column
+    val parts = consol.map(_._2).toSeq ++ tail.map(_._2)
+    val cellDirs = parts.flatMap { d =>
+      fs.listStatus(d).filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("cell=")).map(_.getPath)
+    }
+    if (cellDirs.isEmpty) return
+    val union = parts.map { d =>
+        val dirs = fs.listStatus(d).filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith("cell=")).map(_.getPath.toString)
+        if (dirs.isEmpty) None
+        else Some(spark.read.option("basePath", d.toString)
+          .parquet(dirs: _*).select("nn_id", "cv", "cn", "cell"))
+      }.flatten.reduce(_ unionByName _)
+      .localCheckpoint() // sever lineage from the dirs deleted below
+    union.write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$root/$ConsolPrefix$h")
+    cleanupBelow(fs, root, h)
+  }
+
+  private def cleanupBelow(fs: org.apache.hadoop.fs.FileSystem,
+                           root: String, horizon: Long): Unit =
+    if (horizon >= 0) {
+      fs.listStatus(new Path(root)).foreach { s =>
+        val n = s.getPath.getName
+        val stale =
+          (n.startsWith("batch_id=") &&
+            n.stripPrefix("batch_id=").toLongOption.exists(_ <= horizon)) ||
+            (n.startsWith(ConsolPrefix) &&
+              n.stripPrefix(ConsolPrefix).toLongOption.exists(_ < horizon))
+        if (stale) fs.delete(s.getPath, true): Unit
+      }
+    }
+
+  /** Newest COMMITTED `consol_id=` dir under the batches root. */
+  private def latestConsol(spark: SparkSession, root: String)
+      : Option[(Long, Path)] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(ConsolPrefix))
+      .flatMap { s =>
+        s.getPath.getName.stripPrefix(ConsolPrefix).toLongOption
+          .filter(_ => fs.exists(new Path(s.getPath, "_SUCCESS")))
+          .map(_ -> s.getPath)
+      }.sortBy(_._1).lastOption
   }
 
   /** Right-to-be-forgotten for the LIVE shelf: the base cells
@@ -100,7 +187,20 @@ object IvfIngestMaintenance {
     import graft.operators.IndexForget
     IndexForget.fence(spark, indexDir)
     Ivf.forget(spark, indexDir, ids)
-    CommittedDirs.list(spark, s"$indexDir/batches").foreach { case (_, d) =>
+    // every committed streaming dir: consolidated AND tail (an older
+    // shadowed consol can only exist as a missed delete BELOW the
+    // latest — cleanupBelow reaps it; rows there are a subset of the
+    // latest, but rewrite them anyway if present)
+    val root = s"$indexDir/batches"
+    val fs = new Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val consolDirs =
+      if (!fs.exists(new Path(root))) Seq.empty
+      else fs.listStatus(new Path(root)).toSeq
+        .filter(s => s.isDirectory &&
+          s.getPath.getName.startsWith(ConsolPrefix) &&
+          fs.exists(new Path(s.getPath, "_SUCCESS"))).map(_.getPath)
+    (consolDirs ++ CommittedDirs.list(spark, root).map(_._2)).foreach { d =>
       IndexForget.forget(spark, d.toString, "cell", "nn_id", ids): Unit
     }
     IndexForget.unfence(spark, indexDir)
@@ -172,8 +272,12 @@ object IvfIngestMaintenance {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = probes.map(p => s"cell=$p").toSet
-    val batchCellDirs = CommittedDirs.list(spark, s"$indexDir/batches")
-      .flatMap { case (_, d) =>
+    val consol = latestConsol(spark, s"$indexDir/batches")
+    val horizon = consol.map(_._1).getOrElse(-1L)
+    val batchCellDirs = (consol.map(_._2).toSeq ++
+        CommittedDirs.list(spark, s"$indexDir/batches")
+          .filter(_._1 > horizon).map(_._2))
+      .flatMap { d =>
         graft.operators.IndexForget.assertClean(spark, d.toString)
         fs.listStatus(d).filter(s => s.isDirectory &&
           want.contains(s.getPath.getName)).map(_.getPath.toString)

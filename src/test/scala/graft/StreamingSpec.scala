@@ -2026,8 +2026,10 @@ class StreamingSpec extends SparkTestBase {
     val q = spark.readStream.schema(arrivals.schema)
       .option("maxFilesPerTrigger", "1").parquet(src)
       .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        // consolidateAfter = 1: the batch-dir fold MUST fire mid-stream
+        // so the parity/retry checks below cover the folded layout
         IvfIngestMaintenance.update(idx, b, id, idCol = "vec_id",
-          vecCol = "v")
+          vecCol = "v", consolidateAfter = 1)
       }.trigger(Trigger.AvailableNow())
       .option("checkpointLocation", tmpDir("ivf_ingest_ckpt")).start()
     assert(q.awaitTermination(120000), "stream did not finish in 120s")
@@ -2049,10 +2051,23 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(_.toString).toSeq
     assert(got === want, s"live shelf diverged from inline: $got vs $want")
 
-    // RETRY: re-run the last batch — batch-scoped overwrite, same rows
+    // the fold fired: batches 0..1 live in ONE consol dir, the tail is
+    // bounded, and the folded dirs are gone
+    val bfs = new org.apache.hadoop.fs.Path(s"$idx/batches")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchNames = bfs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$idx/batches"))
+      .map(_.getPath.getName).toSeq
+    assert(batchNames.exists(_.startsWith("consol_id=")),
+      s"no consolidated dir after 3 triggers at threshold 1: $batchNames")
+    assert(batchNames.count(_.startsWith("batch_id=")) <= 2,
+      s"folded batch dirs survived: $batchNames")
+
+    // RETRY across the fold boundary: re-run the last batch —
+    // batch-scoped overwrite, same rows, fold state untouched
     IvfIngestMaintenance.update(idx,
       arrivals.filter(col("vec_id") % 3 === 2), 2L,
-      idCol = "vec_id", vecCol = "v")
+      idCol = "vec_id", vecCol = "v", consolidateAfter = 1)
     assert(live() === got, "retried batch changed the served shelf")
 
     // DRIFT: the in-distribution batches must NOT flag; a batch from a
@@ -2078,12 +2093,21 @@ class StreamingSpec extends SparkTestBase {
     assert(drift(99L), s"shifted batch did not flag retrain: $drift")
 
     // RIGHT-TO-BE-FORGOTTEN on the live shelf: the planted arrival
-    // came through a STREAMING batch dir — the tenant forget must reach
-    // it there (the base-only Ivf.forget never would)
-    IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L))
+    // came through a STREAMING batch dir and vec_id 3 (odd, % 3 == 0)
+    // was FOLDED into the consolidated dir — the tenant forget must
+    // reach both layouts (the base-only Ivf.forget reaches neither)
+    val consolDir = batchNames.filter(_.startsWith("consol_id="))
+      .map(n => s"$idx/batches/$n").head
+    assert(spark.read.parquet(consolDir)
+        .filter(col("nn_id") === 3L).count() === 1,
+      "vec_id 3 should sit in the consolidated dir — fold layout drifted")
+    IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L, 3L))
     val afterForget = live()
     assert(!afterForget.exists(_.startsWith("[1000000000001,")),
       s"forgotten streamed vector still served: ${afterForget.take(3)}")
+    assert(spark.read.parquet(consolDir)
+        .filter(col("nn_id") === 3L).count() === 0,
+      "forget did not reach the consolidated dir")
     // the tenant-level composition fence (index ROOT) must refuse
     // topKLive loudly while a multi-dir forget is in flight
     val ffs = new org.apache.hadoop.fs.Path(idx)
@@ -2092,7 +2116,7 @@ class StreamingSpec extends SparkTestBase {
       graft.operators.IndexForget.Marker), true).close()
     intercept[IllegalArgumentException](live())
     // re-running forget heals the fence
-    IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L))
+    IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L, 3L))
     assert(live() === afterForget, "healing re-run changed the shelf")
   }
 }
