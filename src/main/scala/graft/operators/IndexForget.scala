@@ -160,6 +160,63 @@ object IndexForget {
     if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
   }
 
+  /** FLAT-LAYOUT forget, for the unpartitioned index families (the
+    * NearDup signature relation, the Spans substring index, SimJoin's
+    * prefix/fp relations): no partition bound exists, so the rewrite is
+    * O(index) by layout — acceptable because these are per-document
+    * DERIVED relations, rebuildable from the corpus. The swap is
+    * whole-dir via SIBLINGS (`<name>.forget_tmp` / `.forget_trash` /
+    * the `<name>._FORGET_INPROGRESS` marker file): survivors commit to
+    * tmp BEFORE the live dir retires, so no crash window loses rows —
+    * mid-swap the dir is missing or marked, both loud; a re-run heals.
+    * Returns true iff victim rows existed. Refuses to forget EVERY row
+    * (an empty flat dir has no footers and would crash later reads —
+    * delete or rebuild the index instead). */
+  def forgetFlat(spark: SparkSession, path: String,
+                 victim: org.apache.spark.sql.Column): Boolean = {
+    val (fs, p) = fsPath(spark, path)
+    val parent = p.getParent
+    val tmp = new Path(parent, p.getName + ".forget_tmp")
+    val trash = new Path(parent, p.getName + ".forget_trash")
+    val marker = flatMarker(p)
+    // repair: a swap that died after retiring the live dir restores it
+    // (re-filtering is the re-run's job); uncommitted tmp always drops
+    if (!fs.exists(p) && fs.exists(trash))
+      require(fs.rename(trash, p), s"could not restore $path from trash")
+    fs.delete(trash, true)
+    fs.delete(tmp, true)
+    require(fs.exists(p), s"no index at $path")
+    val df = spark.read.parquet(p.toString)
+    if (df.filter(victim).isEmpty) {
+      fs.delete(marker, false)
+      return false
+    }
+    touch(fs, marker)
+    val cleaned = df.filter(!victim).localCheckpoint()
+    require(!cleaned.isEmpty,
+      s"forget would delete every row of $path — drop or rebuild the " +
+        "index instead (an empty flat dir breaks later reads)")
+    cleaned.write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(p, trash), s"could not retire $path")
+    require(fs.rename(tmp, p), s"could not publish rewritten $path")
+    fs.delete(trash, true)
+    fs.delete(marker, false)
+    true
+  }
+
+  /** Probe-side guard for [[forgetFlat]] surfaces: refuses a sibling
+    * marker (torn run) or a missing dir whose trash sibling exists
+    * (mid-swap crash) — both heal by re-running forget. */
+  def assertCleanFlat(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsPath(spark, path)
+    require(!fs.exists(flatMarker(p)),
+      s"a forget() is in progress (or died mid-rewrite) on $path — " +
+        "re-run forget with the same ids to heal before probing")
+  }
+
+  private def flatMarker(p: Path): Path =
+    new Path(p.getParent, p.getName + "._FORGET_INPROGRESS")
+
   /** Heal the leftovers of a forget() that died mid-swap, window by
     * window: a trash dir whose original is missing restores (the swap
     * hadn't published — the original rows must come back before the

@@ -104,8 +104,23 @@ object NearDup {
     * [[lshPairs]] over the same corpus/parameters, but the probe plan
     * reads parquet; no signature derivation appears in it. */
   def pairsFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
-                     threshold: Double = 0.5): DataFrame =
+                     threshold: Double = 0.5): DataFrame = {
+    // deletion fence (a torn forget must fail loudly, not pair against
+    // a half-rewritten signature relation)
+    graft.operators.IndexForget.assertCleanFlat(spark, path)
     pairsFromSignatures(spark.read.parquet(path), threshold)
+  }
+
+  /** Right-to-be-forgotten: rewrite the signature relation without the
+    * victims' rows ([[graft.operators.IndexForget.forgetFlat]] — the
+    * layout is flat, so this is an O(index) rewrite of per-document
+    * DERIVED data; a lost race rebuilds via [[writeIndex]]). Signatures
+    * are independent per document, so pair answers afterward equal an
+    * index built without the victims. */
+  def forget(spark: org.apache.spark.sql.SparkSession, path: String,
+             ids: Seq[Long]): Boolean =
+    graft.operators.IndexForget.forgetFlat(spark, path,
+      col("id").isin(ids: _*))
 
   /** Ingest-time dedup: pairs between NEW documents and the indexed
     * corpus (plus new-new pairs), without ever re-forming old-old

@@ -226,11 +226,32 @@ object SimJoin {
     fpOf(mat).write.mode("overwrite").parquet(s"$dir/fp")
   }
 
+  /** Right-to-be-forgotten: rewrite the victims' rows out of the
+    * `prefix` and `fp` relations under a composition fence at the
+    * family root (both are flat → O(index) rewrites of per-document
+    * derived data; a lost race rebuilds via [[writeIndex]]). The
+    * `dfreq` token order stays FROZEN — it is part of the on-disk
+    * layout like IVF centroids: prefix lengths were computed under it,
+    * and prefix-filter exactness needs one CONSISTENT total order, not
+    * a current-frequency one, so deletion never invalidates it (a
+    * re-train is an explicit writeIndex rebuild). */
+  def forget(spark: org.apache.spark.sql.SparkSession, dir: String,
+             ids: Seq[Long]): Unit = {
+    import graft.operators.IndexForget
+    IndexForget.fence(spark, dir)
+    IndexForget.forgetFlat(spark, s"$dir/prefix", col("id").isin(ids: _*))
+    IndexForget.forgetFlat(spark, s"$dir/fp", col("id").isin(ids: _*))
+    IndexForget.unfence(spark, dir)
+  }
+
   /** All ≥τ pairs WITHIN the indexed corpus, derived from the persisted
     * relations alone (no re-tokenization — the probe-side twin of
     * NearDup.pairsFromIndex). */
   def pairsFromIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                      tNum: Int, tDen: Int): DataFrame = {
+    // deletion fence (composition marker at the family root — forget
+    // spans the prefix AND fp relations)
+    graft.operators.IndexForget.assertClean(spark, dir)
     val prefix = spark.read.parquet(s"$dir/prefix")
     val cand = prefix.select(col("id").as("a_id"), col("n").as("pna"), col("w"))
       .join(prefix.select(col("id").as("b_id"), col("n").as("pnb"), col("w")), "w")
@@ -256,6 +277,7 @@ object SimJoin {
                          tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
+    graft.operators.IndexForget.assertClean(spark, dir)
     val mat = newSets.select(col("id"), col("set")).localCheckpoint()
     val dfreq = spark.read.parquet(s"$dir/dfreq")
     val newPrefix = prefixOf(tokOf(mat), dfreq, tNum, tDen)

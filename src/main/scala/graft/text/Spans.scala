@@ -47,8 +47,23 @@ object Spans {
 
   /** The span relation back from a persisted index. */
   def fromIndex(spark: org.apache.spark.sql.SparkSession,
-                path: String): DataFrame =
+                path: String): DataFrame = {
+    // deletion fence: a torn forget must fail loudly here, not count
+    // masked positions against a half-rewritten span relation
+    graft.operators.IndexForget.assertCleanFlat(spark, path)
     spark.read.parquet(path)
+  }
+
+  /** Right-to-be-forgotten: rewrite the span relation without the
+    * victims' rows (flat layout → O(index) rewrite of per-document
+    * derived data; rebuildable via [[writeIndex]]). Span rows are
+    * independent per document — NOTE the dedup SEMANTICS shift exactly
+    * as a rebuild-without would: windows that repeated only between a
+    * victim and one survivor stop counting as cross-document repeats. */
+  def forget(spark: org.apache.spark.sql.SparkSession, path: String,
+             ids: Seq[Long]): Boolean =
+    graft.operators.IndexForget.forgetFlat(spark, path,
+      col("doc_id").isin(ids: _*))
 
   /** Per-document substring-dedup statistic from a span relation:
     * (doc_id, n_toks, n_masked) where n_masked counts token positions

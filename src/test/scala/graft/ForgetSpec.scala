@@ -211,6 +211,84 @@ class ForgetSpec extends SparkTestBase {
       Ivf.ivfTopKIndexed(spark, pq, query, "v", k = 10))
   }
 
+  test("flat-family forget: NearDup signatures, Spans substring index, SimJoin prefix index — victims vanish, survivors equal a rebuild; the frozen token order survives; torn swaps fence and heal") {
+    import graft.text.{NearDup, SimJoin, Spans}
+    val toks = docs.withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3).select("doc_id", "w").localCheckpoint()
+
+    // ---- NearDup (flat signature relation) ----
+    val nd = tmp("forget_neardup")
+    NearDup.writeIndex(toks, "doc_id", "w", nd)
+    def ndPairs(d: String) = NearDup.pairsFromIndex(spark, d, 0.3)
+      .collect().map(_.toString).toSet
+    val ndBefore = ndPairs(nd)
+    assert(ndBefore.nonEmpty, "no near-dup pairs — vacuous")
+    val ndVictim = ndBefore.head.stripPrefix("[").takeWhile(_ != ',').toLong
+    assert(NearDup.forget(spark, nd, Seq(ndVictim)), "victim had no rows")
+    val ndRb = tmp("forget_neardup_rb")
+    NearDup.writeIndex(toks.filter(col("doc_id") =!= ndVictim),
+      "doc_id", "w", ndRb)
+    assert(ndPairs(nd) === ndPairs(ndRb),
+      "NearDup forget diverged from rebuild-without")
+    // torn flat swap: the sibling marker must fence the probe …
+    val ndP = new Path(nd)
+    val marker = new Path(ndP.getParent,
+      ndP.getName + "._FORGET_INPROGRESS")
+    fs(nd).create(marker, true).close()
+    intercept[IllegalArgumentException](ndPairs(nd))
+    // … and a re-run (no victims left) heals it
+    assert(!NearDup.forget(spark, nd, Seq(ndVictim)))
+    assert(ndPairs(nd) === ndPairs(ndRb), "healing re-run changed pairs")
+
+    // ---- Spans (flat substring-window relation) ----
+    val sp = tmp("forget_spans")
+    Spans.writeIndex(toks, "doc_id", "w", sp, window = 8)
+    def spRows(d: String) = Spans.fromIndex(spark, d)
+      .collect().map(_.toString).toSet
+    val spVictim = Spans.fromIndex(spark, sp).first().getLong(0)
+    assert(Spans.forget(spark, sp, Seq(spVictim)))
+    val spRb = tmp("forget_spans_rb")
+    Spans.writeIndex(toks.filter(col("doc_id") =!= spVictim),
+      "doc_id", "w", spRb, window = 8)
+    assert(spRows(sp) === spRows(spRb),
+      "Spans forget diverged from rebuild-without")
+
+    // ---- SimJoin (prefix + fp under a frozen dfreq order) ----
+    val sets = toks.select(col("doc_id").as("id"),
+      array_distinct(col("w")).as("set")).localCheckpoint()
+    val sj = tmp("forget_simjoin")
+    SimJoin.writeIndex(sets, sj, 1, 2)
+    // keep (a_id, b_id) parsed — a rendered contains() check would
+    // false-positive on the intersection/size fields
+    def sjPairs(d: String) = SimJoin.pairsFromIndex(spark, d, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.toString)).toSet
+    val sjBefore = sjPairs(sj)
+    assert(sjBefore.nonEmpty, "no simjoin pairs — vacuous")
+    val sjVictim = sjBefore.head._1
+    val dfreqBefore = spark.read.parquet(s"$sj/dfreq")
+      .collect().map(_.toString).toSet
+    SimJoin.forget(spark, sj, Seq(sjVictim))
+    // the frozen token order is LAYOUT, not data — untouched by forget
+    assert(spark.read.parquet(s"$sj/dfreq")
+        .collect().map(_.toString).toSet === dfreqBefore,
+      "forget rewrote the frozen dfreq order")
+    // pair-set parity vs a ground-up rebuild WITHOUT the victim — the
+    // rebuild freezes a DIFFERENT order (new frequencies), but prefix
+    // exactness holds under any consistent total order, so the PAIR
+    // SETS must agree
+    val sjRb = tmp("forget_simjoin_rb")
+    SimJoin.writeIndex(sets.filter(col("id") =!= sjVictim), sjRb, 1, 2)
+    assert(sjPairs(sj) === sjPairs(sjRb),
+      "SimJoin forget diverged from rebuild-without")
+    assert(!sjPairs(sj).exists(r => r._1 == sjVictim || r._2 == sjVictim),
+      "victim survived in a pair")
+    // composition fence at the family root
+    fs(sj).create(new Path(sj, IndexForget.Marker), true).close()
+    intercept[IllegalArgumentException](sjPairs(sj))
+    SimJoin.forget(spark, sj, Seq(sjVictim)) // heals
+    assert(sjPairs(sj) === sjPairs(sjRb))
+  }
+
   test("CopyDetectMaintenance.forget: victim leaves every committed index dir (consolidated + tail) and every alert mentioning it; survivors unchanged; a same-text newcomer no longer matches the victim; fence guards the monitor") {
     import graft.streaming.CopyDetectMaintenance
     val root = java.nio.file.Files.createTempDirectory("forget_tenant").toString
