@@ -81,6 +81,13 @@ object IndexForget {
     val (fs, rootP) = fsPath(spark, root)
     require(fs.exists(rootP), s"no index at $root")
     repair(fs, rootP)
+    // a FILELESS root (an empty batch's committed dir: markers only, no
+    // partition dirs) holds zero rows — return before the victim scan,
+    // whose schema inference would throw and strand any caller-held
+    // fence (the streaming tenants iterate forget over batch dirs)
+    if (!fs.listStatus(rootP).exists(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "=")))
+      return Nil
     // victim partitions: one column-pruned (idCol, partCol) scan — the
     // only whole-index read; everything below touches victim dirs only.
     // Parameter-sized collect: ≤ P partition values by construction.
@@ -191,11 +198,14 @@ object IndexForget {
       fs.delete(marker, false)
       return false
     }
-    touch(fs, marker)
     val cleaned = df.filter(!victim).localCheckpoint()
+    // refuse BEFORE planting the marker: nothing has been touched yet,
+    // and a marker here would fence an intact index with a "heal" that
+    // deterministically re-throws the same refusal
     require(!cleaned.isEmpty,
       s"forget would delete every row of $path — drop or rebuild the " +
         "index instead (an empty flat dir breaks later reads)")
+    touch(fs, marker)
     cleaned.write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(p, trash), s"could not retire $path")
     require(fs.rename(tmp, p), s"could not publish rewritten $path")

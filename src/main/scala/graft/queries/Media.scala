@@ -1095,7 +1095,7 @@ object Media {
     * scale, so a planted id can never alias a genuine corpus row (both
     * engines would agree on the aliased answer, making the collision
     * invisible to the oracle gate). */
-  private val PlantedIdOffset = 1000000000000L
+  private[graft] val PlantedIdOffset = 1000000000000L
 
   /** Shared score → per-anchor top-k → render block of the batched
     * retrieval gates (q74, q230): cosine against a BROADCAST anchor

@@ -161,18 +161,36 @@ object CopyDetectMaintenance {
     * ([[CommittedDirs]]). The explicit [[alertSchema]] makes the read
     * independent of footer inference — a tail of all-empty alert dirs
     * (the common no-contamination case) still reads cleanly. A LIVE
-    * monitor racing a concurrent trigger's fold can lose a listed tail
-    * dir to the fold's cleanup between listing and reading — that read
+    * monitor racing a concurrent trigger's fold takes a STABLE listing
+    * (the consol horizon must hold across the tail read — otherwise an
+    * old consol + a post-cleanup tail would silently gap the folded
+    * batches); a dir deleted between the listing and the scan still
     * fails loudly (FileNotFoundException) and a plain retry sees the
-    * consolidated state; transient by construction, never wrong. */
+    * consolidated state — transient by construction, never wrong. */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
     // deletion fence: a forget() that died mid-swap must fail the
     // monitor loudly, not serve a half-forgotten alert history
     graft.operators.IndexForget.assertClean(spark, alertDir)
     val fs = fsOf(spark, alertDir)
-    val consol = latestConsol(fs, alertDir, "_SUCCESS")
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    val tail = CommittedDirs.list(spark, alertDir).filter(_._1 > horizon)
+    // STABLE snapshot of (consol, tail): a fold committing between the
+    // two listings would otherwise leave a silent GAP — an old consol
+    // plus a post-cleanup tail missing the batches folded in between.
+    // Re-list until the consol horizon holds across the tail read.
+    var snap: Option[(Option[(Long, Path)], Seq[(Long, Path)])] = None
+    var attempts = 0
+    while (snap.isEmpty) {
+      val c0 = latestConsol(fs, alertDir, "_SUCCESS")
+      val t = CommittedDirs.list(spark, alertDir)
+        .filter(_._1 > c0.map(_._1).getOrElse(-1L))
+      if (latestConsol(fs, alertDir, "_SUCCESS").map(_._1) == c0.map(_._1))
+        snap = Some((c0, t))
+      else {
+        attempts += 1
+        require(attempts < 8,
+          s"could not take a stable listing of $alertDir")
+      }
+    }
+    val (consol, tail) = snap.get
     require(consol.nonEmpty || tail.nonEmpty,
       s"no committed copy-detect alerts under $alertDir")
     val consolDf = consol match {
@@ -308,6 +326,9 @@ object CopyDetectMaintenance {
   private def consolidateIndex(spark: SparkSession, indexDir: String,
                                batchId: Long, nBuckets: Int,
                                after: Int): Unit = {
+    // a torn tenant forget leaves the root fence up — folding (and its
+    // cleanup deletes) must not run over forget debris
+    graft.operators.IndexForget.assertClean(spark, indexDir)
     val fs = fsOf(spark, indexDir)
     val consol = latestConsol(fs, indexDir, CopyIndex.FanoutMarker)
     val horizon = consol.map(_._1).getOrElse(-1L)
@@ -338,6 +359,7 @@ object CopyDetectMaintenance {
     * after the data files move) is the marker. */
   private def consolidateAlerts(spark: SparkSession, alertDir: String,
                                 batchId: Long, after: Int): Unit = {
+    graft.operators.IndexForget.assertClean(spark, alertDir)
     val fs = fsOf(spark, alertDir)
     val consol = latestConsol(fs, alertDir, "_SUCCESS")
     val horizon = consol.map(_._1).getOrElse(-1L)

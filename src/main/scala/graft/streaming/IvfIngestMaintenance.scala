@@ -117,12 +117,20 @@ object IvfIngestMaintenance {
     val fs = new Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(root))) return
+    // a torn tenant forget leaves the ROOT fence up — folding over a
+    // dir carrying forget debris (a retired-but-unpublished cell in
+    // trash) would omit its rows from the union and then DELETE the
+    // dir: silent survivor loss. Refuse loudly; the stream stops until
+    // the operator heals with a forget re-run.
+    graft.operators.IndexForget.assertClean(spark, indexDir)
     val consol = latestConsol(spark, root)
     val horizon = consol.map(_._1).getOrElse(-1L)
     cleanupBelow(fs, root, horizon)
     val tail = CommittedDirs.list(spark, root)
       .filter(t => t._1 > horizon && t._1 < batchId)
     if (tail.size <= after) return
+    tail.foreach(t =>
+      graft.operators.IndexForget.assertClean(spark, t._2.toString))
     val h = tail.map(_._1).max
     // explicit cell-dir reads (fileless committed dirs — empty batches
     // — carry no footers for inference); basePath keeps the cell column
@@ -131,7 +139,14 @@ object IvfIngestMaintenance {
       fs.listStatus(d).filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("cell=")).map(_.getPath)
     }
-    if (cellDirs.isEmpty) return
+    if (cellDirs.isEmpty) {
+      // nothing but FILELESS dirs (an idle stream's empty triggers):
+      // zero rows to fold, but leaving them would grow the tail one dir
+      // per empty trigger forever — reap them directly (they carry no
+      // data and only ids < batchId, so no retry can want them back)
+      tail.foreach(t => fs.delete(t._2, true))
+      return
+    }
     val union = parts.map { d =>
         val dirs = fs.listStatus(d).filter(s => s.isDirectory &&
           s.getPath.getName.startsWith("cell=")).map(_.getPath.toString)
@@ -272,11 +287,28 @@ object IvfIngestMaintenance {
     val fs = new Path(indexDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = probes.map(p => s"cell=$p").toSet
-    val consol = latestConsol(spark, s"$indexDir/batches")
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    val batchCellDirs = (consol.map(_._2).toSeq ++
-        CommittedDirs.list(spark, s"$indexDir/batches")
-          .filter(_._1 > horizon).map(_._2))
+    // STABLE snapshot of (consol, tail): a fold committing between the
+    // two listings would otherwise leave a silent GAP — an old consol
+    // plus a post-cleanup tail missing every batch folded in between.
+    // Re-list until the consol horizon is unchanged across the tail
+    // read; dirs deleted between here and the scan fail loudly
+    // (FileNotFoundException) and a plain retry sees the folded state.
+    val root = s"$indexDir/batches"
+    var snap: Option[(Option[(Long, Path)], Seq[Path])] = None
+    var attempts = 0
+    while (snap.isEmpty) {
+      val c0 = latestConsol(spark, root)
+      val t = CommittedDirs.list(spark, root)
+        .filter(_._1 > c0.map(_._1).getOrElse(-1L)).map(_._2)
+      if (latestConsol(spark, root).map(_._1) == c0.map(_._1))
+        snap = Some((c0, t))
+      else {
+        attempts += 1
+        require(attempts < 8, s"could not take a stable listing of $root")
+      }
+    }
+    val (consol, tailDirs) = snap.get
+    val batchCellDirs = (consol.map(_._2).toSeq ++ tailDirs)
       .flatMap { d =>
         graft.operators.IndexForget.assertClean(spark, d.toString)
         fs.listStatus(d).filter(s => s.isDirectory &&

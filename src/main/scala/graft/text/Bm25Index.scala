@@ -34,11 +34,17 @@ object Bm25Index {
     // checks THIS root before reading any of the three pieces
     graft.operators.IndexForget.fence(spark, dir)
     val rewritten = Phrase.forget(spark, s"$dir/post", ids)
-    val cleaned = spark.read.parquet(s"$dir/docs")
-      .filter(!col("doc_id").isin(ids: _*))
-      .localCheckpoint()
-    cleaned.write.mode("overwrite").parquet(s"$dir/docs")
-    cleaned.agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
+    // dl sidecar through the flat SWAP (tmp commits before the live dir
+    // retires): an in-place overwrite could crash half-written, and the
+    // healing re-run would then filter the PARTIAL relation — silently
+    // losing survivors' dl rows and shifting every score
+    graft.operators.IndexForget.forgetFlat(spark, s"$dir/docs",
+      col("doc_id").isin(ids: _*))
+    // corpus stats are derived from the (now committed) sidecar — an
+    // in-place overwrite is safe here: a crash mid-write re-derives
+    // from docs on the healing re-run
+    spark.read.parquet(s"$dir/docs")
+      .agg(count(lit(1)).as("n"), sum(col("dl")).as("sumdl"))
       .write.mode("overwrite").parquet(s"$dir/corpus")
     graft.operators.IndexForget.unfence(spark, dir)
     rewritten

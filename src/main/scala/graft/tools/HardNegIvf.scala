@@ -35,7 +35,7 @@ object HardNegIvf {
 
     // the gate's own plant/band construction (shared, cannot drift);
     // scoring and ranking below are an independent recompute
-    val off = 1000000000000L
+    val off = graft.queries.Media.PlantedIdOffset
     val (q, corpus) = graft.queries.Media.hardNegInputs(spark, sfDir)
     val band = graft.queries.Media.hardNegBand
     val qb = broadcast(q.withColumn("qn", VectorOps.l2(col("qe"))))
