@@ -239,6 +239,15 @@ class ForgetSpec extends SparkTestBase {
     // … and a re-run (no victims left) heals it
     assert(!NearDup.forget(spark, nd, Seq(ndVictim)))
     assert(ndPairs(nd) === ndPairs(ndRb), "healing re-run changed pairs")
+    // mid-swap crash window: the live dir retired to trash but the
+    // replacement never published — repair must restore the original
+    val trash = new Path(ndP.getParent, ndP.getName + ".forget_trash")
+    assert(fs(nd).rename(ndP, trash))
+    fs(nd).create(marker, true).close()
+    intercept[Exception](ndPairs(nd)) // missing dir or fence — loud either way
+    assert(!NearDup.forget(spark, nd, Seq(ndVictim)))
+    assert(ndPairs(nd) === ndPairs(ndRb),
+      "trash restore lost rows or the fence stayed up")
 
     // ---- Spans (flat substring-window relation) ----
     val sp = tmp("forget_spans")
@@ -334,6 +343,15 @@ class ForgetSpec extends SparkTestBase {
     assert(mentions(withNew, 999999L)
         .exists(r => r._1 == 100000L + victim || r._2 == 100000L + victim),
       s"newcomer did not match the surviving dup: ${mentions(withNew, 999999L)}")
+
+    // a FILELESS committed batch dir (an empty trigger commits markers
+    // only) must not crash the tenant forget — nor strand its fence
+    CopyDetectMaintenance.update(idx, alertDir,
+      docs.filter(lit(false)), 4L,
+      idCol = "doc_id", textCol = "text", consolidateAfter = 1)
+    CopyDetectMaintenance.forget(spark, idx, alertDir, Seq(victim))
+    assert(rows() === withNew,
+      "forget over a fileless batch dir changed the alert history")
 
     // fence: a torn tenant forget must fail the monitor loudly …
     fs(alertDir).create(new Path(alertDir, IndexForget.Marker), true).close()
