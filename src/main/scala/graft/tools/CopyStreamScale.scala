@@ -27,6 +27,11 @@ import org.apache.spark.sql.functions._
   * data I/O does — locally it shows up as the growing per-trigger gap
   * between the two runs.
   *
+  * Heap: size the forked JVM via SPARK_DRIVER_MEM — the late triggers
+  * carry the quadratic alert volume (a single trigger's alert write at
+  * 100× is ~18M pairs) and 8g runs at the edge there; 16g+ is
+  * comfortable through the distributed parity step.
+  *
   * Usage: runMain graft.tools.CopyStreamScale [srcSfDir] [copies]
   *          [nTriggers] [threshold] */
 object CopyStreamScale {
