@@ -94,7 +94,21 @@ object Ivf {
     * regardless of corpus size. Empty cells keep their previous centroid. */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
             nlist: Int, iters: Int = 3,
-            sampleMod: Int = 1): Seq[Seq[Double]] = {
+            sampleMod: Int = 1): Seq[Seq[Double]] =
+    trainWithSampleMod(corpus, idCol, vecCol, nlist, iters, sampleMod)._1
+
+  /** As [[train]], additionally returning the EFFECTIVE sample modulus:
+    * `sampleMod` when the deterministic sample held ≥ nlist vectors, 1
+    * when training fell back to the full corpus (small or sparse-id
+    * inputs). Callers deriving a HELD-OUT set from the modulus — the
+    * drift baseline, whose whole point is that training rows sit
+    * unnaturally close to their own centroids — must use this value:
+    * after a fallback there IS no held-out complement, and a baseline
+    * over `id % requestedMod != 0` would silently include trained-on
+    * rows (biased high, false-flagging in-distribution arrivals). */
+  def trainWithSampleMod(corpus: DataFrame, idCol: String, vecCol: String,
+                         nlist: Int, iters: Int = 3,
+                         sampleMod: Int = 1): (Seq[Seq[Double]], Int) = {
     // Coarse quantizers train on a corpus sample (the standard IVF
     // recipe): centroid quality needs the distribution, not every row.
     // The sample is deterministic — id % sampleMod — so training stays
@@ -103,6 +117,7 @@ object Ivf {
       if (sampleMod <= 1) corpus
       else corpus.filter(col(idCol) % sampleMod === 0)
     var vu = sampled.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
+    var effMod = math.max(sampleMod, 1)
 
     var centroids: Seq[Seq[Double]] = vu.orderBy("id").limit(nlist)
       .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
@@ -113,6 +128,7 @@ object Ivf {
       vu = corpus.select(col(idCol).as("id"), unit(col(vecCol)).as("vu"))
       centroids = vu.orderBy("id").limit(nlist)
         .select("vu").collect().map(_.getSeq[Double](0).toSeq).toSeq
+      effMod = 1
     }
     require(centroids.size >= nlist,
       s"IVF train: corpus has only ${centroids.size} vectors, need at " +
@@ -136,7 +152,7 @@ object Ivf {
         }
       }
     }
-    centroids
+    (centroids, effMod)
   }
 
   /** The query's `nprobe` nearest cells, as an array column: argsort of
@@ -162,13 +178,15 @@ object Ivf {
                  sampleMod: Int = 1): Seq[Seq[Double]] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = train(corpus, idCol, vecCol, nlist, iters, sampleMod)
+    val (centroids, effMod) =
+      trainWithSampleMod(corpus, idCol, vecCol, nlist, iters, sampleMod)
     assignCells(
       corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"),
         VectorOps.l2(col(vecCol)).as("cn"), unit(col(vecCol)).as("vu")),
       "nn_id", "vu", centroids, keep = Seq("cv", "cn"))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
     writeCentroids(spark, centroids, path)
+    writeTrainMeta(spark, effMod, path)
     centroids
   }
 
@@ -198,6 +216,29 @@ object Ivf {
         VectorOps.l2(col(vecCol)).as("cn"), unit(col(vecCol)).as("vu")),
       "nn_id", "vu", centroids, keep = Seq("cv", "cn"))
       .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
+  /** Persist the EFFECTIVE training-sample modulus next to the
+    * centroids — the provenance the drift baseline needs (see
+    * [[trainWithSampleMod]]): after a full-corpus fallback the value is
+    * 1, and a baseline reader must not assume the requested modulus
+    * carved out a holdout. */
+  private[functions] def writeTrainMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      effectiveSampleMod: Int, path: String): Unit = {
+    import spark.implicits._
+    Seq(effectiveSampleMod).toDF("sample_mod")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/train_meta")
+  }
+
+  /** The persisted effective training-sample modulus; None on an index
+    * written before train metadata existed. */
+  def readTrainMeta(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/train_meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else Some(spark.read.parquet(p.toString).head().getInt(0))
   }
 
   /** Centroids back from a persisted index, in cell order. */

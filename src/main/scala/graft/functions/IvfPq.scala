@@ -32,7 +32,8 @@ object IvfPq {
       : (Seq[Seq[Double]], Pq.Codebooks) = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val centroids = Ivf.train(corpus, idCol, vecCol, nlist, iters, sampleMod)
+    val (centroids, effMod) =
+      Ivf.trainWithSampleMod(corpus, idCol, vecCol, nlist, iters, sampleMod)
     val cdf = broadcast(centroids.zipWithIndex
       .map { case (c, i) => (i, c) }.toDF("cell", "cvec"))
     // one assignment join; the residual derives map-side from the
@@ -56,6 +57,7 @@ object IvfPq {
       .select("nn_id", "codes", "cn", "cv", "cell")
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
     Ivf.writeCentroids(spark, centroids, path)
+    Ivf.writeTrainMeta(spark, effMod, path)
     Pq.writeCodebooks(spark, cb, path)
     (centroids, cb)
   }

@@ -80,14 +80,23 @@ object IndexForget {
     require(ids.nonEmpty, "forget needs at least one id")
     val (fs, rootP) = fsPath(spark, root)
     require(fs.exists(rootP), s"no index at $root")
-    repair(fs, rootP)
+    // a marker at entry means an earlier forget TORE here: the fence
+    // must stay up through repair AND the victim re-scan — dropping it
+    // early would let a concurrent probe silently read a
+    // partially-forgotten index before this heal confirms the layout.
+    // It clears on every return path below, once the re-filter proves
+    // the index whole (or the rewrite completes).
+    val torn = fs.exists(new Path(rootP, Marker))
+    repair(fs, rootP, keepMarker = torn)
     // a FILELESS root (an empty batch's committed dir: markers only, no
     // partition dirs) holds zero rows — return before the victim scan,
     // whose schema inference would throw and strand any caller-held
     // fence (the streaming tenants iterate forget over batch dirs)
     if (!fs.listStatus(rootP).exists(st => st.isDirectory &&
-        st.getPath.getName.startsWith(partCol + "=")))
+        st.getPath.getName.startsWith(partCol + "="))) {
+      fs.delete(new Path(rootP, Marker), false)
       return Nil
+    }
     // victim partitions: one column-pruned (idCol, partCol) scan — the
     // only whole-index read; everything below touches victim dirs only.
     // Parameter-sized collect: ≤ P partition values by construction.
@@ -95,7 +104,10 @@ object IndexForget {
       .filter(col(idCol).isin(ids: _*))
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
-    if (victims.isEmpty) return Nil
+    if (victims.isEmpty) {
+      fs.delete(new Path(rootP, Marker), false)
+      return Nil
+    }
     touch(fs, new Path(rootP, Marker))
     victims.foreach { v =>
       val dirName = s"$partCol=$v"
@@ -139,13 +151,20 @@ object IndexForget {
                   holdFence: Boolean = false): Unit = {
     val (fs, rootP) = fsPath(spark, root)
     require(fs.exists(rootP), s"no state at $root")
-    repair(fs, rootP, keepMarker = holdFence)
+    // as in [[forget]]: a torn earlier run's fence stays up through the
+    // heal and the re-filter, clearing only once the layout is proven
+    // whole (the caller's own composition fence clears separately)
+    val torn = fs.exists(new Path(rootP, Marker))
+    repair(fs, rootP, keepMarker = holdFence || torn)
     val dirty = dirs.filter { case (d, schema) =>
       val p = new Path(rootP, d)
       fs.exists(p) &&
         !spark.read.schema(schema).parquet(p.toString).filter(victim).isEmpty
     }
-    if (dirty.isEmpty) return
+    if (dirty.isEmpty) {
+      if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
+      return
+    }
     touch(fs, new Path(rootP, Marker))
     dirty.foreach { case (dirName, schema) =>
       val dir = new Path(rootP, dirName)
@@ -205,6 +224,10 @@ object IndexForget {
     require(!cleaned.isEmpty,
       s"forget would delete every row of $path — drop or rebuild the " +
         "index instead (an empty flat dir breaks later reads)")
+    // INVARIANT assertCleanFlat rides on: the marker plants BEFORE the
+    // live dir retires and clears only AFTER the rewrite publishes —
+    // every mid-swap state (dir missing, trash present, tmp half-moved)
+    // is marker-covered. Do not reorder these lines.
     touch(fs, marker)
     cleaned.write.mode("overwrite").parquet(tmp.toString)
     require(fs.rename(p, trash), s"could not retire $path")
@@ -215,8 +238,13 @@ object IndexForget {
   }
 
   /** Probe-side guard for [[forgetFlat]] surfaces: refuses a sibling
-    * marker (torn run) or a missing dir whose trash sibling exists
-    * (mid-swap crash) — both heal by re-running forget. */
+    * marker (torn run) — heal by re-running forget. This check alone
+    * also covers the mid-swap crash window WITHOUT a second existence
+    * probe, because [[forgetFlat]] plants the marker BEFORE retiring
+    * the live dir and clears it only AFTER the rewrite publishes: any
+    * state where the dir is missing (or half-swapped) carries the
+    * marker. A dir deleted outside the protocol fails the caller's own
+    * read loudly (FileNotFoundException), never silently. */
   def assertCleanFlat(spark: SparkSession, path: String): Unit = {
     val (fs, p) = fsPath(spark, path)
     require(!fs.exists(flatMarker(p)),

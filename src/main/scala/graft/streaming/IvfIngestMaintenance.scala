@@ -60,14 +60,34 @@ object IvfIngestMaintenance {
     * biased HIGH, which false-flags perfectly in-distribution arrivals
     * (measured: all-rows baseline 0.233 vs held-out batch fits
     * 0.17–0.19 on the sf0.001 embeddings — a gap wider than any honest
-    * tolerance). */
+    * tolerance).
+    *
+    * The modulus defaults to the index's own persisted training
+    * metadata (`Ivf.writeIndex` records the EFFECTIVE value — 1 when
+    * training silently fell back to the full corpus because the sample
+    * undershot nlist), so the holdout can never desynchronize from
+    * what training actually used. An explicit `sampleMod` is checked
+    * against that metadata and refused on mismatch: a caller passing
+    * the requested-but-fallen-back modulus would rebuild exactly the
+    * biased baseline the holdout exists to avoid. */
   def writeBaseline(spark: SparkSession, indexDir: String,
-                    sampleMod: Int = 1): Unit = {
+                    sampleMod: Int = -1): Unit = {
+    val persisted = Ivf.readTrainMeta(spark, indexDir)
+    val mod =
+      if (sampleMod < 0) persisted.getOrElse(1)
+      else {
+        persisted.foreach(m => require(m == sampleMod,
+          s"baseline sampleMod=$sampleMod disagrees with the index's " +
+            s"effective training modulus $m under $indexDir — training " +
+            "fell back (or a different modulus was used); pass nothing " +
+            "and the persisted value applies"))
+        sampleMod
+      }
     val centroids = Ivf.readCentroids(spark, indexDir)
     val cells = spark.read.parquet(s"$indexDir/cells")
     val holdout =
-      if (sampleMod <= 1) cells
-      else cells.filter(col("nn_id") % sampleMod =!= 0)
+      if (mod <= 1) cells
+      else cells.filter(col("nn_id") % mod =!= 0)
     fitOf(holdout, centroids)
       .coalesce(1).write.mode("overwrite")
       .parquet(s"$indexDir/drift_baseline")

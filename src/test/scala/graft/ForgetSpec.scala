@@ -298,6 +298,39 @@ class ForgetSpec extends SparkTestBase {
     assert(sjPairs(sj) === sjPairs(sjRb))
   }
 
+  test("heal keeps the fence up through the re-scan: a torn run whose retry dies in the victim scan leaves the marker (probes still refused); a clean retry clears it on the no-victims path") {
+    val sel = CopyIndex.selections(docs, "doc_id", "text").localCheckpoint()
+    val dir = tmp("forget_fence_heal")
+    CopyIndex.writeIndex(sel.filter(col("id") < 100000), dir)
+    assert(CopyIndex.forget(spark, dir, Seq(0L)).nonEmpty)
+
+    val f = fs(dir)
+    // simulate the torn re-run: the fence is up AND the re-scan will
+    // die (a garbage file in a partition dir fails the parquet read)
+    f.create(new Path(dir, IndexForget.Marker), true).close()
+    val someBucket = f.listStatus(new Path(dir))
+      .filter(_.isDirectory).head.getPath
+    val junk = new Path(someBucket, "junk.parquet")
+    val out = f.create(junk, true)
+    out.write("this is not parquet".getBytes("UTF-8")); out.close()
+    intercept[Exception](CopyIndex.forget(spark, dir, Seq(0L)))
+    // the heal died mid-scan — the fence must STILL be up (clearing it
+    // at repair time would let probes read a possibly-half-forgotten
+    // index before the re-filter confirmed the layout)
+    assert(f.exists(new Path(dir, IndexForget.Marker)),
+      "a retry that died in the victim scan dropped the fence early")
+    intercept[IllegalArgumentException](
+      IndexForget.assertClean(spark, dir))
+
+    // a clean retry (junk removed, victim already gone) heals: marker
+    // clears on the no-victims return path
+    f.delete(junk, false)
+    assert(CopyIndex.forget(spark, dir, Seq(0L)).isEmpty)
+    assert(!f.exists(new Path(dir, IndexForget.Marker)),
+      "no-victims retry left the fence up")
+    IndexForget.assertClean(spark, dir)
+  }
+
   test("CopyDetectMaintenance.forget: victim leaves every committed index dir (consolidated + tail) and every alert mentioning it; survivors unchanged; a same-text newcomer no longer matches the victim; fence guards the monitor") {
     import graft.streaming.CopyDetectMaintenance
     val root = java.nio.file.Files.createTempDirectory("forget_tenant").toString

@@ -2119,4 +2119,42 @@ class StreamingSpec extends SparkTestBase {
     IvfIngestMaintenance.forget(spark, idx, Seq(1000000000001L, 3L))
     assert(live() === afterForget, "healing re-run changed the shelf")
   }
+
+  test("drift baseline rides the index's persisted EFFECTIVE training modulus: a fallback-trained index records mod 1, a stale explicit modulus is refused, and the default equals the explicit-correct baseline") {
+    import graft.functions.Ivf
+    import graft.streaming.IvfIngestMaintenance
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+
+    // normal build: the deterministic sample holds ≥ nlist vectors, so
+    // the persisted effective modulus IS the requested one — and the
+    // no-arg default must reproduce the explicit-correct baseline
+    val a = tmpDir("baseline_meta_a") + "/idx"
+    Ivf.writeIndex(e, "vec_id", "v", nlist = 8, a, iters = 1, sampleMod = 7)
+    assert(Ivf.readTrainMeta(spark, a) === Some(7))
+    IvfIngestMaintenance.writeBaseline(spark, a)
+    def baseline(d: String): Seq[String] =
+      spark.read.parquet(s"$d/drift_baseline")
+        .collect().map(_.toString).toSeq
+    val viaMeta = baseline(a)
+    IvfIngestMaintenance.writeBaseline(spark, a, sampleMod = 7)
+    assert(baseline(a) === viaMeta,
+      "default-modulus baseline diverged from the explicit-correct one")
+
+    // fallback build: a modulus above every id leaves the sample under
+    // nlist, training silently falls back to the full corpus — the
+    // metadata must record 1, and a caller passing the requested (now
+    // meaningless) modulus must be refused, NOT given the biased
+    // trained-on-rows baseline the holdout exists to avoid
+    val b = tmpDir("baseline_meta_b") + "/idx"
+    Ivf.writeIndex(e, "vec_id", "v", nlist = 8, b, iters = 1,
+      sampleMod = 1000000000)
+    assert(Ivf.readTrainMeta(spark, b) === Some(1),
+      "full-corpus fallback was not recorded in the train metadata")
+    intercept[IllegalArgumentException](
+      IvfIngestMaintenance.writeBaseline(spark, b, sampleMod = 1000000000))
+    IvfIngestMaintenance.writeBaseline(spark, b) // honest full-corpus baseline
+    assert(spark.read.parquet(s"$b/drift_baseline").count() === 1)
+  }
 }
