@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.text.CopyIndex
-import org.apache.hadoop.fs.{FileSystem, Path}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -75,7 +75,15 @@ object CopyDetectMaintenance {
     * ≤ threshold + 1 directories. */
   val DefaultConsolidateAfter = 16
 
-  private val ConsolPrefix = "consol_id="
+  // the crash-safe fold/stable-listing machinery is the SHARED protocol
+  // (FoldProtocol — one copy across tenants); these two families are
+  // this tenant's whole layout config: the index folds commit via
+  // CopyIndex's _FANOUT rename, the alert folds via job-commit _SUCCESS,
+  // and both fence their own root for the composition forget
+  private def indexFamily(indexDir: String): FoldProtocol.Family =
+    FoldProtocol.Family(indexDir, CopyIndex.FanoutMarker, Some(indexDir))
+  private def alertFamily(alertDir: String): FoldProtocol.Family =
+    FoldProtocol.Family(alertDir, "_SUCCESS", Some(alertDir))
 
   /** The alert relation's fixed schema — the layout CONTRACT for every
     * alert dir (batch-scoped dirs carry batch_id as the partition dir;
@@ -168,39 +176,22 @@ object CopyDetectMaintenance {
     * fails loudly (FileNotFoundException) and a plain retry sees the
     * consolidated state — transient by construction, never wrong. */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
-    // deletion fence: a forget() that died mid-swap must fail the
-    // monitor loudly, not serve a half-forgotten alert history
-    graft.operators.IndexForget.assertClean(spark, alertDir)
-    val fs = fsOf(spark, alertDir)
-    // STABLE snapshot of (consol, tail): a fold committing between the
-    // two listings would otherwise leave a silent GAP — an old consol
-    // plus a post-cleanup tail missing the batches folded in between.
-    // Re-list until the consol horizon holds across the tail read.
-    var snap: Option[(Option[(Long, Path)], Seq[(Long, Path)])] = None
-    var attempts = 0
-    while (snap.isEmpty) {
-      val c0 = latestConsol(fs, alertDir, "_SUCCESS")
-      val t = CommittedDirs.list(spark, alertDir)
-        .filter(_._1 > c0.map(_._1).getOrElse(-1L))
-      if (latestConsol(fs, alertDir, "_SUCCESS").map(_._1) == c0.map(_._1))
-        snap = Some((c0, t))
-      else {
-        attempts += 1
-        require(attempts < 8,
-          s"could not take a stable listing of $alertDir")
-      }
-    }
-    val (consol, tail) = snap.get
+    // stable (consol, tail) snapshot + composition/per-dir deletion
+    // fences — all owned by the shared protocol (a forget() that died
+    // mid-swap must fail the monitor loudly, not serve a half-forgotten
+    // alert history)
+    val (consol, tail) =
+      FoldProtocol.stableSnapshot(spark, alertFamily(alertDir))
     require(consol.nonEmpty || tail.nonEmpty,
       s"no committed copy-detect alerts under $alertDir")
     val consolDf = consol match {
-      case Some((_, p)) => spark.read.schema(alertSchema).parquet(p.toString)
+      case Some(c) => spark.read.schema(alertSchema).parquet(c.path.toString)
       case None => emptyAlerts(spark)
     }
     val tailDf =
       if (tail.isEmpty) emptyAlerts(spark)
       else spark.read.option("basePath", alertDir).schema(alertSchema)
-        .parquet(tail.map(_._2.toString): _*)
+        .parquet(tail.map(_.path.toString): _*)
     consolDf.unionByName(tailDf)
   }
 
@@ -224,14 +215,22 @@ object CopyDetectMaintenance {
     // half-forgotten tenant. Probes check these roots too.
     IndexForget.fence(spark, indexDir)
     IndexForget.fence(spark, alertDir)
-    val ifs = fsOf(spark, indexDir)
+    // UNCOMMITTED debris first (the stream is quiesced by contract): a
+    // crashed trigger's partial batch dir or a torn fold is invisible
+    // to probes but can physically retain the victims' bytes — the
+    // committed-dir rewrite below never touches it, and nothing else
+    // reclaims it until the stream happens to overwrite. Reaping is
+    // safe under quiesce: an uncommitted batch either retries with a
+    // full overwrite of its own dir or is dead; an uncommitted consol
+    // is overwritten by the next fold.
+    FoldProtocol.reapUncommitted(spark, indexFamily(indexDir))
+    FoldProtocol.reapUncommitted(spark, alertFamily(alertDir))
     // EVERY committed consol dir, not just the newest: a fold's missed
     // cleanup can leave a shadowed-but-readable older consol holding
     // the victim's rows — a compliance leak if skipped
-    val idxDirs = consols(ifs, indexDir, CopyIndex.FanoutMarker)
-      .map(_._2) ++ CommittedDirs.list(spark, indexDir).map(_._2)
+    val idxDirs = FoldProtocol.consols(spark, indexFamily(indexDir))
+      .map(_.path) ++ CommittedDirs.list(spark, indexDir).map(_._2)
     idxDirs.foreach(d => CopyIndex.forget(spark, d.toString, ids, nBuckets))
-    val afs = fsOf(spark, alertDir)
     val victim = col("a_id").isin(ids: _*) || col("b_id").isin(ids: _*)
     // one pass over every committed alert dir: batch-scoped dirs carry
     // batch_id in the DIR NAME (7-col files), consolidated dirs carry
@@ -242,8 +241,8 @@ object CopyDetectMaintenance {
     IndexForget.forgetWhere(spark, alertDir,
       CommittedDirs.list(spark, alertDir)
         .map(d => d._2.getName -> batchSchema) ++
-        consols(afs, alertDir, "_SUCCESS")
-          .map(d => d._2.getName -> alertSchema),
+        FoldProtocol.consols(spark, alertFamily(alertDir))
+          .map(d => d.path.getName -> alertSchema),
       victim, holdFence = true)
     IndexForget.unfence(spark, alertDir)
     IndexForget.unfence(spark, indexDir)
@@ -255,10 +254,10 @@ object CopyDetectMaintenance {
     * pin the listed-dir count dropping across a fold. */
   private[graft] def indexParts(spark: SparkSession, indexDir: String,
                                 batchId: Long): (Option[Long], Seq[Long]) = {
-    val consol = latestConsol(fsOf(spark, indexDir), indexDir,
-      CopyIndex.FanoutMarker)
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    (consol.map(_._1),
+    val fam = indexFamily(indexDir)
+    val consol = FoldProtocol.latestConsol(spark, fam)
+    val horizon = consol.map(_.id).getOrElse(-1L)
+    (consol.map(_.id),
       CommittedDirs.list(spark, indexDir)
         .map(_._1).filter(i => i > horizon && i < batchId).sorted)
   }
@@ -277,31 +276,31 @@ object CopyDetectMaintenance {
   private def priorIndex(spark: SparkSession, indexDir: String,
                          batchId: Long, sel: DataFrame, nBuckets: Int)
       : Option[DataFrame] = {
-    val fs = fsOf(spark, indexDir)
-    val consol = latestConsol(fs, indexDir, CopyIndex.FanoutMarker)
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    val tail = CommittedDirs.list(spark, indexDir)
-      .filter(t => t._1 > horizon && t._1 < batchId).map(_._2)
-    val roots = consol.map(_._2).toSeq ++ tail
+    val fam = indexFamily(indexDir)
+    val consol = FoldProtocol.latestConsol(spark, fam)
+    val horizon = consol.map(_.id).getOrElse(-1L)
+    val tail = FoldProtocol.committedTail(spark, fam, horizon)
+      .filter(_.id < batchId)
+    val roots = consol.toSeq ++ tail
     if (roots.isEmpty) return None
     // the fan-out is baked into every dir's layout — a drifted caller
     // constant must fail loudly here, not prune the wrong modulus's
     // directories (one marker read per trigger)
-    CopyIndex.verifyFanout(spark, roots.head.toString, nBuckets)
+    CopyIndex.verifyFanout(spark, roots.head.path.toString, nBuckets)
     // deletion fences: the tenant-level forget marks the ROOT for the
-    // whole composition, and each dir carries its own marker while ITS
-    // rewrite is in flight — a probe must refuse both (an fs.exists
-    // per prior dir, bounded by the consolidation threshold)
+    // whole composition (one exists check), and each dir carries its
+    // own marker while ITS rewrite is in flight — that per-dir check
+    // rides the child listing the probe already took, never a second
+    // metadata round-trip
     graft.operators.IndexForget.assertClean(spark, indexDir)
-    roots.foreach(r =>
-      graft.operators.IndexForget.assertClean(spark, r.toString))
+    roots.foreach(_.assertClean())
     val want = CopyIndex.bucketsOf(sel, nBuckets)
       .map(b => s"bucket=$b").toSet
     // one listing per prior dir — bounded by consolidateAfter + 1, not
     // by the stream's age; bucket dirs exist only where data landed, so
     // the selected paths always carry parquet footers
     val bucketDirs = roots.flatMap { d =>
-      fs.listStatus(d).filter(s => s.isDirectory &&
+      d.children.filter(s => s.isDirectory &&
         want.contains(s.getPath.getName)).map(_.getPath.toString)
     }
     Some(
@@ -325,109 +324,68 @@ object CopyDetectMaintenance {
     * re-ingestion-heavy streams). */
   private def consolidateIndex(spark: SparkSession, indexDir: String,
                                batchId: Long, nBuckets: Int,
-                               after: Int): Unit = {
-    // a torn tenant forget leaves the root fence up — folding (and its
-    // cleanup deletes) must not run over forget debris
-    graft.operators.IndexForget.assertClean(spark, indexDir)
-    val fs = fsOf(spark, indexDir)
-    val consol = latestConsol(fs, indexDir, CopyIndex.FanoutMarker)
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    cleanupBelow(fs, indexDir, horizon)
-    val tail = CommittedDirs.list(spark, indexDir)
-      .filter(t => t._1 > horizon && t._1 < batchId)
-    if (tail.size <= after) return
-    val h = tail.map(_._1).max
-    val parts = consol.map(_._2).toSeq ++ tail.map(_._2)
-    val union = parts.map(p =>
-        CopyIndex.prunedIndex(spark, p.toString, 0 until nBuckets, nBuckets)
-          .select("id", "pos", "fp"))
-      .reduce(_ unionAll _)
-      .dropDuplicates("id", "pos", "fp")
-      // sever lineage before writeIndex: the fold's own write must not
-      // re-open the (about-to-be-deleted) source files lazily
-      .localCheckpoint()
-    // writeIndex renames _FANOUT into place LAST — the commit point; a
-    // crash before it leaves an unmarked dir no probe reads and the
-    // next fold overwrites
-    CopyIndex.writeIndex(union, s"$indexDir/$ConsolPrefix$h", nBuckets)
-    cleanupBelow(fs, indexDir, h)
-  }
+                               after: Int): Unit =
+    FoldProtocol.fold(spark, indexFamily(indexDir), batchId, after) {
+      (consol, tail) =>
+        val parts = consol.toSeq ++ tail
+        // the fan-out drift guard once per fold (probes re-check per
+        // trigger); the fold's own fence checks already rode the listing
+        CopyIndex.verifyFanout(spark, parts.head.path.toString, nBuckets,
+          requireClean = false)
+        // bucket dirs come from the child listings the protocol already
+        // took — no per-bucket existence probes (prunedIndex would pay
+        // nBuckets of them per part)
+        val bucketDirs = parts.flatMap(_.childDirs("bucket="))
+        val union =
+          if (bucketDirs.isEmpty)
+            // an all-fileless tail (idle triggers) still FOLDS for this
+            // family: the empty consol bounds the listing and carries
+            // the layout marker for the probes' fanout verification
+            spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                CopyIndex.indexSchema)
+              .select("id", "pos", "fp")
+          else
+            // no basePath: the parents mix batch_id= and consol_id=
+            // names, so partition inference would see conflicting
+            // columns; the files carry (id, pos, fp) — all a fold needs
+            spark.read.parquet(bucketDirs.map(_.toString): _*)
+              .select("id", "pos", "fp")
+        // dedup exact (id, pos, fp) rows — probe answers are
+        // duplicate-blind, so the fold doubles as compaction for
+        // re-ingestion-heavy streams; sever lineage before writeIndex
+        // (the fold's write must not lazily re-open the about-to-be-
+        // deleted source files)
+        Some(union.dropDuplicates("id", "pos", "fp").localCheckpoint())
+    } { (union, dest) =>
+      // writeIndex renames _FANOUT into place LAST — the commit point;
+      // a crash before it leaves an unmarked dir no probe reads and the
+      // next fold overwrites
+      CopyIndex.writeIndex(union, dest, nBuckets)
+    }
 
   /** Alert-side fold: same cadence and commit shape as the index fold,
     * but alerts are plain immutable rows — the consolidated file just
     * carries batch_id as a column. `_SUCCESS` (created at job commit,
     * after the data files move) is the marker. */
   private def consolidateAlerts(spark: SparkSession, alertDir: String,
-                                batchId: Long, after: Int): Unit = {
-    graft.operators.IndexForget.assertClean(spark, alertDir)
-    val fs = fsOf(spark, alertDir)
-    val consol = latestConsol(fs, alertDir, "_SUCCESS")
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    cleanupBelow(fs, alertDir, horizon)
-    val tail = CommittedDirs.list(spark, alertDir)
-      .filter(t => t._1 > horizon && t._1 < batchId)
-    if (tail.size <= after) return
-    val h = tail.map(_._1).max
-    val tailDf = spark.read.option("basePath", alertDir).schema(alertSchema)
-      .parquet(tail.map(_._2.toString): _*)
-    val union = consol match {
-      case Some((_, p)) =>
-        spark.read.schema(alertSchema).parquet(p.toString)
-          .unionByName(tailDf)
-      case None => tailDf
+                                batchId: Long, after: Int): Unit =
+    FoldProtocol.fold(spark, alertFamily(alertDir), batchId, after) {
+      (consol, tail) =>
+        val tailDf = spark.read.option("basePath", alertDir)
+          .schema(alertSchema).parquet(tail.map(_.path.toString): _*)
+        val union = consol match {
+          case Some(c) =>
+            spark.read.schema(alertSchema).parquet(c.path.toString)
+              .unionByName(tailDf)
+          case None => tailDf
+        }
+        Some(union.localCheckpoint())
+    } { (union, dest) =>
+      union.write.mode("overwrite").parquet(dest)
     }
-    union.localCheckpoint()
-      .write.mode("overwrite").parquet(s"$alertDir/$ConsolPrefix$h")
-    cleanupBelow(fs, alertDir, h)
-  }
-
-  /** Delete batch dirs at or below the committed horizon and consol
-    * dirs below it — safe at any time: probes only read the LATEST
-    * committed consol plus dirs ABOVE its id, and no batch ≤ horizon
-    * can retry once a later batch's offsets committed. */
-  private def cleanupBelow(fs: FileSystem, dir: String,
-                           horizon: Long): Unit =
-    if (horizon >= 0) {
-      fs.listStatus(new Path(dir)).foreach { s =>
-        val n = s.getPath.getName
-        val stale =
-          (n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLongOption.exists(_ <= horizon)) ||
-            (n.startsWith(ConsolPrefix) &&
-              n.stripPrefix(ConsolPrefix).toLongOption.exists(_ < horizon))
-        if (stale) fs.delete(s.getPath, true): Unit
-      }
-    }
-
-  /** Every COMMITTED `consol_id=` dir under `dir` in id order (commit
-    * marker: `_FANOUT` for index folds — renamed into place last — or
-    * `_SUCCESS` for alert folds). */
-  private def consols(fs: FileSystem, dir: String,
-                      marker: String): Seq[(Long, Path)] = {
-    val root = new Path(dir)
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(ConsolPrefix))
-      .flatMap { s =>
-        s.getPath.getName.stripPrefix(ConsolPrefix).toLongOption
-          .filter(_ => fs.exists(new Path(s.getPath, marker)))
-          .map(_ -> s.getPath)
-      }
-      .sortBy(_._1)
-  }
-
-  /** The newest committed consol dir — the one probes read. Older
-    * committed consols are shadowed (their content is a subset of the
-    * latest) and deleted lazily by [[cleanupBelow]]; [[forget]] still
-    * rewrites them while they exist. */
-  private def latestConsol(fs: FileSystem, dir: String,
-                           marker: String): Option[(Long, Path)] =
-    consols(fs, dir, marker).lastOption
 
   private def emptyAlerts(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], alertSchema)
-
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
-    new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 }

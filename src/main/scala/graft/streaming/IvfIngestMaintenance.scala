@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.functions.{Ivf, VectorOps}
-import org.apache.hadoop.fs.Path
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,10 +30,17 @@ import org.apache.spark.sql.functions._
   * paths on the batch dirs — the CopyDetectMaintenance listing
   * discipline), so old and new vectors serve uniformly.
   *
-  * RE-TRAIN is explicit, never automatic: when [[driftReport]] flags
-  * (fit below baseline − tolerance), rebuild with `Ivf.writeIndex`
-  * over the live corpus at a fresh root and repoint — the same
-  * quiesce-rebuild recipe as every versioned shelf.
+  * RE-TRAIN is explicit, never automatic: when [[maintenanceReport]]
+  * flags (arrival fit below the held-out baseline − tolerance, OR
+  * planted-probe recall below its floor), [[retrain]] rebuilds at a
+  * VersionedState staging root — re-assigning the streamed batch dirs'
+  * vectors as base rows of the new version — and ONE atomic rename is
+  * the repoint: a live [[topKLive]] resolving the current version
+  * serves old or new consistently, never a mix, and a crash mid-build
+  * leaves only an invisible staging dir healed by the next attempt.
+  * Ingest must be QUIESCED across retrain (the serving path stays
+  * live): a batch landing under the old version after the live-rows
+  * snapshot would be silently absent from the new one.
   *
   * RETENTION — the copy-detect consolidation pattern, applied here:
   * batch N's update folds committed batch dirs beyond the horizon into
@@ -97,7 +104,12 @@ object IvfIngestMaintenance {
     * [[CopyDetectMaintenance.DefaultConsolidateAfter]]. */
   val DefaultConsolidateAfter = 16
 
-  private val ConsolPrefix = "consol_id="
+  // fold/stable-listing machinery is the SHARED protocol (FoldProtocol);
+  // this family's layout: batches fold under `index/batches` with
+  // job-commit _SUCCESS markers, while the tenant's composition forget
+  // fence lives at the index ROOT (it covers cells/ and batches/ alike)
+  private def batchFamily(indexDir: String): FoldProtocol.Family =
+    FoldProtocol.Family(s"$indexDir/batches", "_SUCCESS", Some(indexDir))
 
   /** Fold one micro-batch of vectors — call from foreachBatch. */
   def update(indexDir: String, vecs: DataFrame, batchId: Long,
@@ -128,86 +140,34 @@ object IvfIngestMaintenance {
   }
 
   /** Fold the committed batch-dir tail into `batches/consol_id=H` once
-    * it exceeds the threshold; heal leftover deletes lazily (the
-    * CopyDetectMaintenance recipe — a torn fold has no `_SUCCESS`, is
-    * invisible, and the next fold overwrites it). */
+    * it exceeds the threshold; heal leftover deletes lazily. All crash
+    * windows (torn fold invisible until its `_SUCCESS`, lazy cleanup,
+    * retry-stability, forget fences) are [[FoldProtocol]]'s — this
+    * family only supplies the cell-dir union and the partitioned
+    * write. */
   private def consolidateBatches(spark: SparkSession, indexDir: String,
-                                 batchId: Long, after: Int): Unit = {
-    val root = s"$indexDir/batches"
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(root))) return
-    // a torn tenant forget leaves the ROOT fence up — folding over a
-    // dir carrying forget debris (a retired-but-unpublished cell in
-    // trash) would omit its rows from the union and then DELETE the
-    // dir: silent survivor loss. Refuse loudly; the stream stops until
-    // the operator heals with a forget re-run.
-    graft.operators.IndexForget.assertClean(spark, indexDir)
-    val consol = latestConsol(spark, root)
-    val horizon = consol.map(_._1).getOrElse(-1L)
-    cleanupBelow(fs, root, horizon)
-    val tail = CommittedDirs.list(spark, root)
-      .filter(t => t._1 > horizon && t._1 < batchId)
-    if (tail.size <= after) return
-    tail.foreach(t =>
-      graft.operators.IndexForget.assertClean(spark, t._2.toString))
-    val h = tail.map(_._1).max
-    // explicit cell-dir reads (fileless committed dirs — empty batches
-    // — carry no footers for inference); basePath keeps the cell column
-    val parts = consol.map(_._2).toSeq ++ tail.map(_._2)
-    val cellDirs = parts.flatMap { d =>
-      fs.listStatus(d).filter(s => s.isDirectory &&
-        s.getPath.getName.startsWith("cell=")).map(_.getPath)
+                                 batchId: Long, after: Int): Unit =
+    FoldProtocol.fold(spark, batchFamily(indexDir), batchId, after) {
+      (consol, tail) =>
+        // explicit cell-dir reads off the child listings the protocol
+        // already took (fileless committed dirs — empty batches — carry
+        // no footers for inference); basePath keeps the cell column
+        val withCells = (consol.toSeq ++ tail)
+          .map(d => d -> d.childDirs("cell="))
+          .filter(_._2.nonEmpty)
+        if (withCells.isEmpty) None // all fileless — protocol reaps them
+        else Some(withCells.map { case (d, dirs) =>
+            spark.read.option("basePath", d.path.toString)
+              .parquet(dirs.map(_.toString): _*)
+              .select("nn_id", "cv", "cn", "cell")
+          }.reduce(_ unionByName _)
+          .localCheckpoint()) // sever lineage from the dirs deleted below
+    } { (union, dest) =>
+      // the fold preserves the exact row multiset (NO dedup — unlike
+      // winnow selections, two ingests of one id with different vectors
+      // are distinct serving rows); _SUCCESS at job commit is the marker
+      union.write.partitionBy("cell").mode("overwrite").parquet(dest)
     }
-    if (cellDirs.isEmpty) {
-      // nothing but FILELESS dirs (an idle stream's empty triggers):
-      // zero rows to fold, but leaving them would grow the tail one dir
-      // per empty trigger forever — reap them directly (they carry no
-      // data and only ids < batchId, so no retry can want them back)
-      tail.foreach(t => fs.delete(t._2, true))
-      return
-    }
-    val union = parts.map { d =>
-        val dirs = fs.listStatus(d).filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith("cell=")).map(_.getPath.toString)
-        if (dirs.isEmpty) None
-        else Some(spark.read.option("basePath", d.toString)
-          .parquet(dirs: _*).select("nn_id", "cv", "cn", "cell"))
-      }.flatten.reduce(_ unionByName _)
-      .localCheckpoint() // sever lineage from the dirs deleted below
-    union.write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$root/$ConsolPrefix$h")
-    cleanupBelow(fs, root, h)
-  }
-
-  private def cleanupBelow(fs: org.apache.hadoop.fs.FileSystem,
-                           root: String, horizon: Long): Unit =
-    if (horizon >= 0) {
-      fs.listStatus(new Path(root)).foreach { s =>
-        val n = s.getPath.getName
-        val stale =
-          (n.startsWith("batch_id=") &&
-            n.stripPrefix("batch_id=").toLongOption.exists(_ <= horizon)) ||
-            (n.startsWith(ConsolPrefix) &&
-              n.stripPrefix(ConsolPrefix).toLongOption.exists(_ < horizon))
-        if (stale) fs.delete(s.getPath, true): Unit
-      }
-    }
-
-  /** Newest COMMITTED `consol_id=` dir under the batches root. */
-  private def latestConsol(spark: SparkSession, root: String)
-      : Option[(Long, Path)] = {
-    val p = new Path(root)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return None
-    fs.listStatus(p).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(ConsolPrefix))
-      .flatMap { s =>
-        s.getPath.getName.stripPrefix(ConsolPrefix).toLongOption
-          .filter(_ => fs.exists(new Path(s.getPath, "_SUCCESS")))
-          .map(_ -> s.getPath)
-      }.sortBy(_._1).lastOption
-  }
 
   /** Right-to-be-forgotten for the LIVE shelf: the base cells
     * ([[graft.functions.Ivf.forget]]) AND every committed streaming
@@ -220,22 +180,21 @@ object IvfIngestMaintenance {
     * data — they carry nothing to forget. */
   def forget(spark: SparkSession, indexDir: String, ids: Seq[Long]): Unit = {
     import graft.operators.IndexForget
+    val fam = batchFamily(indexDir)
     IndexForget.fence(spark, indexDir)
+    // UNCOMMITTED debris first (stream quiesced by contract): a crashed
+    // trigger's partial batch dir or a torn fold is invisible to probes
+    // but can physically retain victim vectors that the committed-dir
+    // rewrite below never touches — reap it (a retry overwrites its own
+    // dir in full; a torn consol is overwritten by the next fold)
+    FoldProtocol.reapUncommitted(spark, fam)
     Ivf.forget(spark, indexDir, ids)
     // every committed streaming dir: consolidated AND tail (an older
     // shadowed consol can only exist as a missed delete BELOW the
     // latest — cleanupBelow reaps it; rows there are a subset of the
     // latest, but rewrite them anyway if present)
-    val root = s"$indexDir/batches"
-    val fs = new Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val consolDirs =
-      if (!fs.exists(new Path(root))) Seq.empty
-      else fs.listStatus(new Path(root)).toSeq
-        .filter(s => s.isDirectory &&
-          s.getPath.getName.startsWith(ConsolPrefix) &&
-          fs.exists(new Path(s.getPath, "_SUCCESS"))).map(_.getPath)
-    (consolDirs ++ CommittedDirs.list(spark, root).map(_._2)).foreach { d =>
+    (FoldProtocol.consols(spark, fam).map(_.path) ++
+      CommittedDirs.list(spark, fam.root).map(_._2)).foreach { d =>
       IndexForget.forget(spark, d.toString, "cell", "nn_id", ids): Unit
     }
     IndexForget.unfence(spark, indexDir)
@@ -263,6 +222,153 @@ object IvfIngestMaintenance {
         (sum(col("fit_sum")) / sum(col("rows"))).as("fit"),
         (max(col("rows")).cast("double") / sum(col("rows")))
           .as("top_share"))
+  }
+
+  // ---------- versioned tenant: retrain / repoint ----------
+
+  /** The committed (version, index root) a reader should serve, if any
+    * — resolution is ONE listing; everything a query then reads lives
+    * under that root, so a concurrent repoint can never mix versions
+    * inside one query. */
+  def currentVersion(spark: SparkSession, tenantRoot: String)
+      : Option[(Long, String)] =
+    VersionedState.latest(spark, tenantRoot)
+      .map(v => (v, s"$tenantRoot/v=$v"))
+
+  /** [[currentVersion]] or a loud refusal. */
+  def currentIndexDir(spark: SparkSession, tenantRoot: String): String =
+    currentVersion(spark, tenantRoot).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed index version under $tenantRoot — initVersioned first"))
+
+  /** One-time tenant bootstrap: build the base index (plus its drift
+    * baseline) at the staging root and publish it as `v=0`. */
+  def initVersioned(spark: SparkSession, tenantRoot: String,
+                    corpus: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, iters: Int = 3, sampleMod: Int = 1): String = {
+    val staging = VersionedState.stagingPath(tenantRoot, 0L)
+    Ivf.writeIndex(corpus, idCol, vecCol, nlist, staging, iters, sampleMod)
+    writeBaseline(spark, staging)
+    VersionedState.commitStaged(spark, tenantRoot, 0L)
+    s"$tenantRoot/v=0"
+  }
+
+  /** RE-TRAIN + RE-POINT — the explicit answer to a
+    * [[maintenanceReport]] flag. Quiesce INGEST first (serving stays
+    * live); then:
+    *   1. snapshot the current version's LIVE rows — base cells ∪
+    *      every committed batch/consol dir, so streamed vectors
+    *      re-enter as base rows of the new version;
+    *   2. build a FRESH index (new centroids, new baseline; the
+    *      persisted probe set carries over — ground truth does not
+    *      depend on the quantizer) at the VersionedState staging root —
+    *      a crash here leaves only the invisible staging dir, healed by
+    *      the next attempt's wholesale overwrite;
+    *   3. publish with ONE atomic rename ([[VersionedState
+    *      .commitStaged]]) — the repoint. A live query that resolved
+    *      the old version finishes against it (old versions linger
+    *      `keepVersions` deep); the next resolution serves the new one.
+    * Returns the new version's root. */
+  def retrain(spark: SparkSession, tenantRoot: String, nlist: Int,
+              iters: Int = 3, sampleMod: Int = 1,
+              keepVersions: Int = 2): String = {
+    import graft.operators.IndexForget
+    val (v, cur) = currentVersion(spark, tenantRoot).getOrElse(
+      throw new IllegalArgumentException(
+        s"no committed index version under $tenantRoot — initVersioned first"))
+    // a torn forget would make the live-rows snapshot silently miss
+    // trash-retired survivors — refuse until healed
+    IndexForget.assertClean(spark, cur)
+    IndexForget.assertClean(spark, s"$cur/cells")
+    val live = liveRows(spark, cur).localCheckpoint()
+    val staging = VersionedState.stagingPath(tenantRoot, v + 1)
+    new org.apache.hadoop.fs.Path(staging)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(staging), true)
+    Ivf.writeIndex(live, "nn_id", "cv", nlist, staging, iters, sampleMod)
+    writeBaseline(spark, staging)
+    // the probe set is version-independent ground truth — carry it over
+    val probeSrc = s"$cur/probe_set"
+    val pfs = new org.apache.hadoop.fs.Path(probeSrc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pfs.exists(new org.apache.hadoop.fs.Path(probeSrc)))
+      spark.read.parquet(probeSrc)
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/probe_set")
+    VersionedState.commitStaged(spark, tenantRoot, v + 1, keepVersions)
+    s"$tenantRoot/v=${v + 1}"
+  }
+
+  /** Every row the current version serves — the new version's corpus:
+    * base cells plus the committed consolidated + tail batch dirs. */
+  private def liveRows(spark: SparkSession, indexDir: String): DataFrame = {
+    val base = spark.read.parquet(s"$indexDir/cells").select("nn_id", "cv")
+    val (consol, tail) =
+      FoldProtocol.stableSnapshot(spark, batchFamily(indexDir))
+    val cellDirs = (consol.toSeq ++ tail)
+      .flatMap(_.childDirs("cell=").map(_.toString))
+    if (cellDirs.isEmpty) base
+    else base.unionByName(
+      spark.read.parquet(cellDirs: _*).select("nn_id", "cv"))
+  }
+
+  // ---------- planted-probe recall monitor ----------
+
+  /** Persist the PLANTED PROBE SET next to the index:
+    * `(probe_id, qv, expect_id)` rows whose ground truth is known by
+    * construction (the q48 plant pattern — each probe is a near-copy
+    * of a specific corpus vector, so `expect_id` MUST appear in its
+    * top-k under any healthy index). Parameter-sized by construction;
+    * read driver-side at monitor cadence, never per trigger. */
+  def writeProbeSet(spark: SparkSession, indexDir: String,
+                    probes: DataFrame, probeIdCol: String = "probe_id",
+                    vecCol: String = "qv",
+                    expectCol: String = "expect_id"): Unit =
+    probes.select(col(probeIdCol).cast("long").as("probe_id"),
+        col(vecCol).cast("array<double>").as("qv"),
+        col(expectCol).cast("long").as("expect_id"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/probe_set")
+
+  /** Planted-probe recall over the LIVE shelf: one pruned [[topKLive]]
+    * per persisted probe (monitor cadence, parameter-sized set),
+    * `(probe_id, expect_id, hit)`. This measures what [[driftReport]]'s
+    * assignment fit cannot: END-TO-END retrieval of known ground truth
+    * — a hot cell can crowd a known answer out of top-k while every
+    * arrival still fits its own centroid beautifully. */
+  def recallReport(spark: SparkSession, indexDir: String, k: Int = 10,
+                   nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val probes = spark.read.parquet(s"$indexDir/probe_set")
+      .select("probe_id", "qv", "expect_id").collect()
+    require(probes.nonEmpty,
+      s"no persisted probe set under $indexDir/probe_set")
+    probes.toSeq.map { r =>
+      val q = Seq(Tuple1(r.getSeq[Double](1))).toDF("qv")
+      val top = topKLive(spark, indexDir, q, "qv", k, nprobe)
+        .select("nn_id").as[Long].collect()
+      (r.getLong(0), r.getLong(2), top.contains(r.getLong(2)))
+    }.toDF("probe_id", "expect_id", "hit")
+  }
+
+  /** The one-row maintenance verdict — BOTH legs, one flag:
+    * `fit_due` (any committed batch's arrival fit under the held-out
+    * baseline − tolerance: distribution shift) OR `recall_due`
+    * (planted-probe recall under `recallFloor`: serving quality decay,
+    * which fit alone can miss under hot-cell skew) raises
+    * `retrain_due`. Columns: (fit_due, recall, recall_due,
+    * retrain_due). */
+  def maintenanceReport(spark: SparkSession, indexDir: String,
+                        tolerance: Double = 0.05,
+                        recallFloor: Double = 0.7, k: Int = 10,
+                        nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val fitDue = driftReport(spark, indexDir, tolerance)
+      .filter(col("retrain_due")).limit(1).count() > 0
+    val hits = recallReport(spark, indexDir, k, nprobe)
+      .select(col("hit").cast("int")).as[Int].collect()
+    val recall = hits.sum.toDouble / hits.length
+    Seq((fitDue, recall, recall < recallFloor,
+        fitDue || recall < recallFloor))
+      .toDF("fit_due", "recall", "recall_due", "retrain_due")
   }
 
   /** Drift rows of every committed batch, joined against the persisted
@@ -295,43 +401,27 @@ object IvfIngestMaintenance {
                vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
     // deletion fences: the tenant-level forget marks the index ROOT for
-    // its whole multi-dir composition; cells/ and each batch dir carry
-    // their own marker while their rewrite is in flight
-    graft.operators.IndexForget.assertClean(spark, indexDir)
+    // its whole multi-dir composition (checked by the stable snapshot
+    // below); cells/ and each batch dir carry their own marker while
+    // their rewrite is in flight — the batch-dir checks ride the
+    // snapshot's listings, cells/ pays its one existence check here
     graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
     val centroids = Ivf.readCentroids(spark, indexDir)
     val probes = query.select(
         explode(Ivf.probeCells(Ivf.unit(col(vecCol)), centroids, nprobe))
           .as("p"))
       .as[Int].collect().toSeq
-    val fs = new Path(indexDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val want = probes.map(p => s"cell=$p").toSet
-    // STABLE snapshot of (consol, tail): a fold committing between the
-    // two listings would otherwise leave a silent GAP — an old consol
-    // plus a post-cleanup tail missing every batch folded in between.
-    // Re-list until the consol horizon is unchanged across the tail
-    // read; dirs deleted between here and the scan fail loudly
-    // (FileNotFoundException) and a plain retry sees the folded state.
-    val root = s"$indexDir/batches"
-    var snap: Option[(Option[(Long, Path)], Seq[Path])] = None
-    var attempts = 0
-    while (snap.isEmpty) {
-      val c0 = latestConsol(spark, root)
-      val t = CommittedDirs.list(spark, root)
-        .filter(_._1 > c0.map(_._1).getOrElse(-1L)).map(_._2)
-      if (latestConsol(spark, root).map(_._1) == c0.map(_._1))
-        snap = Some((c0, t))
-      else {
-        attempts += 1
-        require(attempts < 8, s"could not take a stable listing of $root")
-      }
-    }
-    val (consol, tailDirs) = snap.get
-    val batchCellDirs = (consol.map(_._2).toSeq ++ tailDirs)
+    // STABLE snapshot of (consol, tail) — the shared protocol owns the
+    // re-list-until-stable loop AND the per-dir deletion-fence checks,
+    // which ride the child listings (no second round-trip per dir);
+    // dirs deleted between here and the scan fail loudly
+    // (FileNotFoundException) and a plain retry sees the folded state
+    val (consol, tailDirs) =
+      FoldProtocol.stableSnapshot(spark, batchFamily(indexDir))
+    val batchCellDirs = (consol.toSeq ++ tailDirs)
       .flatMap { d =>
-        graft.operators.IndexForget.assertClean(spark, d.toString)
-        fs.listStatus(d).filter(s => s.isDirectory &&
+        d.children.filter(s => s.isDirectory &&
           want.contains(s.getPath.getName)).map(_.getPath.toString)
       }
     val base = spark.read.parquet(s"$indexDir/cells")

@@ -47,18 +47,40 @@ object VersionedState {
   def commit(state: DataFrame, dir: String, batchId: Long,
              keepVersions: Int = 4): Unit = {
     val spark = state.sparkSession
-    val fs = fsOf(spark, dir)
-    val target = new Path(s"$dir/v=$batchId")
     val staging = new Path(s"$dir/.staging-$batchId")
     state.write.mode("overwrite").parquet(staging.toString)
+    commitStaged(spark, dir, batchId, keepVersions)
+  }
+
+  /** Staging path for [[commitStaged]] — for states BUILT IN PLACE
+    * (a whole index tree, not one DataFrame write): the builder fills
+    * this dir completely, then [[commitStaged]] publishes it. A crash
+    * mid-build leaves only an invisible staging dir (the committed
+    * `v=` listing never changes), healed by the next attempt's
+    * overwrite. */
+  def stagingPath(dir: String, version: Long): String =
+    s"$dir/.staging-$version"
+
+  /** Publish an already-built [[stagingPath]] as `v=<version>`: ONE
+    * atomic rename is the whole repoint — readers resolving [[latest]]
+    * see the old version or the new one, never a mix — then prune
+    * crashed stagings and versions beyond the read horizon (old
+    * versions linger `keepVersions` deep so in-flight readers finish
+    * against the version they resolved). Skips if a concurrent retry
+    * already won the rename. */
+  def commitStaged(spark: SparkSession, dir: String, version: Long,
+                   keepVersions: Int = 4): Unit = {
+    val fs = fsOf(spark, dir)
+    val target = new Path(s"$dir/v=$version")
+    val staging = new Path(stagingPath(dir, version))
     if (fs.exists(target)) fs.delete(staging, true)
     else require(fs.rename(staging, target),
       s"rename $staging -> $target failed")
     fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
       .filter(p => p.getName.startsWith(".staging-") &&
-        p.getName.stripPrefix(".staging-").toLongOption.exists(_ < batchId))
+        p.getName.stripPrefix(".staging-").toLongOption.exists(_ < version))
       .foreach(p => fs.delete(p, true))
-    listVersions(spark, dir).filter(_ < batchId).sorted
+    listVersions(spark, dir).filter(_ < version).sorted
       .dropRight(keepVersions)
       .foreach(v => fs.delete(new Path(s"$dir/v=$v"), true))
   }

@@ -395,4 +395,86 @@ class ForgetSpec extends SparkTestBase {
     CopyDetectMaintenance.forget(spark, idx, alertDir, Seq(victim))
     assert(rows() === withNew, "healing re-run changed the alert history")
   }
+
+  test("tenant forget reaps UNCOMMITTED debris: a crashed trigger's unmarked batch dir and a torn fold hold victim bytes invisible to probes — both physically delete (copy-detect and IVF tenants)") {
+    import graft.streaming.{CopyDetectMaintenance, IvfIngestMaintenance}
+    import org.apache.hadoop.fs.FileUtil
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // clone a committed dir, dropping the named markers — exactly what
+    // a trigger that crashed after its task files moved (but before
+    // job commit) leaves behind
+    def cloneWithout(f: org.apache.hadoop.fs.FileSystem, src: Path,
+                     dst: Path, markers: Set[String]): Unit = {
+      f.mkdirs(dst)
+      f.listStatus(src).foreach { st =>
+        if (!markers.contains(st.getPath.getName))
+          FileUtil.copy(f, st.getPath, f,
+            new Path(dst, st.getPath.getName), false, conf): Unit
+      }
+    }
+
+    // ---- copy-detect tenant ----
+    val root = tmp("reap_tenant")
+    val idx = s"$root/index"
+    val alertDir = s"$root/alerts"
+    (0 until 2).foreach { i =>
+      CopyDetectMaintenance.update(idx, alertDir,
+        docs.filter(col("doc_id") % 2 === i), i.toLong,
+        idCol = "doc_id", textCol = "text", consolidateAfter = 0)
+    }
+    val f = fs(root)
+    // debris: an unmarked batch dir (crashed trigger) and a torn fold
+    // (no _FANOUT) — both still carry doc 0's selections on disk
+    cloneWithout(f, new Path(idx, "batch_id=0"),
+      new Path(idx, "batch_id=9"), Set("_SUCCESS"))
+    cloneWithout(f, new Path(idx, "batch_id=0"),
+      new Path(idx, "consol_id=5"), Set("_SUCCESS", "_FANOUT"))
+    cloneWithout(f, new Path(alertDir, "batch_id=0"),
+      new Path(alertDir, "batch_id=9"), Set("_SUCCESS"))
+    def alertRows(): Set[(Long, Long, String)] =
+      CopyDetectMaintenance.alerts(spark, alertDir)
+        .select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.toString)).toSet
+    val before = alertRows()
+
+    CopyDetectMaintenance.forget(spark, idx, alertDir, Seq(0L))
+    assert(!f.exists(new Path(idx, "batch_id=9")),
+      "unmarked index batch debris survived the tenant forget")
+    assert(!f.exists(new Path(idx, "consol_id=5")),
+      "torn index fold debris survived the tenant forget")
+    assert(!f.exists(new Path(alertDir, "batch_id=9")),
+      "unmarked alert batch debris survived the tenant forget")
+    // committed history is exactly the usual forget result — reaping
+    // touched nothing a probe could see
+    assert(alertRows() ===
+        before.filterNot(r => r._1 == 0L || r._2 == 0L),
+      "reaping changed committed alerts beyond the victim's rows")
+
+    // ---- IVF tenant ----
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val ipath = tmp("reap_ivf") + "/idx"
+    graft.functions.Ivf.writeIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "v", nlist = 4, ipath, iters = 1, sampleMod = 7)
+    IvfIngestMaintenance.update(ipath, e.filter(col("vec_id") % 2 =!= 0),
+      0L, idCol = "vec_id", vecCol = "v", consolidateAfter = 0)
+    val bf = fs(ipath)
+    cloneWithout(bf, new Path(s"$ipath/batches/batch_id=0"),
+      new Path(s"$ipath/batches/batch_id=7"), Set("_SUCCESS"))
+    cloneWithout(bf, new Path(s"$ipath/batches/batch_id=0"),
+      new Path(s"$ipath/batches/consol_id=3"), Set("_SUCCESS"))
+    IvfIngestMaintenance.forget(spark, ipath, Seq(1L))
+    assert(!bf.exists(new Path(s"$ipath/batches/batch_id=7")),
+      "unmarked IVF batch debris survived the tenant forget")
+    assert(!bf.exists(new Path(s"$ipath/batches/consol_id=3")),
+      "torn IVF fold debris survived the tenant forget")
+    // the committed dirs still serve
+    val served = IvfIngestMaintenance.topKLive(spark, ipath,
+        e.filter(col("vec_id") === 0), "v", k = 5, nprobe = 2)
+      .collect()
+    assert(served.nonEmpty && !served.exists(_.getLong(0) == 1L),
+      "post-reap shelf lost committed rows or kept the victim")
+  }
 }

@@ -2157,4 +2157,159 @@ class StreamingSpec extends SparkTestBase {
     IvfIngestMaintenance.writeBaseline(spark, b) // honest full-corpus baseline
     assert(spark.read.parquet(s"$b/drift_baseline").count() === 1)
   }
+
+  test("IVF retrain/repoint: drift flags, rebuild lands at a staging root, ONE atomic rename repoints; a mid-swap crash is invisible to serving and healed; the new version serves every live row under its fresh quantizer") {
+    import graft.functions.Ivf
+    import graft.streaming.{IvfIngestMaintenance, VersionedState}
+
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val query = e.filter(col("vec_id") === 0).localCheckpoint()
+    val base = e.filter(col("vec_id") % 2 === 0 && col("vec_id") =!= 0)
+      .localCheckpoint()
+    val tenant = tmpDir("ivf_versioned")
+    val v0 = IvfIngestMaintenance.initVersioned(spark, tenant, base,
+      "vec_id", "v", nlist = 8, iters = 2, sampleMod = 7)
+    assert(v0.endsWith("/v=0"))
+
+    // streamed arrivals (direct update calls — the stream plumbing is
+    // pinned by the ingest test; this one pins the swap), folded so the
+    // retrain must read consol AND tail layouts
+    val arrivals = e.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    (0 until 3).foreach { i =>
+      IvfIngestMaintenance.update(v0,
+        arrivals.filter(col("vec_id") % 3 === i), i.toLong,
+        idCol = "vec_id", vecCol = "v", consolidateAfter = 1)
+    }
+    assert(new org.apache.hadoop.fs.Path(s"$v0/batches")
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .listStatus(new org.apache.hadoop.fs.Path(s"$v0/batches"))
+        .exists(_.getPath.getName.startsWith("consol_id=")),
+      "no fold fired — the retrain below would not cover the consol layout")
+
+    def serve(): Seq[String] = {
+      // version resolution is ONE listing; the query then reads only
+      // under the resolved root — old or new consistently, never a mix
+      val d = IvfIngestMaintenance.currentIndexDir(spark, tenant)
+      IvfIngestMaintenance.topKLive(spark, d, query, "v", k = 10,
+          nprobe = 3)
+        .select(col("nn_id"), round(col("sim"), 9).as("s"))
+        .collect().map(_.toString).toSeq
+    }
+
+    // a genuinely shifted batch flags retrain (the anti-centroid recipe)
+    val cents0 = Ivf.readCentroids(spark, v0)
+    val dim = cents0.head.size
+    val anti = Seq.tabulate(dim)(j => -cents0.map(_(j)).sum / cents0.size)
+    val antiRows = spark.range(5)
+      .select((col("id") + 7000000L).as("vec_id"), typedLit(anti).as("v"))
+      .localCheckpoint()
+    IvfIngestMaintenance.update(v0, antiRows, 99L,
+      idCol = "vec_id", vecCol = "v")
+    assert(IvfIngestMaintenance.driftReport(spark, v0)
+        .filter(col("retrain_due")).count() >= 1,
+      "shifted batch did not flag — the retrain below would be unmotivated")
+    val preSwap = serve()
+
+    // MID-SWAP CRASH: a half-built staging dir must be INVISIBLE to a
+    // live reader (the committed v= listing never changed)
+    val fs = new org.apache.hadoop.fs.Path(tenant)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(
+      VersionedState.stagingPath(tenant, 1L))
+    fs.mkdirs(new org.apache.hadoop.fs.Path(staging, "cells"))
+    assert(serve() === preSwap,
+      "a torn staging dir changed the served answers")
+
+    // retrain: heals the crashed staging wholesale, rebuilds from the
+    // live rows (base ∪ consol ∪ tail ∪ the shifted batch), repoints
+    val v1 = IvfIngestMaintenance.retrain(spark, tenant, nlist = 8,
+      iters = 2, sampleMod = 7)
+    assert(v1.endsWith("/v=1"))
+    assert(!fs.exists(staging), "staging survived its own commit")
+    assert(IvfIngestMaintenance.currentIndexDir(spark, tenant) === v1)
+
+    // the new version REALLY retrained (fresh quantizer over the
+    // shifted corpus)…
+    val cents1 = Ivf.readCentroids(spark, v1)
+    assert(cents1 !== cents0, "retrain kept the stale centroids")
+    // …and serves EVERY live row: parity with an inline scan of the
+    // full live corpus under the new centroids (the fresh-build
+    // equivalence — a fresh build IS assignment + pruned scan under
+    // freshly trained centroids; training itself is pinned
+    // deterministic by IndexSpec)
+    val liveCorpus = base.unionByName(arrivals).unionByName(antiRows)
+    val want = Ivf.ivfTopK(liveCorpus, query, "vec_id", "v", k = 10,
+        cents1, nprobe = 3)
+      .select(col("nn_id"), round(col("sim"), 9).as("s"))
+      .collect().map(_.toString).toSeq
+    assert(serve() === want,
+      "repointed version diverged from the live corpus under its own quantizer")
+    // the new version starts with an empty batch tail (streamed rows
+    // re-entered as base rows) and its own held-out baseline
+    assert(spark.read.parquet(s"$v1/cells").count() === liveCorpus.count())
+    assert(spark.read.parquet(s"$v1/drift_baseline").count() === 1)
+    // old version lingers for in-flight readers (keepVersions), so a
+    // reader that resolved v=0 before the rename finishes cleanly
+    assert(fs.exists(new org.apache.hadoop.fs.Path(v0)),
+      "old version retired immediately — in-flight readers would crash")
+  }
+
+  test("maintenance report: planted-probe recall catches hot-cell crowding that assignment fit cannot — fit holds, recall collapses, retrain_due still fires") {
+    import graft.functions.{Ivf, VectorOps}
+    import graft.streaming.IvfIngestMaintenance
+    import spark.implicits._
+
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val idx = tmpDir("ivf_recall") + "/index"
+    Ivf.writeIndex(e, "vec_id", "v", nlist = 8, idx, iters = 2,
+      sampleMod = 7)
+    IvfIngestMaintenance.writeBaseline(spark, idx)
+
+    // plant: the probe is a near-copy of the corpus vector with the
+    // HIGHEST assignment fit (so the crowding batch below — copies of
+    // the probe — inherits a fit comfortably above the baseline, and
+    // the fit leg provably stays quiet)
+    val cents = Ivf.readCentroids(spark, idx)
+    val cdf = broadcast(cents.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "cvec"))
+    val best = spark.read.parquet(s"$idx/cells").join(cdf, "cell")
+      .select(col("nn_id"), col("cv"),
+        VectorOps.dot(Ivf.unit(col("cv")), col("cvec")).as("fit"))
+      .orderBy(col("fit").desc).first()
+    val expectId = best.getLong(0)
+    val qv = best.getSeq[Double](1).toSeq.updated(0,
+      best.getSeq[Double](1).head + 0.01)
+    IvfIngestMaintenance.writeProbeSet(spark, idx,
+      Seq((1L, qv, expectId)).toDF("probe_id", "qv", "expect_id"))
+
+    // an in-distribution batch first: both legs healthy
+    IvfIngestMaintenance.update(idx,
+      e.filter(col("vec_id") % 97 === 3)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("v")),
+      0L, idCol = "vec_id", vecCol = "v", consolidateAfter = 0)
+    val m0 = IvfIngestMaintenance.maintenanceReport(spark, idx).first()
+    assert(m0.getAs[Double]("recall") === 1.0,
+      s"planted probe not retrieved on a healthy shelf: $m0")
+    assert(!m0.getAs[Boolean]("retrain_due"), s"healthy shelf flagged: $m0")
+
+    // HOT-CELL CROWDING: a batch of near-copies of the probe itself —
+    // each fits its own centroid exactly as well as the best corpus
+    // member (fit leg quiet), but all k slots of the probe's answer
+    // fill with them, crowding the known ground truth out of top-k
+    IvfIngestMaintenance.update(idx,
+      spark.range(12).select((col("id") + 8000000L).as("vec_id"),
+        typedLit(qv).as("v")),
+      1L, idCol = "vec_id", vecCol = "v", consolidateAfter = 0)
+    val m1 = IvfIngestMaintenance.maintenanceReport(spark, idx).first()
+    assert(!m1.getAs[Boolean]("fit_due"),
+      s"fit flagged — the crowding batch was supposed to be in-distribution: $m1")
+    assert(m1.getAs[Double]("recall") === 0.0,
+      s"crowding did not displace the planted answer: $m1")
+    assert(m1.getAs[Boolean]("recall_due") && m1.getAs[Boolean]("retrain_due"),
+      s"recall collapse did not raise retrain_due: $m1")
+  }
 }
