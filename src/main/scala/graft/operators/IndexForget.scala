@@ -97,6 +97,12 @@ object IndexForget {
       fs.delete(new Path(rootP, Marker), false)
       return Nil
     }
+    // batch-forget plan note: isin over thousands of ids is SAFE —
+    // Catalyst's OptimizeIn rewrites In(col, >10 literals) to InSet, a
+    // single hash-set expression node (no codegen-budget growth, O(1)
+    // per row), so one batched call over 50k ids keeps the lean
+    // filter-only plan a join-based victim test would trade for an
+    // extra broadcast stage per partition rewrite
     // victim partitions: one column-pruned (idCol, partCol) scan — the
     // only whole-index read; everything below touches victim dirs only.
     // Parameter-sized collect: ≤ P partition values by construction.

@@ -72,10 +72,19 @@ private[streaming] object CommittedDirs {
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .flatMap { s =>
         s.getPath.getName.stripPrefix(prefix).toLongOption.flatMap { id =>
-          val children = fs.listStatus(s.getPath).toSeq
-          if (children.exists(_.getPath.getName == marker))
-            Some(ListedDir(id, s.getPath, children))
-          else None
+          // a dir deleted between the root listing and its child
+          // listing (a concurrent fold's cleanup) is simply not
+          // committed-here-and-now — the same answer fs.exists gave the
+          // pre-listing code; throwing would crash the stable-snapshot
+          // retry loop that exists to absorb exactly this race
+          try {
+            val children = fs.listStatus(s.getPath).toSeq
+            if (children.exists(_.getPath.getName == marker))
+              Some(ListedDir(id, s.getPath, children))
+            else None
+          } catch {
+            case _: java.io.FileNotFoundException => None
+          }
         }
       }.sortBy(_.id)
   }

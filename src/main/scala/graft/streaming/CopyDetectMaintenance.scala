@@ -95,6 +95,77 @@ object CopyDetectMaintenance {
     Seq("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi",
       "batch_id").map(StructField(_, LongType)))
 
+  /** The AGGREGATED (coverage) alert schema — one row per matched
+    * batch document instead of one per pair (the q226 coverage shape):
+    * `(doc_id, n_partners, shared_total, shared_max, lo, hi,
+    * batch_id)`. On replica-heavy corpora the pair relation is
+    * irreducibly quadratic (every arrival matches every prior replica
+    * — ~18M pairs per late trigger at 100×, SCALE.md); coverage mode
+    * bounds what a trigger WRITES to ≤ |batch| rows while still
+    * answering the operational question ("which arrivals are
+    * contaminated, how much, where"). The mode is a per-tenant layout
+    * constant like `nBuckets` — the files' schema is baked into the
+    * alert dirs. Partner IDS are not stored (counts and extents only),
+    * so [[forget]] in this mode only rewrites the victim's own rows;
+    * surviving docs' counts are anonymous aggregates (the sketch-forget
+    * stance). */
+  private[graft] val coverageSchema: StructType = StructType(
+    Seq("doc_id", "n_partners", "shared_total", "shared_max", "lo", "hi",
+      "batch_id").map(StructField(_, LongType)))
+
+  /** The alert LAYOUT is baked into the files, so — like CopyIndex's
+    * `_FANOUT` fan-out — it is persisted at the alert root and verified
+    * at every choke point: a caller whose mode constant drifted
+    * (update/read/forget against the wrong layout) fails LOUDLY here
+    * instead of reading silent nulls through a mismatched schema (the
+    * pair columns don't exist in coverage files — a mis-schema'd forget
+    * would match no victims and "succeed" having deleted nothing, a
+    * compliance no-op). An absent marker is a pre-round-15 pairs
+    * tenant. */
+  private val ModeMarker = "_ALERT_MODE"
+
+  private def modeName(coverage: Boolean) = if (coverage) "coverage" else "pairs"
+
+  private def writeOrVerifyMode(spark: SparkSession, alertDir: String,
+                                coverage: Boolean): Unit = {
+    val root = new org.apache.hadoop.fs.Path(alertDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(root, ModeMarker)
+    persistedMode(spark, alertDir) match {
+      case Some(persisted) =>
+        require(persisted == modeName(coverage),
+          s"alert dir $alertDir is laid out as '$persisted' but the " +
+            s"caller uses '${modeName(coverage)}' — the layout is a " +
+            "per-tenant constant; fix the caller (or rebuild the tenant)")
+      case None =>
+        fs.mkdirs(root)
+        // temp-then-rename: no reader can observe a half-written marker
+        val tmp = new org.apache.hadoop.fs.Path(root, s".$ModeMarker.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(modeName(coverage).getBytes("UTF-8")) finally out.close()
+        fs.delete(m, false)
+        require(fs.rename(tmp, m), s"could not publish $ModeMarker at $alertDir")
+    }
+  }
+
+  /** The persisted layout, if any (None = pre-marker dir: pairs). */
+  private def persistedMode(spark: SparkSession,
+                            alertDir: String): Option[String] = {
+    val root = new org.apache.hadoop.fs.Path(alertDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val m = new org.apache.hadoop.fs.Path(root, ModeMarker)
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      finally in.close()
+    }
+  }
+
+  private def persistedCoverage(spark: SparkSession,
+                                alertDir: String): Boolean =
+    persistedMode(spark, alertDir).contains("coverage")
+
   /** Fold one micro-batch of documents — call from foreachBatch.
     * `w`/`nBuckets`/`minShared` must be constant for the life of an
     * index directory (the fingerprint function and bucket layout are
@@ -105,8 +176,12 @@ object CopyDetectMaintenance {
              textCol: String = "text", w: Int = 4,
              nBuckets: Int = CopyIndex.DefaultBuckets,
              minShared: Int = 2,
-             consolidateAfter: Int = DefaultConsolidateAfter): Unit = {
+             consolidateAfter: Int = DefaultConsolidateAfter,
+             aggregateAlerts: Boolean = false): Unit = {
     val spark = docs.sparkSession
+    // layout drift must fail FIRST — before any per-batch compute, and
+    // before a mis-shaped dir could land
+    writeOrVerifyMode(spark, alertDir, aggregateAlerts)
     // four consumers below (bucket resolution, probe join, self-join,
     // index append) — pin once; the relation is batch-sized
     val sel = CopyIndex.selections(docs, idCol, textCol, w).localCheckpoint()
@@ -151,14 +226,49 @@ object CopyDetectMaintenance {
           when(older, col("new_hi")).otherwise(col("idx_hi")).as("b_hi"))
     }
 
-    cross.unionByName(within)
-      .write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
+    val rawPairs = cross.unionByName(within)
+    val out =
+      if (!aggregateAlerts) rawPairs
+      // coverage mode: the pair relation still COMPUTES (the per-pair
+      // localization is what minShared is defined on) but never
+      // persists — the write is ≤ |batch| rows however many replicas
+      // each arrival matches
+      else coverageOf(rawPairs, sel)
+    out.write.mode("overwrite").parquet(s"$alertDir/batch_id=$batchId")
     CopyIndex.writeIndex(sel, s"$indexDir/batch_id=$batchId", nBuckets)
 
     if (consolidateAfter > 0) {
       consolidateIndex(spark, indexDir, batchId, nBuckets, consolidateAfter)
-      consolidateAlerts(spark, alertDir, batchId, consolidateAfter)
+      consolidateAlerts(spark, alertDir, batchId, consolidateAfter,
+        if (aggregateAlerts) coverageSchema else alertSchema)
     }
+  }
+
+  /** Roll a trigger's pair alerts up to the q226 coverage shape,
+    * credited to THIS batch's documents (for a cross pair the batch
+    * side is the later arrival — the union over triggers still covers
+    * every pair exactly once, by the same argument as pair alerts; a
+    * same-trigger pair credits both sides). By construction this
+    * equals a per-batch rollup of the raw mode — StreamingSpec pins
+    * that parity against an independently computed rollup. */
+  private[streaming] def coverageOf(pairs: DataFrame,
+                                    sel: DataFrame): DataFrame = {
+    val sideA = pairs.select(col("a_id").as("doc_id"),
+      col("b_id").as("partner"), col("shared"),
+      col("a_lo").as("lo"), col("a_hi").as("hi"))
+    val sideB = pairs.select(col("b_id").as("doc_id"),
+      col("a_id").as("partner"), col("shared"),
+      col("b_lo").as("lo"), col("b_hi").as("hi"))
+    // batch membership is batch-sized — broadcast semi join, so only
+    // the trigger's own documents earn coverage rows
+    val batchIds = broadcast(sel.select(col("id").as("doc_id")).distinct())
+    sideA.unionByName(sideB)
+      .join(batchIds, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("partner")).as("n_partners"),
+        sum(col("shared")).as("shared_total"),
+        max(col("shared")).as("shared_max"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
   }
 
   /** Every alert emitted so far, with its `batch_id` provenance —
@@ -176,6 +286,23 @@ object CopyDetectMaintenance {
     * fails loudly (FileNotFoundException) and a plain retry sees the
     * consolidated state — transient by construction, never wrong. */
   def alerts(spark: SparkSession, alertDir: String): DataFrame = {
+    require(!persistedCoverage(spark, alertDir),
+      s"$alertDir is a coverage-mode tenant — read coverage(), not alerts()")
+    alertHistory(spark, alertDir, alertSchema)
+  }
+
+  /** [[alerts]]'s counterpart for tenants running
+    * `update(aggregateAlerts = true)` — every committed coverage row
+    * with batch_id provenance, under the [[coverageSchema]] contract.
+    * Same stable-snapshot and fence discipline. */
+  def coverage(spark: SparkSession, alertDir: String): DataFrame = {
+    require(persistedCoverage(spark, alertDir),
+      s"$alertDir is a pairs-mode tenant — read alerts(), not coverage()")
+    alertHistory(spark, alertDir, coverageSchema)
+  }
+
+  private def alertHistory(spark: SparkSession, alertDir: String,
+                           schema: StructType): DataFrame = {
     // stable (consol, tail) snapshot + composition/per-dir deletion
     // fences — all owned by the shared protocol (a forget() that died
     // mid-swap must fail the monitor loudly, not serve a half-forgotten
@@ -184,13 +311,15 @@ object CopyDetectMaintenance {
       FoldProtocol.stableSnapshot(spark, alertFamily(alertDir))
     require(consol.nonEmpty || tail.nonEmpty,
       s"no committed copy-detect alerts under $alertDir")
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     val consolDf = consol match {
-      case Some(c) => spark.read.schema(alertSchema).parquet(c.path.toString)
-      case None => emptyAlerts(spark)
+      case Some(c) => spark.read.schema(schema).parquet(c.path.toString)
+      case None => empty
     }
     val tailDf =
-      if (tail.isEmpty) emptyAlerts(spark)
-      else spark.read.option("basePath", alertDir).schema(alertSchema)
+      if (tail.isEmpty) empty
+      else spark.read.option("basePath", alertDir).schema(schema)
         .parquet(tail.map(_.path.toString): _*)
     consolDf.unionByName(tailDf)
   }
@@ -208,6 +337,10 @@ object CopyDetectMaintenance {
   def forget(spark: SparkSession, indexDir: String, alertDir: String,
              ids: Seq[Long],
              nBuckets: Int = CopyIndex.DefaultBuckets): Unit = {
+    // the alert layout comes from the tenant's own persisted marker —
+    // never a caller flag, whose drift would make the victim predicate
+    // read nulls through the wrong schema and "succeed" deleting nothing
+    val aggregateAlerts = persistedCoverage(spark, alertDir)
     import graft.operators.IndexForget
     // COMPOSITION fence at both roots: the per-dir markers clear as
     // each dir's rewrite commits, so a crash BETWEEN dirs (or between
@@ -231,18 +364,24 @@ object CopyDetectMaintenance {
     val idxDirs = FoldProtocol.consols(spark, indexFamily(indexDir))
       .map(_.path) ++ CommittedDirs.list(spark, indexDir).map(_._2)
     idxDirs.foreach(d => CopyIndex.forget(spark, d.toString, ids, nBuckets))
-    val victim = col("a_id").isin(ids: _*) || col("b_id").isin(ids: _*)
+    // coverage mode stores no partner ids — the victim's own rows are
+    // the whole per-document footprint (surviving docs' counts are
+    // anonymous aggregates, the sketch-forget stance)
+    val victim =
+      if (aggregateAlerts) col("doc_id").isin(ids: _*)
+      else col("a_id").isin(ids: _*) || col("b_id").isin(ids: _*)
+    val schema = if (aggregateAlerts) coverageSchema else alertSchema
     // one pass over every committed alert dir: batch-scoped dirs carry
-    // batch_id in the DIR NAME (7-col files), consolidated dirs carry
-    // it as a column — per-dir schemas; holdFence keeps the root marker
-    // up until BOTH roots unfence below
+    // batch_id in the DIR NAME (dropRight files), consolidated dirs
+    // carry it as a column — per-dir schemas; holdFence keeps the root
+    // marker up until BOTH roots unfence below
     val batchSchema =
-      org.apache.spark.sql.types.StructType(alertSchema.dropRight(1))
+      org.apache.spark.sql.types.StructType(schema.dropRight(1))
     IndexForget.forgetWhere(spark, alertDir,
       CommittedDirs.list(spark, alertDir)
         .map(d => d._2.getName -> batchSchema) ++
         FoldProtocol.consols(spark, alertFamily(alertDir))
-          .map(d => d.path.getName -> alertSchema),
+          .map(d => d.path.getName -> schema),
       victim, holdFence = true)
     IndexForget.unfence(spark, alertDir)
     IndexForget.unfence(spark, indexDir)
@@ -369,14 +508,15 @@ object CopyDetectMaintenance {
     * carries batch_id as a column. `_SUCCESS` (created at job commit,
     * after the data files move) is the marker. */
   private def consolidateAlerts(spark: SparkSession, alertDir: String,
-                                batchId: Long, after: Int): Unit =
+                                batchId: Long, after: Int,
+                                schema: StructType): Unit =
     FoldProtocol.fold(spark, alertFamily(alertDir), batchId, after) {
       (consol, tail) =>
         val tailDf = spark.read.option("basePath", alertDir)
-          .schema(alertSchema).parquet(tail.map(_.path.toString): _*)
+          .schema(schema).parquet(tail.map(_.path.toString): _*)
         val union = consol match {
           case Some(c) =>
-            spark.read.schema(alertSchema).parquet(c.path.toString)
+            spark.read.schema(schema).parquet(c.path.toString)
               .unionByName(tailDf)
           case None => tailDf
         }
@@ -385,7 +525,4 @@ object CopyDetectMaintenance {
       union.write.mode("overwrite").parquet(dest)
     }
 
-  private def emptyAlerts(spark: SparkSession): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], alertSchema)
 }

@@ -197,6 +197,20 @@ object IvfIngestMaintenance {
       CommittedDirs.list(spark, fam.root).map(_._2)).foreach { d =>
       IndexForget.forget(spark, d.toString, "cell", "nn_id", ids): Unit
     }
+    // planted probes whose GROUND-TRUTH row is being forgotten are
+    // void: keeping them would hard-wire a permanent recall miss —
+    // the monitor would flag retrain_due forever, and retrain carries
+    // the probe set over while the row stays absent from the live
+    // corpus, so the alarm could never clear
+    val probeP = new org.apache.hadoop.fs.Path(s"$indexDir/probe_set")
+    val pfs = probeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (pfs.exists(probeP)) {
+      val kept = spark.read.parquet(probeP.toString)
+        .filter(!col("expect_id").isin(ids: _*))
+        .localCheckpoint() // pinned before its own dir overwrites
+      if (kept.isEmpty) pfs.delete(probeP, true) // recall leg retires
+      else kept.coalesce(1).write.mode("overwrite").parquet(probeP.toString)
+    }
     IndexForget.unfence(spark, indexDir)
   }
 
@@ -318,7 +332,13 @@ object IvfIngestMaintenance {
     * construction (the q48 plant pattern — each probe is a near-copy
     * of a specific corpus vector, so `expect_id` MUST appear in its
     * top-k under any healthy index). Parameter-sized by construction;
-    * read driver-side at monitor cadence, never per trigger. */
+    * read driver-side at monitor cadence, never per trigger.
+    * Lifecycle: [[retrain]] carries the set across versions (ground
+    * truth does not depend on the quantizer); [[forget]] VOIDS probes
+    * whose expect_id is deleted (a forgotten ground-truth row would
+    * otherwise hard-wire a permanent recall miss) and retires the set
+    * when none remain — [[maintenanceReport]] then reports a null
+    * recall, not a phantom verdict. */
   def writeProbeSet(spark: SparkSession, indexDir: String,
                     probes: DataFrame, probeIdCol: String = "probe_id",
                     vecCol: String = "qv",
@@ -363,11 +383,21 @@ object IvfIngestMaintenance {
     import spark.implicits._
     val fitDue = driftReport(spark, indexDir, tolerance)
       .filter(col("retrain_due")).limit(1).count() > 0
-    val hits = recallReport(spark, indexDir, k, nprobe)
-      .select(col("hit").cast("int")).as[Int].collect()
-    val recall = hits.sum.toDouble / hits.length
-    Seq((fitDue, recall, recall < recallFloor,
-        fitDue || recall < recallFloor))
+    // the recall leg retires when no probe set exists (none written,
+    // or every probe's ground-truth row was forgotten) — a null
+    // recall, not a phantom verdict
+    val probeP = new org.apache.hadoop.fs.Path(s"$indexDir/probe_set")
+    val hasProbes = probeP
+      .getFileSystem(spark.sparkContext.hadoopConfiguration).exists(probeP)
+    val recall: Option[Double] =
+      if (!hasProbes) None
+      else {
+        val hits = recallReport(spark, indexDir, k, nprobe)
+          .select(col("hit").cast("int")).as[Int].collect()
+        Some(hits.sum.toDouble / hits.length)
+      }
+    val recallDue = recall.exists(_ < recallFloor)
+    Seq((fitDue, recall, recallDue, fitDue || recallDue))
       .toDF("fit_due", "recall", "recall_due", "retrain_due")
   }
 

@@ -27,19 +27,29 @@ import org.apache.spark.sql.functions._
   * data I/O does — locally it shows up as the growing per-trigger gap
   * between the two runs.
   *
-  * Heap: size the forked JVM via SPARK_DRIVER_MEM — the late triggers
-  * carry the quadratic alert volume (a single trigger's alert write at
-  * 100× is ~18M pairs) and 8g runs at the edge there; 16g+ is
-  * comfortable through the distributed parity step.
+  * Heap: in PAIRS mode size the forked JVM via SPARK_DRIVER_MEM — the
+  * late triggers carry the quadratic alert volume (a single trigger's
+  * alert write at 100× is ~18M pairs) and 8g runs at the edge there;
+  * 16g+ is comfortable through the distributed parity step. COVERAGE
+  * mode (the aggregated alert layout, `update(aggregateAlerts=true)`)
+  * is the bounded answer for replica-heavy corpora: each trigger
+  * persists ≤ |batch| coverage rows however quadratic the pair volume,
+  * and the whole 100× run fits the 8g default (measured — SCALE.md).
+  * The per-pair localization still computes in-stream (minShared is
+  * defined on pairs); what coverage mode bounds is everything
+  * DOWNSTREAM of it: the write, the alert history, the monitor read,
+  * the fold. Mode parity vs a rollup of the raw relation is pinned by
+  * StreamingSpec; this tool asserts off/on parity within the mode.
   *
   * Usage: runMain graft.tools.CopyStreamScale [srcSfDir] [copies]
-  *          [nTriggers] [threshold] */
+  *          [nTriggers] [threshold] [mode: pairs|coverage] */
 object CopyStreamScale {
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val copies = if (args.length > 1) args(1).toInt else 100
     val nTriggers = if (args.length > 2) args(2).toInt else 12
     val threshold = if (args.length > 3) args(3).toInt else 4
+    val coverageMode = args.length > 4 && args(4) == "coverage"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,7 +69,8 @@ object CopyStreamScale {
       .localCheckpoint()
     val nDocs = docs.count()
     println(s"[copystream] corpus: $nDocs docs ($copies × $srcDir), " +
-      s"$nTriggers triggers, threshold $threshold")
+      s"$nTriggers triggers, threshold $threshold, " +
+      s"mode=${if (coverageMode) "coverage" else "pairs"}")
 
     def run(tag: String, root: String, after: Int): Seq[Double] = {
       val idx = s"$root/index"
@@ -68,7 +79,8 @@ object CopyStreamScale {
         val batch = docs.filter(pmod(col("doc_id"), lit(nTriggers)) === t)
         val t0 = System.nanoTime()
         CopyDetectMaintenance.update(idx, alerts, batch, t,
-          idCol = "doc_id", textCol = "text", consolidateAfter = after)
+          idCol = "doc_id", textCol = "text", consolidateAfter = after,
+          aggregateAlerts = coverageMode)
         val sec = (System.nanoTime() - t0) / 1e9
         val (consol, tail) =
           CopyDetectMaintenance.indexParts(spark, idx, t + 1)
@@ -95,15 +107,21 @@ object CopyStreamScale {
     // its full text with 99 replicas), so a driver-side collect of the
     // union is exactly the anti-pattern the engine bans
     def alertsOf(root: String) =
-      CopyDetectMaintenance.alerts(spark, s"$root/alerts")
-        .select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
+      if (coverageMode)
+        CopyDetectMaintenance.coverage(spark, s"$root/alerts")
+          .select("doc_id", "n_partners", "shared_total", "shared_max",
+            "lo", "hi")
+      else
+        CopyDetectMaintenance.alerts(spark, s"$root/alerts")
+          .select("a_id", "b_id", "shared", "a_lo", "a_hi", "b_lo", "b_hi")
     val a = alertsOf(offRoot)
     val b = alertsOf(onRoot)
     val aOnly = a.exceptAll(b).count()
     val bOnly = b.exceptAll(a).count()
     require(aOnly == 0 && bOnly == 0,
-      s"consolidated tenant diverged: $aOnly off-only / $bOnly on-only pairs")
-    println(s"[copystream] parity ok (${a.count()} alert pairs)")
+      s"consolidated tenant diverged: $aOnly off-only / $bOnly on-only rows")
+    println(s"[copystream] parity ok (${a.count()} alert rows, " +
+      s"mode=${if (coverageMode) "coverage" else "pairs"})")
     println(f"[copystream] totals: off=${off.sum}%.1f s, on=${on.sum}%.1f s; " +
       f"last-4-trigger mean: off=${off.takeRight(4).sum / 4}%.2f s, " +
       f"on=${on.takeRight(4).sum / 4}%.2f s")

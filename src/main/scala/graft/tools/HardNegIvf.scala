@@ -2,28 +2,54 @@ package graft.tools
 
 import graft.SparkEntry
 import graft.functions.{Ivf, VectorOps}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Measurement harness behind q230b's verdict thresholds: sweeps
-  * nprobe and reports, per setting, (a) the BAND RECALL of the
-  * persisted-IVF hard-negative leg against the exact band answer and
-  * (b) whether each anchor's unbanded index top-1 is its planted
-  * near-copy — then runs the gate itself and reports its verdict
-  * column. The numbers here justify the gate's ≥ 60% recall floor at
-  * nprobe = 10 (measured 84/76/84% across the three SFs); re-run per
-  * SF when the testdata regenerates. The plant/band construction is
-  * the GATE'S OWN (Media.hardNegInputs/hardNegBand) so the sweep can
-  * never desynchronize from what it prices; the scoring and ranking
-  * here are an independent recompute.
+/** Measurement harness behind q230b's verdict thresholds, two modes:
   *
-  * Usage: runMain graft.tools.HardNegIvf [sfDir]
+  * GATE MODE (copies = 1): sweeps nprobe at the gate's own nlist = 16
+  * and reports, per setting, (a) the BAND RECALL of the persisted-IVF
+  * hard-negative leg against the exact band answer and (b) whether
+  * each anchor's unbanded index top-1 is its planted near-copy — then
+  * runs the gate itself and reports its verdict column. The numbers
+  * here justify the gate's ≥ 60% recall floor at nprobe = 10 (measured
+  * 84/76/84% across the three SFs); re-run per SF when the testdata
+  * regenerates. The plant/band construction is the GATE'S OWN
+  * (Media.hardNegInputs/hardNegBand) so the sweep can never
+  * desynchronize from what it prices; the scoring and ranking here are
+  * an independent recompute.
+  *
+  * SCALED MODE (copies > 1): the PRODUCTION-NLIST curve the 100 TB
+  * mining claim rests on — replicates the embeddings `copies`× with
+  * disjoint id ranges (the GenScaledData recipe, offsets of 10^13 so
+  * replica ids can never collide with the gate's 10^12 plant reserve),
+  * then for each nlist in the sweep builds a persisted index and
+  * measures band recall against the exact band answer at probe
+  * fractions from 1/16 up to 5/8 of the cells. Exact replicas double
+  * as the ceiling check: every anchor has `copies − 1` exact copies at
+  * sim 1.0 that the band must exclude and the unbanded top-1 must
+  * surface. Anchors are replica-0's lowest `nAnchors` ids (more than
+  * the gate's 5, for smoother recall statistics); recall is reported
+  * at the gate's k = 5 and at k = 50 (diagnostic — the k = 5 answer on
+  * a replicated corpus collapses to few distinct source rows, so the
+  * wider k smooths the curve). The headline question it answers:
+  * at which (nlist, nprobe) does band recall ≥ 60% hold while probing
+  * ≤ 25% of the cells? Findings land in SCALE.md; q230b's verdict
+  * thresholds cite them.
+  *
+  * Usage: runMain graft.tools.HardNegIvf [sfDir] [copies]
+  *          [nlists csv, default 16,64,256] [nAnchors, default 20]
   */
 object HardNegIvf {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val copies = if (args.length > 1) args(1).toInt else 1
+    val nlists = (if (args.length > 2) args(2) else "16,64,256")
+      .split(",").map(_.trim.toInt).toSeq
+    val nAnchors = if (args.length > 3) args(3).toInt else 20
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      if (copies > 1) "32" else "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
@@ -32,7 +58,13 @@ object HardNegIvf {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (copies > 1) scaled(spark, sfDir, copies, nlists, nAnchors)
+    else gateMode(spark, sfDir)
+    spark.stop()
+  }
 
+  /** The original gate-parameter sweep (nlist 16, the gate's plant). */
+  private def gateMode(spark: SparkSession, sfDir: String): Unit = {
     // the gate's own plant/band construction (shared, cannot drift);
     // scoring and ranking below are an independent recompute
     val off = graft.queries.Media.PlantedIdOffset
@@ -89,6 +121,89 @@ object HardNegIvf {
       .collect()
     println(s"[hardneg] q230b: ${rows.length} rows, recall_ok=" +
       s"${rows.headOption.map(_.getAs[Long]("recall_ok"))}")
-    spark.stop()
+  }
+
+  /** Production-nlist sweep over a replicated corpus. */
+  private def scaled(spark: SparkSession, sfDir: String, copies: Int,
+                     nlists: Seq[Int], nAnchors: Int): Unit = {
+    val OFF = 10000000000000L // 10^13: clear of the 10^12 plant reserve
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val corpus = (0 until copies).map(i =>
+        e.select((col("vec_id") + lit(i.toLong * OFF)).as("vec_id"),
+          col("v")))
+      .reduce(_ unionByName _)
+      .filter(!(col("vec_id") < nAnchors)) // replica-0 anchors stay out
+      .localCheckpoint()
+    val q = e.filter(col("vec_id") < nAnchors)
+      .select(col("vec_id").as("q_id"), col("v").as("qe"))
+      .localCheckpoint()
+    val n = corpus.count()
+    println(s"[hardneg-scaled] corpus: $n vectors ($copies × $sfDir), " +
+      s"${q.count()} anchors, nlists ${nlists.mkString("/")}")
+
+    val band = graft.queries.Media.hardNegBand
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("simd").desc, col("b_id"))
+    val qb = broadcast(q.withColumn("qn", VectorOps.l2(col("qe"))))
+    val scored = corpus.crossJoin(qb)
+      .select(col("q_id"), col("vec_id").as("b_id"),
+        round(VectorOps.dot(col("v"), col("qe")) /
+          (VectorOps.l2(col("v")) * col("qn")), 4)
+          .cast(graft.Norm.Dec94).as("simd"))
+    val exact = band(scored).withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 50)
+      .select("q_id", "b_id", "rn").localCheckpoint()
+    val total5 = exact.filter(col("rn") <= 5).count()
+    val total50 = exact.count()
+
+    nlists.foreach { nlist =>
+      val path = s"/tmp/graft_hardneg_scaled/nlist$nlist"
+      val t0 = System.nanoTime()
+      Ivf.writeIndex(corpus, "vec_id", "v", nlist, path,
+        iters = 2, sampleMod = 7)
+      println(f"[hardneg-scaled] nlist=$nlist build: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val centroids = Ivf.readCentroids(spark, path)
+      // probe fractions from 1/16 to 5/8 of the cells
+      val nprobes = Seq(1, 2, 3, 4, 6, 10).map(s => nlist * s / 16)
+        .map(math.max(_, 1)).distinct.filter(_ <= nlist)
+      nprobes.foreach { nprobe =>
+        val probed = broadcast(q.select(col("q_id"), col("qe"),
+          VectorOps.l2(col("qe")).as("qn"),
+          explode(Ivf.probeCells(Ivf.unit(col("qe")), centroids, nprobe))
+            .as("probe")))
+        val wanted = probed.select("probe").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val cand = spark.read.parquet(s"$path/cells")
+          .filter(col("cell").isin(wanted: _*))
+          .join(probed, col("cell") === col("probe"))
+          .select(col("q_id"), col("nn_id").as("b_id"),
+            round(VectorOps.dot(col("cv"), col("qe")) /
+              (col("cn") * col("qn")), 4)
+              .cast(graft.Norm.Dec94).as("simd"))
+          .localCheckpoint()
+        val ivfBand = band(cand)
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= 50)
+          .select(col("q_id"), col("b_id"), col("rn").as("ivf_rn"))
+        val hits5 = exact.filter(col("rn") <= 5)
+          .join(ivfBand.filter(col("ivf_rn") <= 5),
+            Seq("q_id", "b_id"), "leftsemi").count()
+        val hits50 = exact
+          .join(ivfBand, Seq("q_id", "b_id"), "leftsemi").count()
+        // ceiling on the replicated corpus: the unbanded top-1 must be
+        // an exact copy of the anchor (sim 1.0) — and the band excluded
+        // every such copy by construction
+        val copyTop = cand
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .filter(col("simd") >= lit(BigDecimal("0.9999"))).count()
+        val frac = 100.0 * nprobe / nlist
+        println(f"[hardneg-scaled] nlist=$nlist nprobe=$nprobe " +
+          f"($frac%.0f%% cells): recall@5 $hits5/$total5 " +
+          f"(${100.0 * hits5 / math.max(total5, 1)}%.1f%%), recall@50 " +
+          f"$hits50/$total50 (${100.0 * hits50 / math.max(total50, 1)}%.1f%%), " +
+          s"exact-copy top-1 $copyTop/${q.count()}")
+      }
+    }
   }
 }

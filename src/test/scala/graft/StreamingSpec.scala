@@ -1995,6 +1995,90 @@ class StreamingSpec extends SparkTestBase {
       s"alert dir schema drifted from the contract: $written vs $contract")
   }
 
+  test("coverage alert mode: per-document rollup parity with the pair mode across fold boundaries; the write is bounded by the batch; forget drops exactly the victim's coverage rows") {
+    import graft.streaming.CopyDetectMaintenance
+    val docs = graft.queries.Text.plantedCopyDocs(spark, sf).localCheckpoint()
+    val rootA = tmpDir("cov_pairs")
+    val rootB = tmpDir("cov_agg")
+    (0 until 4).foreach { i =>
+      val b = docs.filter(col("doc_id") % 4 === i)
+      CopyDetectMaintenance.update(s"$rootA/index", s"$rootA/alerts", b,
+        i.toLong, idCol = "doc_id", textCol = "t", consolidateAfter = 1)
+      CopyDetectMaintenance.update(s"$rootB/index", s"$rootB/alerts", b,
+        i.toLong, idCol = "doc_id", textCol = "t", consolidateAfter = 1,
+        aggregateAlerts = true)
+    }
+
+    // PARITY: coverage == an independent per-batch rollup of the raw
+    // pair mode, credited to each doc's own trigger (doc_id % 4 is the
+    // batch assignment above) — including across the fold boundary
+    // both tenants crossed (consolidateAfter = 1)
+    val pairs = CopyDetectMaintenance.alerts(spark, s"$rootA/alerts")
+      .localCheckpoint()
+    assert(pairs.count() > 0, "planted corpus produced no pairs — vacuous")
+    val sideA = pairs.select(col("a_id").as("doc_id"),
+      col("b_id").as("partner"), col("shared"),
+      col("a_lo").as("lo"), col("a_hi").as("hi"), col("batch_id"))
+    val sideB = pairs.select(col("b_id").as("doc_id"),
+      col("a_id").as("partner"), col("shared"),
+      col("b_lo").as("lo"), col("b_hi").as("hi"), col("batch_id"))
+    val want = sideA.unionByName(sideB)
+      .filter(col("doc_id") % 4 === col("batch_id"))
+      .groupBy("doc_id", "batch_id")
+      .agg(countDistinct(col("partner")).as("n_partners"),
+        sum(col("shared")).as("shared_total"),
+        max(col("shared")).as("shared_max"),
+        min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .select("doc_id", "n_partners", "shared_total", "shared_max",
+        "lo", "hi", "batch_id")
+      .collect().map(_.toString).toSet
+    def covRows(): Set[String] =
+      CopyDetectMaintenance.coverage(spark, s"$rootB/alerts")
+        .select("doc_id", "n_partners", "shared_total", "shared_max",
+          "lo", "hi", "batch_id")
+        .collect().map(_.toString).toSet
+    val got = covRows()
+    assert(got === want,
+      s"coverage diverged from the pair rollup: missing=${want -- got} extra=${got -- want}")
+
+    // BOUNDED WRITE: per trigger, coverage rows ≤ that batch's docs —
+    // the whole point on replica-heavy corpora where pairs are
+    // quadratic (and never more rows than the pair mode emitted)
+    val perBatch = CopyDetectMaintenance.coverage(spark, s"$rootB/alerts")
+      .groupBy("batch_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0 until 4).foreach { i =>
+      val batchDocs = docs.filter(col("doc_id") % 4 === i).count()
+      assert(perBatch.getOrElse(i.toLong, 0L) <= batchDocs,
+        s"trigger $i wrote ${perBatch.get(i.toLong)} coverage rows for $batchDocs docs")
+    }
+    assert(got.size <= pairs.count() * 2,
+      "coverage emitted more rows than the raw relation could justify")
+
+    // LAYOUT-DRIFT refusal: the mode is a persisted per-tenant
+    // constant — a mis-matched reader or updater must fail loudly,
+    // never read silent nulls through the wrong schema
+    intercept[IllegalArgumentException](
+      CopyDetectMaintenance.alerts(spark, s"$rootB/alerts"))
+    intercept[IllegalArgumentException](
+      CopyDetectMaintenance.coverage(spark, s"$rootA/alerts"))
+    intercept[IllegalArgumentException](
+      CopyDetectMaintenance.update(s"$rootB/index", s"$rootB/alerts",
+        docs.filter(col("doc_id") % 4 === 0), 4L,
+        idCol = "doc_id", textCol = "t")) // pairs update on a coverage tenant
+
+    // FORGET (coverage layout, resolved from the tenant's own marker):
+    // the victim's rows are its whole per-document footprint — partner
+    // ids are not stored
+    val victim = CopyDetectMaintenance.coverage(spark, s"$rootB/alerts")
+      .select("doc_id").first().getLong(0)
+    CopyDetectMaintenance.forget(spark, s"$rootB/index", s"$rootB/alerts",
+      Seq(victim))
+    val after = covRows()
+    assert(after === got.filterNot(_.startsWith(s"[$victim,")),
+      "coverage forget changed rows beyond the victim's")
+  }
+
   test("streaming IVF ingest: appended vectors serve identically to an inline scan under the same frozen centroids; a planted arrival is retrievable; a retried batch changes nothing; a distribution-shifted batch flags retrain_due") {
     import graft.functions.Ivf
     import graft.streaming.IvfIngestMaintenance
