@@ -188,7 +188,14 @@ object Media {
     //      search (q48b's 10/10 @ nprobe 4 — ANN flatters near-copies,
     //      not mid-band rows); nprobe = 10 gives the floor ≥ 16 points
     //      of margin at every SF while still pruning 6/16 of the
-    //      directories per anchor; and
+    //      directories per anchor. nprobe 10/16 is the GATE-SF
+    //      operating point (500–2,000 vectors; 256 cells would hold
+    //      ~2 rows each): at PRODUCTION nlist the same floor holds
+    //      while genuinely pruning — measured on the 100× corpus
+    //      (SCALE.md "IVF hard-negative mining at production nlist"),
+    //      band recall at 25% of cells climbs 65→80→90% as nlist grows
+    //      16→64→256, and nlist=256 meets the 60% floor probing 6% —
+    //      cell granularity, not probe count, is the scale lever; and
     //      (b) the ceiling stays non-vacuous ON THE INDEX: each
     //      anchor's UNBANDED top-1 over its probed cells must be its
     //      planted near-copy — the index provably surfaces the copy,

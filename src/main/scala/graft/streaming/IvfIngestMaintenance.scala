@@ -201,15 +201,23 @@ object IvfIngestMaintenance {
     // void: keeping them would hard-wire a permanent recall miss —
     // the monitor would flag retrain_due forever, and retrain carries
     // the probe set over while the row stays absent from the live
-    // corpus, so the alarm could never clear
+    // corpus, so the alarm could never clear. The rewrite goes through
+    // the FLAT swap protocol (a bare overwrite deletes the only copy
+    // before the replacement commits — a crash there would silently
+    // retire the whole recall monitor); the common no-victim-probes
+    // forget never touches the set at all (forgetFlat's own scan),
+    // and a set whose EVERY probe voids retires by whole-dir delete
+    // (any partial remainder of that delete holds only void probes,
+    // so a retry re-retires — crash-safe without the swap).
     val probeP = new org.apache.hadoop.fs.Path(s"$indexDir/probe_set")
     val pfs = probeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (pfs.exists(probeP)) {
-      val kept = spark.read.parquet(probeP.toString)
-        .filter(!col("expect_id").isin(ids: _*))
-        .localCheckpoint() // pinned before its own dir overwrites
-      if (kept.isEmpty) pfs.delete(probeP, true) // recall leg retires
-      else kept.coalesce(1).write.mode("overwrite").parquet(probeP.toString)
+      val voided = col("expect_id").isin(ids: _*)
+      val all = spark.read.parquet(probeP.toString)
+      if (!all.filter(voided).isEmpty) {
+        if (all.filter(!voided).isEmpty) pfs.delete(probeP, true)
+        else IndexForget.forgetFlat(spark, probeP.toString, voided): Unit
+      }
     }
     IndexForget.unfence(spark, indexDir)
   }
@@ -357,6 +365,9 @@ object IvfIngestMaintenance {
   def recallReport(spark: SparkSession, indexDir: String, k: Int = 10,
                    nprobe: Int = 4): DataFrame = {
     import spark.implicits._
+    // a probe-set swap a forget() died on must fail the monitor loudly
+    // (cheap: one exists at monitor cadence; heal = re-run forget)
+    graft.operators.IndexForget.assertCleanFlat(spark, s"$indexDir/probe_set")
     val probes = spark.read.parquet(s"$indexDir/probe_set")
       .select("probe_id", "qv", "expect_id").collect()
     require(probes.nonEmpty,
@@ -381,6 +392,11 @@ object IvfIngestMaintenance {
                         recallFloor: Double = 0.7, k: Int = 10,
                         nprobe: Int = 4): DataFrame = {
     import spark.implicits._
+    // a torn tenant forget must fail the monitor loudly — in that
+    // state probe_set may be legitimately mid-swap (or retired to
+    // trash), and "absent" must not silently read as "no probes"
+    graft.operators.IndexForget.assertClean(spark, indexDir)
+    graft.operators.IndexForget.assertCleanFlat(spark, s"$indexDir/probe_set")
     val fitDue = driftReport(spark, indexDir, tolerance)
       .filter(col("retrain_due")).limit(1).count() > 0
     // the recall leg retires when no probe set exists (none written,

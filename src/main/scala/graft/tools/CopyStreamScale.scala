@@ -60,12 +60,9 @@ object CopyStreamScale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val OFF = 1000000000000L
-    val base = Tables.documents(spark, srcDir).select("doc_id", "text")
-    val docs = (0 until copies).map(i =>
-        base.select((col("doc_id") + lit(i.toLong * OFF)).as("doc_id"),
-          col("text")))
-      .reduce(_ unionByName _)
+    val docs = Replicate.stripe(
+        Tables.documents(spark, srcDir).select("doc_id", "text"),
+        Seq("doc_id"), copies)
       .localCheckpoint()
     val nDocs = docs.count()
     println(s"[copystream] corpus: $nDocs docs ($copies × $srcDir), " +

@@ -60,19 +60,16 @@ object ForgetScale {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val OFF = 10000000000000L
-    val docsBase = Tables.documents(spark, sfDir).select("doc_id", "text")
-    val docs = (0 until copies).map(i =>
-        docsBase.select((col("doc_id") + lit(i.toLong * OFF)).as("doc_id"),
-          col("text")))
-      .reduce(_ unionByName _).localCheckpoint()
+    val docs = Replicate.stripe(
+        Tables.documents(spark, sfDir).select("doc_id", "text"),
+        Seq("doc_id"), copies)
+      .localCheckpoint()
     val nDocs = docs.count()
-    val eBase = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val vecs = (0 until copies).map(i =>
-        eBase.select((col("vec_id") + lit(i.toLong * OFF)).as("vec_id"),
-          col("v")))
-      .reduce(_ unionByName _).localCheckpoint()
+    val vecs = Replicate.stripe(
+        Tables.embeddings(spark, sfDir).select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")),
+        Seq("vec_id"), copies)
+      .localCheckpoint()
     val nVecs = vecs.count()
     println(s"[forgetscale] corpus: $nDocs docs / $nVecs vectors " +
       s"($copies × $sfDir), P=$p, nlist=$nlist")
@@ -101,25 +98,31 @@ object ForgetScale {
       .getOrElse(col(idCol) === 7L)
 
     tiers.foreach { case (label, modulus) =>
+      // per-family guards: an id space with no victims at this tier
+      // skips ITS leg only (IndexForget refuses an empty batch loudly)
       val docVictims = docs.filter(tierPred("doc_id", modulus))
         .select("doc_id").collect().map(_.getLong(0)).toSeq
       val vecVictims = vecs.filter(tierPred("vec_id", modulus))
         .select("vec_id").collect().map(_.getLong(0)).toSeq
-      if (docVictims.isEmpty && vecVictims.isEmpty)
-        println(s"[forgetscale] tier $label: no victims here, skipped")
-      else {
-        val (rewrote, cSec) =
-          timed(CopyIndex.forget(spark, cDir, docVictims, p))
-        val (cells, iSec) = timed(Ivf.forget(spark, iDir, vecVictims))
-        println(f"[forgetscale] tier $label (${docVictims.size}%,d doc / " +
-          f"${vecVictims.size}%,d vec ids): " +
+      val copyLine =
+        if (docVictims.isEmpty) "copy index skipped (no doc victims)"
+        else {
+          val (rewrote, cSec) =
+            timed(CopyIndex.forget(spark, cDir, docVictims, p))
           f"copy index ${rewrote.size}/$p buckets " +
-          f"(${100.0 * rewrote.size / p}%.1f%%) in $cSec%.1f s; " +
+            f"(${100.0 * rewrote.size / p}%.1f%%) in $cSec%.1f s"
+        }
+      val ivfLine =
+        if (vecVictims.isEmpty) "IVF skipped (no vec victims)"
+        else {
+          val (cells, iSec) = timed(Ivf.forget(spark, iDir, vecVictims))
           f"IVF ${cells.size}/$nlist cells " +
-          f"(${100.0 * cells.size / nlist}%.1f%%) in $iSec%.1f s " +
-          f"(IVF bound min(|batch|, nlist) = " +
-          f"${math.min(vecVictims.size, nlist)})")
-      }
+            f"(${100.0 * cells.size / nlist}%.1f%%) in $iSec%.1f s " +
+            f"(bound min(|batch|, nlist) = " +
+            f"${math.min(vecVictims.size, nlist)})"
+        }
+      println(f"[forgetscale] tier $label (${docVictims.size}%,d doc / " +
+        f"${vecVictims.size}%,d vec ids): $copyLine; $ivfLine")
     }
 
     // flat contrast: one id already costs the full rewrite

@@ -126,13 +126,9 @@ object HardNegIvf {
   /** Production-nlist sweep over a replicated corpus. */
   private def scaled(spark: SparkSession, sfDir: String, copies: Int,
                      nlists: Seq[Int], nAnchors: Int): Unit = {
-    val OFF = 10000000000000L // 10^13: clear of the 10^12 plant reserve
     val e = graft.Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val corpus = (0 until copies).map(i =>
-        e.select((col("vec_id") + lit(i.toLong * OFF)).as("vec_id"),
-          col("v")))
-      .reduce(_ unionByName _)
+    val corpus = Replicate.stripe(e, Seq("vec_id"), copies)
       .filter(!(col("vec_id") < nAnchors)) // replica-0 anchors stay out
       .localCheckpoint()
     val q = e.filter(col("vec_id") < nAnchors)

@@ -2353,22 +2353,28 @@ class StreamingSpec extends SparkTestBase {
       sampleMod = 7)
     IvfIngestMaintenance.writeBaseline(spark, idx)
 
-    // plant: the probe is a near-copy of the corpus vector with the
+    // plant: probe 1 is a near-copy of the corpus vector with the
     // HIGHEST assignment fit (so the crowding batch below — copies of
     // the probe — inherits a fit comfortably above the baseline, and
-    // the fit leg provably stays quiet)
+    // the fit leg provably stays quiet); probe 2 near-copies the
+    // second-best row (it rides along untouched by the crowding, and
+    // gives the forget lifecycle below a SURVIVOR for the swap branch)
     val cents = Ivf.readCentroids(spark, idx)
     val cdf = broadcast(cents.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cell", "cvec"))
-    val best = spark.read.parquet(s"$idx/cells").join(cdf, "cell")
+    val best2 = spark.read.parquet(s"$idx/cells").join(cdf, "cell")
       .select(col("nn_id"), col("cv"),
         VectorOps.dot(Ivf.unit(col("cv")), col("cvec")).as("fit"))
-      .orderBy(col("fit").desc).first()
-    val expectId = best.getLong(0)
-    val qv = best.getSeq[Double](1).toSeq.updated(0,
-      best.getSeq[Double](1).head + 0.01)
+      .orderBy(col("fit").desc).limit(2).collect()
+    val expectId = best2(0).getLong(0)
+    val expectId2 = best2(1).getLong(0)
+    def nudge(r: org.apache.spark.sql.Row): Seq[Double] =
+      r.getSeq[Double](1).toSeq.updated(0, r.getSeq[Double](1).head + 0.01)
+    val qv = nudge(best2(0))
+    val qv2 = nudge(best2(1))
     IvfIngestMaintenance.writeProbeSet(spark, idx,
-      Seq((1L, qv, expectId)).toDF("probe_id", "qv", "expect_id"))
+      Seq((1L, qv, expectId), (2L, qv2, expectId2))
+        .toDF("probe_id", "qv", "expect_id"))
 
     // an in-distribution batch first: both legs healthy
     IvfIngestMaintenance.update(idx,
@@ -2391,9 +2397,44 @@ class StreamingSpec extends SparkTestBase {
     val m1 = IvfIngestMaintenance.maintenanceReport(spark, idx).first()
     assert(!m1.getAs[Boolean]("fit_due"),
       s"fit flagged — the crowding batch was supposed to be in-distribution: $m1")
-    assert(m1.getAs[Double]("recall") === 0.0,
-      s"crowding did not displace the planted answer: $m1")
+    assert(m1.getAs[Double]("recall") === 0.5,
+      s"crowding did not displace exactly probe 1's planted answer: $m1")
     assert(m1.getAs[Boolean]("recall_due") && m1.getAs[Boolean]("retrain_due"),
       s"recall collapse did not raise retrain_due: $m1")
+
+    // PROBE-VOIDING lifecycle on forget:
+    // (a) deleting an ordinary vector leaves the probe set's exact
+    //     files untouched — no rewrite, no crash window paid for a
+    //     no-op;
+    val pfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def probeFiles(): Set[String] = pfs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$idx/probe_set"))
+      .map(_.getPath.getName).toSet
+    val filesBefore = probeFiles()
+    IvfIngestMaintenance.forget(spark, idx, Seq(8000000L)) // one crowd row
+    assert(probeFiles() === filesBefore,
+      "a forget with no probe victims rewrote the probe set")
+    // (b) forgetting probe 1's GROUND-TRUTH row voids that probe
+    //     through the flat swap (probe 2 survives) — the alarm clears
+    //     instead of hard-wiring a permanent miss;
+    IvfIngestMaintenance.forget(spark, idx, Seq(expectId))
+    val probesLeft = spark.read.parquet(s"$idx/probe_set")
+      .select("probe_id").collect().map(_.getLong(0)).toSeq
+    assert(probesLeft === Seq(2L),
+      s"voiding did not keep exactly the survivor probe: $probesLeft")
+    val m2 = IvfIngestMaintenance.maintenanceReport(spark, idx).first()
+    assert(m2.getAs[Double]("recall") === 1.0 &&
+        !m2.getAs[Boolean]("retrain_due"),
+      s"surviving probe should hit and clear the alarm: $m2")
+    // (c) forgetting the last ground-truth row retires the set —
+    //     the recall leg reports null, never a phantom verdict
+    IvfIngestMaintenance.forget(spark, idx, Seq(expectId2))
+    assert(!pfs.exists(new org.apache.hadoop.fs.Path(s"$idx/probe_set")),
+      "an all-voided probe set did not retire")
+    val m3 = IvfIngestMaintenance.maintenanceReport(spark, idx).first()
+    assert(m3.isNullAt(m3.fieldIndex("recall")) &&
+        !m3.getAs[Boolean]("recall_due") && !m3.getAs[Boolean]("retrain_due"),
+      s"retired probe set did not null the recall leg: $m3")
   }
 }
