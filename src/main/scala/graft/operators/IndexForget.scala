@@ -211,12 +211,7 @@ object IndexForget {
     val tmp = new Path(parent, p.getName + ".forget_tmp")
     val trash = new Path(parent, p.getName + ".forget_trash")
     val marker = flatMarker(p)
-    // repair: a swap that died after retiring the live dir restores it
-    // (re-filtering is the re-run's job); uncommitted tmp always drops
-    if (!fs.exists(p) && fs.exists(trash))
-      require(fs.rename(trash, p), s"could not restore $path from trash")
-    fs.delete(trash, true)
-    fs.delete(tmp, true)
+    repairFlat(spark, path)
     require(fs.exists(p), s"no index at $path")
     val df = spark.read.parquet(p.toString)
     if (df.filter(victim).isEmpty) {
@@ -260,6 +255,25 @@ object IndexForget {
 
   private def flatMarker(p: Path): Path =
     new Path(p.getParent, p.getName + "._FORGET_INPROGRESS")
+
+  /** Heal the leftovers of a torn [[forgetFlat]] swap: a dir retired to
+    * its trash sibling restores (re-filtering is the re-run's job),
+    * uncommitted tmp drops. The marker does NOT clear here — only a
+    * victim re-scan proves the layout whole. PUBLIC because any caller
+    * that GUARDS its forgetFlat call (skip when the dir is absent or
+    * holds no victims) must heal FIRST: the guard would otherwise skip
+    * the only code path that repairs, stranding the trash/marker
+    * forever behind a heal instruction that provably does nothing. */
+  def repairFlat(spark: SparkSession, path: String): Unit = {
+    val (fs, p) = fsPath(spark, path)
+    val parent = p.getParent
+    val tmp = new Path(parent, p.getName + ".forget_tmp")
+    val trash = new Path(parent, p.getName + ".forget_trash")
+    if (!fs.exists(p) && fs.exists(trash))
+      require(fs.rename(trash, p), s"could not restore $path from trash")
+    fs.delete(trash, true)
+    fs.delete(tmp, true): Unit
+  }
 
   /** Heal the leftovers of a forget() that died mid-swap, window by
     * window: a trash dir whose original is missing restores (the swap

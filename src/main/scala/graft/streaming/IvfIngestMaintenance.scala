@@ -210,15 +210,40 @@ object IvfIngestMaintenance {
     // (any partial remainder of that delete holds only void probes,
     // so a retry re-retires — crash-safe without the swap).
     val probeP = new org.apache.hadoop.fs.Path(s"$indexDir/probe_set")
+    val probeMarker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/probe_set._FORGET_INPROGRESS")
     val pfs = probeP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // HEAL FIRST: a torn earlier swap may have retired the set to its
+    // trash sibling — a guard that skipped past it would strand the
+    // debris forever behind a heal instruction that does nothing (and
+    // a later retrain would silently drop the restored-able set)
+    IndexForget.repairFlat(spark, probeP.toString)
     if (pfs.exists(probeP)) {
-      val voided = col("expect_id").isin(ids: _*)
-      val all = spark.read.parquet(probeP.toString)
-      if (!all.filter(voided).isEmpty) {
-        if (all.filter(!voided).isEmpty) pfs.delete(probeP, true)
-        else IndexForget.forgetFlat(spark, probeP.toString, voided): Unit
+      // a torn RETIRE's remainder (fileless dir, or only void rows —
+      // the retire path deletes child-by-child) must re-retire, not
+      // crash schema inference on a footer-less dir
+      val hasData = pfs.listStatus(probeP).exists(f =>
+        f.isFile && f.getLen > 0 && f.getPath.getName.endsWith(".parquet"))
+      if (!hasData) {
+        pfs.delete(probeP, true)
+        pfs.delete(probeMarker, false): Unit
+      } else {
+        val voided = col("expect_id").isin(ids: _*)
+        val all = spark.read.parquet(probeP.toString)
+        if (!all.filter(voided).isEmpty && all.filter(!voided).isEmpty) {
+          // every probe voids — retire by whole-dir delete (any partial
+          // remainder holds only void rows, so a retry re-retires)
+          pfs.delete(probeP, true)
+          pfs.delete(probeMarker, false): Unit
+        } else
+          // some or no victims: forgetFlat owns every window (its
+          // no-victim path touches no files and clears a stale marker)
+          IndexForget.forgetFlat(spark, probeP.toString, voided): Unit
       }
-    }
+    } else
+      // no dir and no trash (repairFlat would have restored): a
+      // stranded marker has nothing left to fence
+      pfs.delete(probeMarker, false): Unit
     IndexForget.unfence(spark, indexDir)
   }
 
@@ -346,7 +371,16 @@ object IvfIngestMaintenance {
     * whose expect_id is deleted (a forgotten ground-truth row would
     * otherwise hard-wire a permanent recall miss) and retires the set
     * when none remain — [[maintenanceReport]] then reports a null
-    * recall, not a phantom verdict. */
+    * recall, not a phantom verdict.
+    *
+    * Honest limitation: a probe crowded out of top-k by GENUINELY
+    * closer arrivals (mass near-duplicates of the probe itself) keeps
+    * the flag up even after a retrain — from the index's vantage that
+    * is indistinguishable from recall decay, and the index is CORRECT
+    * to rank the closer rows first. That flag is still actionable
+    * (the crowd is semantic-dedup work upstream); operators who expect
+    * heavy legitimate densification near a probe should refresh the
+    * probe set at retrain time rather than expect it to self-clear. */
   def writeProbeSet(spark: SparkSession, indexDir: String,
                     probes: DataFrame, probeIdCol: String = "probe_id",
                     vecCol: String = "qv",
@@ -397,8 +431,14 @@ object IvfIngestMaintenance {
     // trash), and "absent" must not silently read as "no probes"
     graft.operators.IndexForget.assertClean(spark, indexDir)
     graft.operators.IndexForget.assertCleanFlat(spark, s"$indexDir/probe_set")
-    val fitDue = driftReport(spark, indexDir, tolerance)
-      .filter(col("retrain_due")).limit(1).count() > 0
+    // a FRESH version has no drift history yet (retrain starts with an
+    // empty batch tail) — the first thing an operator does after a
+    // retrain is check that the alarm cleared, and "no arrivals" must
+    // read as fit-quiet, not throw (driftReport itself still refuses:
+    // it exists to report rows)
+    val fitDue = CommittedDirs.list(spark, s"$indexDir/drift").nonEmpty &&
+      driftReport(spark, indexDir, tolerance)
+        .filter(col("retrain_due")).limit(1).count() > 0
     // the recall leg retires when no probe set exists (none written,
     // or every probe's ground-truth row was forgotten) — a null
     // recall, not a phantom verdict

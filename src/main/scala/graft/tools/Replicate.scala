@@ -17,9 +17,12 @@ private[tools] object Replicate {
   /** 10^13 — see object scaladoc for why not GenScaledData's 10^12. */
   val Stripe = 10000000000000L
 
-  def stripe(df: DataFrame, idCols: Seq[String], copies: Int): DataFrame =
+  def stripe(df: DataFrame, idCols: Seq[String], copies: Int): DataFrame = {
+    require(copies >= 1,
+      s"copies must be >= 1, got $copies — nothing to replicate")
     (0 until copies).map { i =>
       idCols.foldLeft(df)((d, c) =>
         d.withColumn(c, col(c) + lit(i.toLong * Stripe)))
     }.reduce(_ unionByName _)
+  }
 }

@@ -2338,6 +2338,13 @@ class StreamingSpec extends SparkTestBase {
     // reader that resolved v=0 before the rename finishes cleanly
     assert(fs.exists(new org.apache.hadoop.fs.Path(v0)),
       "old version retired immediately — in-flight readers would crash")
+    // the operator's first post-retrain act: confirm the alarm cleared.
+    // A fresh version has NO drift history yet — that must read as
+    // fit-quiet (no arrivals to flag), never throw
+    val mAfter = IvfIngestMaintenance.maintenanceReport(spark, v1).first()
+    assert(!mAfter.getAs[Boolean]("fit_due") &&
+        !mAfter.getAs[Boolean]("retrain_due"),
+      s"freshly retrained version still flags: $mAfter")
   }
 
   test("maintenance report: planted-probe recall catches hot-cell crowding that assignment fit cannot — fit holds, recall collapses, retrain_due still fires") {
@@ -2427,14 +2434,38 @@ class StreamingSpec extends SparkTestBase {
     assert(m2.getAs[Double]("recall") === 1.0 &&
         !m2.getAs[Boolean]("retrain_due"),
       s"surviving probe should hit and clear the alarm: $m2")
+    // (b2) TORN-SWAP heal: a crash that retired the set to trash (dir
+    //      missing, marker up) wedges the monitor LOUDLY; re-running
+    //      forget with the same ids — the documented heal — restores,
+    //      re-filters and clears, instead of a guard skipping past the
+    //      only repair path
+    val probeP = new org.apache.hadoop.fs.Path(s"$idx/probe_set")
+    val trashP = new org.apache.hadoop.fs.Path(s"$idx/probe_set.forget_trash")
+    val markerP = new org.apache.hadoop.fs.Path(
+      s"$idx/probe_set._FORGET_INPROGRESS")
+    assert(pfs.rename(probeP, trashP))
+    pfs.create(markerP, true).close()
+    intercept[IllegalArgumentException](
+      IvfIngestMaintenance.maintenanceReport(spark, idx))
+    IvfIngestMaintenance.forget(spark, idx, Seq(expectId)) // same-ids re-run
+    assert(pfs.exists(probeP) && !pfs.exists(trashP) && !pfs.exists(markerP),
+      "heal did not restore the probe set and clear the swap debris")
+    assert(IvfIngestMaintenance.maintenanceReport(spark, idx)
+        .first().getAs[Double]("recall") === 1.0,
+      "healed probe set lost the survivor probe")
     // (c) forgetting the last ground-truth row retires the set —
     //     the recall leg reports null, never a phantom verdict
     IvfIngestMaintenance.forget(spark, idx, Seq(expectId2))
-    assert(!pfs.exists(new org.apache.hadoop.fs.Path(s"$idx/probe_set")),
-      "an all-voided probe set did not retire")
+    assert(!pfs.exists(probeP), "an all-voided probe set did not retire")
     val m3 = IvfIngestMaintenance.maintenanceReport(spark, idx).first()
     assert(m3.isNullAt(m3.fieldIndex("recall")) &&
         !m3.getAs[Boolean]("recall_due") && !m3.getAs[Boolean]("retrain_due"),
       s"retired probe set did not null the recall leg: $m3")
+    // (c2) a torn RETIRE's fileless remainder re-retires instead of
+    //      crashing schema inference on a footer-less dir
+    pfs.mkdirs(probeP)
+    IvfIngestMaintenance.forget(spark, idx, Seq(expectId2))
+    assert(!pfs.exists(probeP),
+      "a fileless retire remainder was not re-retired")
   }
 }
