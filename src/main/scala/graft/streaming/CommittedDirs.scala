@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * [[DocIngest]], [[CopyDetectMaintenance]] and [[IvfIngestMaintenance]]
   * all resolve their batch-scoped sinks through here, so the protocol
   * cannot drift between tenants. */
-private[streaming] object CommittedDirs {
+private[graft] object CommittedDirs {
 
   /** A committed dir WITH its one child listing — the commit-marker
     * check, the deletion-fence check and the partition-subdir selection

@@ -32,7 +32,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     rides the child listing ([[CommittedDirs.ListedDir]]), never a
   *     second metadata round-trip.
   */
-private[streaming] object FoldProtocol {
+private[graft] object FoldProtocol {
 
   val ConsolPrefix = "consol_id="
 
