@@ -17,10 +17,6 @@ object GatedQuery {
       build: (SparkSession, String) => DataFrame): GatedQuery =
     GatedQuery(name, build, Some(sql.stripMargin.trim.replaceAll("\\s+", " ")))
 
-  def ungated(name: String)(
-      build: (SparkSession, String) => DataFrame): GatedQuery =
-    GatedQuery(name, build, None)
-
   /** Scratch directory for queries that exercise a PERSISTED index's
     * write→probe round trip (q40c, q48c): deterministic per (JVM, sf dir,
     * index name) — re-runs within a process overwrite their own files,

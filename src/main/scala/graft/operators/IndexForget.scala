@@ -74,9 +74,16 @@ object IndexForget {
     * rooted at `root`, rewriting only the partitions that hold victim
     * rows. Returns the rewritten partition values (empty = no victim
     * rows existed; nothing was touched). Idempotent: a re-run finds no
-    * victims and returns empty. */
+    * victims and returns empty.
+    *
+    * `holdFence` mirrors [[forgetWhere]]'s: a caller that FENCED this
+    * same root for a multi-step composition passes true, and none of
+    * the return paths below drop the root marker — without it, the
+    * no-victim early returns would silently clear the composition
+    * fence mid-forget (the caller's other steps are not done). */
   def forget(spark: SparkSession, root: String, partCol: String,
-             idCol: String, ids: Seq[Long]): Seq[String] = {
+             idCol: String, ids: Seq[Long],
+             holdFence: Boolean = false): Seq[String] = {
     require(ids.nonEmpty, "forget needs at least one id")
     val (fs, rootP) = fsPath(spark, root)
     require(fs.exists(rootP), s"no index at $root")
@@ -87,14 +94,14 @@ object IndexForget {
     // It clears on every return path below, once the re-filter proves
     // the index whole (or the rewrite completes).
     val torn = fs.exists(new Path(rootP, Marker))
-    repair(fs, rootP, keepMarker = torn)
+    repair(fs, rootP, keepMarker = holdFence || torn)
     // a FILELESS root (an empty batch's committed dir: markers only, no
     // partition dirs) holds zero rows — return before the victim scan,
     // whose schema inference would throw and strand any caller-held
     // fence (the streaming tenants iterate forget over batch dirs)
     if (!fs.listStatus(rootP).exists(st => st.isDirectory &&
         st.getPath.getName.startsWith(partCol + "="))) {
-      fs.delete(new Path(rootP, Marker), false)
+      if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
       return Nil
     }
     // batch-forget plan note: isin over thousands of ids is SAFE —
@@ -111,7 +118,7 @@ object IndexForget {
       .select(col(partCol).cast("string")).distinct()
       .collect().map(_.getString(0)).toSeq.sorted
     if (victims.isEmpty) {
-      fs.delete(new Path(rootP, Marker), false)
+      if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
       return Nil
     }
     touch(fs, new Path(rootP, Marker))
@@ -139,7 +146,7 @@ object IndexForget {
         fs.delete(trash, true)
       }
     }
-    fs.delete(new Path(rootP, Marker), false)
+    if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
     victims
   }
 

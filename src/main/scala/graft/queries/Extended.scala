@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GatedQuery, Tables}
-import graft.GatedQuery.{gated, ungated}
+import graft.GatedQuery.gated
 import graft.Norm._
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, IntegerType, StringType, StructField, StructType}

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GatedQuery, Tables}
-import graft.GatedQuery.{gated, ungated}
+import graft.GatedQuery.gated
 import graft.Norm._
 import graft.functions.VectorOps
 import graft.text.{Bpe, CopyIndex, Fuzzy, NearDup, Phrase, SimJoin, Spans, TextOps}

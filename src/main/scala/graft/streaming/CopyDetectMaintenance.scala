@@ -80,8 +80,13 @@ object CopyDetectMaintenance {
   // this tenant's whole layout config: the index folds commit via
   // CopyIndex's _FANOUT rename, the alert folds via job-commit _SUCCESS,
   // and both fence their own root for the composition forget
+  // batchMarker = _FANOUT too: writeIndex renames it into place AFTER
+  // the job commit, so a dir with only _SUCCESS is a torn write — the
+  // tail probe, the fold and the forget-time reap must all skip it
+  // (the stream retry overwrites it wholesale)
   private def indexFamily(indexDir: String): FoldProtocol.Family =
-    FoldProtocol.Family(indexDir, CopyIndex.FanoutMarker, Some(indexDir))
+    FoldProtocol.Family(indexDir, CopyIndex.FanoutMarker, Some(indexDir),
+      batchMarker = CopyIndex.FanoutMarker)
   private def alertFamily(alertDir: String): FoldProtocol.Family =
     FoldProtocol.Family(alertDir, "_SUCCESS", Some(alertDir))
 
@@ -138,6 +143,28 @@ object CopyDetectMaintenance {
             s"caller uses '${modeName(coverage)}' — the layout is a " +
             "per-tenant constant; fix the caller (or rebuild the tenant)")
       case None =>
+        // a PRE-MARKER root with history is a legacy PAIRS tenant (the
+        // marker ships with coverage mode — every tenant that ever ran
+        // with it has one, stamped before its first batch write). A
+        // caller resuming such a tenant with aggregateAlerts = true must
+        // fail HERE: stamping 'coverage' onto pair-schema history would
+        // make forget()'s doc_id predicate read nulls through the old
+        // pair files and delete nothing (a silent compliance no-op —
+        // the exact failure the marker exists to prevent) and coverage()
+        // would read garbage. Any batch_id=/consol_id= dir counts,
+        // committed or not: an uncommitted dir can only be legacy debris
+        // (post-marker tenants stamp before their first write).
+        if (coverage && fs.exists(root) &&
+            fs.listStatus(root).exists { s =>
+              val n = s.getPath.getName
+              s.isDirectory && (n.startsWith("batch_id=") ||
+                n.startsWith(FoldProtocol.ConsolPrefix))
+            })
+          throw new IllegalArgumentException(
+            s"alert dir $alertDir holds pre-marker (pairs-layout) " +
+              "history but the caller uses 'coverage' — the layout is a " +
+              "per-tenant constant; resume with aggregateAlerts = false " +
+              "or start a fresh tenant root for coverage mode")
         fs.mkdirs(root)
         // temp-then-rename: no reader can observe a half-written marker
         val tmp = new org.apache.hadoop.fs.Path(root, s".$ModeMarker.tmp")
@@ -360,9 +387,15 @@ object CopyDetectMaintenance {
     FoldProtocol.reapUncommitted(spark, alertFamily(alertDir))
     // EVERY committed consol dir, not just the newest: a fold's missed
     // cleanup can leave a shadowed-but-readable older consol holding
-    // the victim's rows — a compliance leak if skipped
+    // the victim's rows — a compliance leak if skipped. Batch dirs
+    // resolve by the family's OWN commit marker (_FANOUT): a torn
+    // writeIndex (job-committed but unrenamed) was just reaped above,
+    // and enumerating by _SUCCESS would hand CopyIndex.forget a dir
+    // whose verifyFanout throws with the fences up
     val idxDirs = FoldProtocol.consols(spark, indexFamily(indexDir))
-      .map(_.path) ++ CommittedDirs.list(spark, indexDir).map(_._2)
+      .map(_.path) ++
+      CommittedDirs.listDetailed(spark, indexDir,
+        marker = CopyIndex.FanoutMarker).map(_.path)
     idxDirs.foreach(d => CopyIndex.forget(spark, d.toString, ids, nBuckets))
     // coverage mode stores no partner ids — the victim's own rows are
     // the whole per-document footprint (surviving docs' counts are
@@ -397,8 +430,9 @@ object CopyDetectMaintenance {
     val consol = FoldProtocol.latestConsol(spark, fam)
     val horizon = consol.map(_.id).getOrElse(-1L)
     (consol.map(_.id),
-      CommittedDirs.list(spark, indexDir)
-        .map(_._1).filter(i => i > horizon && i < batchId).sorted)
+      CommittedDirs.listDetailed(spark, indexDir,
+          marker = CopyIndex.FanoutMarker)
+        .map(_.id).filter(i => i > horizon && i < batchId).sorted)
   }
 
   /** Bucket-pruned selections of everything COMMITTED BEFORE `batchId`

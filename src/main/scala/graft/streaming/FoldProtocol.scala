@@ -42,9 +42,17 @@ private[graft] object FoldProtocol {
     * writeIndex renames it last); `fenceRoot` is where the tenant's
     * COMPOSITION forget fence lives (checked before maintenance and
     * snapshots — it may differ from `root`, e.g. the IVF tenant fences
-    * the index root while batches fold under `root = index/batches`). */
+    * the index root while batches fold under `root = index/batches`);
+    * `batchMarker` is the BATCH dirs' commit point — `_SUCCESS` (job
+    * commit) for plain relations, but `_FANOUT` for the CopyIndex index
+    * family, whose writeIndex renames it into place AFTER the job
+    * commit: a crash in that window leaves a dir with `_SUCCESS` but no
+    * `_FANOUT`, and every consumer (probe tail, fold tail, forget-time
+    * reap) must agree it is NOT committed — the stream retry overwrites
+    * it wholesale. */
   final case class Family(root: String, consolMarker: String,
-                          fenceRoot: Option[String] = None)
+                          fenceRoot: Option[String] = None,
+                          batchMarker: String = "_SUCCESS")
 
   import CommittedDirs.ListedDir
 
@@ -66,7 +74,8 @@ private[graft] object FoldProtocol {
   /** Committed batch dirs beyond the horizon (with child listings). */
   def committedTail(spark: SparkSession, f: Family,
                     horizon: Long): Seq[ListedDir] =
-    CommittedDirs.listDetailed(spark, f.root).filter(_.id > horizon)
+    CommittedDirs.listDetailed(spark, f.root, marker = f.batchMarker)
+      .filter(_.id > horizon)
 
   /** Delete batch dirs at or below the committed horizon and consol
     * dirs below it — safe at any time: probes only read the LATEST
@@ -172,7 +181,7 @@ private[graft] object FoldProtocol {
       val n = s.getPath.getName
       s.isDirectory && (
         (n.startsWith("batch_id=") &&
-          !fs.exists(new Path(s.getPath, "_SUCCESS"))) ||
+          !fs.exists(new Path(s.getPath, f.batchMarker))) ||
           (n.startsWith(ConsolPrefix) &&
             !fs.exists(new Path(s.getPath, f.consolMarker))))
     }.map { s =>

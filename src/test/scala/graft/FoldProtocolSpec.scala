@@ -144,4 +144,36 @@ class FoldProtocolSpec extends SparkTestBase {
     assert(CommittedDirs.list(spark, root).map(_._1) === Seq(3L))
     assert(rows(root) === (0L to 3L), "reap changed committed content")
   }
+
+  test("family batchMarker: a _FANOUT family's batch dir with only _SUCCESS is torn — invisible to the committed tail, reaped by reapUncommitted; a dir with both markers survives") {
+    // the CopyIndex index-family shape: writeIndex renames _FANOUT into
+    // place AFTER the job commit, so _SUCCESS-but-no-_FANOUT is a crash
+    // window, not a committed batch — a reap that judged by _SUCCESS
+    // would skip the victim-bearing debris and the tenant forget would
+    // then throw in verifyFanout with the fences up (round-15 ADVICE)
+    val root = Files.createTempDirectory("foldproto_fanout").toString
+    val fanoutFam = FoldProtocol.Family(root, "_FANOUT", Some(root),
+      batchMarker = "_FANOUT")
+    val f = fsOf(root)
+    writeBatch(root, 0L, Seq(0L)) // job commit wrote _SUCCESS …
+    f.create(new Path(s"$root/batch_id=0", "_FANOUT"), true).close() // … + rename
+    writeBatch(root, 1L, Seq(1L)) // torn: _SUCCESS only, no _FANOUT
+
+    assert(FoldProtocol.committedTail(spark, fanoutFam, -1L)
+      .map(_.id) === Seq(0L),
+      "a _SUCCESS-only dir counted as committed under a _FANOUT family")
+    val reaped = FoldProtocol.reapUncommitted(spark, fanoutFam)
+      .map(_.getName)
+    assert(reaped === Seq("batch_id=1"),
+      s"reap under batchMarker judged the wrong dirs: $reaped")
+    assert(f.exists(new Path(s"$root/batch_id=0")),
+      "reap deleted a fully-committed (_SUCCESS + _FANOUT) dir")
+
+    // the default family is unchanged: _SUCCESS alone still commits
+    val plain = Files.createTempDirectory("foldproto_plain").toString
+    writeBatch(plain, 0L, Seq(0L))
+    assert(FoldProtocol.committedTail(spark, fam(plain), -1L)
+      .map(_.id) === Seq(0L))
+    assert(FoldProtocol.reapUncommitted(spark, fam(plain)).isEmpty)
+  }
 }

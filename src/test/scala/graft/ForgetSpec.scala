@@ -424,10 +424,12 @@ class ForgetSpec extends SparkTestBase {
         idCol = "doc_id", textCol = "text", consolidateAfter = 0)
     }
     val f = fs(root)
-    // debris: an unmarked batch dir (crashed trigger) and a torn fold
-    // (no _FANOUT) — both still carry doc 0's selections on disk
+    // debris: a torn batch writeIndex (job-committed _SUCCESS present
+    // but the _FANOUT rename never ran — the index family's REAL commit
+    // point, round-15 ADVICE) and a torn fold (no _FANOUT) — both still
+    // carry doc 0's selections on disk
     cloneWithout(f, new Path(idx, "batch_id=0"),
-      new Path(idx, "batch_id=9"), Set("_SUCCESS"))
+      new Path(idx, "batch_id=9"), Set("_FANOUT"))
     cloneWithout(f, new Path(idx, "batch_id=0"),
       new Path(idx, "consol_id=5"), Set("_SUCCESS", "_FANOUT"))
     cloneWithout(f, new Path(alertDir, "batch_id=0"),

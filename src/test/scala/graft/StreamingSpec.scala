@@ -2077,6 +2077,30 @@ class StreamingSpec extends SparkTestBase {
     val after = covRows()
     assert(after === got.filterNot(_.startsWith(s"[$victim,")),
       "coverage forget changed rows beyond the victim's")
+
+    // LEGACY-RESUME refusal: a pre-marker alert root (pairs layout by
+    // definition — every coverage tenant stamps before its first write)
+    // must REFUSE a coverage resume instead of stamping 'coverage' onto
+    // pair-schema history, after which forget()'s doc_id predicate
+    // would read nulls through the old pair files and delete nothing
+    val fsA = new org.apache.hadoop.fs.Path(s"$rootA/alerts")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fsA.delete(new org.apache.hadoop.fs.Path(s"$rootA/alerts/_ALERT_MODE"),
+      false)
+    intercept[IllegalArgumentException](
+      CopyDetectMaintenance.update(s"$rootA/index", s"$rootA/alerts",
+        docs.filter(col("doc_id") % 4 === 0), 4L,
+        idCol = "doc_id", textCol = "t", aggregateAlerts = true))
+    assert(!fsA.exists(
+      new org.apache.hadoop.fs.Path(s"$rootA/alerts/_ALERT_MODE")),
+      "the refused coverage resume stamped a mode marker anyway")
+    // resuming as PAIRS is the legal path: it re-stamps 'pairs' and the
+    // tenant keeps serving
+    CopyDetectMaintenance.update(s"$rootA/index", s"$rootA/alerts",
+      docs.filter(col("doc_id") % 4 === 0), 4L,
+      idCol = "doc_id", textCol = "t")
+    assert(CopyDetectMaintenance.alerts(spark, s"$rootA/alerts")
+      .count() >= pairs.count(), "the pairs resume lost alert history")
   }
 
   test("streaming IVF ingest: appended vectors serve identically to an inline scan under the same frozen centroids; a planted arrival is retrievable; a retried batch changes nothing; a distribution-shifted batch flags retrain_due") {
