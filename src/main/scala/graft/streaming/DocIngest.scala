@@ -31,8 +31,54 @@ import org.apache.spark.sql.types._
   * watermark state is bounded by the lateness horizon. The sink writes
   * batch-scoped overwrite dirs: exactly-once contents under at-least-once
   * micro-batch retries, compactable by ArchiveCompaction like the CDC
-  * archive. */
+  * archive.
+  *
+  * RETENTION — the near-dup signature index self-consolidates on the
+  * shared [[FoldProtocol]] (the CopyDetectMaintenance cadence): batch
+  * N's trigger folds the committed `batch_id=` tail into ONE
+  * `consol_id=H` dir once it exceeds `consolidateAfter`, so the probe's
+  * per-trigger listing is bounded by the threshold, not the stream's
+  * age — without it the index read listed EVERY dir ever committed,
+  * O(triggers) metadata per trigger. The corpus and rejects sinks
+  * accrete `batch_id=` dirs too; they have no per-trigger read path, so
+  * their compaction stays an operator action (ArchiveCompaction, same
+  * as the CDC archive — DocIngestSpec pins split pruning surviving it).
+  *
+  * FORGET — [[forget]] deletes a document's whole per-tenant footprint:
+  * corpus rows (split-partition rewrites per batch dir), audit rows in
+  * the rejects and near-dup-rejects sinks, and its signature rows in
+  * every committed index dir, under a composition fence per root.
+  * DLQ retention stance: the error sink holds raw UNPARSEABLE lines —
+  * rows that never became documents and carry no reliably extractable
+  * doc_id (that is what made them corrupt) — so id-keyed forget cannot
+  * apply; bound it with time-based whole-dir expiry instead. */
 object DocIngest {
+
+  /** Fold threshold for the near-dup signature index — same sizing
+    * argument as [[CopyDetectMaintenance.DefaultConsolidateAfter]]. */
+  val DefaultConsolidateAfter = 16
+
+  // the signature index is a plain flat relation: job-commit _SUCCESS
+  // is both the batch dirs' and the folds' commit point; the tenant's
+  // composition forget fence lives at the index root
+  private def indexFamily(idx: String): FoldProtocol.Family =
+    FoldProtocol.Family(idx, "_SUCCESS", Some(idx))
+
+  /** The signature relation's fixed schema — the layout CONTRACT for
+    * every index dir (the [[NearDup.signatureRelation]] shape). Reads
+    * go through it explicitly: a tail of FILELESS committed dirs (an
+    * all-rejected or empty trigger writes markers only) must still read
+    * cleanly, and forget's victim predicate must never silently match
+    * nothing through a drifted inferred schema. DocIngestSpec pins it
+    * against a written dir's actual footer. */
+  private[graft] val signatureSchema: StructType = StructType(Seq(
+    StructField("id", LongType),
+    // containsNull = true: parquet declares list elements nullable in
+    // the footer even though shingle hashes never are — the contract
+    // mirrors the written layout exactly (the spec pins that)
+    StructField("sh", ArrayType(LongType)),
+    StructField("band_idx", IntegerType),
+    StructField("band_hash", LongType)))
 
   final case class Sinks(corpus: String, rejects: String, error: String,
                          checkpoint: String)
@@ -82,7 +128,8 @@ object DocIngest {
   def start(lines: DataFrame, sinks: Sinks, trigger: Trigger,
             lateness: String = "1 hour", minToks: Int = 3,
             maxToks: Int = 10000, nearDupIndex: Option[String] = None,
-            nearDupThreshold: Double = 0.5)
+            nearDupThreshold: Double = 0.5,
+            consolidateAfter: Int = DefaultConsolidateAfter)
       : (StreamingQuery, StreamingQuery, StreamingQuery) = {
     val parsed = parseLines(lines)
     val rejectReason =
@@ -95,7 +142,8 @@ object DocIngest {
       .withWatermark("event_ts", lateness)
       .dropDuplicatesWithinWatermark("digest")
       .writeStream
-      .foreachBatch(sinkBatch(sinks, nearDupIndex, nearDupThreshold) _)
+      .foreachBatch(
+        sinkBatch(sinks, nearDupIndex, nearDupThreshold, consolidateAfter) _)
       .trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
@@ -135,18 +183,20 @@ object DocIngest {
     * retried micro-batch overwrites its own index contribution —
     * exactly-once for the index too). */
   def sinkBatch(sinks: Sinks, nearDupIndex: Option[String] = None,
-                nearDupThreshold: Double = 0.5)
+                nearDupThreshold: Double = 0.5,
+                consolidateAfter: Int = DefaultConsolidateAfter)
                (batch: DataFrame, batchId: Long): Unit = {
     // the near-dup branch drives several actions over the batch (audit
     // write, index append, corpus write) — persist so the source micro-
     // batch parses once, same discipline as the CDC sinkBatch
     if (nearDupIndex.isDefined) batch.persist()
-    try doSinkBatch(sinks, nearDupIndex, nearDupThreshold, batch, batchId)
+    try doSinkBatch(sinks, nearDupIndex, nearDupThreshold, consolidateAfter,
+      batch, batchId)
     finally if (nearDupIndex.isDefined) batch.unpersist()
   }
 
   private def doSinkBatch(sinks: Sinks, nearDupIndex: Option[String],
-                          nearDupThreshold: Double,
+                          nearDupThreshold: Double, consolidateAfter: Int,
                           batch: DataFrame, batchId: Long): Unit = {
     val rows = batch
       .select(col("doc.doc_id").as("doc_id"), col("doc.text").as("text"),
@@ -161,22 +211,30 @@ object DocIngest {
           .filter(size(col("w")) >= 3) // shingle-less docs cannot near-dup
         val newSig = NearDup.signatureRelation(docsW, "doc_id", "w")
           .localCheckpoint()
-        // only COMMITTED batch dirs count ([[CommittedDirs]] — the one
-        // copy of the marker protocol): a crash mid-write must not
-        // leave an unreadable root that crash-loops every retry, and an
-        // uncommitted dir holds no rows anyway. Reading our own
-        // batchId's committed dir on a retry is harmless: the drop rule
-        // is a pure function of (ids, signatures), so the outcome is
-        // identical either way.
-        val committed = CommittedDirs.list(spark, idx)
-        // read the committed dirs as EXPLICIT paths — a root read would
-        // also ingest partial part-files of an unmarked (crashed) batch
-        // dir as index rows, the window CommittedDirs exists to close
+        // {latest committed consol, committed tail < batchId} off the
+        // shared protocol — only COMMITTED dirs count (a crash mid-write
+        // must not leave an unreadable root that crash-loops every
+        // retry, and an uncommitted dir holds no rows anyway), and the
+        // `< batchId` cut makes a RETRY probe identical to the original
+        // run (folds only touch ids < batchId, so the retried batch
+        // sees the same prior state whether or not its first attempt
+        // folded). The probe reads EXPLICIT paths under the explicit
+        // [[signatureSchema]]: a root read would ingest a crashed
+        // batch's partial part-files as index rows, and an all-fileless
+        // tail (empty triggers: markers only) must not crash inference.
+        val fam = indexFamily(idx)
+        graft.operators.IndexForget.assertClean(spark, idx)
+        val consol = FoldProtocol.latestConsol(spark, fam)
+        val tail = FoldProtocol
+          .committedTail(spark, fam, consol.map(_.id).getOrElse(-1L))
+          .filter(_.id < batchId)
+        val roots = consol.toSeq ++ tail
+        // per-dir deletion fences ride the listings already taken
+        roots.foreach(_.assertClean())
         val index =
-          if (committed.nonEmpty)
-            spark.read.option("basePath", idx)
-              .parquet(committed.map(_._2.toString): _*)
-              .select("id", "sh", "band_idx", "band_hash")
+          if (roots.nonEmpty)
+            spark.read.schema(signatureSchema)
+              .parquet(roots.map(_.path.toString): _*)
           else newSig.limit(0)
         val pairs = NearDup.incrementalPairs(index, newSig, nearDupThreshold)
         // drop a NEW doc paired with an indexed doc (any id) or a
@@ -198,9 +256,117 @@ object DocIngest {
           .parquet(s"${sinks.rejects}_neardup/batch_id=$batchId")
         newSig.join(dropped, newSig("id") === dropped("doc_id"), "left_anti")
           .write.mode("overwrite").parquet(s"$idx/batch_id=$batchId")
+        // fold the committed tail once it exceeds the threshold — the
+        // protocol owns every window (torn folds invisible until their
+        // _SUCCESS, the < batchId retry cut, lazy cleanup, fences); this
+        // family only supplies the flat-relation union and write. Exact
+        // duplicate rows dedup in the fold (probe answers are duplicate-
+        // blind: incrementalPairs ends in distinct()) — consolidation
+        // doubles as compaction, the CopyDetect argument.
+        if (consolidateAfter > 0)
+          FoldProtocol.fold(spark, fam, batchId, consolidateAfter) {
+            (c, t) =>
+              val withData = (c.toSeq ++ t).filter(_.children.exists(s =>
+                s.isFile && s.getLen > 0 &&
+                  s.getPath.getName.endsWith(".parquet")))
+              if (withData.isEmpty) None // all fileless — protocol reaps
+              else Some(spark.read.schema(signatureSchema)
+                .parquet(withData.map(_.path.toString): _*)
+                .dropDuplicates()
+                .localCheckpoint()) // sever lineage from the deleted dirs
+          } { (union, dest) =>
+            union.write.mode("overwrite").parquet(dest)
+          }
         rows.join(dropped, Seq("doc_id"), "left_anti")
     }
     accepted.write.partitionBy("split")
       .mode("overwrite").parquet(s"${sinks.corpus}/batch_id=$batchId")
+  }
+
+  /** What a probe at `batchId` would list: (committed consolidation
+    * horizon if any, committed tail batch ids beyond it) — the bound
+    * the consolidation exists to enforce, exposed so DocIngestSpec can
+    * pin the listed-dir count dropping across a fold. */
+  private[graft] def indexParts(spark: org.apache.spark.sql.SparkSession,
+                                idx: String, batchId: Long)
+      : (Option[Long], Seq[Long]) = {
+    val fam = indexFamily(idx)
+    val consol = FoldProtocol.latestConsol(spark, fam)
+    val horizon = consol.map(_.id).getOrElse(-1L)
+    (consol.map(_.id),
+      FoldProtocol.committedTail(spark, fam, horizon)
+        .map(_.id).filter(_ < batchId).sorted)
+  }
+
+  /** Right-to-be-forgotten across the WHOLE ingest tenant — the
+    * document's corpus rows, its audit rows in the rejects and
+    * near-dup-rejects sinks, and its near-dup signatures in every
+    * committed index dir all delete. QUIESCE the stream first (the
+    * usual contract: a concurrent trigger's probe would race the dir
+    * swaps — the fences turn that race into a loud failure, not a
+    * wrong answer). Per root: a composition fence goes up, uncommitted
+    * debris reaps (a crashed trigger's partial dir can physically
+    * retain victim bytes no committed-dir rewrite touches), then only
+    * the dirs holding victim rows rewrite —
+    *   - corpus `batch_id=` dirs are `split=`-partitioned: the
+    *     partitioned-index forget applies per dir (victim split
+    *     partitions only; ArchiveCompaction's folded dirs keep the
+    *     same layout and are covered by the same listing);
+    *   - rejects / near-dup-rejects / index dirs are flat relations:
+    *     the dir-level predicate rewrite applies under each family's
+    *     explicit schema (a drifted schema must fail loudly, never
+    *     match no victims and "succeed").
+    * The DLQ is NOT covered — see the retention stance in the object
+    * scaladoc (unparseable lines carry no extractable doc_id). */
+  def forget(spark: org.apache.spark.sql.SparkSession, sinks: Sinks,
+             ids: Seq[Long], nearDupIndex: Option[String] = None): Unit = {
+    import graft.operators.IndexForget
+    require(ids.nonEmpty, "forget needs at least one id")
+    val rejectSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("source", StringType),
+      StructField("reject_reason", StringType)))
+    val victimDoc = col("doc_id").isin(ids: _*)
+
+    def flatRoot(root: String, schema: StructType,
+                 victim: org.apache.spark.sql.Column): Unit = {
+      val p = new Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) return
+      IndexForget.fence(spark, root)
+      FoldProtocol.reapUncommitted(spark,
+        FoldProtocol.Family(root, "_SUCCESS", Some(root)))
+      val dirs =
+        CommittedDirs.list(spark, root).map(_._2.getName) ++
+          FoldProtocol.consols(spark,
+            FoldProtocol.Family(root, "_SUCCESS", Some(root)))
+            .map(_.path.getName)
+      IndexForget.forgetWhere(spark, root,
+        dirs.map(_ -> schema), victim, holdFence = true)
+      IndexForget.unfence(spark, root)
+    }
+
+    // the signature index (when the tenant runs near-dup dedup): the
+    // victim's band rows leave every committed batch AND consol dir
+    nearDupIndex.foreach(idx =>
+      flatRoot(idx, signatureSchema, col("id").isin(ids: _*)))
+    // audit sinks: a forgotten document's rejection is part of what
+    // must be forgotten
+    flatRoot(sinks.rejects, rejectSchema, victimDoc)
+    flatRoot(s"${sinks.rejects}_neardup", rejectSchema, victimDoc)
+
+    // corpus: split=-partitioned batch dirs — rewrite only the victim
+    // split partitions of each committed dir, under the root fence
+    val cp = new Path(sinks.corpus)
+    val cfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (cfs.exists(cp)) {
+      IndexForget.fence(spark, sinks.corpus)
+      FoldProtocol.reapUncommitted(spark,
+        FoldProtocol.Family(sinks.corpus, "_SUCCESS", Some(sinks.corpus)))
+      CommittedDirs.list(spark, sinks.corpus).foreach { case (_, d) =>
+        IndexForget.forget(spark, d.toString, "split", "doc_id", ids): Unit
+      }
+      IndexForget.unfence(spark, sinks.corpus)
+    }
   }
 }

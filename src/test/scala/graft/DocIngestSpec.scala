@@ -175,6 +175,97 @@ class DocIngestSpec extends SparkTestBase {
     assert(indexed2 === Set(30L, 32L, 41L))
   }
 
+  test("near-dup index consolidation: accept/reject decisions identical across fold boundaries; the probe's listed-dir count stays bounded; the signature schema contract matches the written footer") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val others = Seq(
+      "completely different second subject matter entirely about spark shuffles",
+      "yet another fully unrelated document about watermark state eviction",
+      "a third standalone text concerning parquet footers and column pruning",
+      "fourth independent piece on broadcast joins and adaptive execution")
+    // six single-file triggers; near-copies of EARLIER batches' docs must
+    // be caught against the index whether the tail was folded or not
+    val files = Seq(
+      Seq(doc(100, base), doc(101, others(0))),
+      Seq(doc(102, base + " extra marker")),
+      Seq(doc(103, others(1))),
+      Seq(doc(104, base + " trailing addition"), doc(105, others(2))),
+      Seq(doc(106, others(0) + " with a small tail")),
+      Seq(doc(107, others(3))))
+
+    def run(consolidateAfter: Int): (String, Set[Long], Set[Long], Long) = {
+      val src = tmpDir(s"doc_src_fold$consolidateAfter")
+      // distinct mtimes pin the trigger order (the file source orders
+      // by modification time; same-millisecond writes replay in an
+      // undefined order)
+      files.zipWithIndex.foreach { case (ls, i) =>
+        val p = java.nio.file.Paths.get(f"$src/f$i%02d.jsonl")
+        Files.writeString(p, ls.mkString("\n") + "\n")
+        assert(p.toFile.setLastModified(
+          System.currentTimeMillis() - 120000 + i * 10000))
+      }
+      val root = tmpDir(s"doc_out_fold$consolidateAfter")
+      val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+        s"$root/checkpoint")
+      val idx = s"$root/idx"
+      val (m, r, d) = DocIngest.start(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(src),
+        sinks, Trigger.AvailableNow(), nearDupIndex = Some(idx),
+        nearDupThreshold = 0.3, consolidateAfter = consolidateAfter)
+      assert(m.awaitTermination(180000), "stream did not finish in 180s")
+      assert(r.awaitTermination(120000), "stream did not finish in 120s")
+      assert(d.awaitTermination(120000), "stream did not finish in 120s")
+      val accepted = spark.read.parquet(sinks.corpus)
+        .select("doc_id").as[Long](longEnc).collect().toSet
+      val rejected = spark.read.parquet(s"${sinks.rejects}_neardup")
+        .select("doc_id").as[Long](longEnc).collect().toSet
+      (idx, accepted, rejected, m.lastProgress.batchId)
+    }
+
+    // PARITY: a folding tenant (threshold 1 — folds early and often)
+    // decides exactly like a never-folding one
+    val (idxF, accF, rejF, lastBatch) = run(consolidateAfter = 1)
+    val (idxN, accN, rejN, _) = run(consolidateAfter = 0)
+    assert(rejF.nonEmpty, "no near-dup rejects — the parity check is vacuous")
+    assert(accF === accN, "folding changed the accept decisions")
+    assert(rejF === rejN, "folding changed the reject decisions")
+    assert(accF === Set(100L, 101L, 103L, 105L, 107L))
+    assert(rejF === Set(102L, 104L, 106L))
+
+    // BOUND: the folding tenant's probe listing is ≤ threshold + 2 dirs
+    // (consol + tail), the never-folding one grew one dir per survivor
+    // batch
+    val (consolF, tailF) =
+      DocIngest.indexParts(spark, idxF, lastBatch + 1)
+    assert(consolF.nonEmpty, "threshold-1 tenant never folded")
+    assert(1 + tailF.size <= 3,
+      s"probe listing unbounded: consol=$consolF tail=$tailF")
+    val (consolN, tailN) = DocIngest.indexParts(spark, idxN, lastBatch + 1)
+    assert(consolN.isEmpty && tailN.size >= 4,
+      s"the no-fold control folded anyway: $consolN/$tailN")
+
+    // INDEX CONTENT parity: both tenants index the same survivors
+    def indexed(idx: String): Set[Long] = {
+      val (c, t) = DocIngest.indexParts(spark, idx, Long.MaxValue)
+      val dirs = c.map(i => s"$idx/consol_id=$i").toSeq ++
+        t.map(i => s"$idx/batch_id=$i")
+      spark.read.schema(DocIngest.signatureSchema).parquet(dirs: _*)
+        .select("id").as[Long](longEnc).collect().toSet
+    }
+    assert(indexed(idxF) === accF, "folded index lost or gained documents")
+    assert(indexed(idxN) === accF)
+
+    // SCHEMA CONTRACT: the declared signatureSchema matches what a
+    // committed dir's footer actually holds (name + type; a drift here
+    // would make forget's victim predicate silently match nothing)
+    val footDir = new java.io.File(idxN).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .head.toString
+    val footer = spark.read.parquet(footDir).schema
+    assert(footer.fields.map(f => (f.name, f.dataType)).toSeq ===
+      DocIngest.signatureSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"signatureSchema drifted from the written layout: $footer")
+  }
+
   test("corpus compaction folds batch dirs and keeps split partition pruning") {
     import graft.streaming.ArchiveCompaction
     val src = tmpDir("doc_src5")

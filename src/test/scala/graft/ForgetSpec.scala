@@ -479,4 +479,109 @@ class ForgetSpec extends SparkTestBase {
     assert(served.nonEmpty && !served.exists(_.getLong(0) == 1L),
       "post-reap shelf lost committed rows or kept the victim")
   }
+
+  test("DocIngest tenant forget: corpus rows, audit rows and near-dup signatures all delete (consolidated + tail dirs); surviving signatures equal a rebuild without the victims; uncommitted debris reaps; re-run is a no-op") {
+    import graft.streaming.DocIngest
+    import graft.streaming.DocIngest.Sinks
+    import org.apache.hadoop.fs.FileUtil
+    import org.apache.spark.sql.streaming.Trigger
+
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "crawl", "ingest_ts": "2026-08-12T10:00:00.000Z"}"""
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val o0 = "completely different second subject matter entirely about spark shuffles"
+    val o1 = "yet another fully unrelated document about watermark state eviction"
+
+    val src = tmp("forget_docingest_src")
+    // three single-file triggers with consolidateAfter = 1 → the index
+    // holds a consolidated dir AND a tail dir; forget must cover both.
+    // DISTINCT mtimes pin the trigger order: the file source orders by
+    // modification time, and same-millisecond writes replay in an
+    // undefined order (measured — b before a flipped who the near-dup
+    // victim was)
+    Seq("a.jsonl" -> (doc(100, base) + "\n" + doc(101, o0) + "\n"),
+      "b.jsonl" -> (doc(102, base + " extra marker") + "\n" + // near-dup → audit
+        doc(103, "tiny doc") + "\n"),                         // quality → audit
+      "c.jsonl" -> (doc(104, o1) + "\n")).zipWithIndex
+      .foreach { case ((name, content), i) =>
+        val p = java.nio.file.Paths.get(s"$src/$name")
+        Files.writeString(p, content)
+        assert(p.toFile.setLastModified(
+          System.currentTimeMillis() - 60000 + i * 10000))
+      }
+    val root = tmp("forget_docingest")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val idx = s"$root/idx"
+    val (m, r, d) = DocIngest.start(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(src),
+      sinks, Trigger.AvailableNow(), nearDupIndex = Some(idx),
+      nearDupThreshold = 0.3, consolidateAfter = 1)
+    assert(m.awaitTermination(180000)); assert(r.awaitTermination(120000))
+    assert(d.awaitTermination(120000))
+
+    def indexRows(): Set[String] = {
+      val (c, t) = DocIngest.indexParts(spark, idx, Long.MaxValue)
+      val dirs = c.map(i => s"$idx/consol_id=$i").toSeq ++
+        t.map(i => s"$idx/batch_id=$i")
+      spark.read.schema(DocIngest.signatureSchema).parquet(dirs: _*)
+        .collect().map(_.toString).toSet
+    }
+    val (c0, t0) = DocIngest.indexParts(spark, idx, Long.MaxValue)
+    assert(c0.nonEmpty && t0.nonEmpty,
+      s"fixture must exercise consol AND tail dirs: $c0/$t0")
+    assert(indexRows().exists(_.startsWith("[100,")),
+      "victim 100 never indexed — vacuous")
+    assert(spark.read.parquet(s"${sinks.rejects}_neardup")
+      .filter(col("doc_id") === 102).count() === 1)
+    assert(spark.read.parquet(sinks.rejects)
+      .filter(col("doc_id") === 103).count() === 1)
+
+    // uncommitted debris carrying victim signatures: a crashed
+    // trigger's unmarked dir — invisible to probes, physically retained
+    val f = fs(idx)
+    val committed = f.listStatus(new Path(idx))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .head.getPath
+    val debris = new Path(idx, "batch_id=9")
+    f.mkdirs(debris)
+    f.listStatus(committed).foreach { st =>
+      if (st.getPath.getName != "_SUCCESS")
+        FileUtil.copy(f, st.getPath, f, new Path(debris, st.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration): Unit
+    }
+
+    DocIngest.forget(spark, sinks, Seq(100L, 102L, 103L), Some(idx))
+
+    assert(!f.exists(debris), "uncommitted index debris survived forget")
+    assert(spark.read.parquet(sinks.corpus)
+      .filter(col("doc_id") === 100).count() === 0, "victim corpus rows survived")
+    assert(spark.read.parquet(s"${sinks.rejects}_neardup")
+      .filter(col("doc_id") === 102).count() === 0, "victim audit rows survived")
+    assert(spark.read.parquet(sinks.rejects)
+      .filter(col("doc_id") === 103).count() === 0, "victim reject rows survived")
+    assert(!indexRows().exists(_.startsWith("[100,")),
+      "victim signatures survived in the index")
+
+    // survivors equal a ground-up rebuild WITHOUT the victims — the
+    // only acceptable meaning of "forgotten" (same argument as every
+    // other family in this suite); the rebuild derives from the
+    // surviving corpus through the ingest's own signature pipeline
+    val surv = spark.read.parquet(sinks.corpus).select("doc_id", "text")
+    val want = graft.text.NearDup.signatureRelation(
+        surv.select(col("doc_id"),
+          graft.text.TextOps.tokens(col("text")).as("w")), "doc_id", "w")
+      .collect().map(_.toString).toSet
+    assert(indexRows() === want,
+      "surviving signatures diverge from a rebuild without the victims")
+
+    // idempotent re-run; no fence left on any root
+    DocIngest.forget(spark, sinks, Seq(100L, 102L, 103L), Some(idx))
+    assert(indexRows() === want)
+    Seq(idx, sinks.corpus, sinks.rejects, s"${sinks.rejects}_neardup")
+      .foreach { p =>
+        assert(!fs(p).exists(new Path(p, IndexForget.Marker)),
+          s"composition fence left up at $p")
+      }
+  }
 }
