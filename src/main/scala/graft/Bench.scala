@@ -350,8 +350,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val streamRunsJson =
       s"""{"small":${smallRuns.map(f).mkString("[", ",", "]")},"large":${largeRuns.map(f).mkString("[", ",", "]")},"flat_small":${flatSmallRuns.map(f).mkString("[", ",", "]")},"flat_large":${flatLargeRuns.map(f).mkString("[", ",", "]")}}"""
+    // chunk_size makes the chunk boundaries reconstructible from the
+    // sorted queries_full keys (grouped(chunk_size) in sorted order) —
+    // cross-round diffs can then tell "chunk composition shifted" from
+    // "query regressed" without guessing the harness layout
     val sidecar = line.dropRight(1) +
-      s""","streaming_runs":$streamRunsJson,"queries_full":$allQ}"""
+      s""","chunk_size":$chunkSize,"streaming_runs":$streamRunsJson,"queries_full":$allQ}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"), sidecar + "\n")
     catch { case scala.util.control.NonFatal(_) => () }

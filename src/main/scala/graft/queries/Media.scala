@@ -195,7 +195,10 @@ object Media {
     //      (SCALE.md "IVF hard-negative mining at production nlist"),
     //      band recall at 25% of cells climbs 65→80→90% as nlist grows
     //      16→64→256, and nlist=256 meets the 60% floor probing 6% —
-    //      cell granularity, not probe count, is the scale lever; and
+    //      cell granularity, not probe count, is the scale lever
+    //      (MiningScaleSpec CI-pins the nlist=64 point: ≥ 60% at 25%
+    //      probed + the exact-copy ceiling, on a 20k replica corpus);
+    //      and
     //      (b) the ceiling stays non-vacuous ON THE INDEX: each
     //      anchor's UNBANDED top-1 over its probed cells must be its
     //      planted near-copy — the index provably surfaces the copy,

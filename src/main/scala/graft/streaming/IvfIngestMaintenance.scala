@@ -390,28 +390,95 @@ object IvfIngestMaintenance {
         col(expectCol).cast("long").as("expect_id"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/probe_set")
 
-  /** Planted-probe recall over the LIVE shelf: one pruned [[topKLive]]
-    * per persisted probe (monitor cadence, parameter-sized set),
-    * `(probe_id, expect_id, hit)`. This measures what [[driftReport]]'s
-    * assignment fit cannot: END-TO-END retrieval of known ground truth
-    * — a hot cell can crowd a known answer out of top-k while every
-    * arrival still fits its own centroid beautifully. */
+  /** Planted-probe recall over the LIVE shelf, `(probe_id, expect_id,
+    * hit)` — ONE [[topKLiveBatch]] job for the whole persisted set,
+    * however many probes it holds (a realistic 1k-probe set must not
+    * serialize 1k pruned scans at monitor cadence; StreamingSpec pins
+    * the O(1)-jobs shape with a listener). This measures what
+    * [[driftReport]]'s assignment fit cannot: END-TO-END retrieval of
+    * known ground truth — a hot cell can crowd a known answer out of
+    * top-k while every arrival still fits its own centroid
+    * beautifully. */
   def recallReport(spark: SparkSession, indexDir: String, k: Int = 10,
                    nprobe: Int = 4): DataFrame = {
-    import spark.implicits._
     // a probe-set swap a forget() died on must fail the monitor loudly
     // (cheap: one exists at monitor cadence; heal = re-run forget)
     graft.operators.IndexForget.assertCleanFlat(spark, s"$indexDir/probe_set")
     val probes = spark.read.parquet(s"$indexDir/probe_set")
-      .select("probe_id", "qv", "expect_id").collect()
-    require(probes.nonEmpty,
+      .select("probe_id", "qv", "expect_id").localCheckpoint()
+    require(!probes.isEmpty,
       s"no persisted probe set under $indexDir/probe_set")
-    probes.toSeq.map { r =>
-      val q = Seq(Tuple1(r.getSeq[Double](1))).toDF("qv")
-      val top = topKLive(spark, indexDir, q, "qv", k, nprobe)
-        .select("nn_id").as[Long].collect()
-      (r.getLong(0), r.getLong(2), top.contains(r.getLong(2)))
-    }.toDF("probe_id", "expect_id", "hit")
+    val top = topKLiveBatch(spark, indexDir,
+      probes.select("probe_id", "qv"), "probe_id", "qv", k, nprobe)
+    // a probe whose probed cells hold no rows keeps its row (hit =
+    // false via the left join), never silently drops from the report
+    probes.select("probe_id", "expect_id")
+      .join(top.select("probe_id", "nn_id"), Seq("probe_id"), "left")
+      .groupBy("probe_id", "expect_id")
+      .agg(coalesce(max(col("nn_id") === col("expect_id")), lit(false))
+        .as("hit"))
+  }
+
+  /** Batched [[topKLive]]: ONE pruned pass over the live shelf answers
+    * EVERY query row — the q74 shape. Each query joins only ITS OWN
+    * nprobe cells' rows (the per-query probe-cell relation is the join
+    * key, so pruning is per query, not the union), and the per-query
+    * top-k is a rank window Spark executes as WindowGroupLimit.
+    * Identical scoring and tie order (sim desc, nn_id asc) to the
+    * single-query path — parity is spec-pinned. Returns
+    * `(<idCol>, nn_id, sim)`, ≤ k rows per query; a query whose probed
+    * cells hold no rows yields none. */
+  def topKLiveBatch(spark: SparkSession, indexDir: String,
+                    queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
+    val centroids = Ivf.readCentroids(spark, indexDir)
+    // (query, its probe cells) — query sets are parameter-sized by
+    // contract (probe sets, mining anchors), so the relation broadcasts.
+    // Two-step projection: aliasing `qv` while also deriving FROM the
+    // caller's own `qv` column in one select trips Spark 4's
+    // lateral-column-alias resolution inside the higher-order probe
+    // expression (internal LateralColumnAliasReference error)
+    val q0 = queries.select(col(idCol).as("__qid"), col(vecCol).as("__qv"))
+    val probeRel = broadcast(q0.select(
+        col("__qid"), col("__qv").as("qv"),
+        VectorOps.l2(col("__qv")).as("qn"),
+        explode(Ivf.probeCells(Ivf.unit(col("__qv")), centroids, nprobe))
+          .as("cell"))
+      .localCheckpoint())
+    // the UNION of all queries' cells prunes the scan once (driver-side
+    // ints, ≤ nlist); the join below re-restricts each query to its own
+    val wanted = probeRel.select("cell").distinct().as[Int].collect().toSeq
+    val (consol, tailDirs) =
+      FoldProtocol.stableSnapshot(spark, batchFamily(indexDir))
+    val wantNames = wanted.map(c => s"cell=$c").toSet
+    // per-dir basePath reads keep the cell column the per-query join
+    // needs (topKLive's bare multi-path read drops it)
+    val batchParts = (consol.toSeq ++ tailDirs)
+      .map(d => d -> d.childDirs("cell=")
+        .filter(p => wantNames.contains(p.getName)))
+      .filter(_._2.nonEmpty)
+      .map { case (d, dirs) =>
+        spark.read.option("basePath", d.path.toString)
+          .parquet(dirs.map(_.toString): _*)
+          .select(col("nn_id"), col("cv"), col("cn"),
+            col("cell").cast("int").as("cell"))
+      }
+    val base = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(wanted: _*))
+      .select(col("nn_id"), col("cv"), col("cn"),
+        col("cell").cast("int").as("cell"))
+    val live = (base +: batchParts).reduce(_ unionByName _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    live.join(probeRel, "cell")
+      .withColumn("sim",
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(idCol), col("nn_id"), col("sim"))
   }
 
   /** The one-row maintenance verdict — BOTH legs, one flag:

@@ -73,8 +73,22 @@ object BenchDiff {
         .map(_.group(1).toDouble).filter(_ > 0)
     (probeOf(args(0)), probeOf(args(1))) match {
       case (Some(a), Some(b)) =>
-        println(f"calibration probe $a%.3f -> $b%.3f s (${b / a}%.3fx box); " +
-          f"probe-normalized geomean = ${geo / (b / a)}%.3f")
+        val box = b / a
+        println(f"calibration probe $a%.3f -> $b%.3f s ($box%.3fx box); " +
+          f"probe-normalized geomean = ${geo / box}%.3f")
+        // the full regression list the round verdicts ask for: every
+        // query > 1.15x slower AFTER pricing out the box — these are
+        // the BenchOne candidates, not the raw movers below
+        val slow = ratios.map { case (k, r) => k -> r / box }
+          .filter(_._2 > 1.15).sortBy(-_._2)
+        if (slow.isEmpty)
+          println("probe-normalized >1.15x slowdowns: none")
+        else {
+          println(s"probe-normalized >1.15x slowdowns (${slow.size}):")
+          slow.foreach { case (k, r) =>
+            println(f"  $k%-28s ${prev(k)}%7.2f -> ${cur(k)}%7.2f  ($r%.2fx norm)")
+          }
+        }
       case _ =>
         println("calibration probe absent on one side — " +
           "normalize by hand (pre-round-13 artifact)")

@@ -12,7 +12,9 @@ import org.apache.spark.sql.functions._
   * GenScaledData remains the on-disk multi-table generator
   * (FK-consistent shifts across parents); this is the single-table
   * in-memory form the tools need. */
-private[tools] object Replicate {
+// private[graft], not [tools]: MiningScaleSpec pins the production-
+// nlist operating point with the same stripe the tools measured it on
+private[graft] object Replicate {
 
   /** 10^13 — see object scaladoc for why not GenScaledData's 10^12. */
   val Stripe = 10000000000000L

@@ -2492,4 +2492,90 @@ class StreamingSpec extends SparkTestBase {
     assert(!pfs.exists(probeP),
       "a fileless retire remainder was not re-retired")
   }
+
+  test("batched recall monitor: recallReport over N probes equals the per-probe topKLive loop and issues O(1) Spark jobs, not O(probes)") {
+    import graft.functions.Ivf
+    import graft.streaming.IvfIngestMaintenance
+    import spark.implicits._
+
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val idx = tmpDir("ivf_recall_batch") + "/index"
+    Ivf.writeIndex(e, "vec_id", "v", nlist = 8, idx, iters = 2, sampleMod = 7)
+    // a streamed batch too — the parity must hold over the LIVE union
+    // (base cells + committed batch dirs), not the base alone
+    IvfIngestMaintenance.update(idx,
+      e.filter(col("vec_id") % 11 === 0)
+        .select((col("vec_id") + 5000000L).as("vec_id"), col("v")),
+      0L, idCol = "vec_id", vecCol = "v", consolidateAfter = 0)
+
+    // 10 probes: 8 planted near-copies (must hit) + 2 with ground truth
+    // deliberately set to a FAR row (likely misses — parity must cover
+    // false hits too, and a miss-only probe exercises the left join)
+    val rows = e.filter(col("vec_id") < 8).collect()
+      .sortBy(_.getLong(0)).toSeq
+    val planted = rows.map { r =>
+      val v = r.getSeq[Double](1).toSeq
+      (r.getLong(0), v.updated(0, v.head + 0.01), r.getLong(0))
+    }
+    val far = e.filter(col("vec_id") >= 8 && col("vec_id") < 10).collect()
+      .sortBy(_.getLong(0)).toSeq.zipWithIndex.map { case (r, i) =>
+      (100L + i, r.getSeq[Double](1).toSeq.updated(0, 9.9), 499L)
+    }
+    val probes = planted ++ far
+    IvfIngestMaintenance.writeProbeSet(spark, idx,
+      probes.toDF("probe_id", "qv", "expect_id"))
+
+    // ground truth: the per-probe single-query loop (the pre-batching
+    // shape), k/nprobe matched
+    val want = probes.map { case (pid, qv, expect) =>
+      val top = IvfIngestMaintenance.topKLive(spark, idx,
+          Seq(Tuple1(qv)).toDF("qv"), "qv", k = 10, nprobe = 4)
+        .select("nn_id").as[Long].collect()
+      (pid, expect, top.contains(expect))
+    }.toSet
+
+    // O(1)-jobs pin: the job count must not grow with the probe count
+    // (the old per-probe loop paid ≥ 3 jobs PER probe). Measured as a
+    // DELTA — 2 probes vs the full 10 — so harness constants (listing,
+    // checkpoint, centroid reads) cancel instead of being guessed.
+    def jobsOf(body: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet(): Unit
+      }
+      spark.sparkContext.addSparkListener(listener)
+      // the listener bus is async — give queued JobStart events a
+      // moment to drain before detaching (the count only needs to be
+      // comparable between the two runs, both draining the same way)
+      try { body; Thread.sleep(1000) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      jobs.get()
+    }
+    IvfIngestMaintenance.writeProbeSet(spark, idx,
+      probes.take(2).toDF("probe_id", "qv", "expect_id"))
+    val jSmall = jobsOf(
+      IvfIngestMaintenance.recallReport(spark, idx, k = 10, nprobe = 4)
+        .collect(): Unit)
+    IvfIngestMaintenance.writeProbeSet(spark, idx,
+      probes.toDF("probe_id", "qv", "expect_id"))
+    var got = Set.empty[(Long, Long, Boolean)]
+    val jFull = jobsOf {
+      got = IvfIngestMaintenance.recallReport(spark, idx, k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    }
+    assert(got === want,
+      s"batched recall diverged from the per-probe loop: " +
+        s"missing=${want -- got} extra=${got -- want}")
+    assert(want.count(_._3) >= 8 && want.exists(!_._3),
+      s"fixture must exercise hits AND misses: $want")
+    assert(jFull <= jSmall + 2,
+      s"recallReport jobs grew with the probe count ($jSmall jobs @ 2 " +
+        s"probes vs $jFull @ ${probes.size}) — the batched path must be " +
+        "O(1) in the probe count")
+  }
 }
