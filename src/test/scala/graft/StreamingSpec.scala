@@ -2371,6 +2371,118 @@ class StreamingSpec extends SparkTestBase {
       s"freshly retrained version still flags: $mAfter")
   }
 
+  test("IVF tenant lifecycle end-to-end: ingest -> flags -> quiesce -> retrain -> ingest RESUMES on v+1 (lands under the new batches root) -> fold -> monitor quiet -> forget a v+1 streamed row -> torn-forget refusal heals") {
+    import graft.functions.Ivf
+    import graft.streaming.IvfIngestMaintenance
+    import spark.implicits._
+
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val base = e.filter(col("vec_id") % 2 === 0 && col("vec_id") =!= 0)
+      .localCheckpoint()
+    val tenant = tmpDir("ivf_lifecycle")
+    val v0 = IvfIngestMaintenance.initVersioned(spark, tenant, base,
+      "vec_id", "v", nlist = 8, iters = 2, sampleMod = 7)
+    // planted probe: near-copy of a base row — ground truth by
+    // construction, carried across the retrain below
+    val gt = base.orderBy("vec_id").limit(1).collect().head
+    val qv = gt.getSeq[Double](1).toSeq
+      .updated(0, gt.getSeq[Double](1).head + 0.01)
+    IvfIngestMaintenance.writeProbeSet(spark, v0,
+      Seq((1L, qv, gt.getLong(0))).toDF("probe_id", "qv", "expect_id"))
+
+    // ingest on v0 through the PRODUCTION resolution shape (every
+    // trigger re-resolves the current version), folding en route
+    val arrivals = e.filter(col("vec_id") % 2 =!= 0).localCheckpoint()
+    (0 until 3).foreach { i =>
+      IvfIngestMaintenance.update(
+        IvfIngestMaintenance.currentIndexDir(spark, tenant),
+        arrivals.filter(col("vec_id") % 3 === i), i.toLong,
+        idCol = "vec_id", vecCol = "v", consolidateAfter = 1)
+    }
+    // a shifted batch flags retrain_due through the full report (the
+    // recall leg rides along healthy — the plant is still served)
+    val cents0 = Ivf.readCentroids(spark, v0)
+    val dim = cents0.head.size
+    val anti = Seq.tabulate(dim)(j => -cents0.map(_(j)).sum / cents0.size)
+    IvfIngestMaintenance.update(
+      IvfIngestMaintenance.currentIndexDir(spark, tenant),
+      spark.range(5).select((col("id") + 7000000L).as("vec_id"),
+        typedLit(anti).as("v")),
+      3L, idCol = "vec_id", vecCol = "v", consolidateAfter = 1)
+    val mFlag = IvfIngestMaintenance
+      .maintenanceReport(spark, v0, nprobe = 3).first()
+    assert(mFlag.getAs[Boolean]("fit_due") &&
+        mFlag.getAs[Boolean]("retrain_due"),
+      s"shifted batch did not flag: $mFlag")
+    assert(mFlag.getAs[Double]("recall") === 1.0,
+      s"plant lost before the retrain — the carry-over check is vacuous: $mFlag")
+
+    // QUIESCE (no further updates) -> retrain -> repoint
+    val v1 = IvfIngestMaintenance.retrain(spark, tenant, nlist = 8,
+      iters = 2, sampleMod = 7)
+    assert(IvfIngestMaintenance.currentIndexDir(spark, tenant) === v1)
+
+    // INGEST RESUMES on v+1 — the seam no other case crosses: the next
+    // trigger re-resolves the current version and its batch dir must
+    // land under the NEW version's batches root, not the old one's
+    val resumed = e.filter(col("vec_id") % 2 =!= 0)
+      .select((col("vec_id") + 6000000L).as("vec_id"), col("v"))
+      .localCheckpoint()
+    (4 until 6).foreach { i =>
+      IvfIngestMaintenance.update(
+        IvfIngestMaintenance.currentIndexDir(spark, tenant),
+        resumed.filter(col("vec_id") % 2 === (i % 2)), i.toLong,
+        idCol = "vec_id", vecCol = "v", consolidateAfter = 1)
+    }
+    val fs = new org.apache.hadoop.fs.Path(tenant)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(s"$v1/batches"))
+        .exists(s => s.getPath.getName.startsWith("batch_id=") ||
+          s.getPath.getName.startsWith("consol_id=")),
+      "post-retrain ingest left no dirs under the new version's batches root")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(s"$v0/batches"))
+        .exists(_.getPath.getName.stripPrefix("batch_id=")
+          .toLongOption.exists(_ >= 4L)),
+      "a post-retrain batch landed under the OLD version's batches root")
+    // the resumed rows SERVE on the new version …
+    val probeQ = Seq(Tuple1(resumed.orderBy("vec_id").limit(1)
+      .collect().head.getSeq[Double](1).toSeq)).toDF("qv")
+    val served = IvfIngestMaintenance.topKLive(spark, v1, probeQ, "qv",
+      k = 5, nprobe = 3).select("nn_id").as[Long].collect()
+    assert(served.exists(_ >= 6000000L),
+      s"resumed arrivals not served on v1: ${served.toSeq}")
+    // … and the monitor is QUIET: in-distribution arrivals against the
+    // fresh baseline, the carried probe set still hitting
+    val mQuiet = IvfIngestMaintenance
+      .maintenanceReport(spark, v1, nprobe = 3).first()
+    assert(!mQuiet.getAs[Boolean]("retrain_due") &&
+        mQuiet.getAs[Double]("recall") === 1.0,
+      s"post-retrain monitor not quiet: $mQuiet")
+
+    // FORGET a row streamed on v+1: absent from serving afterwards
+    val victim = served.filter(_ >= 6000000L).head
+    IvfIngestMaintenance.forget(spark, v1, Seq(victim))
+    val after = IvfIngestMaintenance.topKLive(spark, v1, probeQ, "qv",
+      k = 5, nprobe = 3).select("nn_id").as[Long].collect()
+    assert(!after.contains(victim), s"victim $victim still served")
+
+    // TORN-FORGET refusal + heal: a fence left at the version root
+    // refuses the monitor AND serving loudly; re-running forget with
+    // the same ids is the documented heal
+    graft.operators.IndexForget.fence(spark, v1)
+    intercept[IllegalArgumentException](
+      IvfIngestMaintenance.maintenanceReport(spark, v1, nprobe = 3))
+    intercept[IllegalArgumentException](
+      IvfIngestMaintenance.topKLive(spark, v1, probeQ, "qv", 5, 3))
+    IvfIngestMaintenance.forget(spark, v1, Seq(victim))
+    assert(IvfIngestMaintenance
+        .maintenanceReport(spark, v1, nprobe = 3).first()
+        .getAs[Double]("recall") === 1.0,
+      "healed tenant did not serve the monitor again")
+  }
+
   test("maintenance report: planted-probe recall catches hot-cell crowding that assignment fit cannot — fit holds, recall collapses, retrain_due still fires") {
     import graft.functions.{Ivf, VectorOps}
     import graft.streaming.IvfIngestMaintenance
