@@ -80,6 +80,16 @@ object DocIngest {
     StructField("band_idx", IntegerType),
     StructField("band_hash", LongType)))
 
+  /** The audit sinks' fixed schema (rejects and near-dup rejects) —
+    * the layout CONTRACT [[forget]]'s per-dir rewrite reads under: a
+    * column added to the sink selects without updating this would be
+    * silently DROPPED from surviving audit rows on the next forget
+    * rewrite. DocIngestSpec pins it against a written dir's footer. */
+  private[graft] val rejectSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("reject_reason", StringType)))
+
   final case class Sinks(corpus: String, rejects: String, error: String,
                          checkpoint: String)
 
@@ -322,51 +332,61 @@ object DocIngest {
              ids: Seq[Long], nearDupIndex: Option[String] = None): Unit = {
     import graft.operators.IndexForget
     require(ids.nonEmpty, "forget needs at least one id")
-    val rejectSchema = StructType(Seq(
-      StructField("doc_id", LongType),
-      StructField("source", StringType),
-      StructField("reject_reason", StringType)))
     val victimDoc = col("doc_id").isin(ids: _*)
-
-    def flatRoot(root: String, schema: StructType,
-                 victim: org.apache.spark.sql.Column): Unit = {
+    def exists(root: String): Boolean = {
       val p = new Path(root)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) return
-      IndexForget.fence(spark, root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val idxRoot = nearDupIndex.filter(exists)
+    val auditRoots =
+      Seq(sinks.rejects, s"${sinks.rejects}_neardup").filter(exists)
+    val corpusRoot = Some(sinks.corpus).filter(exists)
+    val allRoots = idxRoot.toSeq ++ auditRoots ++ corpusRoot
+
+    // COMPOSITION fences on EVERY root BEFORE any work (the
+    // CopyDetectMaintenance discipline): each root's per-dir markers
+    // clear as its own rewrite commits, so a crash BETWEEN roots —
+    // after the index and audit passes, before the corpus one — would
+    // otherwise leave a clean-looking half-forgotten tenant with no
+    // marker anywhere demanding the heal
+    allRoots.foreach(r => IndexForget.fence(spark, r))
+
+    // the signature index: the victim's band rows leave every
+    // committed batch AND consol dir (uncommitted debris reaps first)
+    idxRoot.foreach { idx =>
+      FoldProtocol.reapUncommitted(spark, indexFamily(idx))
+      val fam = indexFamily(idx)
+      val dirs = CommittedDirs.list(spark, idx).map(_._2.getName) ++
+        FoldProtocol.consols(spark, fam).map(_.path.getName)
+      IndexForget.forgetWhere(spark, idx, dirs.map(_ -> signatureSchema),
+        col("id").isin(ids: _*), holdFence = true)
+    }
+    // audit sinks: a forgotten document's rejection is part of what
+    // must be forgotten. FINISH any crashed ArchiveCompaction swap
+    // FIRST: its fully-written staging dir (invisible dot-prefix +
+    // `.complete` marker) can hold victim rows that the committed-dir
+    // rewrite below never sees — and the NEXT compaction run would
+    // publish them back over the cleaned dirs. recover() promotes the
+    // staging to a committed batch dir this pass then rewrites.
+    auditRoots.foreach { root =>
+      ArchiveCompaction.recover(spark, root): Unit
       FoldProtocol.reapUncommitted(spark,
         FoldProtocol.Family(root, "_SUCCESS", Some(root)))
-      val dirs =
-        CommittedDirs.list(spark, root).map(_._2.getName) ++
-          FoldProtocol.consols(spark,
-            FoldProtocol.Family(root, "_SUCCESS", Some(root)))
-            .map(_.path.getName)
-      IndexForget.forgetWhere(spark, root,
-        dirs.map(_ -> schema), victim, holdFence = true)
-      IndexForget.unfence(spark, root)
+      val dirs = CommittedDirs.list(spark, root).map(_._2.getName)
+      IndexForget.forgetWhere(spark, root, dirs.map(_ -> rejectSchema),
+        victimDoc, holdFence = true)
     }
-
-    // the signature index (when the tenant runs near-dup dedup): the
-    // victim's band rows leave every committed batch AND consol dir
-    nearDupIndex.foreach(idx =>
-      flatRoot(idx, signatureSchema, col("id").isin(ids: _*)))
-    // audit sinks: a forgotten document's rejection is part of what
-    // must be forgotten
-    flatRoot(sinks.rejects, rejectSchema, victimDoc)
-    flatRoot(s"${sinks.rejects}_neardup", rejectSchema, victimDoc)
-
     // corpus: split=-partitioned batch dirs — rewrite only the victim
-    // split partitions of each committed dir, under the root fence
-    val cp = new Path(sinks.corpus)
-    val cfs = cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (cfs.exists(cp)) {
-      IndexForget.fence(spark, sinks.corpus)
+    // split partitions of each committed dir (same crashed-compaction
+    // recovery first, same reasoning)
+    corpusRoot.foreach { c =>
+      ArchiveCompaction.recover(spark, c): Unit
       FoldProtocol.reapUncommitted(spark,
-        FoldProtocol.Family(sinks.corpus, "_SUCCESS", Some(sinks.corpus)))
-      CommittedDirs.list(spark, sinks.corpus).foreach { case (_, d) =>
+        FoldProtocol.Family(c, "_SUCCESS", Some(c)))
+      CommittedDirs.list(spark, c).foreach { case (_, d) =>
         IndexForget.forget(spark, d.toString, "split", "doc_id", ids): Unit
       }
-      IndexForget.unfence(spark, sinks.corpus)
     }
+    allRoots.reverse.foreach(r => IndexForget.unfence(spark, r))
   }
 }

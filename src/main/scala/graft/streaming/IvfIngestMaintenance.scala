@@ -384,11 +384,22 @@ object IvfIngestMaintenance {
   def writeProbeSet(spark: SparkSession, indexDir: String,
                     probes: DataFrame, probeIdCol: String = "probe_id",
                     vecCol: String = "qv",
-                    expectCol: String = "expect_id"): Unit =
-    probes.select(col(probeIdCol).cast("long").as("probe_id"),
+                    expectCol: String = "expect_id"): Unit = {
+    val rows = probes.select(col(probeIdCol).cast("long").as("probe_id"),
         col(vecCol).cast("array<double>").as("qv"),
         col(expectCol).cast("long").as("expect_id"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/probe_set")
+      .localCheckpoint()
+    // probe_id is the set's KEY: the batched monitor windows top-k per
+    // probe_id, so two rows sharing an id would interleave their
+    // candidate pools into one garbage verdict — refuse at the one
+    // write choke point (one-time cost; the set is parameter-sized)
+    val n = rows.count()
+    val distinctIds = rows.select("probe_id").distinct().count()
+    require(n == distinctIds,
+      s"probe set has $n rows but only $distinctIds distinct probe_ids — " +
+        "probe_id must uniquely key each planted probe")
+    rows.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/probe_set")
+  }
 
   /** Planted-probe recall over the LIVE shelf, `(probe_id, expect_id,
     * hit)` — ONE [[topKLiveBatch]] job for the whole persisted set,
@@ -427,7 +438,10 @@ object IvfIngestMaintenance {
     * Identical scoring and tie order (sim desc, nn_id asc) to the
     * single-query path — parity is spec-pinned. Returns
     * `(<idCol>, nn_id, sim)`, ≤ k rows per query; a query whose probed
-    * cells hold no rows yields none. */
+    * cells hold no rows yields none. `idCol` must uniquely key the
+    * query rows — two rows sharing an id would interleave their
+    * candidate pools in one window partition ([[writeProbeSet]]
+    * enforces this for the probe set). */
   def topKLiveBatch(spark: SparkSession, indexDir: String,
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nprobe: Int = 4): DataFrame = {

@@ -72,6 +72,18 @@ class DocIngestSpec extends SparkTestBase {
     val rej = spark.read.parquet(sinks.rejects)
     assert(rej.count() === 2)
     assert(rej.filter(col("reject_reason") === "too_short").count() === 2)
+    // the audit layout CONTRACT forget() rewrites under must match what
+    // the sink actually writes — a drifted column would be silently
+    // dropped from surviving audit rows on the next forget rewrite.
+    // Read ONE batch dir: forget's per-dir rewrite sees file columns
+    // only (batch_id is the dir name, not data)
+    val rejDir = new java.io.File(sinks.rejects).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch_id="))
+      .head.toString
+    val rejFooter = spark.read.parquet(rejDir).schema
+    assert(rejFooter.fields.map(f => (f.name, f.dataType)).toSeq ===
+      DocIngest.rejectSchema.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"rejectSchema drifted from the written layout: $rejFooter")
 
     // DLQ: the non-JSON line, the missing-text record, the bad timestamp
     assert(spark.read.text(sinks.error).count() === 3)

@@ -480,6 +480,41 @@ class ForgetSpec extends SparkTestBase {
       "post-reap shelf lost committed rows or kept the victim")
   }
 
+  test("forget(holdFence = true): a caller's composition fence survives every return path — no victims, fileless root, and a full rewrite") {
+    import spark.implicits._
+    val root = tmp("forget_holdfence")
+    Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "part")
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+    val f = fs(root)
+    val marker = new Path(root, IndexForget.Marker)
+
+    // the composition caller fences the SAME root it passes to forget
+    IndexForget.fence(spark, root)
+    // no-victims early return must NOT drop the fence
+    assert(IndexForget.forget(spark, root, "part", "id", Seq(99L),
+      holdFence = true).isEmpty)
+    assert(f.exists(marker), "no-victim return dropped the held fence")
+    // a real rewrite keeps it up too
+    assert(IndexForget.forget(spark, root, "part", "id", Seq(1L),
+      holdFence = true) === Seq("a"))
+    assert(f.exists(marker), "rewrite completion dropped the held fence")
+    assert(spark.read.parquet(root).select("id").as[Long].collect().toSet
+      === Set(2L, 3L))
+    // fileless root early return (every partition dir gone)
+    val root2 = tmp("forget_holdfence_empty")
+    f.mkdirs(new Path(root2))
+    f.create(new Path(root2, "_SUCCESS"), true).close()
+    IndexForget.fence(spark, root2)
+    assert(IndexForget.forget(spark, root2, "part", "id", Seq(1L),
+      holdFence = true).isEmpty)
+    assert(f.exists(new Path(root2, IndexForget.Marker)),
+      "fileless-root return dropped the held fence")
+    // the default (holdFence = false) still clears, as before
+    IndexForget.unfence(spark, root)
+    assert(IndexForget.forget(spark, root, "part", "id", Seq(99L)).isEmpty)
+    assert(!f.exists(marker), "unheld no-victim forget left a stale marker")
+  }
+
   test("DocIngest tenant forget: corpus rows, audit rows and near-dup signatures all delete (consolidated + tail dirs); surviving signatures equal a rebuild without the victims; uncommitted debris reaps; re-run is a no-op") {
     import graft.streaming.DocIngest
     import graft.streaming.DocIngest.Sinks
@@ -583,5 +618,40 @@ class ForgetSpec extends SparkTestBase {
         assert(!fs(p).exists(new Path(p, IndexForget.Marker)),
           s"composition fence left up at $p")
       }
+
+    // CRASHED-COMPACTION window: an ArchiveCompaction that died between
+    // its source deletes and the staging rename leaves the corpus rows
+    // ONLY in the invisible `.compact-<h>` staging dir (+ `.complete`
+    // marker). forget must finish that swap first — a rewrite that only
+    // saw committed dirs would "succeed", and the NEXT compaction run
+    // would publish the victims right back over the cleaned corpus.
+    import graft.streaming.ArchiveCompaction
+    val cfs = fs(sinks.corpus)
+    val srcIds = ArchiveCompaction.batchIds(spark, sinks.corpus).sorted
+    assert(srcIds.nonEmpty)
+    val h = srcIds.max
+    spark.read.option("basePath", sinks.corpus)
+      .parquet(srcIds.map(i => s"${sinks.corpus}/batch_id=$i"): _*)
+      .drop("batch_id")
+      .write.partitionBy("split").mode("overwrite")
+      .parquet(s"${sinks.corpus}/.compact-$h")
+    cfs.create(new Path(s"${sinks.corpus}/.compact-$h.complete"), true).close()
+    srcIds.foreach(i =>
+      cfs.delete(new Path(s"${sinks.corpus}/batch_id=$i"), true))
+    // victim 101 now lives ONLY in the staging dir
+    DocIngest.forget(spark, sinks, Seq(101L), Some(idx))
+    assert(ArchiveCompaction.orphanHorizons(spark, sinks.corpus).isEmpty,
+      "forget left the crashed compaction staging unconsumed")
+    val corpusAfter = spark.read.parquet(sinks.corpus)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(corpusAfter === Set(104L),
+      s"staging victim survived (or survivors lost): $corpusAfter")
+    assert(!indexRows().exists(_.startsWith("[101,")),
+      "victim 101's signatures survived the forget")
+    // and a later maintenance compaction finds nothing to resurrect
+    assert(ArchiveCompaction.compactOlderThan(spark, sinks.corpus, 0) >= 0)
+    assert(spark.read.parquet(sinks.corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(104L),
+      "post-forget compaction resurrected forgotten rows")
   }
 }
