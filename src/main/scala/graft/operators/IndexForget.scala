@@ -80,7 +80,11 @@ object IndexForget {
     * same root for a multi-step composition passes true, and none of
     * the return paths below drop the root marker — without it, the
     * no-victim early returns would silently clear the composition
-    * fence mid-forget (the caller's other steps are not done). */
+    * fence mid-forget (the caller's other steps are not done). No
+    * production composition currently fences the same root it passes
+    * here (every tenant's fence lives one level up), so the parameter
+    * is a guard for FUTURE compositions — ForgetSpec exercises all
+    * three return paths under a held fence. */
   def forget(spark: SparkSession, root: String, partCol: String,
              idCol: String, ids: Seq[Long],
              holdFence: Boolean = false): Seq[String] = {
@@ -280,6 +284,22 @@ object IndexForget {
       require(fs.rename(trash, p), s"could not restore $path from trash")
     fs.delete(trash, true)
     fs.delete(tmp, true): Unit
+  }
+
+  /** Pre-listing heal for COMPOSITION callers of [[forgetWhere]]: the
+    * tenant forgets enumerate their dir list (committed batch/consol
+    * names) BEFORE calling forgetWhere, but forgetWhere's own repair
+    * runs AFTER — so a dir a crashed earlier run retired to its
+    * `.forget_trash.` sibling is absent from the list at enumeration
+    * time, gets restored by the repair, and then silently skips the
+    * rewrite: the heal re-run "succeeds", every fence clears, and the
+    * victim's rows survive in the restored dir forever (the silent
+    * compliance no-op class). Callers MUST heal the root FIRST, then
+    * list. Keeps the root marker untouched — the caller's composition
+    * fence is its own to clear. */
+  def heal(spark: SparkSession, root: String): Unit = {
+    val (fs, p) = fsPath(spark, root)
+    if (fs.exists(p)) repair(fs, p, keepMarker = true)
   }
 
   /** Heal the leftovers of a forget() that died mid-swap, window by

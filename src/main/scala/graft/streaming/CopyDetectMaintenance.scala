@@ -410,6 +410,12 @@ object CopyDetectMaintenance {
     // marker up until BOTH roots unfence below
     val batchSchema =
       org.apache.spark.sql.types.StructType(schema.dropRight(1))
+    // HEAL before listing: a crashed earlier run's trash-retired alert
+    // dir is invisible to this enumeration, and forgetWhere's internal
+    // repair would restore it AFTER the list was taken — the restored
+    // dir (still holding the victim's alerts) would silently skip the
+    // rewrite while both fences clear (the compliance no-op class)
+    IndexForget.heal(spark, alertDir)
     IndexForget.forgetWhere(spark, alertDir,
       CommittedDirs.list(spark, alertDir)
         .map(d => d._2.getName -> batchSchema) ++

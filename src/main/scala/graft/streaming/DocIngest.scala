@@ -272,7 +272,12 @@ object DocIngest {
         // family only supplies the flat-relation union and write. Exact
         // duplicate rows dedup in the fold (probe answers are duplicate-
         // blind: incrementalPairs ends in distinct()) — consolidation
-        // doubles as compaction, the CopyDetect argument.
+        // doubles as compaction, the CopyDetect argument. The fold takes
+        // its OWN listing rather than reusing the probe's: the probe's
+        // snapshot predates this batch's append and the fold's listing
+        // is its crash-safety boundary (horizon, cleanup, fences) —
+        // ~threshold+2 extra listStatus calls per trigger, a deliberate
+        // metadata cost far under one bucket probe.
         if (consolidateAfter > 0)
           FoldProtocol.fold(spark, fam, batchId, consolidateAfter) {
             (c, t) =>
@@ -352,8 +357,14 @@ object DocIngest {
     allRoots.foreach(r => IndexForget.fence(spark, r))
 
     // the signature index: the victim's band rows leave every
-    // committed batch AND consol dir (uncommitted debris reaps first)
+    // committed batch AND consol dir. HEAL FIRST, list second: a dir a
+    // crashed earlier run retired to trash is invisible at listing
+    // time, and forgetWhere's own repair would restore it AFTER the
+    // list was taken — the restored (victim-bearing) dir would then
+    // silently skip the rewrite while every fence clears. Then reap
+    // uncommitted debris.
     idxRoot.foreach { idx =>
+      IndexForget.heal(spark, idx)
       FoldProtocol.reapUncommitted(spark, indexFamily(idx))
       val fam = indexFamily(idx)
       val dirs = CommittedDirs.list(spark, idx).map(_._2.getName) ++
@@ -369,6 +380,7 @@ object DocIngest {
     // publish them back over the cleaned dirs. recover() promotes the
     // staging to a committed batch dir this pass then rewrites.
     auditRoots.foreach { root =>
+      IndexForget.heal(spark, root) // before listing — same window
       ArchiveCompaction.recover(spark, root): Unit
       FoldProtocol.reapUncommitted(spark,
         FoldProtocol.Family(root, "_SUCCESS", Some(root)))

@@ -392,12 +392,15 @@ object IvfIngestMaintenance {
     // probe_id is the set's KEY: the batched monitor windows top-k per
     // probe_id, so two rows sharing an id would interleave their
     // candidate pools into one garbage verdict — refuse at the one
-    // write choke point (one-time cost; the set is parameter-sized)
-    val n = rows.count()
-    val distinctIds = rows.select("probe_id").distinct().count()
-    require(n == distinctIds,
-      s"probe set has $n rows but only $distinctIds distinct probe_ids — " +
-        "probe_id must uniquely key each planted probe")
+    // write choke point (a single one-row aggregate; the set is
+    // parameter-sized)
+    val guard = rows
+      .agg(count(lit(1)).as("n"), countDistinct(col("probe_id")).as("d"))
+      .head()
+    require(guard.getLong(0) == guard.getLong(1),
+      s"probe set has ${guard.getLong(0)} rows but only " +
+        s"${guard.getLong(1)} distinct probe_ids — probe_id must " +
+        "uniquely key each planted probe")
     rows.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/probe_set")
   }
 

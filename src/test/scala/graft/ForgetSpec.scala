@@ -480,6 +480,93 @@ class ForgetSpec extends SparkTestBase {
       "post-reap shelf lost committed rows or kept the victim")
   }
 
+  test("tenant forget heals trash-retired dirs BEFORE listing: a dir a crashed run left in trash is restored AND rewritten on the re-run, not silently skipped (DocIngest index + copy-detect alerts)") {
+    import graft.streaming.{CopyDetectMaintenance, DocIngest}
+    import graft.streaming.DocIngest.Sinks
+    import org.apache.spark.sql.streaming.Trigger
+
+    // ---- DocIngest signature index ----
+    def doc(id: Long, text: String): String =
+      s"""{"doc_id": $id, "text": "$text", "source": "crawl", "ingest_ts": "2026-08-12T10:00:00.000Z"}"""
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val src = tmp("heal_docingest_src")
+    Files.writeString(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      doc(100, base) + "\n" +
+        doc(101, "a fully unrelated second text about parquet footers") + "\n")
+    val root = tmp("heal_docingest")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val idx = s"$root/idx"
+    val (m, r, d) = DocIngest.start(spark.readStream.text(src), sinks,
+      Trigger.AvailableNow(), nearDupIndex = Some(idx),
+      nearDupThreshold = 0.3, consolidateAfter = 0)
+    assert(m.awaitTermination(120000)); assert(r.awaitTermination(120000))
+    assert(d.awaitTermination(120000))
+
+    val f = fs(idx)
+    // the dir that actually HOLDS the victim's signatures (a no-data
+    // trailing trigger can leave an empty committed dir too)
+    val batchDir = f.listStatus(new Path(idx))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .find { s =>
+        !spark.read.schema(DocIngest.signatureSchema)
+          .parquet(s.getPath.toString).filter(col("id") === 100L).isEmpty
+      }.get.getPath
+    // the crash window: forgetWhere retired the dir to trash and died
+    // before publishing the rewrite — fence up, dir exists ONLY in trash
+    assert(f.rename(batchDir,
+      new Path(idx, s".forget_trash.${batchDir.getName}")))
+    IndexForget.fence(spark, idx)
+    // the heal re-run: must RESTORE the dir first, then rewrite it —
+    // a list-before-repair implementation restores it after listing
+    // and skips the rewrite, leaving the victim's signatures alive
+    // behind cleared fences
+    DocIngest.forget(spark, sinks, Seq(100L), Some(idx))
+    assert(f.exists(batchDir), "heal did not restore the retired dir")
+    assert(!f.exists(new Path(idx, s".forget_trash.${batchDir.getName}")))
+    val sigs = spark.read.schema(DocIngest.signatureSchema)
+      .parquet(batchDir.toString).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!sigs.contains(100L),
+      "victim signatures survived in the RESTORED dir — the heal listed " +
+        "before repairing")
+    assert(sigs.contains(101L), "survivor signatures lost in the heal")
+    assert(!f.exists(new Path(idx, IndexForget.Marker)),
+      "fence left up after a successful heal")
+
+    // ---- copy-detect alert family (same window, forgetWhere caller) ----
+    val docs2 = graft.queries.Text.plantedCopyDocs(spark, sf).localCheckpoint()
+    val croot = tmp("heal_copydetect")
+    (0 until 2).foreach { i =>
+      CopyDetectMaintenance.update(s"$croot/index", s"$croot/alerts",
+        docs2.filter(col("doc_id") % 2 === i), i.toLong,
+        idCol = "doc_id", textCol = "t", consolidateAfter = 0)
+    }
+    val victim = CopyDetectMaintenance.alerts(spark, s"$croot/alerts")
+      .select("a_id").first().getLong(0)
+    val af = fs(s"$croot/alerts")
+    val alertDirWithVictim = af.listStatus(new Path(s"$croot/alerts"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .find { s =>
+        !spark.read.schema(org.apache.spark.sql.types.StructType(
+            CopyDetectMaintenance.alertSchema.dropRight(1)))
+          .parquet(s.getPath.toString)
+          .filter(col("a_id") === victim || col("b_id") === victim).isEmpty
+      }.get.getPath
+    assert(af.rename(alertDirWithVictim,
+      new Path(s"$croot/alerts", s".forget_trash.${alertDirWithVictim.getName}")))
+    IndexForget.fence(spark, s"$croot/alerts")
+    CopyDetectMaintenance.forget(spark, s"$croot/index", s"$croot/alerts",
+      Seq(victim))
+    assert(af.exists(alertDirWithVictim),
+      "alert heal did not restore the retired dir")
+    val alerts = CopyDetectMaintenance.alerts(spark, s"$croot/alerts")
+      .filter(col("a_id") === victim || col("b_id") === victim).count()
+    assert(alerts === 0,
+      "victim alerts survived the heal — the alert list was taken " +
+        "before repair")
+  }
+
   test("forget(holdFence = true): a caller's composition fence survives every return path — no victims, fileless root, and a full rewrite") {
     import spark.implicits._
     val root = tmp("forget_holdfence")

@@ -2660,11 +2660,20 @@ class StreamingSpec extends SparkTestBase {
           jobs.incrementAndGet(): Unit
       }
       spark.sparkContext.addSparkListener(listener)
-      // the listener bus is async — give queued JobStart events a
-      // moment to drain before detaching (the count only needs to be
-      // comparable between the two runs, both draining the same way)
-      try { body; Thread.sleep(1000) }
-      finally spark.sparkContext.removeSparkListener(listener)
+      // the listener bus is async and exposes no public drain — poll
+      // until the count is stable across two consecutive windows, so a
+      // loaded box cannot undercount one run and skew the delta
+      try {
+        body
+        var prev = -1
+        var stable = 0
+        var waited = 0
+        while (stable < 2 && waited < 10000) {
+          Thread.sleep(250); waited += 250
+          val cur = jobs.get()
+          if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        }
+      } finally spark.sparkContext.removeSparkListener(listener)
       jobs.get()
     }
     IvfIngestMaintenance.writeProbeSet(spark, idx,
