@@ -293,4 +293,35 @@ class PlanSpec extends SparkTestBase {
       !p.contains("BroadcastNestedLoopJoin"),
       s"all-pairs join resurfaced in the q78/q220 pair relation:\n$p")
   }
+
+  test("topKLiveBatch: base cells prune by PARTITION filter, the probe relation broadcasts, and the per-probe top-k partial-limits (WindowGroupLimit)") {
+    import spark.implicits._
+    import graft.functions.Ivf
+    import graft.streaming.IvfIngestMaintenance
+    // a real shelf on disk — the scale claims live in the SCAN node
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val path = GatedQuery.indexScratch(sf, "planspec_topklivebatch")
+    Ivf.writeIndex(e, "vec_id", "v", nlist = 8, path, iters = 1,
+      sampleMod = 7)
+    val qs = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("v"))
+    val p = IvfIngestMaintenance
+      .topKLiveBatch(spark, path, qs, "qid", "v", k = 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    // the union of probed cells must reach the scan as a PARTITION
+    // filter — a data filter (or none) would read all nlist dirs
+    assert(p.contains("PartitionFilters: [") &&
+      p.split("PartitionFilters: ", -1).exists(s =>
+        s.takeWhile(_ != ']').contains("cell")),
+      s"cell pruning lost from the base scan:\n$p")
+    // the parameter-sized probe relation broadcasts; the corpus side
+    // never shuffles before the per-probe rank
+    assert(p.contains("BroadcastExchange"),
+      s"probe relation not broadcast:\n$p")
+    // the per-probe top-k pushes a partial limit below the exchange —
+    // the q74 shape the batched monitor's O(1)-jobs claim rides on
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-k lost WindowGroupLimit:\n$p")
+  }
 }
