@@ -449,7 +449,7 @@ object IvfIngestMaintenance {
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
+    // fences + stable snapshot + cell-pruned union live in livePruned
     val centroids = Ivf.readCentroids(spark, indexDir)
     // (query, its probe cells) — query sets are parameter-sized by
     // contract (probe sets, mining anchors), so the relation broadcasts.
@@ -467,11 +467,38 @@ object IvfIngestMaintenance {
     // the UNION of all queries' cells prunes the scan once (driver-side
     // ints, ≤ nlist); the join below re-restricts each query to its own
     val wanted = probeRel.select("cell").distinct().as[Int].collect().toSeq
+    val live = livePruned(spark, indexDir, wanted)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("sim").desc, col("nn_id"))
+    live.join(probeRel, "cell")
+      .withColumn("sim",
+        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("__qid").as(idCol), col("nn_id"), col("sim"))
+  }
+
+  /** The ONE copy of the live pruned-union read both top-k paths
+    * share — the protocol-shaped part where drift would be a crash
+    * window, not a wrong score: the cells/ deletion fence, the STABLE
+    * (consol, tail) snapshot (re-list-until-stable + per-dir fence
+    * checks riding the child listings), the per-dir `cell=` selection
+    * off those listings, and the partition-pruned base read. Returns
+    * `(nn_id, cv, cn, cell)` restricted to `wanted` cells; dirs deleted
+    * between the snapshot and the scan fail loudly
+    * (FileNotFoundException) and a plain retry sees the folded state.
+    * Scoring stays in the callers — [[topKLive]] and [[topKLiveBatch]]
+    * deliberately score independently so their parity spec remains a
+    * real cross-check. */
+  private def livePruned(spark: SparkSession, indexDir: String,
+                         wanted: Seq[Int]): DataFrame = {
+    graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
     val (consol, tailDirs) =
       FoldProtocol.stableSnapshot(spark, batchFamily(indexDir))
     val wantNames = wanted.map(c => s"cell=$c").toSet
-    // per-dir basePath reads keep the cell column the per-query join
-    // needs (topKLive's bare multi-path read drops it)
+    // per-dir basePath reads keep the cell partition column (a bare
+    // multi-path read would drop it — the batched join keys on it)
     val batchParts = (consol.toSeq ++ tailDirs)
       .map(d => d -> d.childDirs("cell=")
         .filter(p => wantNames.contains(p.getName)))
@@ -486,16 +513,7 @@ object IvfIngestMaintenance {
       .filter(col("cell").isin(wanted: _*))
       .select(col("nn_id"), col("cv"), col("cn"),
         col("cell").cast("int").as("cell"))
-    val live = (base +: batchParts).reduce(_ unionByName _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("__qid"))
-      .orderBy(col("sim").desc, col("nn_id"))
-    live.join(probeRel, "cell")
-      .withColumn("sim",
-        VectorOps.dot(col("cv"), col("qv")) / (col("cn") * col("qn")))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= k)
-      .select(col("__qid").as(idCol), col("nn_id"), col("sim"))
+    (base +: batchParts).reduce(_ unionByName _)
   }
 
   /** The one-row maintenance verdict — BOTH legs, one flag:
@@ -570,37 +588,15 @@ object IvfIngestMaintenance {
   def topKLive(spark: SparkSession, indexDir: String, query: DataFrame,
                vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    // deletion fences: the tenant-level forget marks the index ROOT for
-    // its whole multi-dir composition (checked by the stable snapshot
-    // below); cells/ and each batch dir carry their own marker while
-    // their rewrite is in flight — the batch-dir checks ride the
-    // snapshot's listings, cells/ pays its one existence check here
-    graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
+    // fences + stable snapshot + cell-pruned union all live in the ONE
+    // shared read ([[livePruned]]); this path only scores one query
     val centroids = Ivf.readCentroids(spark, indexDir)
     val probes = query.select(
         explode(Ivf.probeCells(Ivf.unit(col(vecCol)), centroids, nprobe))
           .as("p"))
       .as[Int].collect().toSeq
-    val want = probes.map(p => s"cell=$p").toSet
-    // STABLE snapshot of (consol, tail) — the shared protocol owns the
-    // re-list-until-stable loop AND the per-dir deletion-fence checks,
-    // which ride the child listings (no second round-trip per dir);
-    // dirs deleted between here and the scan fail loudly
-    // (FileNotFoundException) and a plain retry sees the folded state
-    val (consol, tailDirs) =
-      FoldProtocol.stableSnapshot(spark, batchFamily(indexDir))
-    val batchCellDirs = (consol.toSeq ++ tailDirs)
-      .flatMap { d =>
-        d.children.filter(s => s.isDirectory &&
-          want.contains(s.getPath.getName)).map(_.getPath.toString)
-      }
-    val base = spark.read.parquet(s"$indexDir/cells")
-      .filter(col("cell").isin(probes: _*))
+    val live = livePruned(spark, indexDir, probes)
       .select("nn_id", "cv", "cn")
-    val live =
-      if (batchCellDirs.isEmpty) base
-      else base.unionByName(
-        spark.read.parquet(batchCellDirs: _*).select("nn_id", "cv", "cn"))
     val q = broadcast(query.select(col(vecCol).as("qv"),
       VectorOps.l2(col(vecCol)).as("qn")))
     live.crossJoin(q)
