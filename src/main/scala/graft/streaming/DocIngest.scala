@@ -48,10 +48,17 @@ import org.apache.spark.sql.types._
   * corpus rows (split-partition rewrites per batch dir), audit rows in
   * the rejects and near-dup-rejects sinks, and its signature rows in
   * every committed index dir, under a composition fence per root.
-  * DLQ retention stance: the error sink holds raw UNPARSEABLE lines —
-  * rows that never became documents and carry no reliably extractable
-  * doc_id (that is what made them corrupt) — so id-keyed forget cannot
-  * apply; bound it with time-based whole-dir expiry instead. */
+  * DLQ retention stance: the error sink is a RAW-TEXT quarantine of
+  * lines that never became documents. Some carry no extractable
+  * identity at all (non-JSON garbage); some parse but failed another
+  * required field and DO carry a doc_id. Engine-owned id-keyed forget
+  * still stops at the relational sinks: the DLQ is pre-schema by
+  * design (its value is the exact bytes that failed), so its bound is
+  * time-based whole-dir expiry — and an operator who must delete an
+  * id from it filters the raw text directly
+  * (`spark.read.text(dir).filter(get_json_object(value,
+  * "$.doc_id") =!= id)` → overwrite), a one-liner that needs none of
+  * the fence machinery because the DLQ has no probe path to race. */
 object DocIngest {
 
   /** Fold threshold for the near-dup signature index — same sizing
