@@ -395,8 +395,14 @@ object IvfIngestMaintenance {
     // write choke point (a single one-row aggregate; the set is
     // parameter-sized)
     val guard = rows
-      .agg(count(lit(1)).as("n"), countDistinct(col("probe_id")).as("d"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("probe_id")).as("d"),
+        count(when(col("probe_id").isNull, 1)).as("nulls"))
       .head()
+    // countDistinct skips NULLs — name them explicitly, or a caller
+    // whose ids cast('long') to null would be sent hunting duplicates
+    require(guard.getLong(2) == 0,
+      s"${guard.getLong(2)} probe rows have NULL probe_id (a non-" +
+        "numeric id cast to long?) — probe_id must key each probe")
     require(guard.getLong(0) == guard.getLong(1),
       s"probe set has ${guard.getLong(0)} rows but only " +
         s"${guard.getLong(1)} distinct probe_ids — probe_id must " +
@@ -449,7 +455,10 @@ object IvfIngestMaintenance {
                     queries: DataFrame, idCol: String, vecCol: String,
                     k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    // fences + stable snapshot + cell-pruned union live in livePruned
+    // FAIL-FAST fence check before any real work (livePruned re-checks
+    // as part of the shared read): a torn forget should refuse here,
+    // not after the centroid read and the probe-cell checkpoint job
+    graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
     val centroids = Ivf.readCentroids(spark, indexDir)
     // (query, its probe cells) — query sets are parameter-sized by
     // contract (probe sets, mining anchors), so the relation broadcasts.
@@ -588,8 +597,9 @@ object IvfIngestMaintenance {
   def topKLive(spark: SparkSession, indexDir: String, query: DataFrame,
                vecCol: String, k: Int, nprobe: Int = 4): DataFrame = {
     import spark.implicits._
-    // fences + stable snapshot + cell-pruned union all live in the ONE
-    // shared read ([[livePruned]]); this path only scores one query
+    // FAIL-FAST fence check before any real work (livePruned re-checks
+    // as part of the shared read); this path only scores one query
+    graft.operators.IndexForget.assertClean(spark, s"$indexDir/cells")
     val centroids = Ivf.readCentroids(spark, indexDir)
     val probes = query.select(
         explode(Ivf.probeCells(Ivf.unit(col(vecCol)), centroids, nprobe))

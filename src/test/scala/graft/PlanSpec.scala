@@ -311,8 +311,11 @@ class PlanSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     // the union of probed cells must reach the scan as a PARTITION
     // filter — a data filter (or none) would read all nlist dirs
+    // drop(1): element 0 is the plan text ABOVE the first scan — its
+    // first ']' could enclose an unrelated 'cell' attribute and
+    // false-pass the exact claim this pins
     assert(p.contains("PartitionFilters: [") &&
-      p.split("PartitionFilters: ", -1).exists(s =>
+      p.split("PartitionFilters: ", -1).drop(1).exists(s =>
         s.takeWhile(_ != ']').contains("cell")),
       s"cell pruning lost from the base scan:\n$p")
     // the parameter-sized probe relation broadcasts; the corpus side

@@ -2668,7 +2668,12 @@ class StreamingSpec extends SparkTestBase {
         var prev = -1
         var stable = 0
         var waited = 0
-        while (stable < 2 && waited < 10000) {
+        // minimum total wait ≥ 1.5 s AND a nonzero count before
+        // stability can be declared: a delayed burst delivery (GC
+        // pause, CI load) must not let two quiet 250 ms windows
+        // undercount one run and skew the between-runs delta
+        while ((stable < 2 || waited < 1500 || jobs.get() == 0) &&
+            waited < 10000) {
           Thread.sleep(250); waited += 250
           val cur = jobs.get()
           if (cur == prev) stable += 1 else { stable = 0; prev = cur }
