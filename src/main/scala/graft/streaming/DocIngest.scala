@@ -282,8 +282,10 @@ object DocIngest {
         // doubles as compaction, the CopyDetect argument. The fold takes
         // its OWN listing rather than reusing the probe's: the probe's
         // snapshot predates this batch's append and the fold's listing
-        // is its crash-safety boundary (horizon, cleanup, fences) —
-        // ~threshold+2 extra listStatus calls per trigger, a deliberate
+        // is its crash-safety boundary (horizon, cleanup, fences). The
+        // probe lists ≤ threshold + 2 dirs (one consol + at most
+        // threshold+1 tail dirs — DocIngestSpec's BOUND case pins it);
+        // the fold re-lists that same bounded set, a deliberate
         // metadata cost far under one bucket probe.
         if (consolidateAfter > 0)
           FoldProtocol.fold(spark, fam, batchId, consolidateAfter) {
