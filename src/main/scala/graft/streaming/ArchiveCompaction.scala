@@ -61,6 +61,32 @@ object ArchiveCompaction {
     orphanHorizons(spark, archive)
       .map(h => doCompact(spark, archive, h)).sum
 
+  /** Forget-time debris reaping for QUIESCED archives: delete any
+    * `.compact-<h>` staging dir LACKING its `.complete` marker. Such a
+    * dir is a compaction that crashed mid-staging-WRITE — uncommitted
+    * by protocol ([[recover]] only finishes marker-committed swaps),
+    * invisible to every reader (dot prefix), yet physically retaining
+    * row bytes: a forget that rewrote every committed dir would leave
+    * victim bytes in it indefinitely (only a later compaction that
+    * happened to pick the same horizon would overwrite it). Safe under
+    * quiesce: the staging never received its marker, so no swap can
+    * want it, and a re-run compaction rewrites its own staging from
+    * scratch (mode overwrite). Run AFTER [[recover]] — a marked
+    * staging is committed and must finish its swap, never be reaped.
+    * Returns the reaped paths. */
+  def reapStaging(spark: SparkSession, archive: String): Seq[String] = {
+    val root = new Path(archive)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val Staging = """\.compact-(\d+)""".r
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.filter { s =>
+      s.isDirectory && (s.getPath.getName match {
+        case Staging(h) => !fs.exists(new Path(root, s".compact-$h.complete"))
+        case _          => false
+      })
+    }.map { s => fs.delete(s.getPath, true); s.getPath.toString }
+  }
+
   /** Compact every `batch_id <= upTo` directory into one. Finishes any
     * crashed prior compaction first. Returns the number of source
     * directories folded in (0 = nothing to do). */

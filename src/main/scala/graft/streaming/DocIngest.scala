@@ -355,6 +355,20 @@ object DocIngest {
     val auditRoots =
       Seq(sinks.rejects, s"${sinks.rejects}_neardup").filter(exists)
     val corpusRoot = Some(sinks.corpus).filter(exists)
+    // a mistyped corpus path must fail LOUDLY before any fence plants —
+    // an absent-root skip here would delete nothing and "succeed", the
+    // silent compliance-no-op class this tenant guards against
+    // everywhere else. Audit/index roots may legitimately not exist
+    // yet (a stream that never rejected writes no audit dir), so those
+    // skips only log.
+    require(corpusRoot.nonEmpty,
+      s"no corpus at ${sinks.corpus} — forget would delete nothing " +
+        "(path typo?); pass the Sinks the stream actually ran with")
+    val skipped = (nearDupIndex.toSeq ++
+      Seq(sinks.rejects, s"${sinks.rejects}_neardup")).filterNot(exists)
+    if (skipped.nonEmpty)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"DocIngest.forget: skipping absent roots: ${skipped.mkString(", ")}")
     val allRoots = idxRoot.toSeq ++ auditRoots ++ corpusRoot
 
     // COMPOSITION fences on EVERY root BEFORE any work (the
@@ -387,10 +401,14 @@ object DocIngest {
     // `.complete` marker) can hold victim rows that the committed-dir
     // rewrite below never sees — and the NEXT compaction run would
     // publish them back over the cleaned dirs. recover() promotes the
-    // staging to a committed batch dir this pass then rewrites.
+    // staging to a committed batch dir this pass then rewrites. A
+    // compaction that crashed mid-staging-WRITE (no marker) instead
+    // REAPS: uncommitted by protocol, invisible to recover and every
+    // reader, yet physically retaining victim bytes indefinitely.
     auditRoots.foreach { root =>
       IndexForget.heal(spark, root) // before listing — same window
       ArchiveCompaction.recover(spark, root): Unit
+      ArchiveCompaction.reapStaging(spark, root): Unit
       FoldProtocol.reapUncommitted(spark,
         FoldProtocol.Family(root, "_SUCCESS", Some(root)))
       val dirs = CommittedDirs.list(spark, root).map(_._2.getName)
@@ -402,6 +420,7 @@ object DocIngest {
     // recovery first, same reasoning)
     corpusRoot.foreach { c =>
       ArchiveCompaction.recover(spark, c): Unit
+      ArchiveCompaction.reapStaging(spark, c): Unit
       FoldProtocol.reapUncommitted(spark,
         FoldProtocol.Family(c, "_SUCCESS", Some(c)))
       CommittedDirs.list(spark, c).foreach { case (_, d) =>

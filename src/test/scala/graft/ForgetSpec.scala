@@ -740,5 +740,43 @@ class ForgetSpec extends SparkTestBase {
     assert(spark.read.parquet(sinks.corpus)
         .select("doc_id").collect().map(_.getLong(0)).toSet === Set(104L),
       "post-forget compaction resurrected forgotten rows")
+
+    // CRASHED-MID-STAGING window (the other half of the compaction
+    // crash surface): a compaction that died while WRITING its staging
+    // leaves `.compact-<h>` with NO `.complete` marker — invisible to
+    // recover() and every reader, yet physically retaining row bytes.
+    // forget must REAP it (uncommitted by protocol, safe under
+    // quiesce); otherwise bytes it holds outlive the forget
+    // indefinitely, violating physical retention.
+    val h2 = h + 7
+    spark.read.parquet(sinks.corpus)
+      .withColumn("doc_id", lit(999L))
+      .write.partitionBy("split").mode("overwrite")
+      .parquet(s"${sinks.corpus}/.compact-$h2")
+    spark.range(1)
+      .selectExpr("999L as doc_id", "'s' as source", "'x' as reject_reason")
+      .write.mode("overwrite").parquet(s"${sinks.rejects}/.compact-$h2")
+    DocIngest.forget(spark, sinks, Seq(999L), Some(idx))
+    assert(!cfs.exists(new Path(s"${sinks.corpus}/.compact-$h2")),
+      "unmarked corpus staging debris survived forget")
+    assert(!fs(sinks.rejects).exists(new Path(s"${sinks.rejects}/.compact-$h2")),
+      "unmarked audit staging debris survived forget")
+    assert(spark.read.parquet(sinks.corpus)
+        .select("doc_id").collect().map(_.getLong(0)).toSet === Set(104L),
+      "staging reap touched committed corpus rows")
+
+    // MISTYPED-ROOT refusal: an absent corpus root must fail loudly
+    // BEFORE any fence plants — a skip would delete nothing and
+    // "succeed" (the silent compliance-no-op class)
+    val err = intercept[IllegalArgumentException] {
+      DocIngest.forget(spark, sinks.copy(corpus = sinks.corpus + "_typo"),
+        Seq(104L), Some(idx))
+    }
+    assert(err.getMessage.contains("no corpus"))
+    Seq(idx, sinks.corpus, sinks.rejects, s"${sinks.rejects}_neardup")
+      .foreach { p =>
+        assert(!fs(p).exists(new Path(p, IndexForget.Marker)),
+          s"refused forget left a fence at $p")
+      }
   }
 }

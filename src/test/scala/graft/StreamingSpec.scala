@@ -1138,6 +1138,22 @@ class StreamingSpec extends SparkTestBase {
     // and running it AGAIN is a no-op (resume-after-swap guard)
     assert(ArchiveCompaction.compact(spark, sinks.archive, all2) === 0)
     assert(spark.read.parquet(sinks.archive).count() === before.size)
+
+    // reapStaging (forget-time debris): an UNMARKED staging dir is a
+    // compaction that crashed mid-staging-write — uncommitted by
+    // protocol, so it reaps; a marker-COMMITTED staging must be left
+    // for recover() to finish its swap, never reaped
+    val unmarked = new org.apache.hadoop.fs.Path(s"${sinks.archive}/.compact-97")
+    fs.mkdirs(unmarked)
+    val marked = new org.apache.hadoop.fs.Path(s"${sinks.archive}/.compact-98")
+    fs.mkdirs(marked)
+    fs.create(new org.apache.hadoop.fs.Path(
+      s"${sinks.archive}/.compact-98.complete"), true).close()
+    assert(ArchiveCompaction.reapStaging(spark, sinks.archive)
+      .map(p => new org.apache.hadoop.fs.Path(p).getName) ===
+      Seq(".compact-97"))
+    assert(!fs.exists(unmarked) && fs.exists(marked),
+      "reapStaging must reap only unmarked staging dirs")
   }
 
   test("stream-static enrichment join: CDC stream enriched against a static dim == batch join") {
