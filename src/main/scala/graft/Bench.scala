@@ -206,16 +206,6 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.map("\"" + _._1 + "\"").mkString("[", ",", "]")
 
-    // Streaming phase in a FRESH SparkSession: the query board leaves
-    // heap/block-manager/codegen-cache state that halved the measured
-    // replay throughput in-run (8.4k rec/s after 141 queries vs 17.6k
-    // isolated, same binary same day) — GC after the last query chunk and
-    // let the replays start from the state a dedicated streaming job
-    // would actually have. Not built at all in subset/smoke mode, where
-    // every replay short-circuits and the session would only ever be
-    // stopped (~1-2 s of dead startup per 100× smoke invocation).
-    lazy val streamSpark: SparkSession = newSession()
-
     // Streaming replay throughput (reference comparison point: offered
     // load 0.33 rec/s with 5-10 min visibility, reference README.md:451).
     // Lines through parse→dedup→dual-sink under AvailableNow; -1 on
@@ -223,8 +213,8 @@ object Bench {
     // running and the elapsed denominator covering a partial run — that
     // must read as failure, not as a slow-but-plausible number). The line
     // count is taken from the replay file itself, never hardcoded.
-    def replayThroughput(lines: Seq[String], tag: String,
-                         flat: Boolean = false): Double = {
+    def replayThroughput(streamSpark: SparkSession, lines: Seq[String],
+                         tag: String, flat: Boolean = false): Double = {
       import java.nio.file.Files
       import scala.jdk.CollectionConverters._
       var dirs = Seq.empty[java.io.File]
@@ -298,21 +288,44 @@ object Bench {
     // cut the trailing block 2.6× while the leading block lost 1.5×)
     // then lands on both layouts symmetrically instead of biasing
     // whichever block ran later.
+    //
+    // FRESH SESSION PER PAIR (round 17): the r16 driver artifact showed
+    // the graded 100k legs decaying monotonically (22.4k → 7.4k → 6.6k
+    // rec/s) while the interleaved flat legs improved — a pattern box
+    // drift cannot produce, but accumulated session state could: every
+    // replay registers a new checkpoint's state-store providers in the
+    // shared session and nothing ever unloads them (their maintenance
+    // threads keep running against deleted /tmp dirs). A same-box
+    // STREAM_ONLY reproduction on this binary showed NO decay (graded
+    // 21.2k/25.6k/21.1k, ratio 0.919 — the r16 read was one bad run),
+    // but the artifact of record must be able to EXONERATE the layout
+    // by itself: each (graded, flat) pair now runs in its own fresh
+    // session (no pair inherits another pair's providers — worst case
+    // one warmup+graded leg's residue lands on the flat leg, the
+    // direction that would only understate the graded/flat ratio), and
+    // the per-pair ratio LIST rides the stdout metric line so decay vs
+    // drift is readable from one driver artifact. Session-scoped
+    // cold-start (state-store init, stream codegen) would otherwise
+    // land entirely on each pair's FIRST (graded) leg, so every pair
+    // warms its session with one untimed fixture replay per layout
+    // first; JVM-wide JIT still survives from the phase's start.
     def interleaved(n: Int, lines: Seq[String], tag: String)
         : ((Double, Seq[Double]), (Double, Seq[Double])) =
       if (subset.isDefined) ((-1.0, Seq.empty), (-1.0, Seq.empty))
       else {
         val pairs = (1 to n).map { i =>
-          (replayThroughput(lines, tag + i),
-            replayThroughput(lines, s"${tag}flat$i", flat = true))
+          val ss = newSession()
+          try {
+            replayThroughput(ss, fixtureLines, s"${tag}warm$i")
+            replayThroughput(ss, fixtureLines, s"${tag}flatwarm$i",
+              flat = true)
+            (replayThroughput(ss, lines, tag + i),
+              replayThroughput(ss, lines, s"${tag}flat$i", flat = true))
+          } finally { ss.stop(); System.gc() }
         }
         ((pairs.map(_._1).max, pairs.map(_._1)),
           (pairs.map(_._2).max, pairs.map(_._2)))
       }
-    if (subset.isEmpty) {
-      replayThroughput(fixtureLines, "warmup")
-      replayThroughput(fixtureLines, "flatwarmup", flat = true)
-    }
     val ((streamRecPerSec, smallRuns), (flatSmall, flatSmallRuns)) =
       interleaved(3, fixtureLines, "small")
     val ((streamLargeRecPerSec, largeRuns), (flatLarge, flatLargeRuns)) =
@@ -335,8 +348,18 @@ object Bench {
     }
     val (ratioSmall, pairsSmall) = medianRatio(smallRuns, flatSmallRuns)
     val (ratioLarge, pairsLarge) = medianRatio(largeRuns, flatLargeRuns)
+    // the per-pair ratio LIST, in run order — ~40 chars that let a
+    // single driver artifact distinguish "graded legs decaying while
+    // flat holds" (a real layout/state problem) from symmetric box
+    // drift (pairs scatter around a flat mean), without the sidecar
+    def ratioList(g: Seq[Double], fl: Seq[Double]): String =
+      g.zip(fl).map { case (a, b) =>
+        if (a > 0 && b > 0) f(a / b) else "-1.0"
+      }.mkString("[", ",", "]")
+    val rlSmall = ratioList(smallRuns, flatSmallRuns)
+    val rlLarge = ratioList(largeRuns, flatLargeRuns)
 
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"calibration_probe_sec":${f(probeSec)},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"streaming_flatcal_rec_per_sec":${f(flatSmall)},"streaming_flatcal_rec_per_sec_100k":${f(flatLarge)},"streaming_vs_flatcal":${f(ratioSmall)},"streaming_vs_flatcal_100k":${f(ratioLarge)},"streaming_ratio_pairs":[$pairsSmall,$pairsLarge],"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"calibration_probe_sec":${f(probeSec)},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"streaming_flatcal_rec_per_sec":${f(flatSmall)},"streaming_flatcal_rec_per_sec_100k":${f(flatLarge)},"streaming_vs_flatcal":${f(ratioSmall)},"streaming_vs_flatcal_100k":${f(ratioLarge)},"streaming_ratio_pairs":[$pairsSmall,$pairsLarge],"streaming_ratio_list":$rlSmall,"streaming_ratio_list_100k":$rlLarge,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar first, then the metric line as the ABSOLUTE last stdout
     // output (after spark.stop()): round 7's artifact recorded `parsed:
     // null` because the driver's structured extraction missed the line
@@ -359,9 +382,8 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_LAST_LOCAL.json"), sidecar + "\n")
     catch { case scala.util.control.NonFatal(_) => () }
-    // the query-phase sessions are already stopped; the lazy streaming
-    // session only ever existed when the replays ran
-    if (subset.isEmpty) streamSpark.stop()
+    // every session (query chunks and per-pair streaming) is already
+    // stopped by its own scope
     println(line)
   }
 }
