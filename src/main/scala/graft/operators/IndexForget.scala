@@ -39,6 +39,33 @@ object IndexForget {
 
   private val TmpPrefix = ".forget_tmp."
   private val TrashPrefix = ".forget_trash."
+  // staged bulk-forget siblings (dot-prefixed: invisible to partition
+  // discovery and to every `batch_id=`/`consol_id=` listing). The
+  // staging's commit point is its own dot-file, NOT the rebuild job's
+  // `_SUCCESS`: sidecar entries (a CopyIndex `_FANOUT`, any family
+  // metadata living beside the partition dirs) copy into the staging
+  // AFTER the job commit, and a staging missing them must never count
+  // as publishable.
+  private val StagePrefix = ".forget_stage."
+  private val OldPrefix = ".forget_old."
+  private val StageComplete = ".stage_complete"
+
+  /** Victim-partition fraction at or above which [[forget]] switches
+    * from victim-by-victim dir swaps to the STAGED survivors rebuild:
+    * one whole-index rewrite job + one publish swap instead of 2+
+    * Spark jobs and 3 metadata round-trips PER victim partition. Pass
+    * `stagedFraction <= 0` to force the staged path, or `> 1` to pin
+    * the per-dir path, regardless of the victim fraction. */
+  val StagedRebuildFraction = 0.3
+
+  /** Absolute victim-dir floor for the AUTOMATIC staged switch: below
+    * this many victim partitions the sequential path is a handful of
+    * small jobs whatever the fraction reads (a 3-split corpus batch
+    * dir with one victim split is "33% of partitions" but one cheap
+    * rewrite), while the staged path always pays a whole-index read +
+    * write. Only past both gates — many victim dirs AND a large
+    * fraction — does the full rebuild win. */
+  val StagedMinVictimParts = 33
 
   /** Composition fence for MULTI-STEP forgets (the streaming tenants,
     * the BM25 sidecar family): the caller plants the marker at its own
@@ -87,9 +114,15 @@ object IndexForget {
     * three return paths under a held fence. */
   def forget(spark: SparkSession, root: String, partCol: String,
              idCol: String, ids: Seq[Long],
-             holdFence: Boolean = false): Seq[String] = {
+             holdFence: Boolean = false,
+             stagedFraction: Double = StagedRebuildFraction): Seq[String] = {
     require(ids.nonEmpty, "forget needs at least one id")
     val (fs, rootP) = fsPath(spark, root)
+    // staged-swap heal FIRST: a crash between the staged path's two
+    // publish renames leaves the root itself MISSING (retired to its
+    // .forget_old. sibling) — the existence check below must see the
+    // restored/published root, not refuse a healable layout
+    repairStaged(fs, rootP)
     require(fs.exists(rootP), s"no index at $root")
     // a marker at entry means an earlier forget TORE here: the fence
     // must stay up through repair AND the victim re-scan — dropping it
@@ -125,7 +158,22 @@ object IndexForget {
       if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
       return Nil
     }
+    // MASS-DELETE path: when victims span a large share of the
+    // partitions, the per-dir loop below degenerates into thousands of
+    // sequential job launches (2+ jobs + 3 renames per victim dir) —
+    // a survivors rebuild at a staging sibling plus ONE publish swap
+    // is both faster past the crossover and a smaller crash surface
+    // (one committed dir swap vs V interleaved windows)
+    val partCount = fs.listStatus(rootP).count(st => st.isDirectory &&
+      st.getPath.getName.startsWith(partCol + "="))
+    val useStaged = stagedFraction <= 0.0 ||
+      (victims.size >= StagedMinVictimParts &&
+        victims.size.toDouble >= stagedFraction * partCount)
+    // operation fence: up before the first mutation on either path
     touch(fs, new Path(rootP, Marker))
+    if (useStaged)
+      return forgetStaged(spark, fs, rootP, root, partCol, idCol, ids,
+        holdFence, victims)
     victims.foreach { v =>
       val dirName = s"$partCol=$v"
       val dir = new Path(rootP, dirName)
@@ -152,6 +200,97 @@ object IndexForget {
     }
     if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
     victims
+  }
+
+  /** STAGED survivors rebuild — [[forgetFlat]]'s whole-dir sibling
+    * swap generalized to the partitioned layout (the VersionedState
+    * build-then-swap shape): survivors rewrite ONCE into the
+    * dot-prefixed sibling `.forget_stage.<name>` under the same
+    * `partCol=` layout — its `.stage_complete` dot-file, touched after
+    * the rebuild job AND the sidecar carry-over, is the staging's
+    * commit point — then the live root retires to `.forget_old.<name>`
+    * and the staging publishes under the root's name. Crash windows:
+    * before the staging's commit point, the root is intact and fenced
+    * (marker); between the two publish renames the root is MISSING —
+    * loud to any read — with a committed staging that [[repairStaged]]
+    * finishes; after the publish, only the retired old sibling lingers
+    * and the next heal deletes it. NOTE for composition callers: a
+    * crash mid-publish drops the root-internal marker with the retired
+    * root (the published survivors are whole, so clean is correct) —
+    * a multi-step composition must fence at a SEPARATE root, which
+    * every production tenant already does. */
+  private def forgetStaged(spark: SparkSession, fs: FileSystem,
+                           rootP: Path, root: String, partCol: String,
+                           idCol: String, ids: Seq[Long],
+                           holdFence: Boolean,
+                           victims: Seq[String]): Seq[String] = {
+    val parent = rootP.getParent
+    val stage = new Path(parent, StagePrefix + rootP.getName)
+    val old = new Path(parent, OldPrefix + rootP.getName)
+    fs.delete(stage, true)
+    // ONE whole-index job; reads the still-live root, writes the same
+    // partition layout. No checkpoint needed: the write completes
+    // before any rename touches what it reads.
+    spark.read.option("basePath", root).parquet(root)
+      .filter(!col(idCol).isin(ids: _*))
+      .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
+    // carry the family's SIDECAR entries (a CopyIndex _FANOUT, any
+    // metadata beside the partition dirs) into the staging — the swap
+    // replaces the whole root, so anything not copied is lost. Skip
+    // the partition dirs (just rebuilt), this protocol's own marker
+    // and debris, and names the job already wrote.
+    fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      val skip = n.startsWith(partCol + "=") || n == Marker ||
+        n.startsWith(TrashPrefix) || n.startsWith(TmpPrefix) ||
+        fs.exists(new Path(stage, n))
+      if (!skip)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+          new Path(stage, n), false,
+          spark.sparkContext.hadoopConfiguration),
+          s"could not carry sidecar $n into $stage")
+    }
+    touch(fs, new Path(stage, StageComplete)) // the staging commit point
+    require(fs.rename(rootP, old), s"could not retire $rootP")
+    require(fs.rename(stage, rootP), s"could not publish $stage")
+    fs.delete(new Path(rootP, StageComplete), false)
+    fs.delete(old, true)
+    if (holdFence) touch(fs, new Path(rootP, Marker))
+    victims
+  }
+
+  /** Heal the staged swap's crash windows. Root MISSING + committed
+    * staging (its `.stage_complete` exists): the crash hit between the
+    * two publish renames — finish the publish (the staging holds the
+    * whole survivor set AND the sidecars) and drop the retired root.
+    * Root MISSING + no
+    * committed staging: restore the retired root (the re-run redoes
+    * the rebuild). Root PRESENT: any staging/old sibling is an
+    * uncommitted rebuild or an already-superseded retired root — both
+    * physically retain victim bytes and delete. The root-internal
+    * marker is not touched here. */
+  private def repairStaged(fs: FileSystem, rootP: Path): Unit = {
+    val parent = rootP.getParent
+    if (parent == null) return
+    val stage = new Path(parent, StagePrefix + rootP.getName)
+    val old = new Path(parent, OldPrefix + rootP.getName)
+    if (!fs.exists(rootP)) {
+      if (fs.exists(new Path(stage, StageComplete))) {
+        require(fs.rename(stage, rootP), s"could not publish $stage")
+        fs.delete(new Path(rootP, StageComplete), false)
+        fs.delete(old, true): Unit
+      } else if (fs.exists(old)) {
+        require(fs.rename(old, rootP), s"could not restore $rootP")
+        fs.delete(stage, true): Unit
+      }
+    } else {
+      // a stray in-root staging-commit marker (crash between the
+      // publish rename and its cleanup) is junk — drop it with the
+      // sibling debris
+      fs.delete(new Path(rootP, StageComplete), false)
+      fs.delete(stage, true)
+      fs.delete(old, true): Unit
+    }
   }
 
   /** Multi-column variant for relations where the victim test is not a
@@ -299,7 +438,22 @@ object IndexForget {
     * fence is its own to clear. */
   def heal(spark: SparkSession, root: String): Unit = {
     val (fs, p) = fsPath(spark, root)
-    if (fs.exists(p)) repair(fs, p, keepMarker = true)
+    repairStaged(fs, p)
+    if (fs.exists(p)) {
+      // a CHILD dir retired mid-staged-publish (the per-dir forget of
+      // a batch-dir tenant can take the staged path): its
+      // `.forget_old.<name>` sibling sits INSIDE this root, invisible
+      // to the caller's committed-dir listing exactly like the trash
+      // window above — repair each such original before the list
+      fs.listStatus(p).map(_.getPath.getName).foreach { n =>
+        val orig =
+          if (n.startsWith(StagePrefix)) Some(n.stripPrefix(StagePrefix))
+          else if (n.startsWith(OldPrefix)) Some(n.stripPrefix(OldPrefix))
+          else None
+        orig.foreach(o => repairStaged(fs, new Path(p, o)))
+      }
+      repair(fs, p, keepMarker = true)
+    }
   }
 
   /** Heal the leftovers of a forget() that died mid-swap, window by

@@ -114,8 +114,30 @@ object ArchiveCompaction {
     // 1. complete staging copy (skipped when resuming a crashed run —
     //    the marker commits the staging dir as whole)
     if (!fs.exists(done)) {
+      // FILELESS sources (a quiet stream's empty batches write markers
+      // only) hold zero rows: fold only the dirs that carry data — an
+      // all-fileless horizon would crash the union's schema inference.
+      // When NOTHING below the horizon has data, just reap the dirs
+      // (no batch <= upTo can retry once a later batch committed).
+      def hasData(p: Path): Boolean = {
+        val it = fs.listFiles(p, true)
+        var found = false
+        while (!found && it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          found = f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+        }
+        found
+      }
+      val withData =
+        sources.filter(i => hasData(new Path(s"$archive/batch_id=$i")))
+      if (withData.isEmpty) {
+        sources.foreach(i =>
+          fs.delete(new Path(s"$archive/batch_id=$i"), true))
+        return sources.size
+      }
       val union = spark.read.option("basePath", archive).parquet(
-        sources.map(i => s"$archive/batch_id=$i"): _*)
+        withData.map(i => s"$archive/batch_id=$i"): _*)
       // preserve whichever partition layout the sink wrote: the CDC
       // archive's hourly four columns or its `rotation` key (the Rotation
       // knob), and the DocIngest corpus's `split` — pruning must survive

@@ -40,9 +40,13 @@ import org.apache.spark.sql.types._
   * per-trigger listing is bounded by the threshold, not the stream's
   * age — without it the index read listed EVERY dir ever committed,
   * O(triggers) metadata per trigger. The corpus and rejects sinks
-  * accrete `batch_id=` dirs too; they have no per-trigger read path, so
-  * their compaction stays an operator action (ArchiveCompaction, same
-  * as the CDC archive — DocIngestSpec pins split pruning surviving it).
+  * accrete `batch_id=` dirs too; they have no per-trigger read path,
+  * so their bound is `compactAfter` (0 = off): when set, each trigger
+  * retains that many newest batch dirs per sink and folds the rest
+  * into one (ArchiveCompaction — split pruning and exactly-once retry
+  * survive it, DocIngestSpec pins both); when off, compaction stays an
+  * operator action, same as the CDC archive. The DLQ is excluded
+  * either way — its retention is time-based whole-dir expiry.
   *
   * FORGET — [[forget]] deletes a document's whole per-tenant footprint:
   * corpus rows (split-partition rewrites per batch dir), audit rows in
@@ -146,7 +150,8 @@ object DocIngest {
             lateness: String = "1 hour", minToks: Int = 3,
             maxToks: Int = 10000, nearDupIndex: Option[String] = None,
             nearDupThreshold: Double = 0.5,
-            consolidateAfter: Int = DefaultConsolidateAfter)
+            consolidateAfter: Int = DefaultConsolidateAfter,
+            compactAfter: Int = 0)
       : (StreamingQuery, StreamingQuery, StreamingQuery) = {
     val parsed = parseLines(lines)
     val rejectReason =
@@ -160,7 +165,8 @@ object DocIngest {
       .dropDuplicatesWithinWatermark("digest")
       .writeStream
       .foreachBatch(
-        sinkBatch(sinks, nearDupIndex, nearDupThreshold, consolidateAfter) _)
+        sinkBatch(sinks, nearDupIndex, nearDupThreshold, consolidateAfter,
+          compactAfter) _)
       .trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint).start()
 
@@ -170,6 +176,9 @@ object DocIngest {
         rejectReason.as("reject_reason"))
       .writeStream.foreachBatch { (bad: DataFrame, batchId: Long) =>
         bad.write.mode("overwrite").parquet(s"${sinks.rejects}/batch_id=$batchId")
+        if (compactAfter > 0)
+          ArchiveCompaction.compactOlderThan(bad.sparkSession,
+            sinks.rejects, compactAfter): Unit
       }.trigger(trigger)
       .option("checkpointLocation", sinks.checkpoint + "_rejects").start()
 
@@ -201,19 +210,21 @@ object DocIngest {
     * exactly-once for the index too). */
   def sinkBatch(sinks: Sinks, nearDupIndex: Option[String] = None,
                 nearDupThreshold: Double = 0.5,
-                consolidateAfter: Int = DefaultConsolidateAfter)
+                consolidateAfter: Int = DefaultConsolidateAfter,
+                compactAfter: Int = 0)
                (batch: DataFrame, batchId: Long): Unit = {
     // the near-dup branch drives several actions over the batch (audit
     // write, index append, corpus write) — persist so the source micro-
     // batch parses once, same discipline as the CDC sinkBatch
     if (nearDupIndex.isDefined) batch.persist()
     try doSinkBatch(sinks, nearDupIndex, nearDupThreshold, consolidateAfter,
-      batch, batchId)
+      compactAfter, batch, batchId)
     finally if (nearDupIndex.isDefined) batch.unpersist()
   }
 
   private def doSinkBatch(sinks: Sinks, nearDupIndex: Option[String],
                           nearDupThreshold: Double, consolidateAfter: Int,
+                          compactAfter: Int,
                           batch: DataFrame, batchId: Long): Unit = {
     val rows = batch
       .select(col("doc.doc_id").as("doc_id"), col("doc.text").as("text"),
@@ -305,6 +316,28 @@ object DocIngest {
     }
     accepted.write.partitionBy("split")
       .mode("overwrite").parquet(s"${sinks.corpus}/batch_id=$batchId")
+    // opt-in compaction cadence for the accreting sinks (the index
+    // folds itself above): retain the newest `compactAfter` batch dirs
+    // — the current batch is always among them, so a retried batch
+    // still overwrites its OWN live dir (exactly-once preserved) —
+    // and fold everything older into one split-partitioned dir.
+    // ArchiveCompaction preserves the `split` layout, so downstream
+    // partition pruning survives, and a crashed swap is finished by
+    // the next trigger's recover-on-entry (inside compactOlderThan)
+    // or by forget(). The corpus has no per-trigger read path, so the
+    // transient reader race the operator-run stance documents applies
+    // only to EXTERNAL readers — same contract as before, now on a
+    // cadence. The DLQ stays out: its retention is time-based
+    // whole-dir expiry (see the object scaladoc), and folding dirs
+    // would merge quarantine lines across their arrival windows.
+    if (compactAfter > 0) {
+      val spark = batch.sparkSession
+      ArchiveCompaction.compactOlderThan(spark, sinks.corpus,
+        compactAfter): Unit
+      if (nearDupIndex.isDefined)
+        ArchiveCompaction.compactOlderThan(spark,
+          s"${sinks.rejects}_neardup", compactAfter): Unit
+    }
   }
 
   /** What a probe at `batchId` would list: (committed consolidation
@@ -341,7 +374,17 @@ object DocIngest {
     *     explicit schema (a drifted schema must fail loudly, never
     *     match no victims and "succeed").
     * The DLQ is NOT covered — see the retention stance in the object
-    * scaladoc (unparseable lines carry no extractable doc_id). */
+    * scaladoc (unparseable lines carry no extractable doc_id).
+    *
+    * RESUME semantics (the documented contract, lifecycle-pinned in
+    * DocIngestSpec): after the forget, the resumed stream's probes
+    * read the rewritten index cleanly, and a RE-ARRIVAL of the
+    * forgotten text is accepted as a NEW document — its signatures
+    * are gone, so to the near-dup gate it has never been seen (the
+    * right-to-be-forgotten contract erases the document's footprint,
+    * not the operator's ability to ingest equal future content).
+    * Re-arrivals of SURVIVING documents' text still reject against
+    * their retained signatures. */
   def forget(spark: org.apache.spark.sql.SparkSession, sinks: Sinks,
              ids: Seq[Long], nearDupIndex: Option[String] = None): Unit = {
     import graft.operators.IndexForget
@@ -419,6 +462,14 @@ object DocIngest {
     // split partitions of each committed dir (same crashed-compaction
     // recovery first, same reasoning)
     corpusRoot.foreach { c =>
+      // heal before listing (same window as the audit roots): a batch
+      // dir a crashed run retired to a root-level trash or staged-swap
+      // sibling would be invisible to the committed-dir list below and
+      // silently skip its rewrite. Today's corpus passes can't produce
+      // such siblings (per-dir forgets repair inside their own dir and
+      // never auto-stage at <= |splits| victims), but the listing's
+      // safety must not depend on that reasoning staying true.
+      IndexForget.heal(spark, c)
       ArchiveCompaction.recover(spark, c): Unit
       ArchiveCompaction.reapStaging(spark, c): Unit
       FoldProtocol.reapUncommitted(spark,

@@ -278,6 +278,193 @@ class DocIngestSpec extends SparkTestBase {
       s"signatureSchema drifted from the written layout: $footer")
   }
 
+  test("compactAfter cadence: bounded dir counts across triggers on every sink; split pruning and stream resume survive; forget deletes victims from folded dirs") {
+    import graft.streaming.ArchiveCompaction
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val others = Seq(
+      "completely different second subject matter entirely about spark shuffles",
+      "yet another fully unrelated document about watermark state eviction",
+      "a third standalone text concerning parquet footers and column pruning",
+      "fourth independent piece on broadcast joins and adaptive execution")
+    // the fold test's six-trigger fixture (decisions pinned there)
+    val files = Seq(
+      Seq(doc(100, base), doc(101, others(0))),
+      Seq(doc(102, base + " extra marker")),
+      Seq(doc(103, others(1))),
+      Seq(doc(104, base + " trailing addition"), doc(105, others(2))),
+      Seq(doc(106, others(0) + " with a small tail")),
+      Seq(doc(107, others(3))))
+    val src = tmpDir("doc_src_cadence")
+    files.zipWithIndex.foreach { case (ls, i) =>
+      val p = java.nio.file.Paths.get(f"$src/f$i%02d.jsonl")
+      Files.writeString(p, ls.mkString("\n") + "\n")
+      assert(p.toFile.setLastModified(
+        System.currentTimeMillis() - 120000 + i * 10000))
+    }
+    val root = tmpDir("doc_out_cadence")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val idx = s"$root/idx"
+    def run(): Unit = {
+      val (m, r, d) = DocIngest.start(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(src),
+        sinks, Trigger.AvailableNow(), nearDupIndex = Some(idx),
+        nearDupThreshold = 0.3, consolidateAfter = 1, compactAfter = 2)
+      assert(m.awaitTermination(180000), "stream did not finish in 180s")
+      assert(r.awaitTermination(120000), "stream did not finish in 120s")
+      assert(d.awaitTermination(120000), "stream did not finish in 120s")
+    }
+    run()
+
+    def corpusIds: Set[Long] = spark.read.parquet(sinks.corpus)
+      .select("doc_id").as[Long](longEnc).collect().toSet
+    // decisions identical to the uncompacted tenant (the fold test's
+    // pinned sets) — compaction must never change content
+    assert(corpusIds === Set(100L, 101L, 103L, 105L, 107L))
+    assert(spark.read.parquet(s"${sinks.rejects}_neardup")
+      .select("doc_id").as[Long](longEnc).collect().toSet ===
+      Set(102L, 104L, 106L))
+
+    // BOUNDED: every accreting sink holds ≤ compactAfter + 1 dirs
+    // (k retained + at most one folded) after 6 triggers
+    def dirCount(r: String): Int = ArchiveCompaction.batchIds(spark, r).size
+    assert(dirCount(sinks.corpus) <= 3,
+      s"corpus dirs unbounded: ${dirCount(sinks.corpus)}")
+    assert(dirCount(sinks.rejects) <= 3)
+    assert(dirCount(s"${sinks.rejects}_neardup") <= 3)
+
+    // split pruning survives the folded layout
+    val plan = spark.read.parquet(sinks.corpus)
+      .filter(col("split") === "train")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(split"),
+      s"split pruning lost under the cadence:\n$plan")
+
+    // RESUME on the same checkpoint over the folded layout: a fresh
+    // doc lands, a near-copy of folded doc 100's text is still caught
+    // against the (consolidated) index, and the bound holds. 109's
+    // text must be NEVER-SEEN (an exact repeat of 102's would be
+    // swallowed by the digest-dedup state, not the near-dup gate) and
+    // is an empirically verified band-collider with `base`.
+    val p6 = java.nio.file.Paths.get(s"$src/f06.jsonl")
+    Files.writeString(p6,
+      doc(108, "entirely new fifth document about executor memory tuning") +
+        "\n" + doc(109, base + " second trailing piece") + "\n")
+    assert(p6.toFile.setLastModified(System.currentTimeMillis() - 50000))
+    run()
+    assert(corpusIds === Set(100L, 101L, 103L, 105L, 107L, 108L))
+    assert(spark.read.parquet(s"${sinks.rejects}_neardup")
+      .select("doc_id").as[Long](longEnc).collect().toSet ===
+      Set(102L, 104L, 106L, 109L))
+    assert(dirCount(sinks.corpus) <= 3, "bound broke across resume")
+
+    // FORGET from a FOLDED dir: doc 100 arrived in batch 0, which the
+    // cadence folded — its corpus rows and signatures must still delete
+    val foldedId = ArchiveCompaction.batchIds(spark, sinks.corpus).min
+    assert(spark.read.parquet(s"${sinks.corpus}/batch_id=$foldedId")
+        .filter(col("doc_id") === 100L).count() === 1,
+      "victim 100 not in the folded dir — the forget check is vacuous")
+    DocIngest.forget(spark, sinks, Seq(100L), Some(idx))
+    assert(corpusIds === Set(101L, 103L, 105L, 107L, 108L))
+    val (c, t) = DocIngest.indexParts(spark, idx, Long.MaxValue)
+    val dirs = c.map(i => s"$idx/consol_id=$i").toSeq ++
+      t.map(i => s"$idx/batch_id=$i")
+    assert(!spark.read.schema(DocIngest.signatureSchema)
+        .parquet(dirs: _*).select("id").as[Long](longEnc)
+        .collect().toSet.contains(100L),
+      "victim signatures survived in the folded index")
+  }
+
+  test("lifecycle: ingest -> fold -> quiesce -> forget (victims in consol AND tail) -> resume probes the rewritten index; forgotten text re-accepts as new, surviving text still rejects") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val others = Seq(
+      "completely different second subject matter entirely about spark shuffles",
+      "yet another fully unrelated document about watermark state eviction",
+      "a third standalone text concerning parquet footers and column pruning",
+      "fourth independent piece on broadcast joins and adaptive execution")
+    // ASCENDING event times, 3 h apart: the watermark (lateness 1 h)
+    // advances across triggers, so by the resume the early digests
+    // have evicted from the dedup state — a re-arrival then reaches
+    // the NEAR-DUP gate, which is the seam under test (an exact-dup
+    // drop in the digest state would make the re-accept pin vacuous)
+    def ts(i: Int): String = f"2026-08-12T${8 + 3 * i}%02d:00:00.000Z"
+    val files = Seq(
+      Seq(doc(200, base, ts = ts(0)), doc(201, others(0), ts = ts(0))),
+      Seq(doc(202, others(1), ts = ts(1))),
+      Seq(doc(203, others(2), ts = ts(2))),
+      Seq(doc(204, others(3), ts = ts(3))))
+    val src = tmpDir("doc_src_lifecycle")
+    files.zipWithIndex.foreach { case (ls, i) =>
+      val p = java.nio.file.Paths.get(f"$src/f$i%02d.jsonl")
+      Files.writeString(p, ls.mkString("\n") + "\n")
+      assert(p.toFile.setLastModified(
+        System.currentTimeMillis() - 120000 + i * 10000))
+    }
+    val root = tmpDir("doc_out_lifecycle")
+    val sinks = Sinks(s"$root/corpus", s"$root/rejects", s"$root/error",
+      s"$root/checkpoint")
+    val idx = s"$root/idx"
+    def run(): Unit = {
+      val (m, r, d) = DocIngest.start(
+        spark.readStream.option("maxFilesPerTrigger", "1").text(src),
+        sinks, Trigger.AvailableNow(), nearDupIndex = Some(idx),
+        nearDupThreshold = 0.3, consolidateAfter = 2)
+      assert(m.awaitTermination(180000), "stream did not finish in 180s")
+      assert(r.awaitTermination(120000), "stream did not finish in 120s")
+      assert(d.awaitTermination(120000), "stream did not finish in 120s")
+    }
+    run()
+    def corpusIds: Set[Long] = spark.read.parquet(sinks.corpus)
+      .select("doc_id").as[Long](longEnc).collect().toSet
+    assert(corpusIds === Set(200L, 201L, 202L, 203L, 204L))
+
+    // the victim set must span BOTH layout generations: 200's
+    // signatures folded into the consol, 204's still in a tail dir
+    val (consol, tail) = DocIngest.indexParts(spark, idx, Long.MaxValue)
+    assert(consol.nonEmpty && tail.nonEmpty,
+      s"fixture must leave consol AND tail: $consol/$tail")
+    def sigIds(dir: String): Set[Long] =
+      spark.read.schema(DocIngest.signatureSchema).parquet(dir)
+        .select("id").as[Long](longEnc).collect().toSet
+    assert(sigIds(s"$idx/consol_id=${consol.get}").contains(200L),
+      "victim 200 not in the consol — the cross-generation pin is vacuous")
+    assert(tail.exists(t => sigIds(s"$idx/batch_id=$t").contains(204L)),
+      "victim 204 not in a tail dir")
+
+    // QUIESCE (streams terminated) -> whole-tenant forget
+    DocIngest.forget(spark, sinks, Seq(200L, 204L), Some(idx))
+    assert(corpusIds === Set(201L, 202L, 203L))
+
+    // RESUME on the same checkpoint: the next triggers' probes read
+    // the rewritten index cleanly (consol rewritten, 204's tail dir
+    // retired whole)
+    val p4 = java.nio.file.Paths.get(s"$src/f04.jsonl")
+    Files.writeString(p4,
+      doc(210, base, ts = ts(4)) + "\n" + // forgotten text re-arrives
+        doc(211, others(1), ts = ts(4)) + "\n" + // surviving 202's text
+        doc(212, "entirely new fifth document about executor memory " +
+          "tuning", ts = ts(4)) + "\n")
+    assert(p4.toFile.setLastModified(System.currentTimeMillis() - 50000))
+    run()
+
+    // the forgotten text is a NEW document (documented semantics: its
+    // signatures are gone, so the gate has never seen it); surviving
+    // 202's text still rejects against its retained signatures
+    assert(corpusIds === Set(201L, 202L, 203L, 210L, 212L),
+      "re-arrival of forgotten text was not re-accepted (or fresh doc lost)")
+    assert(spark.read.parquet(s"${sinks.rejects}_neardup")
+        .select("doc_id").as[Long](longEnc).collect().toSet === Set(211L),
+      "surviving document's re-arrival was not near-dup rejected")
+    // and the re-accepted document is indexed again
+    val (c2, t2) = DocIngest.indexParts(spark, idx, Long.MaxValue)
+    val dirs = c2.map(i => s"$idx/consol_id=$i").toSeq ++
+      t2.map(i => s"$idx/batch_id=$i")
+    val indexed = spark.read.schema(DocIngest.signatureSchema)
+      .parquet(dirs: _*).select("id").as[Long](longEnc).collect().toSet
+    assert(indexed === Set(201L, 202L, 203L, 210L, 212L),
+      s"post-resume index diverged: $indexed")
+  }
+
   test("corpus compaction folds batch dirs and keeps split partition pruning") {
     import graft.streaming.ArchiveCompaction
     val src = tmpDir("doc_src5")

@@ -602,6 +602,99 @@ class ForgetSpec extends SparkTestBase {
     assert(!f.exists(marker), "unheld no-victim forget left a stale marker")
   }
 
+  test("staged bulk forget: parity with the per-dir path; mid-build staging invisible and reaped; mid-publish crash finishes; auto-switch needs both gates") {
+    import spark.implicits._
+    def build(root: String): Unit =
+      spark.range(400)
+        .select(col("id"), pmod(col("id"), lit(40)).cast("string").as("part"))
+        .write.partitionBy("part").mode("overwrite").parquet(root)
+    def rows(root: String): Set[Long] =
+      spark.read.parquet(root).select("id").as[Long].collect().toSet
+    val ids = (0L until 400L by 3).toSeq // victims land in every partition
+    val survivors = (0L until 400L).filterNot(_ % 3 == 0).toSet
+
+    // PARITY: staged (forced) vs per-dir (pinned) on identical twins
+    val a = tmp("forget_staged_a")
+    val b = tmp("forget_staged_b")
+    build(a); build(b)
+    // a family sidecar beside the partition dirs (the CopyIndex
+    // _FANOUT shape) must survive the whole-root swap
+    fs(a).create(new Path(a, "_FANOUT"), true).close()
+    val vA = IndexForget.forget(spark, a, "part", "id", ids,
+      stagedFraction = 0.0)
+    val vB = IndexForget.forget(spark, b, "part", "id", ids,
+      stagedFraction = 2.0)
+    assert(vA.toSet === vB.toSet, "the two paths found different victims")
+    assert(rows(a) === survivors, "staged path lost or kept wrong rows")
+    assert(rows(b) === survivors)
+    assert(filesByPart(a).keySet === filesByPart(b).keySet,
+      "staged path changed the partition layout")
+    val f = fs(a)
+    assert(!f.exists(new Path(a, IndexForget.Marker)),
+      "staged forget left its fence up")
+    assert(f.exists(new Path(a, "_FANOUT")),
+      "staged swap dropped the family sidecar")
+    assert(!f.exists(new Path(a, ".stage_complete")),
+      "staging commit marker leaked into the published root")
+    // idempotent re-run (staged request, no victims left -> no-op)
+    assert(IndexForget.forget(spark, a, "part", "id", ids,
+      stagedFraction = 0.0).isEmpty)
+
+    // AUTO-SWITCH gates: on this 40-partition fixture the default
+    // fraction (victims = 40/40 dirs >= 33 floor) picks staged...
+    val c = tmp("forget_staged_c")
+    build(c)
+    val inventoryC = filesByPart(c)
+    assert(IndexForget.forget(spark, c, "part", "id", ids).toSet === vA.toSet)
+    assert(rows(c) === survivors)
+    assert(filesByPart(c).forall { case (k, files) =>
+        inventoryC(k) != files },
+      "default params did not stage a 100%-victim-fraction mass delete")
+    // ...while a victim-bounded delete stays per-dir (untouched
+    // partitions keep their exact files) even though its FRACTION
+    // (1 of 40 = too few victim dirs) passes nothing
+    val d = tmp("forget_staged_d")
+    build(d)
+    val inventoryD = filesByPart(d)
+    assert(IndexForget.forget(spark, d, "part", "id", Seq(0L)) === Seq("0"))
+    inventoryD.keys.filterNot(_ == "part=0").foreach { k =>
+      assert(filesByPart(d)(k) === inventoryD(k),
+        s"single-victim forget rewrote untouched $k")
+    }
+
+    // CRASH MID-BUILD: a staging sibling without its job-commit
+    // _SUCCESS is invisible to every read (dot prefix) and must REAP
+    // on heal, never publish
+    val parentA = new Path(a).getParent
+    val stageA = new Path(parentA, s".forget_stage.${new Path(a).getName}")
+    f.mkdirs(new Path(stageA, "part=0"))
+    IndexForget.heal(spark, a)
+    assert(!f.exists(stageA), "uncommitted staging survived heal")
+    assert(rows(a) === survivors, "mid-build heal touched the live root")
+
+    // CRASH MID-PUBLISH: root retired to .forget_old., staging fully
+    // committed — the re-entry must FINISH the publish (the staging is
+    // the whole survivor set), not restore the stale root
+    val e = tmp("forget_staged_e")
+    build(e)
+    val parentE = new Path(e).getParent
+    val nameE = new Path(e).getName
+    val stageE = new Path(parentE, s".forget_stage.$nameE")
+    val oldE = new Path(parentE, s".forget_old.$nameE")
+    spark.read.option("basePath", e).parquet(e)
+      .filter(!col("id").isin(ids: _*))
+      .write.partitionBy("part").mode("overwrite").parquet(stageE.toString)
+    f.create(new Path(stageE, ".stage_complete"), true).close()
+    assert(f.rename(new Path(e), oldE))
+    // (root now missing: mid-publish) — a forget re-run heals first
+    assert(IndexForget.forget(spark, e, "part", "id", ids,
+      stagedFraction = 0.0).isEmpty)
+    assert(!f.exists(stageE) && !f.exists(oldE),
+      "mid-publish debris survived the healing re-run")
+    assert(rows(e) === survivors,
+      "mid-publish heal did not finish the committed publish")
+  }
+
   test("DocIngest tenant forget: corpus rows, audit rows and near-dup signatures all delete (consolidated + tail dirs); surviving signatures equal a rebuild without the victims; uncommitted debris reaps; re-run is a no-op") {
     import graft.streaming.DocIngest
     import graft.streaming.DocIngest.Sinks
