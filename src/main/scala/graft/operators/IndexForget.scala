@@ -132,12 +132,16 @@ object IndexForget {
     // the index whole (or the rewrite completes).
     val torn = fs.exists(new Path(rootP, Marker))
     repair(fs, rootP, keepMarker = holdFence || torn)
+    // ONE root listing serves both the fileless check here and the
+    // staged-switch partition count below (metadata round-trips are
+    // billed calls on object stores)
+    val partCount = fs.listStatus(rootP).count(st => st.isDirectory &&
+      st.getPath.getName.startsWith(partCol + "="))
     // a FILELESS root (an empty batch's committed dir: markers only, no
     // partition dirs) holds zero rows — return before the victim scan,
     // whose schema inference would throw and strand any caller-held
     // fence (the streaming tenants iterate forget over batch dirs)
-    if (!fs.listStatus(rootP).exists(st => st.isDirectory &&
-        st.getPath.getName.startsWith(partCol + "="))) {
+    if (partCount == 0) {
       if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
       return Nil
     }
@@ -164,8 +168,6 @@ object IndexForget {
     // a survivors rebuild at a staging sibling plus ONE publish swap
     // is both faster past the crossover and a smaller crash surface
     // (one committed dir swap vs V interleaved windows)
-    val partCount = fs.listStatus(rootP).count(st => st.isDirectory &&
-      st.getPath.getName.startsWith(partCol + "="))
     val useStaged = stagedFraction <= 0.0 ||
       (victims.size >= StagedMinVictimParts &&
         victims.size.toDouble >= stagedFraction * partCount)
@@ -214,11 +216,16 @@ object IndexForget {
     * (marker); between the two publish renames the root is MISSING —
     * loud to any read — with a committed staging that [[repairStaged]]
     * finishes; after the publish, only the retired old sibling lingers
-    * and the next heal deletes it. NOTE for composition callers: a
-    * crash mid-publish drops the root-internal marker with the retired
-    * root (the published survivors are whole, so clean is correct) —
-    * a multi-step composition must fence at a SEPARATE root, which
-    * every production tenant already does. */
+    * and the next heal deletes it. Under `holdFence` the caller's
+    * root marker is COPIED INTO the staging before its commit point,
+    * so the fence survives the publish (and any crash-heal of it) —
+    * the holdFence contract holds on this path too. CONSTRAINT:
+    * partition dir names are regenerated from inferred partition
+    * values here, so `partCol` values must be canonically formatted
+    * (ints, or strings that don't parse as numbers) — a zero-padded
+    * numeric string would canonicalize (`part=00` → `part=0`). Every
+    * current family satisfies this (int buckets/cells, non-numeric
+    * splits); the per-dir path preserves names verbatim. */
   private def forgetStaged(spark: SparkSession, fs: FileSystem,
                            rootP: Path, root: String, partCol: String,
                            idCol: String, ids: Seq[Long],
@@ -250,12 +257,16 @@ object IndexForget {
           spark.sparkContext.hadoopConfiguration),
           s"could not carry sidecar $n into $stage")
     }
+    // a held composition fence must survive the swap THROUGH every
+    // crash window, not be re-touched after it: the marker rides the
+    // staging itself (the sidecar loop above skipped it), so a
+    // mid-publish heal publishes root WITH the fence intact
+    if (holdFence) touch(fs, new Path(stage, Marker))
     touch(fs, new Path(stage, StageComplete)) // the staging commit point
     require(fs.rename(rootP, old), s"could not retire $rootP")
     require(fs.rename(stage, rootP), s"could not publish $stage")
     fs.delete(new Path(rootP, StageComplete), false)
     fs.delete(old, true)
-    if (holdFence) touch(fs, new Path(rootP, Marker))
     victims
   }
 

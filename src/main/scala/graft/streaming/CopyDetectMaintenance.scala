@@ -392,6 +392,13 @@ object CopyDetectMaintenance {
     // writeIndex (job-committed but unrenamed) was just reaped above,
     // and enumerating by _SUCCESS would hand CopyIndex.forget a dir
     // whose verifyFanout throws with the fences up
+    // HEAL before listing (the alert pass below already does): the
+    // per-dir CopyIndex.forget can take the STAGED whole-dir swap for
+    // mass deletes, and a crash mid-publish retires the dir to a
+    // dot-prefixed sibling this enumeration cannot see — the re-run
+    // would silently skip the (victim-bearing) dir while both fences
+    // clear. heal() finishes/restores child staged swaps first.
+    IndexForget.heal(spark, indexDir)
     val idxDirs = FoldProtocol.consols(spark, indexFamily(indexDir))
       .map(_.path) ++
       CommittedDirs.listDetailed(spark, indexDir,

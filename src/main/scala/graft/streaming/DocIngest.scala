@@ -390,10 +390,16 @@ object DocIngest {
     import graft.operators.IndexForget
     require(ids.nonEmpty, "forget needs at least one id")
     val victimDoc = col("doc_id").isin(ids: _*)
-    def exists(root: String): Boolean = {
-      val p = new Path(root)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
+    // one exists() round-trip per candidate root, reused for both the
+    // root selection and the skipped-roots warning
+    val present: Map[String, Boolean] =
+      (nearDupIndex.toSeq ++ Seq(sinks.rejects, s"${sinks.rejects}_neardup",
+        sinks.corpus)).map { root =>
+        val p = new Path(root)
+        root -> p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(p)
+      }.toMap
+    def exists(root: String): Boolean = present(root)
     val idxRoot = nearDupIndex.filter(exists)
     val auditRoots =
       Seq(sinks.rejects, s"${sinks.rejects}_neardup").filter(exists)
@@ -408,7 +414,7 @@ object DocIngest {
       s"no corpus at ${sinks.corpus} — forget would delete nothing " +
         "(path typo?); pass the Sinks the stream actually ran with")
     val skipped = (nearDupIndex.toSeq ++
-      Seq(sinks.rejects, s"${sinks.rejects}_neardup")).filterNot(exists)
+      Seq(sinks.rejects, s"${sinks.rejects}_neardup")).filterNot(present)
     if (skipped.nonEmpty)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"DocIngest.forget: skipping absent roots: ${skipped.mkString(", ")}")

@@ -189,6 +189,16 @@ object IvfIngestMaintenance {
     // dir in full; a torn consol is overwritten by the next fold)
     FoldProtocol.reapUncommitted(spark, fam)
     Ivf.forget(spark, indexDir, ids)
+    // HEAL before listing: the per-dir forget below can take the
+    // STAGED whole-dir swap for mass deletes (>=33 victim cells and
+    // >=30% of a dir's cell= dirs), and a crash mid-publish retires
+    // the batch dir to a dot-prefixed sibling invisible to this
+    // enumeration — the re-run would silently skip the victim-bearing
+    // dir while the fence clears. heal() finishes/restores child
+    // staged swaps first. (The base cells root needs no pre-heal:
+    // Ivf.forget above enters through forget(), whose own entry
+    // repairs the root's staged windows.)
+    IndexForget.heal(spark, fam.root)
     // every committed streaming dir: consolidated AND tail (an older
     // shadowed consol can only exist as a missed delete BELOW the
     // latest — cleanupBelow reaps it; rows there are a subset of the

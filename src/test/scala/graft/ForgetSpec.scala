@@ -567,6 +567,69 @@ class ForgetSpec extends SparkTestBase {
         "before repair")
   }
 
+  test("tenant forget heals STAGED-swap-retired dirs BEFORE listing: a dir mid-publish-crashed to its .forget_old. sibling restores and rewrites, not silently skips (copy-detect index + IVF batches)") {
+    import graft.streaming.{CopyDetectMaintenance, IvfIngestMaintenance}
+
+    // ---- copy-detect INDEX family (per-dir CopyIndex.forget can
+    // auto-stage for mass deletes; the crash retires the whole dir to
+    // a dot-prefixed sibling invisible to the consol/batch listing) ----
+    val docs2 = graft.queries.Text.plantedCopyDocs(spark, sf).localCheckpoint()
+    val croot = tmp("stagedheal_copydetect")
+    (0 until 2).foreach { i =>
+      CopyDetectMaintenance.update(s"$croot/index", s"$croot/alerts",
+        docs2.filter(col("doc_id") % 2 === i), i.toLong,
+        idCol = "doc_id", textCol = "t", consolidateAfter = 0)
+    }
+    val victim = CopyDetectMaintenance.alerts(spark, s"$croot/alerts")
+      .select("a_id").first().getLong(0)
+    val ifs = fs(s"$croot/index")
+    val idxDir = ifs.listStatus(new Path(s"$croot/index"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .find { s =>
+        !spark.read.parquet(s.getPath.toString)
+          .filter(col("id") === victim).isEmpty
+      }.get.getPath
+    assert(ifs.rename(idxDir,
+      new Path(s"$croot/index", s".forget_old.${idxDir.getName}")))
+    IndexForget.fence(spark, s"$croot/index") // the torn run's fence
+    CopyDetectMaintenance.forget(spark, s"$croot/index", s"$croot/alerts",
+      Seq(victim))
+    assert(ifs.exists(idxDir),
+      "heal did not restore the staged-retired index dir")
+    assert(spark.read.parquet(idxDir.toString)
+        .filter(col("id") === victim).count() === 0,
+      "victim selections survived in the restored dir — the index list " +
+        "was taken before the staged heal")
+    assert(!ifs.exists(new Path(s"$croot/index", IndexForget.Marker)),
+      "index fence left up after the heal")
+
+    // ---- IVF batches family (same window, cell-partitioned dirs) ----
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val ipath = tmp("stagedheal_ivf") + "/idx"
+    graft.functions.Ivf.writeIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "v", nlist = 4, ipath, iters = 1, sampleMod = 7)
+    IvfIngestMaintenance.update(ipath, e.filter(col("vec_id") % 2 =!= 0),
+      0L, idCol = "vec_id", vecCol = "v", consolidateAfter = 0)
+    val bf = fs(ipath)
+    val bdir = new Path(s"$ipath/batches/batch_id=0")
+    val victimVec = spark.read.parquet(bdir.toString)
+      .select("nn_id").first().getLong(0)
+    assert(bf.rename(bdir,
+      new Path(s"$ipath/batches", ".forget_old.batch_id=0")))
+    IndexForget.fence(spark, ipath)
+    IvfIngestMaintenance.forget(spark, ipath, Seq(victimVec))
+    assert(bf.exists(bdir),
+      "heal did not restore the staged-retired IVF batch dir")
+    assert(spark.read.parquet(bdir.toString)
+        .filter(col("nn_id") === victimVec).count() === 0,
+      "victim vector survived in the restored dir — the batches list " +
+        "was taken before the staged heal")
+    assert(!bf.exists(new Path(ipath, IndexForget.Marker)),
+      "IVF fence left up after the heal")
+  }
+
   test("forget(holdFence = true): a caller's composition fence survives every return path — no victims, fileless root, and a full rewrite") {
     import spark.implicits._
     val root = tmp("forget_holdfence")
@@ -600,6 +663,16 @@ class ForgetSpec extends SparkTestBase {
     IndexForget.unfence(spark, root)
     assert(IndexForget.forget(spark, root, "part", "id", Seq(99L)).isEmpty)
     assert(!f.exists(marker), "unheld no-victim forget left a stale marker")
+    // the STAGED path honors a held fence too: the marker rides the
+    // staging itself through the publish (not a post-swap re-touch),
+    // so it survives every crash window of the swap
+    IndexForget.fence(spark, root)
+    assert(IndexForget.forget(spark, root, "part", "id", Seq(2L),
+      holdFence = true, stagedFraction = 0.0) === Seq("b"))
+    assert(f.exists(marker), "staged publish dropped the held fence")
+    assert(spark.read.parquet(root).select("id").as[Long].collect().toSet
+      === Set(3L))
+    IndexForget.unfence(spark, root)
   }
 
   test("staged bulk forget: parity with the per-dir path; mid-build staging invisible and reaped; mid-publish crash finishes; auto-switch needs both gates") {
