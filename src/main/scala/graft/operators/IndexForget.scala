@@ -211,15 +211,17 @@ object IndexForget {
     * `partCol=` layout — its `.stage_complete` dot-file, touched after
     * the rebuild job AND the sidecar carry-over, is the staging's
     * commit point — then the live root retires to `.forget_old.<name>`
-    * and the staging publishes under the root's name. Crash windows:
-    * before the staging's commit point, the root is intact and fenced
-    * (marker); between the two publish renames the root is MISSING —
-    * loud to any read — with a committed staging that [[repairStaged]]
-    * finishes; after the publish, only the retired old sibling lingers
-    * and the next heal deletes it. Under `holdFence` the caller's
-    * root marker is COPIED INTO the staging before its commit point,
-    * so the fence survives the publish (and any crash-heal of it) —
-    * the holdFence contract holds on this path too. CONSTRAINT:
+    * and the staging publishes under the root's name. Crash windows —
+    * every victim-retaining state is marker-covered, the per-dir
+    * path's invariant: before the staging's commit point, the root is
+    * intact and fenced (marker); between the two publish renames the
+    * root is MISSING — loud to any read — with a committed staging
+    * that [[repairStaged]] finishes; after the publish, the root is
+    * published WITH the marker (it rides the staging) and stays
+    * fenced until the retired old sibling — every victim byte — is
+    * deleted, so a crash there refuses probes until a re-run heals
+    * and clears. The same riding marker makes the holdFence contract
+    * hold on this path through every window. CONSTRAINT:
     * partition dir names are regenerated from inferred partition
     * values here, so `partCol` values must be canonically formatted
     * (ints, or strings that don't parse as numbers) — a zero-padded
@@ -257,16 +259,21 @@ object IndexForget {
           spark.sparkContext.hadoopConfiguration),
           s"could not carry sidecar $n into $stage")
     }
-    // a held composition fence must survive the swap THROUGH every
-    // crash window, not be re-touched after it: the marker rides the
-    // staging itself (the sidecar loop above skipped it), so a
-    // mid-publish heal publishes root WITH the fence intact
-    if (holdFence) touch(fs, new Path(stage, Marker))
+    // the marker ALWAYS rides the staging (the sidecar loop above
+    // skipped the root's copy): the published root then stays fenced
+    // until the retired old sibling — the full pre-forget index, every
+    // victim byte — is deleted. Without this, a crash after the
+    // publish rename but before the old delete would look complete to
+    // every probe while `.forget_old.` retained victim bytes with
+    // nothing demanding a heal (the unmarked-retention class). A held
+    // composition fence survives the same way, through every window.
+    touch(fs, new Path(stage, Marker))
     touch(fs, new Path(stage, StageComplete)) // the staging commit point
     require(fs.rename(rootP, old), s"could not retire $rootP")
     require(fs.rename(stage, rootP), s"could not publish $stage")
-    fs.delete(new Path(rootP, StageComplete), false)
     fs.delete(old, true)
+    fs.delete(new Path(rootP, StageComplete), false)
+    if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
     victims
   }
 

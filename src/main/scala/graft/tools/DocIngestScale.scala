@@ -110,7 +110,12 @@ object DocIngestScale {
           p.durationMs.getOrDefault("triggerExecution", -1L).toLong))
     }
 
-    // A. BUILD, folded vs unfolded control
+    // A. BUILD, folded vs unfolded control. An UNTIMED warmup tenant
+    // over the same input runs first: the process's streaming cold
+    // start (state-store init, stream codegen, JIT) otherwise lands
+    // entirely on whichever timed tenant runs first and the printed
+    // fold cost (tA - tC) would conflate it with fold work.
+    runTenant(s"$work/warmup", consolidateAfter = 4, srcDir): Unit
     val root = s"$work/tenant"
     val (progA, tA) = timed(runTenant(root, consolidateAfter = 4, srcDir))
     progA.foreach { case (b, n, ms) =>
@@ -123,9 +128,15 @@ object DocIngestScale {
     val ctl = s"$work/control"
     val (_, tC) = timed(runTenant(ctl, consolidateAfter = 0, srcDir))
     val (cc, tc) = DocIngest.indexParts(spark, s"$ctl/idx", Long.MaxValue)
+    // walls are ORDER-CONFOUNDED on this shared session (measured: the
+    // control read 23 s as the session's 2nd tenant and 50 s as its
+    // 3rd, same input) — do not difference them into a "fold cost".
+    // The structural claims are the LISTING bound above and the
+    // absence of fold-trigger spikes in the per-trigger prints (a
+    // fold's union write would show as an outlier trigger).
     println(f"[docingest] control (no fold): $tC%.1f s wall, listing " +
-      s"consol=$cc tail=${tc.size} dirs — fold cost = " +
-      f"${tA - tC}%.1f s amortized over the build")
+      s"consol=$cc tail=${tc.size} dirs (vs the folded tenant's " +
+      f"$tA%.1f s — order-confounded, compare per-trigger spreads)")
 
     // B. STEADY-STATE DEDUP: suffix-perturbed replicas (stripes 1..n)
     // appended to the SAME source dir (a file source's path is part of

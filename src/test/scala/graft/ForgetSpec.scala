@@ -713,6 +713,23 @@ class ForgetSpec extends SparkTestBase {
     assert(IndexForget.forget(spark, a, "part", "id", ids,
       stagedFraction = 0.0).isEmpty)
 
+    // POST-PUBLISH window: a crash after the publish rename but before
+    // the old-sibling delete leaves the FULL pre-forget index in
+    // `.forget_old.` — the published root must still be FENCED (the
+    // marker rides the staging), so probes refuse until a re-run
+    // deletes the retained bytes and only then clears the fence
+    val oldB = new Path(new Path(b).getParent,
+      s".forget_old.${new Path(b).getName}")
+    f.mkdirs(oldB)
+    f.create(new Path(b, IndexForget.Marker), true).close()
+    val refuse = intercept[IllegalArgumentException](
+      IndexForget.assertClean(spark, b))
+    assert(refuse.getMessage.contains("forget"))
+    assert(IndexForget.forget(spark, b, "part", "id", ids).isEmpty)
+    assert(!f.exists(oldB), "retained pre-forget bytes survived the re-run")
+    assert(!f.exists(new Path(b, IndexForget.Marker)),
+      "fence left up after the healing re-run")
+
     // AUTO-SWITCH gates: on this 40-partition fixture the default
     // fraction (victims = 40/40 dirs >= 33 floor) picks staged...
     val c = tmp("forget_staged_c")
