@@ -399,11 +399,10 @@ object DocIngest {
         root -> p.getFileSystem(spark.sparkContext.hadoopConfiguration)
           .exists(p)
       }.toMap
-    def exists(root: String): Boolean = present(root)
-    val idxRoot = nearDupIndex.filter(exists)
+    val idxRoot = nearDupIndex.filter(present)
     val auditRoots =
-      Seq(sinks.rejects, s"${sinks.rejects}_neardup").filter(exists)
-    val corpusRoot = Some(sinks.corpus).filter(exists)
+      Seq(sinks.rejects, s"${sinks.rejects}_neardup").filter(present)
+    val corpusRoot = Some(sinks.corpus).filter(present)
     // a mistyped corpus path must fail LOUDLY before any fence plants —
     // an absent-root skip here would delete nothing and "succeed", the
     // silent compliance-no-op class this tenant guards against

@@ -113,8 +113,9 @@ object DocIngestScale {
     // A. BUILD, folded vs unfolded control. An UNTIMED warmup tenant
     // over the same input runs first: the process's streaming cold
     // start (state-store init, stream codegen, JIT) otherwise lands
-    // entirely on whichever timed tenant runs first and the printed
-    // fold cost (tA - tC) would conflate it with fold work.
+    // entirely on whichever timed tenant runs first, skewing the
+    // per-trigger spreads the phase reports (the walls themselves stay
+    // order-confounded — see the control print below).
     runTenant(s"$work/warmup", consolidateAfter = 4, srcDir): Unit
     val root = s"$work/tenant"
     val (progA, tA) = timed(runTenant(root, consolidateAfter = 4, srcDir))

@@ -630,6 +630,54 @@ class ForgetSpec extends SparkTestBase {
       "IVF fence left up after the heal")
   }
 
+  test("tenant forget FINISHES a committed staged publish before listing: a dir crashed between the two publish renames (.forget_stage. committed, original missing) is published, its victim-retaining .forget_old. sibling dropped, and the re-run rewrites the published dir") {
+    import graft.streaming.CopyDetectMaintenance
+
+    val docs2 = graft.queries.Text.plantedCopyDocs(spark, sf).localCheckpoint()
+    val croot = tmp("stagepub_copydetect")
+    (0 until 2).foreach { i =>
+      CopyDetectMaintenance.update(s"$croot/index", s"$croot/alerts",
+        docs2.filter(col("doc_id") % 2 === i), i.toLong,
+        idCol = "doc_id", textCol = "t", consolidateAfter = 0)
+    }
+    val victim = CopyDetectMaintenance.alerts(spark, s"$croot/alerts")
+      .select("a_id").first().getLong(0)
+    val ifs = fs(s"$croot/index")
+    val idxDir = ifs.listStatus(new Path(s"$croot/index"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .find { s =>
+        !spark.read.parquet(s.getPath.toString)
+          .filter(col("id") === victim).isEmpty
+      }.get.getPath
+    // fabricate the mid-publish window of an EARLIER crashed per-dir
+    // staged forget: the original is renamed to the staging name (so it
+    // keeps its _FANOUT/_SUCCESS sidecars), the staging commit marker is
+    // touched, the retired original sits at .forget_old., and the
+    // original name is GONE from the committed listing
+    val stage = new Path(s"$croot/index", s".forget_stage.${idxDir.getName}")
+    val old = new Path(s"$croot/index", s".forget_old.${idxDir.getName}")
+    assert(ifs.rename(idxDir, stage))
+    ifs.create(new Path(stage, ".stage_complete"), true).close()
+    ifs.mkdirs(old) // the retired, victim-retaining pre-forget bytes
+    spark.read.parquet(stage.toString).write.parquet(s"$old/data")
+    IndexForget.fence(spark, s"$croot/index") // the torn run's fence
+    CopyDetectMaintenance.forget(spark, s"$croot/index", s"$croot/alerts",
+      Seq(victim))
+    assert(ifs.exists(idxDir),
+      "heal did not finish the committed staged publish")
+    assert(!ifs.exists(old),
+      "victim-retaining .forget_old. sibling survived the heal")
+    assert(!ifs.exists(stage), "staging sibling survived its publish")
+    assert(!ifs.exists(new Path(idxDir, ".stage_complete")),
+      "staging commit marker rode into the published dir")
+    assert(spark.read.parquet(idxDir.toString)
+        .filter(col("id") === victim).count() === 0,
+      "victim selections survived — the index list was taken before " +
+        "the publish was finished")
+    assert(!ifs.exists(new Path(s"$croot/index", IndexForget.Marker)),
+      "index fence left up after the heal")
+  }
+
   test("forget(holdFence = true): a caller's composition fence survives every return path — no victims, fileless root, and a full rewrite") {
     import spark.implicits._
     val root = tmp("forget_holdfence")
