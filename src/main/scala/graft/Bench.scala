@@ -330,6 +330,16 @@ object Bench {
       interleaved(3, fixtureLines, "small")
     val ((streamLargeRecPerSec, largeRuns), (flatLarge, flatLargeRuns)) =
       interleaved(3, largeLines, "large")
+    // the probe AGAIN at the end of the run: the start probe is the
+    // cross-round normalizer (its workload never changes), but it is
+    // one sample of one dimension (pure-CPU shuffle) — the r17 close
+    // saw it read 1.87 s and 2.71 s across two same-box runs whose
+    // query boards moved the OPPOSITE way 285→260 s. Two samples
+    // bracketing the board make within-run probe drift readable from
+    // the artifact itself: start≈end but both off the prior round →
+    // the box really shifted; start≠end → the probe scattered and its
+    // normalization should be discounted for that artifact.
+    val probeEndSec = calibrationProbe()
     // the drift-proof form of the ratio: each interleaved (graded, flat)
     // pair ran back-to-back under near-identical box conditions, so the
     // PAIRWISE ratio is immune to monotone load drift that would skew a
@@ -359,7 +369,7 @@ object Bench {
     val rlSmall = ratioList(smallRuns, flatSmallRuns)
     val rlLarge = ratioList(largeRuns, flatLargeRuns)
 
-    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"calibration_probe_sec":${f(probeSec)},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"streaming_flatcal_rec_per_sec":${f(flatSmall)},"streaming_flatcal_rec_per_sec_100k":${f(flatLarge)},"streaming_vs_flatcal":${f(ratioSmall)},"streaming_vs_flatcal_100k":${f(ratioLarge)},"streaming_ratio_pairs":[$pairsSmall,$pairsLarge],"streaming_ratio_list":$rlSmall,"streaming_ratio_list_100k":$rlLarge,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f(total)},"unit":"sec","n_queries":${ok.size},"calibration_probe_sec":${f(probeSec)},"calibration_probe_end_sec":${f(probeEndSec)},"streaming_rec_per_sec":${f(streamRecPerSec)},"streaming_rec_per_sec_100k":${f(streamLargeRecPerSec)},"streaming_flatcal_rec_per_sec":${f(flatSmall)},"streaming_flatcal_rec_per_sec_100k":${f(flatLarge)},"streaming_vs_flatcal":${f(ratioSmall)},"streaming_vs_flatcal_100k":${f(ratioLarge)},"streaming_ratio_pairs":[$pairsSmall,$pairsLarge],"streaming_ratio_list":$rlSmall,"streaming_ratio_list_100k":$rlLarge,"errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     // Sidecar first, then the metric line as the ABSOLUTE last stdout
     // output (after spark.stop()): round 7's artifact recorded `parsed:
     // null` because the driver's structured extraction missed the line
