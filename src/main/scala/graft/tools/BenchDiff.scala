@@ -66,11 +66,24 @@ object BenchDiff {
     // round-13 artifacts carry a fixed synthetic probe — when BOTH
     // sides have one, its ratio prices the box directly and the
     // remaining geomean/probe quotient is the code's own movement
-    def probeOf(p: String): Option[Double] =
-      """"calibration_probe_sec":(-?[0-9.]+)""".r
+    def probeField(p: String, field: String): Option[Double] =
+      ("\"" + field + """":(-?[0-9.]+)""").r
         .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(p)), "UTF-8").replace("\\\"", "\""))
         .map(_.group(1).toDouble).filter(_ > 0)
+    def probeOf(p: String): Option[Double] =
+      probeField(p, "calibration_probe_sec")
+    // r17+ artifacts carry a SECOND probe sample taken after the
+    // streaming phase — when a side's two samples disagree, its start
+    // probe scattered and the normalized list below overstates in the
+    // scatter's direction; flag it rather than silently normalizing
+    args.take(2).foreach { p =>
+      for (s <- probeOf(p); e <- probeField(p, "calibration_probe_end_sec"))
+        if (math.abs(s - e) / math.min(s, e) > 0.25)
+          println(f"WARNING: $p start/end probes disagree " +
+            f"($s%.3f vs $e%.3f s) — probe scatter; discount the " +
+            "normalized numbers for this artifact")
+    }
     (probeOf(args(0)), probeOf(args(1))) match {
       case (Some(a), Some(b)) =>
         val box = b / a
