@@ -51,9 +51,13 @@ object BenchDiff {
     require(args.length >= 2,
       "usage: BenchDiff <oldArtifact.json> <newArtifact.json> [topK]")
     val topK = if (args.length > 2) args(2).toInt else 8
-    def load(p: String) = timesOf(
-      new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(p)), "UTF-8"))
+    // read + quote-normalize each artifact ONCE; every extraction below
+    // (query times, both probe fields) works off this text
+    val text: Map[String, String] = args.take(2).map { p =>
+      p -> new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").replace("\\\"", "\"")
+    }.toMap
+    def load(p: String) = timesOf(text(p))
     val (prev, cur) = (load(args(0)), load(args(1)))
     val overlap = prev.keySet.intersect(cur.keySet).toSeq
       .filter(k => prev(k) > 0 && cur(k) > 0).sortBy(identity)
@@ -68,8 +72,7 @@ object BenchDiff {
     // remaining geomean/probe quotient is the code's own movement
     def probeField(p: String, field: String): Option[Double] =
       ("\"" + field + """":(-?[0-9.]+)""").r
-        .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(p)), "UTF-8").replace("\\\"", "\""))
+        .findFirstMatchIn(text(p))
         .map(_.group(1).toDouble).filter(_ > 0)
     def probeOf(p: String): Option[Double] =
       probeField(p, "calibration_probe_sec")

@@ -676,6 +676,40 @@ class ForgetSpec extends SparkTestBase {
         "the publish was finished")
     assert(!ifs.exists(new Path(s"$croot/index", IndexForget.Marker)),
       "index fence left up after the heal")
+
+    // ---- IVF batches family, same committed-stage window ----
+    import graft.streaming.IvfIngestMaintenance
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .localCheckpoint()
+    val ipath = tmp("stagepub_ivf") + "/idx"
+    graft.functions.Ivf.writeIndex(e.filter(col("vec_id") % 2 === 0),
+      "vec_id", "v", nlist = 4, ipath, iters = 1, sampleMod = 7)
+    IvfIngestMaintenance.update(ipath, e.filter(col("vec_id") % 2 =!= 0),
+      0L, idCol = "vec_id", vecCol = "v", consolidateAfter = 0)
+    val bf = fs(ipath)
+    val bdir = new Path(s"$ipath/batches/batch_id=0")
+    val victimVec = spark.read.parquet(bdir.toString)
+      .select("nn_id").first().getLong(0)
+    val bStage = new Path(s"$ipath/batches", ".forget_stage.batch_id=0")
+    val bOld = new Path(s"$ipath/batches", ".forget_old.batch_id=0")
+    assert(bf.rename(bdir, bStage))
+    bf.create(new Path(bStage, ".stage_complete"), true).close()
+    bf.mkdirs(bOld)
+    spark.read.parquet(bStage.toString).write.parquet(s"$bOld/data")
+    IndexForget.fence(spark, ipath)
+    IvfIngestMaintenance.forget(spark, ipath, Seq(victimVec))
+    assert(bf.exists(bdir),
+      "IVF heal did not finish the committed staged publish")
+    assert(!bf.exists(bOld),
+      "victim-retaining .forget_old. IVF sibling survived the heal")
+    assert(!bf.exists(bStage), "IVF staging sibling survived its publish")
+    assert(spark.read.parquet(bdir.toString)
+        .filter(col("nn_id") === victimVec).count() === 0,
+      "victim vector survived — the batches list was taken before the " +
+        "publish was finished")
+    assert(!bf.exists(new Path(ipath, IndexForget.Marker)),
+      "IVF fence left up after the heal")
   }
 
   test("forget(holdFence = true): a caller's composition fence survives every return path — no victims, fileless root, and a full rewrite") {
