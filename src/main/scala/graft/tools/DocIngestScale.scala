@@ -121,41 +121,56 @@ object DocIngestScale {
           p.durationMs.getOrDefault("triggerExecution", -1L).toLong))
     }
 
-    // A. BUILD, folded vs unfolded control, each in its OWN fresh
-    // session. An UNTIMED warmup tenant runs first so the process's
-    // streaming cold start (state-store init, stream codegen, JIT)
-    // lands on neither timed tenant.
-    runTenant(spark0, s"$work/warmup", consolidateAfter = 4, srcDir): Unit
+    // A. BUILD, folded vs unfolded control, as INTERLEAVED fresh-
+    // session pairs (the Bench streaming-pair discipline, in full):
+    // each timed leg gets its own session, WARMED by an untimed tenant
+    // run inside THAT session — context-scoped warm state (state-store
+    // init, executor bring-up, file-status caches) dies with a
+    // session, so a warmup in a prior session warms nothing but JIT —
+    // and every stop() is followed by a gc so no leg pays the previous
+    // session's heap debt. One pair is one sample; the per-pair
+    // difference LIST is the published fold cost (single same-input
+    // walls have swung 23→50 s on this box).
     spark0.stop()
-    val root = s"$work/tenant"
-    val sA = newSession()
-    val (progA, tA) =
-      timed(runTenant(sA, root, consolidateAfter = 4, srcDir))
-    progA.foreach { case (b, n, ms) =>
-      println(f"[docingest] build trigger $b%2d: $n%6d rows $ms%6d ms") }
+    System.gc()
+    val root = s"$work/tenant_1"
+    def timedLeg(tag: String, legRoot: String, consolidate: Int)
+        : (Seq[(Long, Long, Long)], Double, (Option[Long], Seq[Long])) = {
+      val s = newSession()
+      try {
+        runTenant(s, s"$work/warm_$tag", consolidate, srcDir): Unit
+        val (prog, t) = timed(runTenant(s, legRoot, consolidate, srcDir))
+        (prog, t, DocIngest.indexParts(s, s"$legRoot/idx", Long.MaxValue))
+      } finally { s.stop(); System.gc() }
+    }
+    val pairs = (1 to 2).map { i =>
+      val (progA, tA, (c0, t0ids)) =
+        timedLeg(s"a$i", s"$work/tenant_$i", consolidate = 4)
+      if (i == 1) {
+        progA.foreach { case (b, n, ms) =>
+          println(f"[docingest] build trigger $b%2d: $n%6d rows $ms%6d ms") }
+        println(s"[docingest] probe listing after build: consol=$c0 " +
+          s"tail=${t0ids.size} dirs (bound = threshold+2 = 6)")
+      }
+      val (_, tC, (cc, tc)) =
+        timedLeg(s"c$i", s"$work/control_$i", consolidate = 0)
+      if (i == 1)
+        println(s"[docingest] control listing (no fold): consol=$cc " +
+          s"tail=${tc.size} dirs")
+      println(f"[docingest] build pair $i: folded $tA%.1f s, " +
+        f"control $tC%.1f s, fold cost ${tA - tC}%+.1f s")
+      (tA, tC)
+    }
+    val foldCosts = pairs.map { case (a, c) => a - c }
     println(f"[docingest] build phase ($buildFiles triggers, " +
-      f"consolidateAfter=4): $tA%.1f s wall")
-    val (c0, t0ids) = DocIngest.indexParts(sA, s"$root/idx", Long.MaxValue)
-    println(s"[docingest] probe listing after build: consol=$c0 " +
-      s"tail=${t0ids.size} dirs (bound = threshold+2 = 6)")
-    sA.stop()
-    val ctl = s"$work/control"
-    val sC = newSession()
-    val (_, tC) = timed(runTenant(sC, ctl, consolidateAfter = 0, srcDir))
-    val (cc, tc) = DocIngest.indexParts(sC, s"$ctl/idx", Long.MaxValue)
-    sC.stop()
-    // with per-tenant fresh sessions the two walls are comparable
-    // (residual difference = box drift, not session order — the shared-
-    // session form read the control at 23 s as 2nd tenant and 50 s as
-    // 3rd, same input, which is why round 17 withdrew the claim), so
-    // the difference IS the fold's amortized build cost; the listing
-    // bound and the flat per-trigger spread remain the structural
-    // claims
-    println(f"[docingest] control (no fold): $tC%.1f s wall, listing " +
-      s"consol=$cc tail=${tc.size} dirs; fold cost over the build = " +
-      f"${tA - tC}%.1f s (${100.0 * (tA - tC) / tC}%.0f%% of the " +
-      "no-fold wall; fresh-session pair, residual = box drift)")
+      f"consolidateAfter=4): fold-cost pair list " +
+      s"${foldCosts.map(d => f"$d%+.1f").mkString("[", ", ", "]")} s " +
+      "(per interleaved fresh-session pair; scatter across pairs = " +
+      "box noise floor for the difference)")
     val spark = newSession()
+    // warm the phase-B session the same way before the TIMED dedup
+    // triggers resume the tenant's checkpoint
+    runTenant(spark, s"$work/warm_b", consolidateAfter = 4, srcDir): Unit
 
     // B. STEADY-STATE DEDUP: suffix-perturbed replicas (stripes 1..n)
     // appended to the SAME source dir (a file source's path is part of
