@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.expressions.{FloatVecDot, JaccardSets, RollingHash, ShingleHashes, SimHash16}
+import graft.functions.expressions.{FloatVecDot, JaccardSets, RollingHash, ShingleHashes, SimHash16, SortedIntersectCount}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo, Literal, XxHash64}
@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("jaccard_sets"),
       new ExpressionInfo(classOf[JaccardSets].getName, "jaccard_sets"),

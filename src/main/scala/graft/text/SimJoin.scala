@@ -69,33 +69,41 @@ object SimJoin {
     val tok = mat.select(col("id"), size(col("set")).as("n"),
       explode(col("set")).as("w0"))
       .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
-      .localCheckpoint() // probe prefixes AND the inverted index read it
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
-    val probe = tok.join(dfreq, "w")
+    // ONE global-order rank pass (dfreq join + row_number) shared by the
+    // probe prefixes AND the full inverted index — the probe side is a
+    // filter of the same ranked relation, and the index side's positions
+    // feed the positional upper bound below (r18: the pre-verify prune)
+    val ranked = tok.join(dfreq, "w")
       .withColumn("pos",
         row_number().over(Window.partitionBy("id").orderBy("dfreq", "w")))
+      .select(col("id"), col("n"), col("w"), col("pos"))
+      .localCheckpoint()
+    val probe = ranked
       .filter(col("pos") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
-      .select(col("id").as("a_id"), col("n").as("pna"), col("w"))
+      .select(col("id").as("a_id"), col("n").as("pna"), col("w"),
+        col("pos").as("ppa"))
+    // candidate pairs grouped with the PPJoin positional upper bound
+    // (Xiao et al. WWW'08): common tokens past the last co-matched
+    // positions number ≤ min(na−mpa, nb−mpb) under the single global
+    // order, so pairs with cnt + min(na−mpa, nb−mpb) below the required
+    // overlap ⌈τ·na⌉ can never verify — pruned BEFORE the fingerprint
+    // join (no false negatives; the verify threshold is unchanged)
     val cand = probe
-      .join(tok.select(col("id").as("b_id"), col("n").as("pnb"), col("w")), "w")
+      .join(ranked.select(col("id").as("b_id"), col("n").as("pnb"),
+        col("w"), col("pos").as("ppb")), "w")
       .filter(col("a_id") =!= col("b_id") &&
         col("pnb") * tDen >= col("pna") * tNum)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("cnt"), max(col("ppa")).as("mpa"),
+        max(col("ppb")).as("mpb"), max(col("pna")).as("cna"),
+        max(col("pnb")).as("cnb"))
+      .filter((col("cnt") +
+          least(col("cna") - col("mpa"), col("cnb") - col("mpb"))) * tDen >=
+        col("cna") * tNum)
       .select(col("a_id"), col("b_id"))
-      .distinct()
-    val fp = mat.select(col("id"),
-      expr("array_distinct(transform(set, x -> xxhash64(x)))").as("fps"),
-      size(col("set")).as("n"))
-    cand
-      .join(fp.select(col("id").as("a_id"), col("fps").as("seta"),
-        col("n").as("na")), "a_id")
-      .join(fp.select(col("id").as("b_id"), col("fps").as("setb"),
-        col("n").as("nb")), "b_id")
-      .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
-      // |a∩b|/|a| ≥ τ ⟺ i·tDen ≥ na·tNum, decided in integers
-      .filter(col("i") * tDen >= col("na") * tNum)
-      .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
-        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
+    verify(cand, fpOf(mat), tNum, tDen, containment = true)
   }
 
   def jaccardJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
@@ -112,44 +120,41 @@ object SimJoin {
     // fingerprint — any total order is correct; rarest-first is the fast
     // one (hot tokens stay OUT of prefixes)
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
-    val prefix = tok.join(dfreq, "w")
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("id").orderBy("dfreq", "w")))
-      // keep first n − ⌈τ·n⌉ + 1 under the global order
-      .filter(col("pos") <=
-        col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
-      .select(col("id"), col("n"), col("w"))
-      // both sides of the candidate self-join read this relation —
-      // materialize it or the dfreq join + rank window run twice
-      .localCheckpoint()
-    // candidate pairs: share a prefix fingerprint AND pass the length
-    // filter (J ≥ τ forces τ·max(na,nb) ≤ min(na,nb)) — the filter runs
-    // inside the join so size-incompatible pairs never reach distinct()
-    val cand = prefix.select(col("id").as("a_id"), col("n").as("pna"), col("w"))
-      .join(prefix.select(col("id").as("b_id"), col("n").as("pnb"), col("w")), "w")
+    // both sides of the candidate self-join read this relation —
+    // materialize it or the dfreq join + rank window run twice
+    val prefix = prefixOf(tok, dfreq, tNum, tDen).localCheckpoint()
+    verify(candJaccard(prefix, prefix, tNum, tDen), fpOf(mat), tNum, tDen)
+  }
+
+  /** Ordered (a < b) candidate pairs of two PREFIX relations
+    * `(id, n, w, pos)` under the shared global order: share a prefix
+    * fingerprint, pass the length filter (J ≥ τ forces τ·max ≤ min),
+    * and survive the PPJoin positional upper bound (Xiao et al.
+    * WWW'08) — common tokens past the last co-matched prefix positions
+    * number ≤ min(na−mpa, nb−mpb) under ONE global order, so a pair
+    * with cnt + that slack below the required overlap
+    * ⌈τ·(na+nb)/(1+τ)⌉ can never verify and is pruned before the
+    * fingerprint join (no false negatives — the verify threshold is
+    * unchanged). The grouped aggregation replaces the old distinct():
+    * same single exchange, plus the prune. */
+  private def candJaccard(pa: DataFrame, pb: DataFrame,
+                          tNum: Int, tDen: Int): DataFrame =
+    pa.select(col("id").as("a_id"), col("n").as("pna"), col("w"),
+        col("pos").as("ppa"))
+      .join(pb.select(col("id").as("b_id"), col("n").as("pnb"), col("w"),
+        col("pos").as("ppb")), "w")
       .filter(col("a_id") < col("b_id") &&
         greatest(col("pna"), col("pnb")) * tNum <=
           least(col("pna"), col("pnb")) * tDen)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("cnt"), max(col("ppa")).as("mpa"),
+        max(col("ppb")).as("mpb"), max(col("pna")).as("cna"),
+        max(col("pnb")).as("cnb"))
+      // i ≥ ⌈τ(na+nb)/(1+τ)⌉ ⟺ i·(tNum+tDen) ≥ tNum·(na+nb)
+      .filter((col("cnt") +
+          least(col("cna") - col("mpa"), col("cnb") - col("mpb"))) *
+          (tNum + tDen) >= (col("cna") + col("cnb")) * tNum)
       .select(col("a_id"), col("b_id"))
-      .distinct()
-    // deliberately NOT pinned: the hash+distinct transform re-runs once
-    // per verify side, but it is codegen'd and cheaper than eagerly
-    // materializing the fingerprint arrays (measured 5.1 s → 6.2 s at
-    // sf0.1 with a localCheckpoint here)
-    val fp = mat.select(col("id"),
-      expr("array_distinct(transform(set, x -> xxhash64(x)))").as("fps"),
-      size(col("set")).as("n"))
-    val sa = fp.select(col("id").as("a_id"), col("fps").as("seta"),
-      col("n").as("na"))
-    val sb = fp.select(col("id").as("b_id"), col("fps").as("setb"),
-      col("n").as("nb"))
-    cand.join(sa, "a_id").join(sb, "b_id")
-      .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
-      // J ≥ τ ⟺ i·tDen ≥ (na + nb − i)·tNum, decided in integers
-      .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
-      .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
-        col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
-  }
 
   // ---------------------------------------------------------------------
   // Persisted prefix index + incremental exact join — the steady-state
@@ -174,8 +179,11 @@ object SimJoin {
   // rivals the base.
   // ---------------------------------------------------------------------
 
-  /** Prefix postings of `tok(id, n, w)` under the (dfreq, w) order;
-    * unseen tokens rank rarest (dfreq 0) — see the order-freezing note. */
+  /** Prefix postings `(id, n, w, pos)` of `tok(id, n, w)` under the
+    * (dfreq, w) order; unseen tokens rank rarest (dfreq 0) — see the
+    * order-freezing note. `pos` (the token's 1-based rank in its set
+    * under the global order) rides along for the candidate join's
+    * positional upper bound. */
   private def prefixOf(tok: DataFrame, dfreq: DataFrame,
                        tNum: Int, tDen: Int): DataFrame =
     tok.join(dfreq, Seq("w"), "left")
@@ -184,29 +192,39 @@ object SimJoin {
         row_number().over(Window.partitionBy("id").orderBy("dfreq", "w")))
       .filter(col("pos") <=
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
-      .select(col("id"), col("n"), col("w"))
+      .select(col("id"), col("n"), col("w"), col("pos"))
 
   private def tokOf(mat: DataFrame): DataFrame =
     mat.select(col("id"), size(col("set")).as("n"),
       explode(col("set")).as("w0"))
       .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
 
+  /** Verify fingerprints: SORTED distinct 64-bit token hashes per set —
+    * sortedness is what lets the verify intersect run as an
+    * allocation-free merge walk ([[graft.functions.expressions.SortedIntersectCount]])
+    * instead of a per-pair hash set; `n` stays the PRE-hash set size. */
   private def fpOf(mat: DataFrame): DataFrame =
     mat.select(col("id"),
-      expr("array_distinct(transform(set, x -> xxhash64(x)))").as("fps"),
+      expr("sort_array(array_distinct(transform(set, x -> xxhash64(x))))")
+        .as("fps"),
       size(col("set")).as("n"))
 
-  /** Exact verify of candidate `(a_id, b_id)` pairs against fingerprint
-    * arrays; same integer threshold as [[jaccardJoin]]. */
+  /** Exact verify of candidate `(a_id, b_id)` pairs against sorted
+    * fingerprint arrays; integer threshold — Jaccard
+    * (i·tDen ≥ (na+nb−i)·tNum) by default, containment
+    * (i·tDen ≥ na·tNum) when `containment`. */
   private def verify(cand: DataFrame, fp: DataFrame,
-                     tNum: Int, tDen: Int): DataFrame =
+                     tNum: Int, tDen: Int,
+                     containment: Boolean = false): DataFrame =
     cand
       .join(fp.select(col("id").as("a_id"), col("fps").as("seta"),
         col("n").as("na")), "a_id")
       .join(fp.select(col("id").as("b_id"), col("fps").as("setb"),
         col("n").as("nb")), "b_id")
-      .withColumn("i", size(array_intersect(col("seta"), col("setb"))))
-      .filter(col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
+      .withColumn("i", expr("sorted_intersect_count(seta, setb)"))
+      .filter(
+        if (containment) col("i") * tDen >= col("na") * tNum
+        else col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
       .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
 
@@ -253,14 +271,8 @@ object SimJoin {
     // spans the prefix AND fp relations)
     graft.operators.IndexForget.assertClean(spark, dir)
     val prefix = spark.read.parquet(s"$dir/prefix")
-    val cand = prefix.select(col("id").as("a_id"), col("n").as("pna"), col("w"))
-      .join(prefix.select(col("id").as("b_id"), col("n").as("pnb"), col("w")), "w")
-      .filter(col("a_id") < col("b_id") &&
-        greatest(col("pna"), col("pnb")) * tNum <=
-          least(col("pna"), col("pnb")) * tDen)
-      .select(col("a_id"), col("b_id"))
-      .distinct()
-    verify(cand, spark.read.parquet(s"$dir/fp"), tNum, tDen)
+    verify(candJaccard(prefix, prefix, tNum, tDen),
+      spark.read.parquet(s"$dir/fp"), tNum, tDen)
   }
 
   /** Every ≥τ pair INVOLVING a batch document — batch-vs-index plus
@@ -283,23 +295,48 @@ object SimJoin {
     val newPrefix = prefixOf(tokOf(mat), dfreq, tNum, tDen)
       .localCheckpoint() // probes the index AND self-joins
     val basePrefix = spark.read.parquet(s"$dir/prefix")
-    val np = newPrefix.select(col("id").as("a_id"), col("n").as("pna"), col("w"))
+    val np = newPrefix.select(col("id").as("a_id"), col("n").as("pna"),
+      col("w"), col("pos").as("ppa"))
+    // batch-vs-base matches oriented a_id < b_id BEFORE the pair
+    // grouping, carrying each side's (n, pos) through the swap so the
+    // positional upper bound (see candJaccard) applies identically
     val candBase = np
       .join(basePrefix.select(col("id").as("b_id"), col("n").as("pnb"),
-        col("w")), "w")
+        col("w"), col("pos").as("ppb")), "w")
       .filter(col("a_id") =!= col("b_id") &&
         greatest(col("pna"), col("pnb")) * tNum <=
           least(col("pna"), col("pnb")) * tDen)
-      .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("oa"),
+        greatest(col("a_id"), col("b_id")).as("ob"),
+        when(col("a_id") < col("b_id"), col("pna")).otherwise(col("pnb"))
+          .as("na1"),
+        when(col("a_id") < col("b_id"), col("pnb")).otherwise(col("pna"))
+          .as("nb1"),
+        when(col("a_id") < col("b_id"), col("ppa")).otherwise(col("ppb"))
+          .as("pa1"),
+        when(col("a_id") < col("b_id"), col("ppb")).otherwise(col("ppa"))
+          .as("pb1"))
     val candNew = np
       .join(newPrefix.select(col("id").as("b_id"), col("n").as("pnb"),
-        col("w")), "w")
+        col("w"), col("pos").as("ppb")), "w")
       .filter(col("a_id") < col("b_id") &&
         greatest(col("pna"), col("pnb")) * tNum <=
           least(col("pna"), col("pnb")) * tDen)
+      .select(col("a_id").as("oa"), col("b_id").as("ob"),
+        col("pna").as("na1"), col("pnb").as("nb1"),
+        col("ppa").as("pa1"), col("ppb").as("pb1"))
+    // one grouped aggregation replaces the old distinct() (batch-base
+    // and batch-batch pair sets are disjoint, so the union never merges
+    // counts across legs), then the same positional prune as candJaccard
+    val cand = candBase.unionByName(candNew)
+      .groupBy(col("oa").as("a_id"), col("ob").as("b_id"))
+      .agg(count(lit(1)).as("cnt"), max(col("pa1")).as("mpa"),
+        max(col("pb1")).as("mpb"), max(col("na1")).as("cna"),
+        max(col("nb1")).as("cnb"))
+      .filter((col("cnt") +
+          least(col("cna") - col("mpa"), col("cnb") - col("mpb"))) *
+          (tNum + tDen) >= (col("cna") + col("cnb")) * tNum)
       .select(col("a_id"), col("b_id"))
-    val cand = candBase.unionByName(candNew).distinct()
     val fp = spark.read.parquet(s"$dir/fp").unionByName(fpOf(mat))
     verify(cand, fp, tNum, tDen)
   }

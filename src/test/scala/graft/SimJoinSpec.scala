@@ -35,6 +35,24 @@ class SimJoinSpec extends SparkTestBase {
       assert(run(sets, tn, td) === brute(sets, tn, td), s"tau=$tn/$td")
   }
 
+  test("sorted_intersect_count == size(array_intersect) on sorted-distinct long arrays (incl. empty/disjoint/identical)") {
+    // the verify merge walk (r18) must agree with the built-in it
+    // replaced, on the exact input class SimJoin feeds it
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val a = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = (0 until rnd.nextInt(30)).map(_ => rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (i, a, b)
+    }
+    val df = rows.toDF("i", "a", "b")
+      .select(col("i"), expr("sorted_intersect_count(a, b)").as("got"),
+        size(expr("array_intersect(a, b)")).as("want"))
+    val bad = df.filter(col("got") =!= col("want")).count()
+    assert(bad === 0, s"$bad rows disagree with array_intersect")
+  }
+
   test("simjoin: J == tau boundary pair is INCLUDED (integer cross-multiplication, no float cut)") {
     // |a|=|b|=3, i=2 -> J = 2/4 = 1/2 exactly
     val sets = Seq(1L -> Seq("x", "y", "p"), 2L -> Seq("x", "y", "q"))
