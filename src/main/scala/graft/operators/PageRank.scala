@@ -38,10 +38,15 @@ import org.apache.spark.sql.functions._
   *     matter of course mid-loop, pass Checkpoint.Reliable(dir) and the
   *     same call sites write recoverable checkpoints to DFS.
   *
-  * Contract: `edges(src, dst)` directed, string node ids; every node of
-  * interest must appear as a `src` at least once (no dangling-mass
-  * redistribution is modeled — symmetrize bipartite relations as the
-  * callers do and the condition holds by construction). */
+  * Contract: `edges(src, dst)` directed; node ids are any equatable type
+  * — callers with composite string ids ('p123'/'s45') should pass a
+  * compact injective LONG encoding instead and decode after the last
+  * iteration (guide §2.3: an 8-byte key vs a tagged string cuts every
+  * per-iteration exchange, hash, and sort; ranks are invariant under any
+  * injective relabeling). Every node of interest must appear as a `src`
+  * at least once (no dangling-mass redistribution is modeled —
+  * symmetrize bipartite relations as the callers do and the condition
+  * holds by construction). */
 object PageRank {
 
   val Scale: Long = 1000000000000L // 1e12 fixed-point scale
@@ -58,8 +63,14 @@ object PageRank {
     // upstream edge derivation three times before iteration 1
     val deg = Checkpoint(
       edges.groupBy("src").agg(count(lit(1)).as("d")), strategy)
-    // the one big relation, laid out once: (src, dst, outdeg(src))
-    val e = edges.join(deg, "src").repartition(col("src")).persist()
+    // the one big relation, laid out once: (src, dst, outdeg(src)).
+    // repartition BEFORE the deg join (r18): the join's own exchange then
+    // satisfies nothing extra — a post-join repartition re-shuffled the
+    // identical hashpartitioning(src) a second time (guide §2.4,
+    // redundant-exchange class); when the planner sort-merges, the
+    // persisted relation additionally keeps its src sort order, so the
+    // per-iteration rank join skips the big side's re-sort too
+    val e = edges.repartition(col("src")).join(deg, "src").persist()
     val n = deg.count() // O(1) driver scalar, the only collect
     require(n > 0, "pagerank: empty edge list")
     val base = 3L * Scale / (20L * n) // teleport term 0.15/N, exact
@@ -95,7 +106,9 @@ object PageRank {
                    strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(iters >= 1, s"pagerank: iters must be >= 1, got $iters")
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
-    val e = edges.join(deg, "src").repartition(col("src")).persist()
+    // same exchange discipline as [[run]]: repartition before the join,
+    // not after it (one src shuffle, ordering preserved when sort-merged)
+    val e = edges.repartition(col("src")).join(deg, "src").persist()
     val sd = Checkpoint(seeds.select(col("node")).distinct(), strategy)
     val ns = sd.count()
     require(ns > 0, "personalized pagerank: empty seed set")

@@ -62,17 +62,28 @@ object Graph {
          |$iterChain
          |SELECT node, CAST(r AS BIGINT) AS rank FROM r5
          |ORDER BY rank DESC, node LIMIT 20""") { (s, d) =>
+      // r18 (guide §2.3/§2.4): the iteration runs on a compact LONG node
+      // encoding (part pk ↦ 2·pk, supplier sk ↦ 2·sk+1 — injective, so
+      // ranks are unchanged; decoded to the oracle's 'p…'/'s…' strings
+      // only on the 20-row output), and BOTH edge directions explode
+      // from ONE materialized distinct-pair scan instead of unioning two
+      // full re-derivations (the lineitem→distinct subtree ran 3× before:
+      // once per union branch + once for the degree relation)
       val pairs = Tables.lineitem(s, d)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
         .distinct()
-      val edges = pairs
-        .select(concat(lit("p"), col("pk").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst"))
-        .unionAll(pairs.select(
-          concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("pk").cast("string")).as("dst")))
+        .localCheckpoint() // feeds both edge directions AND the degrees
+      val edges = pairs.select(explode(array(
+          struct((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+          struct((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       PageRank.run(edges, 5)
-        .select(col("node"), col("r").cast("long").as("rank"))
+        .select(when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("p"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+          col("r").cast("long").as("rank"))
         .orderBy(desc("rank"), col("node"))
         .limit(20)
     },
@@ -106,16 +117,28 @@ object Graph {
         |       MIN(node) AS first_node, MAX(node) AS last_node
         |FROM md GROUP BY depth, kind ORDER BY depth, kind""") { (s, d) =>
       val li = Tables.lineitem(s, d)
-      def tag(p: String, c: String) = concat(lit(p), col(c).cast("string"))
-      val edges = li.select(tag("s", "l_suppkey").as("src"),
-          tag("p", "l_partkey").as("dst")).distinct()
-        .unionByName(li.select(tag("p", "l_partkey").as("src"),
-          tag("o", "l_orderkey").as("dst")).distinct())
+      // r18 (guide §2.3): the BFS walks a compact LONG encoding —
+      // node = 4·key + kindCode (s=0, p=1, o=2, c=3; injective since the
+      // typed key spaces are disjoint by construction) — and decodes to
+      // the oracle's tagged strings only after the walk, BEFORE the
+      // (depth, kind) aggregation (first_node/last_node are min/max in
+      // STRING order, so the decode must precede the agg). Frontier
+      // joins, dedup, and the visited anti-join all hash 8-byte longs
+      // instead of tagged strings.
+      def tag(k: Int, c: String) = col(c).cast("long") * 4 + k
+      val edges = li.select(tag(0, "l_suppkey").as("src"),
+          tag(1, "l_partkey").as("dst")).distinct()
+        .unionByName(li.select(tag(1, "l_partkey").as("src"),
+          tag(2, "l_orderkey").as("dst")).distinct())
         .unionByName(Tables.orders(s, d).select(
-          tag("o", "o_orderkey").as("src"), tag("c", "o_custkey").as("dst")))
+          tag(2, "o_orderkey").as("src"), tag(3, "o_custkey").as("dst")))
       val seeds = Tables.supplier(s, d).filter(col("s_suppkey") < 3)
-        .select(tag("s", "s_suppkey").as("node"))
+        .select(tag(0, "s_suppkey").as("node"))
+      val kindStr = element_at(array(lit("s"), lit("p"), lit("o"), lit("c")),
+        (pmod(col("node"), lit(4)) + 1).cast("int"))
       Reachability.bfs(edges, seeds, maxHops = 3)
+        .select(col("depth"),
+          concat(kindStr, expr("node div 4")).as("node"))
         .groupBy(col("depth"), substring(col("node"), 1, 1).as("kind"))
         .agg(count(lit(1)).as("n"), min(col("node")).as("first_node"),
           max(col("node")).as("last_node"))
@@ -200,16 +223,23 @@ object Graph {
          |${(0 until 4).map(i => pprStep(s"r$i", s"r${i + 1}")).mkString(",\n")}
          |SELECT node, r FROM r4 ORDER BY r DESC, node LIMIT 15""") { (s, d) =>
       import s.implicits._
+      // same long-encoded iteration + single-scan edge explode as q122
+      // (seeds 's0'/'s1' encode to 1/3); decode on the 15-row output
       val pairs = Tables.lineitem(s, d)
-        .select(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
         .distinct()
-      val edges = pairs
-        .select(concat(lit("p"), col("pk").cast("string")).as("src"),
-          concat(lit("s"), col("sk").cast("string")).as("dst"))
-        .unionAll(pairs.select(
-          concat(lit("s"), col("sk").cast("string")).as("src"),
-          concat(lit("p"), col("pk").cast("string")).as("dst")))
-      PageRank.personalized(edges, Seq("s0", "s1").toDF("node"), 4)
+        .localCheckpoint() // feeds both edge directions AND the degrees
+      val edges = pairs.select(explode(array(
+          struct((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+          struct((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      PageRank.personalized(edges, Seq(1L, 3L).toDF("node"), 4)
+        .select(when(pmod(col("node"), lit(2)) === 0,
+            concat(lit("p"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("(node - 1) div 2"))).as("node"),
+          col("r"))
         .orderBy(desc("r"), col("node"))
         .limit(15)
     },
