@@ -58,34 +58,46 @@ object Ivf {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
-  /** Corpus-wide cell assignment as a broadcast join + argmax aggregate:
-    * `df` × broadcast centroid table → one vec_dot per (row, cell) →
-    * partial-aggregatable max on a (dot, -cell) struct. Identical tie
-    * semantics to [[cellOf]] (highest dot, then LOWEST cell), but the
-    * plan scales to any nlist (no literal unrolling, codegen stays one
-    * loop) and any corpus (map-side join, one exchange on the group key).
-    * The group key is (id, vector), NOT id alone: a corpus with repeated
-    * ids (re-ingested embeddings awaiting dedup) keeps one row per
-    * distinct vector — never an argmax smeared across different rows'
-    * dots paired with an arbitrary row's payload. `keep` columns must be
-    * functions of (id, vector) (e.g. norms of the same vector) so the
-    * within-group first() is deterministic. */
+  /** Index (0-based) of the max-dot centroid as ONE map-only expression:
+    * the centroid table is a literal array-of-arrays, so codegen is one
+    * nested HOF loop whatever nlist is (no per-centroid column
+    * unrolling), and assignment needs no join, no broadcast table, and
+    * no argmax aggregate — the [[Pq.codesExpr]] shape applied to the
+    * coarse quantizer. Identical dot arithmetic (same vec_dot fold) and
+    * tie semantics (highest dot, then LOWEST cell — array_position
+    * returns the first match) as [[cellOf]] / the former join+argmax
+    * formulation. */
+  def cellExpr(vuCol: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = transform(typedLit(centroids),
+      c => call_function("vec_dot", vuCol, c))
+    (array_position(dots, array_max(dots)) - 1).cast("int")
+  }
+
+  /** Corpus-wide cell assignment: dedup on (id, vector), then the
+    * map-only [[cellExpr]]. The dedup key is (id, vector), NOT id alone:
+    * a corpus with repeated ids (re-ingested embeddings awaiting dedup)
+    * keeps one row per distinct vector. `keep` columns must be functions
+    * of (id, vector) (e.g. norms of the same vector) so the within-group
+    * first() is deterministic. r18: assignment itself is a pure
+    * projection (guide §1.2 step 1 — the former broadcast-crossJoin ×
+    * nlist + argmax exchange shipped every row nlist times into a wide
+    * aggregate; now the only exchange is the dedup's, and it carries
+    * each row once). */
   def assignCells(df: DataFrame, idCol: String, vuCol: String,
                   centroids: Seq[Seq[Double]],
                   keep: Seq[String] = Nil): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val cdf = broadcast(centroids.zipWithIndex
-      .map { case (c, i) => (i, c) }.toDF("__cell", "__cvec"))
     val aggKeep = keep.filterNot(k => k == idCol || k == vuCol)
-    val aggs = max(struct(col("__dot"), (-col("__cell")).as("__neg"),
-      col("__cell").as("__c"))).as("__m") +:
-      aggKeep.map(k => first(col(k)).as(k))
-    df.crossJoin(cdf)
-      .withColumn("__dot", call_function("vec_dot", col(vuCol), col("__cvec")))
-      .groupBy(col(idCol), col(vuCol))
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col(idCol) +: col("__m.__c").as("cell") +: keep.map(col): _*)
+    val dedup =
+      if (aggKeep.isEmpty)
+        df.select(col(idCol), col(vuCol)).dropDuplicates(Seq(idCol, vuCol))
+      else {
+        val aggs = aggKeep.map(k => first(col(k)).as(k))
+        df.select((idCol +: vuCol +: aggKeep).map(col): _*)
+          .groupBy(col(idCol), col(vuCol))
+          .agg(aggs.head, aggs.tail: _*)
+      }
+    dedup.withColumn("cell", cellExpr(col(vuCol), centroids))
+      .select(col(idCol) +: col("cell") +: keep.map(col): _*)
   }
 
   /** Spherical k-means coarse quantizer: deterministic init (the `nlist`

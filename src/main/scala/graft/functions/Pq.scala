@@ -19,8 +19,8 @@ import org.apache.spark.sql.functions._
   *     means ever reach the driver — O(KB) regardless of corpus size;
   *   - encoding is a PURE PROJECTION: the codebooks are literal constants
   *     inside one codegen'd expression, so corpus encode is map-only —
-  *     zero shuffles, zero joins (contrast Ivf.assignCells, which pays a
-  *     broadcast join + argmax exchange);
+  *     zero shuffles, zero joins (Ivf.assignCells/cellExpr applies the
+  *     same shape to the coarse quantizer);
   *   - the ADC scan reads ONLY the `codes` column (m bytes of info per
   *     row, parquet column pruning drops the raw vectors — IndexSpec pins
   *     `ReadSchema` on the persisted layout), scores with m lookups per
