@@ -1716,9 +1716,15 @@ object Text {
       import graft.operators.SortedNeighborhood
       val recs = Tables.documents(s, d)
         .select(col("doc_id").as("id"), substring(col("text"), 1, 80).as("key"))
+      // thresholded levenshtein (r18): the DP early-exits once the
+      // distance provably exceeds 8 (banded O(len·k) instead of the
+      // full O(len²) matrix per candidate pair); -1 encodes "above the
+      // threshold", and kept rows carry the exact distance — identical
+      // result set to the unthresholded filter
       SortedNeighborhood.candidates(recs, w = 5)
-        .withColumn("dist", levenshtein(col("a_key"), col("b_key")).cast("long"))
-        .filter(col("dist") <= 8)
+        .withColumn("dist",
+          levenshtein(col("a_key"), col("b_key"), 8).cast("long"))
+        .filter(col("dist") >= 0)
         .select(col("a_id"), col("b_id"), col("dist"))
         .orderBy("a_id", "b_id")
     },

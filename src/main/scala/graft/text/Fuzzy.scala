@@ -52,7 +52,10 @@ object Fuzzy {
       .select(col("__b"), explode(deleteKeys(col("__b"))).as("__k"))
     ak.join(bk, "__k")
       .select(col("__a"), col("__b")).distinct()
-      .filter(levenshtein(col("__a"), col("__b")) <= 1)
+      // thresholded levenshtein short-circuits past the bound (O(len·k)
+      // DP band instead of O(len²); -1 = "larger than 1") — same kept
+      // set as `levenshtein(a,b) <= 1`
+      .filter(levenshtein(col("__a"), col("__b"), 1) >= 0)
       .select(col("__a").as(aCol), col("__b").as(outB))
   }
 }

@@ -5,8 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Token-window span relation for exact SUBSTRING dedup (q104's operator):
   * one row per `window`-token sliding window of each document,
-  * `(doc_id, start, h)` with `h = md5(window text)`. The md5 keys shuffle
-  * uniformly (16 bytes per key regardless of window text), and every
+  * `(doc_id, start, h)` with `h = xxhash64(window text)`. The hash keys
+  * shuffle uniformly at 8 bytes per key regardless of window text (r18:
+  * was a 32-char md5 hex string — guide §2.3, narrower shuffle keys; a
+  * 64-bit fingerprint standing in for window equality is the same trade
+  * SimJoin documents, collision odds ~|windows|²·2⁻⁶⁴), and every
   * downstream consumer — repeated-window detection, position masking,
   * per-doc token counts — derives from this one relation.
   *
@@ -25,7 +28,8 @@ object Spans {
     docs.filter(size(col(tokensCol)) >= window)
       .select(col(idCol).as("doc_id"),
         posexplode(transform(sequence(lit(0), size(col(tokensCol)) - window),
-          i => md5(concat_ws(" ", slice(col(tokensCol), i + 1, lit(window)))))))
+          i => xxhash64(concat_ws(" ", slice(col(tokensCol), i + 1,
+            lit(window)))))))
       .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
 
   /** Persist the span relation as the corpus's substring-dedup index.

@@ -145,7 +145,8 @@ class IndexSpec extends SparkTestBase {
     // the probe never re-tokenizes or re-hashes windows: the span relation
     // comes entirely from the parquet index
     val plan = indexed.queryExecution.executedPlan.toString
-    assert(!plan.contains("md5"), s"probe re-derives window hashes:\n$plan")
+    assert(!plan.contains("md5") && !plan.contains("xxhash64"),
+      s"probe re-derives window hashes:\n$plan")
     assert(plan.contains("FileScan parquet"), s"probe does not scan the index:\n$plan")
   }
 
