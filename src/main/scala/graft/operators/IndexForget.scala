@@ -132,11 +132,14 @@ object IndexForget {
     // the index whole (or the rewrite completes).
     val torn = fs.exists(new Path(rootP, Marker))
     repair(fs, rootP, keepMarker = holdFence || torn)
-    // ONE root listing serves both the fileless check here and the
-    // staged-switch partition count below (metadata round-trips are
-    // billed calls on object stores)
-    val partCount = fs.listStatus(rootP).count(st => st.isDirectory &&
-      st.getPath.getName.startsWith(partCol + "="))
+    // ONE root listing serves the fileless check here, the staged-switch
+    // partition count below, AND the victim-value → dir-name resolution
+    // (metadata round-trips are billed calls on object stores)
+    val partDirVals = fs.listStatus(rootP).iterator
+      .filter(st => st.isDirectory &&
+        st.getPath.getName.startsWith(partCol + "="))
+      .map(_.getPath.getName.stripPrefix(partCol + "=")).toSeq
+    val partCount = partDirVals.size
     // a FILELESS root (an empty batch's committed dir: markers only, no
     // partition dirs) holds zero rows — return before the victim scan,
     // whose schema inference would throw and strand any caller-held
@@ -154,10 +157,27 @@ object IndexForget {
     // victim partitions: one column-pruned (idCol, partCol) scan — the
     // only whole-index read; everything below touches victim dirs only.
     // Parameter-sized collect: ≤ P partition values by construction.
-    val victims = spark.read.option("basePath", root).parquet(root)
+    val victimVals = spark.read.option("basePath", root).parquet(root)
       .filter(col(idCol).isin(ids: _*))
       .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq.sorted
+      .collect().map(_.getString(0)).toSeq
+    // Resolve inferred partition VALUES back to on-disk dir names (r18
+    // ADVICE fix): partition discovery CANONICALIZES values ("00" → int
+    // 0 → "0"), so regenerating `partCol=<value>` from the scan would
+    // miss a zero-padded dir outright (a FileNotFound crash here, a
+    // silent partition merge on the staged path). A value claims every
+    // dir whose raw suffix matches it exactly OR as the same number —
+    // the numeric-canonicalization class is the only way discovery
+    // rewrites a value. Resolution uses the listing already taken above.
+    def sameVal(a: String, b: String): Boolean = a == b || {
+      (scala.util.Try(BigDecimal(a)).toOption,
+        scala.util.Try(BigDecimal(b)).toOption) match {
+        case (Some(x), Some(y)) => x == y
+        case _ => false
+      }
+    }
+    val victims = partDirVals.filter(s => victimVals.exists(sameVal(s, _)))
+      .sorted
     if (victims.isEmpty) {
       if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
       return Nil
@@ -174,8 +194,12 @@ object IndexForget {
     // operation fence: up before the first mutation on either path
     touch(fs, new Path(rootP, Marker))
     if (useStaged)
-      return forgetStaged(spark, fs, rootP, root, partCol, idCol, ids,
-        holdFence, victims)
+      forgetStaged(spark, fs, rootP, root, partCol, idCol, ids,
+          holdFence, victims) match {
+        case Some(done) => return done
+        case None => () // canonicalization mismatch — fall through to the
+                        // per-dir path, which preserves names verbatim
+      }
     victims.foreach { v =>
       val dirName = s"$partCol=$v"
       val dir = new Path(rootP, dirName)
@@ -221,18 +245,25 @@ object IndexForget {
     * fenced until the retired old sibling — every victim byte — is
     * deleted, so a crash there refuses probes until a re-run heals
     * and clears. The same riding marker makes the holdFence contract
-    * hold on this path through every window. CONSTRAINT:
-    * partition dir names are regenerated from inferred partition
-    * values here, so `partCol` values must be canonically formatted
-    * (ints, or strings that don't parse as numbers) — a zero-padded
-    * numeric string would canonicalize (`part=00` → `part=0`). Every
-    * current family satisfies this (int buckets/cells, non-numeric
-    * splits); the per-dir path preserves names verbatim. */
+    * hold on this path through every window. CONSTRAINT, now ENFORCED
+    * (r18 ADVICE fix): partition dir names are regenerated from
+    * inferred partition values here, so `partCol` values must be
+    * canonically formatted (ints, or strings that don't parse as
+    * numbers) — a zero-padded numeric string would silently
+    * canonicalize (`part=00` → `part=0`), merging partitions and
+    * flipping the inferred column type. After the rebuild and BEFORE
+    * anything touches the live root, the staging's regenerated
+    * `partCol=` dir names are checked against the root's: any name
+    * outside the original set aborts the staging (returns None) and
+    * the caller falls back to the per-dir path, which preserves names
+    * verbatim. Every current family passes the check (int
+    * buckets/cells, non-numeric splits); the guard is for future
+    * callers. */
   private def forgetStaged(spark: SparkSession, fs: FileSystem,
                            rootP: Path, root: String, partCol: String,
                            idCol: String, ids: Seq[Long],
                            holdFence: Boolean,
-                           victims: Seq[String]): Seq[String] = {
+                           victims: Seq[String]): Option[Seq[String]] = {
     val parent = rootP.getParent
     val stage = new Path(parent, StagePrefix + rootP.getName)
     val old = new Path(parent, OldPrefix + rootP.getName)
@@ -243,6 +274,20 @@ object IndexForget {
     spark.read.option("basePath", root).parquet(root)
       .filter(!col(idCol).isin(ids: _*))
       .write.partitionBy(partCol).mode("overwrite").parquet(stage.toString)
+    // canonicalization guard (scaladoc CONSTRAINT): regenerated dir
+    // names must all be names the root already had — one staging
+    // listing, checked while the live root is still untouched, so the
+    // abort is free of crash windows (the staging is uncommitted junk
+    // repairStaged already reaps)
+    def partDirs(p: Path): Set[String] =
+      fs.listStatus(p).iterator
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(partCol + "="))
+        .map(_.getPath.getName).toSet
+    if (!partDirs(stage).subsetOf(partDirs(rootP))) {
+      fs.delete(stage, true)
+      return None
+    }
     // carry the family's SIDECAR entries (a CopyIndex _FANOUT, any
     // metadata beside the partition dirs) into the staging — the swap
     // replaces the whole root, so anything not copied is lost. Skip
@@ -271,10 +316,16 @@ object IndexForget {
     touch(fs, new Path(stage, StageComplete)) // the staging commit point
     require(fs.rename(rootP, old), s"could not retire $rootP")
     require(fs.rename(stage, rootP), s"could not publish $stage")
-    fs.delete(old, true)
+    // checked like the publish renames (r18 ADVICE fix): a silently
+    // failed delete here would leave the full pre-forget victim bytes
+    // on disk while the SAME code path clears the marker below — the
+    // unmarked-retention state the riding marker exists to prevent
+    require(fs.delete(old, true) || !fs.exists(old),
+      s"could not delete retired $old — victim bytes would outlive an " +
+        "unfenced index")
     fs.delete(new Path(rootP, StageComplete), false)
     if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
-    victims
+    Some(victims)
   }
 
   /** Heal the staged swap's crash windows. Root MISSING + committed
@@ -296,7 +347,12 @@ object IndexForget {
       if (fs.exists(new Path(stage, StageComplete))) {
         require(fs.rename(stage, rootP), s"could not publish $stage")
         fs.delete(new Path(rootP, StageComplete), false)
-        fs.delete(old, true): Unit
+        // checked for the same reason as forgetStaged's delete: the
+        // re-run that invoked this heal goes on to clear the fence
+        // after its re-filter — retired victim bytes must not survive
+        // that unfencing
+        require(fs.delete(old, true) || !fs.exists(old),
+          s"could not delete retired $old after finishing its publish")
       } else if (fs.exists(old)) {
         require(fs.rename(old, rootP), s"could not restore $rootP")
         fs.delete(stage, true): Unit

@@ -119,13 +119,29 @@ object ArchiveCompaction {
       // all-fileless horizon would crash the union's schema inference.
       // When NOTHING below the horizon has data, just reap the dirs
       // (no batch <= upTo can retry once a later batch committed).
+      // a file counts as data only when EVERY path component below the
+      // batch dir is visible — a nonzero file under dot-prefixed debris
+      // (a crashed forget's .forget_tmp./.forget_trash. child) is
+      // invisible to the union read below, so counting it as data would
+      // route an all-fileless horizon into schema inference and throw:
+      // the exact failure this guard exists to prevent (r18 ADVICE fix)
       def hasData(p: Path): Boolean = {
+        val qp = fs.makeQualified(p)
+        def visibleUnder(f: Path): Boolean = {
+          var cur = f
+          var ok = true
+          while (ok && cur != null && cur != qp) {
+            val n = cur.getName
+            ok = !n.startsWith("_") && !n.startsWith(".")
+            cur = cur.getParent
+          }
+          ok
+        }
         val it = fs.listFiles(p, true)
         var found = false
         while (!found && it.hasNext) {
           val f = it.next()
-          val n = f.getPath.getName
-          found = f.getLen > 0 && !n.startsWith("_") && !n.startsWith(".")
+          found = f.getLen > 0 && visibleUnder(f.getPath)
         }
         found
       }

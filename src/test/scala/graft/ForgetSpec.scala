@@ -867,6 +867,67 @@ class ForgetSpec extends SparkTestBase {
       "mid-publish heal did not finish the committed publish")
   }
 
+  test("staged forget: zero-padded partition values abort the staging (canonicalization guard) and the per-dir fallback resolves the real dir names") {
+    import spark.implicits._
+    val root = tmp("forget_zeropad")
+    // partition VALUES '00'..'03': partition discovery canonicalizes
+    // them to ints 0..3, so a staged rebuild would regenerate part=0
+    // (merging nothing here but renaming every dir and flipping the
+    // inferred column type), and a naive per-dir rewrite would look for
+    // the nonexistent part=0 dir
+    spark.range(40)
+      .select(col("id"),
+        lpad(pmod(col("id"), lit(4)).cast("string"), 2, "0").as("part"))
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+    val namesBefore = filesByPart(root).keySet
+    assert(namesBefore === Set("part=00", "part=01", "part=02", "part=03"),
+      s"fixture did not lay out zero-padded dirs: $namesBefore")
+    // victims in every partition; FORCE the staged path — the guard
+    // must bounce it to the per-dir path
+    val victims = (0L until 40L by 3).toSeq
+    val rewritten = IndexForget.forget(spark, root, "part", "id", victims,
+      stagedFraction = 0.0)
+    assert(rewritten.toSet === Set("00", "01", "02", "03"),
+      s"fallback did not rewrite the on-disk dir names: $rewritten")
+    assert(filesByPart(root).keySet === namesBefore,
+      "forget renamed or merged zero-padded partition dirs")
+    val f = fs(root)
+    assert(!f.exists(new Path(root, IndexForget.Marker)),
+      "fence left up after the fallback")
+    assert(!f.exists(new Path(new Path(root).getParent,
+        s".forget_stage.${new Path(root).getName}")),
+      "aborted staging left debris")
+    val got = spark.read.parquet(s"$root/part=01")
+      .select("id").as[Long].collect().toSet
+    assert(got === (0L until 40L).filter(i => i % 4 == 1 && i % 3 != 0).toSet,
+      "fallback rewrote the wrong rows")
+    // idempotent re-run: no victims left
+    assert(IndexForget.forget(spark, root, "part", "id", victims,
+      stagedFraction = 0.0).isEmpty)
+  }
+
+  test("archive compaction: a batch dir whose only nonzero bytes live under dot-prefixed debris counts as fileless (all-fileless horizon reaps, no schema-inference crash)") {
+    import graft.streaming.ArchiveCompaction
+    // two committed-but-empty batch dirs (markers only); one additionally
+    // carries crashed-forget debris — a dot-prefixed child with a real
+    // parquet file inside. The union read skips dot dirs, so hasData
+    // counting that file as data would route this all-fileless horizon
+    // into schema inference and throw (r18 ADVICE fix).
+    val archive = tmp("compact_dotdebris")
+    val f = fs(archive)
+    Seq(0L, 1L).foreach { i =>
+      val d = new Path(s"$archive/batch_id=$i")
+      f.mkdirs(d)
+      f.create(new Path(d, "_SUCCESS"), true).close()
+    }
+    spark.range(5).toDF("id").coalesce(1).write.mode("overwrite")
+      .parquet(s"$archive/batch_id=1/.forget_tmp.part=0")
+    assert(ArchiveCompaction.compact(spark, archive, 1L) === 2,
+      "all-fileless horizon (debris included) did not reap both dirs")
+    assert(ArchiveCompaction.batchIds(spark, archive).isEmpty,
+      "reap left batch dirs behind")
+  }
+
   test("DocIngest tenant forget: corpus rows, audit rows and near-dup signatures all delete (consolidated + tail dirs); surviving signatures equal a rebuild without the victims; uncommitted debris reaps; re-run is a no-op") {
     import graft.streaming.DocIngest
     import graft.streaming.DocIngest.Sinks
