@@ -58,17 +58,26 @@ object NearDup {
 
   /** Candidate pairs (a_id < b_id) from a signature relation, re-ranked by
     * exact Jaccard >= threshold over the shingle-hash sets. The self-join
-    * shuffles on the band key only. */
+    * shuffles on the band key only — and carries ONLY ids (r18, guide
+    * §8: the band exchange used to ship every row's full shingle-hash
+    * array once per band on both sides, and re-ranked per COLLISION
+    * row before deduplicating on a float-carrying key; now candidate
+    * ids dedup first and the arrays attach once per distinct pair). */
   def pairsFromSignatures(sig: DataFrame, threshold: Double): DataFrame = {
-    val a = sig.select(col("id").as("a_id"), col("sh").as("a_sh"),
-      col("band_idx"), col("band_hash"))
-    val b = sig.select(col("id").as("b_id"), col("sh").as("b_sh"),
+    val a = sig.select(col("id").as("a_id"), col("band_idx"),
+      col("band_hash"))
+    val b = sig.select(col("id").as("b_id"),
       col("band_idx").as("b_band_idx"), col("band_hash").as("b_band_hash"))
-    a.join(b, col("band_idx") === col("b_band_idx") &&
+    val cand = a.join(b, col("band_idx") === col("b_band_idx") &&
         col("band_hash") === col("b_band_hash") && col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    val sh = sig.select(col("id"), col("sh")).dropDuplicates("id")
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .select(col("a_id"), col("b_id"),
         TextOps.jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -130,17 +139,23 @@ object NearDup {
     * [[pairsFromSignatures]] restricted to pairs touching a new doc. */
   def incrementalPairs(index: DataFrame, newSig: DataFrame,
                        threshold: Double = 0.5): DataFrame = {
+    // same id-only band join + attach-once shape as pairsFromSignatures
     val all = index.unionByName(newSig)
-    val a = newSig.select(col("id").as("a_id"), col("sh").as("a_sh"),
-      col("band_idx"), col("band_hash"))
-    val b = all.select(col("id").as("b_id"), col("sh").as("b_sh"),
+    val a = newSig.select(col("id").as("a_id"), col("band_idx"),
+      col("band_hash"))
+    val b = all.select(col("id").as("b_id"),
       col("band_idx").as("b_band_idx"), col("band_hash").as("b_band_hash"))
-    a.join(b, col("band_idx") === col("b_band_idx") &&
+    val cand = a.join(b, col("band_idx") === col("b_band_idx") &&
         col("band_hash") === col("b_band_hash") && col("a_id") =!= col("b_id"))
       .select(least(col("a_id"), col("b_id")).as("a_id"),
-        greatest(col("a_id"), col("b_id")).as("b_id"),
-        TextOps.jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+        greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
+    val sh = all.select(col("id"), col("sh")).dropDuplicates("id")
+    cand
+      .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        TextOps.jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -65,10 +65,8 @@ object SimJoin {
   def containmentJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
-    val mat = sets.select(col("id"), col("set")).localCheckpoint()
-    val tok = mat.select(col("id"), size(col("set")).as("n"),
-      explode(col("set")).as("w0"))
-      .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
+    val mat = matOf(sets)
+    val tok = tokOf(mat)
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
     // ONE global-order rank pass (dfreq join + row_number) shared by the
     // probe prefixes AND the full inverted index — the probe side is a
@@ -110,12 +108,10 @@ object SimJoin {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
     // the input feeds BOTH the prefix pipeline and the verify arrays —
-    // materialize the (usually tokenizer-derived) sets once, not twice
-    val mat = sets.select(col("id"), col("set")).localCheckpoint()
-    // n comes from the array itself — no per-group count window
-    val tok = mat.select(col("id"), size(col("set")).as("n"),
-      explode(col("set")).as("w0"))
-      .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
+    // materialize the (usually tokenizer-derived) sets once, ALREADY
+    // HASHED (see matOf), not twice
+    val mat = matOf(sets)
+    val tok = tokOf(mat)
     // global rarity order: document frequency, ties broken on the
     // fingerprint — any total order is correct; rarest-first is the fast
     // one (hot tokens stay OUT of prefixes)
@@ -194,20 +190,31 @@ object SimJoin {
         col("n") - expr(s"($tNum * n + $tDen - 1) div $tDen") + lit(1))
       .select(col("id"), col("n"), col("w"), col("pos"))
 
-  private def tokOf(mat: DataFrame): DataFrame =
-    mat.select(col("id"), size(col("set")).as("n"),
-      explode(col("set")).as("w0"))
-      .select(col("id"), col("n"), xxhash64(col("w0")).as("w"))
-
-  /** Verify fingerprints: SORTED distinct 64-bit token hashes per set —
-    * sortedness is what lets the verify intersect run as an
-    * allocation-free merge walk ([[graft.functions.expressions.SortedIntersectCount]])
-    * instead of a per-pair hash set; `n` stays the PRE-hash set size. */
-  private def fpOf(mat: DataFrame): DataFrame =
-    mat.select(col("id"),
+  /** Materialized HASHED form of `sets(id, set)`: one row per set,
+    * `(id, n, fps)` — `n` the PRE-hash set size (exact, feeds every
+    * threshold), `fps` the SORTED distinct 64-bit token fingerprints.
+    * Tokens hash exactly ONCE, here: the prefix pipeline explodes
+    * `fps`, and the verify uses the arrays verbatim (r18 — the old
+    * shape checkpointed the wide string arrays and re-hashed them once
+    * for the token relation plus once per verify side). Sortedness is
+    * what lets the verify intersect run as an allocation-free merge
+    * walk ([[graft.functions.expressions.SortedIntersectCount]]).
+    * Within-set hash collisions can make |fps| < n; every prefix
+    * length/threshold below keeps using `n`, which only LENGTHENS
+    * prefixes relative to the deduped fingerprint set — conservative,
+    * never a lost candidate (same 2⁻⁶⁴-collision class the class doc
+    * records). */
+  private def matOf(sets: DataFrame): DataFrame =
+    sets.select(col("id"), size(col("set")).as("n"),
       expr("sort_array(array_distinct(transform(set, x -> xxhash64(x))))")
-        .as("fps"),
-      size(col("set")).as("n"))
+        .as("fps"))
+      .localCheckpoint()
+
+  private def tokOf(mat: DataFrame): DataFrame =
+    mat.select(col("id"), col("n"), explode(col("fps")).as("w"))
+
+  private def fpOf(mat: DataFrame): DataFrame =
+    mat.select(col("id"), col("fps"), col("n"))
 
   /** Exact verify of candidate `(a_id, b_id)` pairs against sorted
     * fingerprint arrays; integer threshold — Jaccard
@@ -235,8 +242,8 @@ object SimJoin {
   def writeIndex(sets: DataFrame, dir: String, tNum: Int, tDen: Int): Unit = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
-    val mat = sets.select(col("id"), col("set")).localCheckpoint()
-    val tok = tokOf(mat).localCheckpoint() // feeds dfreq AND the prefix rank
+    val mat = matOf(sets)
+    val tok = tokOf(mat) // cheap explode off the hashed checkpoint
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
     dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     prefixOf(tok, dfreq, tNum, tDen)
@@ -290,7 +297,7 @@ object SimJoin {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
     graft.operators.IndexForget.assertClean(spark, dir)
-    val mat = newSets.select(col("id"), col("set")).localCheckpoint()
+    val mat = matOf(newSets)
     val dfreq = spark.read.parquet(s"$dir/dfreq")
     val newPrefix = prefixOf(tokOf(mat), dfreq, tNum, tDen)
       .localCheckpoint() // probes the index AND self-joins
