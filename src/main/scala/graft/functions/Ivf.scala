@@ -58,16 +58,24 @@ object Ivf {
     (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
-  /** Index (0-based) of the max-dot centroid as ONE map-only expression:
-    * the centroid table is a literal array-of-arrays, so codegen is one
-    * nested HOF loop whatever nlist is (no per-centroid column
-    * unrolling), and assignment needs no join, no broadcast table, and
-    * no argmax aggregate — the [[Pq.codesExpr]] shape applied to the
-    * coarse quantizer. Identical dot arithmetic (same vec_dot fold) and
-    * tie semantics (highest dot, then LOWEST cell — array_position
-    * returns the first match) as [[cellOf]] / the former join+argmax
-    * formulation. */
-  def cellExpr(vuCol: Column, centroids: Seq[Seq[Double]]): Column = {
+  /** Index (0-based) of the max-dot centroid as ONE map-only expression —
+    * assignment needs no join, no broadcast table, and no argmax
+    * aggregate (the [[Pq.codesExpr]] shape applied to the coarse
+    * quantizer). r19: dispatches to the NATIVE
+    * [[graft.functions.expressions.IvfCellAssign]] single-pass loop —
+    * the r18 HOF form (transform over a literal centroid array +
+    * array_position/array_max) ran INTERPRETED per corpus row, nlist
+    * lambda dispatches and an intermediate dots array each. Identical
+    * dot arithmetic (the vec_dot left fold) and tie semantics (highest
+    * dot, then LOWEST cell) as [[cellExprHof]]/[[cellOf]] — parity
+    * pinned in MultimodalSpec. */
+  def cellExpr(vuCol: Column, centroids: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.expressions.IvfCellAssign(
+        org.apache.spark.sql.GraftPlanBridge.expression(vuCol), centroids))
+
+  /** HOF reference formulation of [[cellExpr]] (bit-identical). */
+  def cellExprHof(vuCol: Column, centroids: Seq[Seq[Double]]): Column = {
     val dots = transform(typedLit(centroids),
       c => call_function("vec_dot", vuCol, c))
     (array_position(dots, array_max(dots)) - 1).cast("int")

@@ -49,9 +49,21 @@ object Pq {
   /** Per-row PQ codes as one map-only expression: for each subspace s,
     * the code j maximizing <sub_s(v), cb(s)(j)> - ||cb(s)(j)||²/2 (the
     * argmin-L2 centroid — the row-constant ||sub_s(v)||² term cancels).
-    * The codebooks are a literal 3-D array, so codegen is one nested loop
-    * whose size does not depend on ksub — no unrolled columns, no join. */
-  def codesExpr(vu: Column, cb: Codebooks): Column = {
+    * r19: dispatches to the NATIVE
+    * [[graft.functions.expressions.PqEncode]] single-pass loop — the
+    * r18 HOF form nested transform(sequence)×transform(sequence)
+    * INTERPRETED per corpus row (m×ksub lambda dispatches plus m score
+    * arrays), and encoding runs once per Lloyd round plus once at
+    * encode. Identical dot arithmetic, −‖c‖²/2 fold, and first-argmax
+    * tie semantics as [[codesExprHof]] — parity pinned in
+    * MultimodalSpec. */
+  def codesExpr(vu: Column, cb: Codebooks): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.expressions.PqEncode(
+        org.apache.spark.sql.GraftPlanBridge.expression(vu), cb))
+
+  /** HOF reference formulation of [[codesExpr]] (bit-identical). */
+  def codesExprHof(vu: Column, cb: Codebooks): Column = {
     val m = cb.size
     val ksub = cb.head.size
     val dsub = cb.head.head.size
@@ -140,8 +152,18 @@ object Pq {
 
   /** ADC score of a `codes` column against a literal LUT: m lookups and
     * a fold — approximates cosine(q, v) because both sides were encoded
-    * from unit vectors. */
-  def adcExpr(codes: Column, lutV: Seq[Seq[Double]]): Column = {
+    * from unit vectors. r19: native single-pass
+    * ([[graft.functions.expressions.PqAdc]]) — the HOF form
+    * (transform + aggregate) ran interpreted per scanned row on the ADC
+    * scan, the hot loop of every PQ probe. Identical left-to-right sum
+    * from 0.0 ([[adcExprHof]] is the pinned reference). */
+  def adcExpr(codes: Column, lutV: Seq[Seq[Double]]): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.expressions.PqAdc(
+        org.apache.spark.sql.GraftPlanBridge.expression(codes), lutV))
+
+  /** HOF reference formulation of [[adcExpr]] (bit-identical). */
+  def adcExprHof(codes: Column, lutV: Seq[Seq[Double]]): Column = {
     val lutLit = typedLit(lutV)
     aggregate(
       transform(codes, (c, s) => element_at(element_at(lutLit, s + 1), c + 1)),

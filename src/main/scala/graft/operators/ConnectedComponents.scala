@@ -58,13 +58,24 @@ object ConnectedComponents {
       // (2) jump: label(id) <- label(label(id)); label values are node
       // ids (min-propagation only ever copies ids), and label(j) <= j, so
       // the looked-up label can only improve
+      //
+      // r19 (guide §1.2/§2.6 driver round-trips): the per-round changed
+      // count rides the checkpoint job as an observed metric instead of
+      // a SECOND count() job over the materialized blocks — one driver
+      // job per round, not two. At the gate SF the loop is job-latency-
+      // bound (~20 sub-100 ms stages per query), so halving the job
+      // count halves the loop's fixed cost; the convergence test is the
+      // SAME count of label < prev rows, so round counts are unchanged.
+      val obs = new org.apache.spark.sql.Observation()
       val next = Checkpoint(hopped.as("x")
         .join(hopped.select(col("id").as("jid"), col("mid").as("jl")),
           col("x.mid") === col("jid"), "left")
         .select(col("x.id").as("id"),
           least(col("x.mid"), coalesce(col("jl"), col("x.mid"))).as("label"),
-          col("x.prev").as("prev")), strategy)
-      changed = next.filter(col("label") < col("prev")).count()
+          col("x.prev").as("prev"))
+        .observe(obs,
+          count(when(col("label") < col("prev"), 1)).as("changed")), strategy)
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next.drop("prev")
       i += 1
     }

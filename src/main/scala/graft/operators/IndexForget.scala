@@ -160,15 +160,21 @@ object IndexForget {
     val victimVals = spark.read.option("basePath", root).parquet(root)
       .filter(col(idCol).isin(ids: _*))
       .select(col(partCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).toSeq
+      .collect().map(r => Option(r.getString(0))).toSeq
     // Resolve inferred partition VALUES back to on-disk dir names (r18
-    // ADVICE fix): partition discovery CANONICALIZES values ("00" → int
-    // 0 → "0"), so regenerating `partCol=<value>` from the scan would
-    // miss a zero-padded dir outright (a FileNotFound crash here, a
-    // silent partition merge on the staged path). A value claims every
-    // dir whose raw suffix matches it exactly OR as the same number —
-    // the numeric-canonicalization class is the only way discovery
-    // rewrites a value. Resolution uses the listing already taken above.
+    // ADVICE fix, widened r19): partition discovery CANONICALIZES
+    // values ("00" → int 0 → "0"), PATH-ESCAPES special characters on
+    // write (':' → '%3A' in the dir name, unescaped at discovery), and
+    // maps a NULL partition value to the __HIVE_DEFAULT_PARTITION__ dir
+    // — so regenerating `partCol=<value>` from the scan would miss such
+    // dirs outright. A value claims every dir whose suffix matches it
+    // raw or UNESCAPED (Hive unescapePathName — discovery's own
+    // inverse), exactly or as the same number; a null value claims the
+    // default-partition dir. Every victim value MUST claim ≥ 1 dir: its
+    // rows were just scanned from under this root, so an unresolved
+    // value means the resolution itself is wrong, and returning it as
+    // "no victims" would silently RETAIN victim rows in a compliance
+    // operator (r18 ADVICE medium) — fail loudly instead.
     def sameVal(a: String, b: String): Boolean = a == b || {
       (scala.util.Try(BigDecimal(a)).toOption,
         scala.util.Try(BigDecimal(b)).toOption) match {
@@ -176,8 +182,24 @@ object IndexForget {
         case _ => false
       }
     }
-    val victims = partDirVals.filter(s => victimVals.exists(sameVal(s, _)))
-      .sorted
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+    val resolved = victimVals.map { v =>
+      v -> partDirVals.filter { raw =>
+        val un = ExternalCatalogUtils.unescapePathName(raw)
+        v match {
+          case None => un == ExternalCatalogUtils.DEFAULT_PARTITION_NAME
+          case Some(value) => sameVal(raw, value) || sameVal(un, value)
+        }
+      }
+    }
+    val unresolvedVals = resolved.collect { case (v, Nil) => v }
+    require(unresolvedVals.isEmpty,
+      s"forget could not resolve victim partition value(s) " +
+        unresolvedVals.map(_.getOrElse("NULL")).mkString("[", ", ", "]") +
+        s" to any on-disk '$partCol=' dir under $root — refusing to " +
+        "return as if no victim rows existed (victim rows WERE found " +
+        "under these values)")
+    val victims = resolved.flatMap(_._2).distinct.sorted
     if (victims.isEmpty) {
       if (!holdFence) fs.delete(new Path(rootP, Marker), false): Unit
       return Nil

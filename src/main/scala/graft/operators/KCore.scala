@@ -48,20 +48,24 @@ object KCore {
       .union(pairs.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u") =!= col("v"))
       .distinct()
-    var e = Checkpoint(sym, strategy)
-    // one scalar action per round: surviving directed-edge count
-    // (strictly decreasing until fixpoint — a round that keeps every
-    // edge keeps every degree, hence every node)
-    var edges = e.count()
+    // r19 (guide §1.2/§2.6 driver round-trips): the surviving-edge count
+    // rides each checkpoint job as an observed metric instead of a
+    // second count() job over the just-materialized blocks — one driver
+    // job per peel round (and for the init), not two. Same scalar, same
+    // fixpoint test, so peel depth is unchanged.
+    def checkpointCounted(df: DataFrame): (DataFrame, Long) = {
+      val obs = new org.apache.spark.sql.Observation()
+      val out = Checkpoint(df.observe(obs, count(lit(1)).as("n")), strategy)
+      (out, obs.get("n").asInstanceOf[Long])
+    }
+    var (e, edges) = checkpointCounted(sym)
     var done = edges == 0L
     while (!done) {
       val surv = e.groupBy("u").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("u").as("s"))
-      val next = Checkpoint(
+      val (next, after) = checkpointCounted(
         e.join(surv, e("u") === surv("s"), "left_semi")
-          .join(surv, e("v") === surv("s"), "left_semi"),
-        strategy)
-      val after = next.count()
+          .join(surv, e("v") === surv("s"), "left_semi"))
       done = after == edges
       e = next
       edges = after

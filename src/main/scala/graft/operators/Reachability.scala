@@ -37,15 +37,24 @@ object Reachability {
     var visited = Checkpoint(seeds.select(col("node"), lit(0).as("depth"))
       .distinct(), strategy)
     var frontier = visited.select(col("node"))
+    var frontierSize = -1L // unknown for the seed frontier
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierSize != 0L &&
+        (frontierSize > 0L || !frontier.isEmpty)) {
       hop += 1
       val next = frontier.join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node").as("seen")),
           col("node") === col("seen"), "left_anti")
         .withColumn("depth", lit(hop))
-      val nextM = Checkpoint(next, strategy)
+      // r19 (guide §1.2/§2.6 driver round-trips): the next hop's
+      // emptiness test rides the checkpoint job as an observed count
+      // instead of a separate isEmpty job per hop — one driver job per
+      // hop. Seed-frontier emptiness (first test only) keeps isEmpty.
+      val obs = new org.apache.spark.sql.Observation()
+      val nextM = Checkpoint(
+        next.observe(obs, count(lit(1)).as("n")), strategy)
+      frontierSize = obs.get("n").asInstanceOf[Long]
       // visited stays a UNION of already-checkpointed hop relations — a
       // k-way union of pinned legs re-plans in O(k) and re-reads cached
       // blocks, so materializing the union again each hop only doubled

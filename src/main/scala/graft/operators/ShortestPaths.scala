@@ -56,22 +56,32 @@ object ShortestPaths {
         seeds.select(col("node")).distinct().withColumn("cost", lit(0L)),
         strategy)
       var improved = dist
+      var improvedSize = -1L // unknown for the seed frontier
       var hop = 0
-      while (hop < maxHops && !improved.isEmpty) {
+      while (hop < maxHops && improvedSize != 0L &&
+          (improvedSize > 0L || !improved.isEmpty)) {
         hop += 1
         // min per destination BEFORE the merge join: the exchange carries
         // one candidate row per reached node, not one per relaxed edge
         val cand = improved.join(e, improved("node") === e("src"))
           .select(col("dst").as("node"), (col("cost") + col("w")).as("cand"))
           .groupBy("node").agg(min(col("cand")).as("cand"))
+        // r19 (guide §1.2/§2.6): next round's frontier-emptiness test
+        // rides the checkpoint job as an observed count of improved
+        // rows — one driver job per round instead of checkpoint +
+        // isEmpty. Seed-frontier emptiness (first test only) keeps
+        // isEmpty.
+        val obs = new org.apache.spark.sql.Observation()
         val merged = Checkpoint(
           dist.join(cand, Seq("node"), "full_outer")
             .select(col("node"),
               least(coalesce(col("cost"), lit(Long.MaxValue)),
                 coalesce(col("cand"), lit(Long.MaxValue))).as("best"),
               (col("cost").isNull ||
-                (col("cand").isNotNull && col("cand") < col("cost"))).as("imp")),
+                (col("cand").isNotNull && col("cand") < col("cost"))).as("imp"))
+            .observe(obs, count(when(col("imp"), 1)).as("n")),
           strategy)
+        improvedSize = obs.get("n").asInstanceOf[Long]
         dist = merged.select(col("node"), col("best").as("cost"))
         improved = merged.filter(col("imp"))
           .select(col("node"), col("best").as("cost"))

@@ -160,6 +160,8 @@ object Graph {
       val basket = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .localCheckpoint() // r19: feeds BOTH self-join sides — one scan +
+                           // one distinct, the q141/q157 shape (guide §6)
       val a = basket.select(col("ok"), col("pk").as("pa"))
       val b = basket.select(col("ok").as("ok2"), col("pk").as("pb"))
       a.join(b, col("ok") === col("ok2") && col("pa") < col("pb"))
@@ -199,6 +201,10 @@ object Graph {
         .orderBy(col("n").desc, col("u"), col("v"))
         .limit(300)
         .select(col("u"), col("v"))
+        .localCheckpoint() // r19: Triangles derives degrees + both wedge
+                           // sides from this 300-row relation — pin it so
+                           // the lineitem self-join builds ONCE (guide §6,
+                           // the q142 shape)
       Triangles.perNode(strongest)
         .orderBy(col("tri").desc, col("node"))
         .limit(10)
@@ -466,6 +472,10 @@ object Graph {
         .orderBy(col("n").desc, col("u"), col("v"))
         .limit(300)
         .select(col("u"), col("v"))
+        .localCheckpoint() // r19: KCore symmetrizes via union — both
+                           // branches read this 300-row relation instead
+                           // of re-running the lineitem self-join twice
+                           // (guide §6, the q142 shape)
       graft.operators.KCore.core(strongest, k = 3)
         .withColumn("stable", lit(1L)) // engine peels to fixpoint
         .orderBy("node")

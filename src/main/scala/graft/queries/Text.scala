@@ -1645,8 +1645,8 @@ object Text {
       val sets = Tables.documents(s, d)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
-      SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("doc_id").as("id"), col("w").as("toks"))
+      SimJoin.jaccardJoinTokens(sets, 1, 2)
         .withColumn("j",
           dec4Str(round(col("i").cast("double") /
             (col("na") + col("nb") - col("i")), 4)))
@@ -1685,11 +1685,11 @@ object Text {
       val sets = Tables.documents(s, d)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+        .select(col("doc_id").as("id"), col("w").as("toks"))
         .localCheckpoint() // base and batch legs split one tokenization
       val dir = graft.GatedQuery.indexScratch(d, "simjoin_q190")
-      SimJoin.writeIndex(sets.filter(col("id") % 10 =!= 9), dir, 1, 2)
-      SimJoin.incrementalJaccard(s, dir, sets.filter(col("id") % 10 === 9),
+      SimJoin.writeIndexTokens(sets.filter(col("id") % 10 =!= 9), dir, 1, 2)
+      SimJoin.incrementalJaccardTokens(s, dir, sets.filter(col("id") % 10 === 9),
           1, 2)
         .orderBy("a_id", "b_id")
     },
@@ -1810,8 +1810,8 @@ object Text {
       val sets = Tables.documents(s, d)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
-      val pairs = SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("doc_id").as("id"), col("w").as("toks"))
+      val pairs = SimJoin.jaccardJoinTokens(sets, 1, 2)
         .select(col("a_id"), col("b_id"))
       ConnectedComponents.run(pairs)
         .groupBy(col("cluster"))
@@ -1889,8 +1889,8 @@ object Text {
       val sets = Tables.documents(s, d)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
-      SimJoin.containmentJoin(sets, 2, 3)
+        .select(col("doc_id").as("id"), col("w").as("toks"))
+      SimJoin.containmentJoinTokens(sets, 2, 3)
         .orderBy("a_id", "b_id")
     },
 
@@ -1983,8 +1983,8 @@ object Text {
       val sets = docs
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
-      val pairs = SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("doc_id").as("id"), col("w").as("toks"))
+      val pairs = SimJoin.jaccardJoinTokens(sets, 1, 2)
         .select(col("a_id"), col("b_id"))
       val mem = ConnectedComponents.run(pairs)
         .join(docs.select(col("doc_id"), col("lang"), col("source")),
@@ -2066,9 +2066,9 @@ object Text {
           col("n_uniq") * 2 >= col("n_toks"))
         .localCheckpoint() // stage-2 count, dedup sets, survivor join
       val sets = s2f.filter(col("n_toks") >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
+        .select(col("doc_id").as("id"), col("w").as("toks"))
       val lbl = ConnectedComponents.run(
-        SimJoin.jaccardJoin(sets, 1, 2).select(col("a_id"), col("b_id")))
+        SimJoin.jaccardJoinTokens(sets, 1, 2).select(col("a_id"), col("b_id")))
       val surv = s2f.join(lbl, s2f("doc_id") === lbl("id"), "left")
         .filter(col("id").isNull || col("doc_id") === col("cluster"))
         .select(col("doc_id"), col("n_toks"))
@@ -2185,8 +2185,8 @@ object Text {
       val sets = Tables.documents(s, d)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"), TextOps.trigrams(col("w")).as("set"))
-      val pairs = SimJoin.jaccardJoin(sets, 1, 2)
+        .select(col("doc_id").as("id"), col("w").as("toks"))
+      val pairs = SimJoin.jaccardJoinTokens(sets, 1, 2)
         .select(col("a_id"), col("b_id"))
         .localCheckpoint() // deterministically split into two batches
       val batch1 = pairs.filter(pmod(col("a_id") + col("b_id"), lit(2)) === 0)
@@ -2406,13 +2406,12 @@ object Text {
     * input contract. */
   private[graft] def dupPairs(s: SparkSession, d: String, maxDocId: Int)
       : DataFrame =
-    SimJoin.jaccardJoin(
+    SimJoin.jaccardJoinTokens(
       Tables.documents(s, d)
         .filter(col("doc_id") < maxDocId)
         .withColumn("w", TextOps.tokens(col("text")))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id").as("id"),
-          TextOps.trigrams(col("w")).as("set")),
+        .select(col("doc_id").as("id"), col("w").as("toks")),
       tNum = 1, tDen = 100)
       .select(col("a_id").as("a"), col("b_id").as("b"))
 

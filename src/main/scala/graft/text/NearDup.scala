@@ -18,11 +18,20 @@ object NearDup {
 
   /** MinHash signature: k independent permutations approximated by seeding
     * xxhash64 with the slot index; entry i = min hash of any shingle under
-    * seed i. Each shingle string is hashed ONCE to a long; the k seeded
-    * re-hashes then run over fixed-width longs (xxhash64(seed, h)), not k
-    * string traversals — at corpus scale this is the difference between
-    * k×|shingle| and k×8 bytes hashed per shingle. */
+    * seed i. ONE native pass over the shingle-hash array updates all k
+    * running minimums (r19 —
+    * [[graft.functions.expressions.MinHashSig]]); [[minhashSignatureHof]]
+    * is the bit-identical HOF reference the spec pins parity against,
+    * which evaluated k INTERPRETED transform+array_min passes per
+    * document. */
   def minhashSignature(shingleHashes: Column, k: Int): Column =
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.expressions.MinHashSig(
+        org.apache.spark.sql.GraftPlanBridge.expression(shingleHashes), k))
+
+  /** HOF reference formulation of [[minhashSignature]] (bit-identical:
+    * entry i = min over shingles of xxhash64(lit(i), h)). */
+  def minhashSignatureHof(shingleHashes: Column, k: Int): Column =
     array((0 until k).map { i =>
       array_min(transform(shingleHashes, h => xxhash64(lit(i), h)))
     }: _*)
@@ -32,7 +41,9 @@ object NearDup {
     * materialization); see
     * [[graft.functions.expressions.ShingleHashes]]. */
   def shingleHashes(tokens: Column): Column =
-    call_function("shingle_hashes", tokens)
+    org.apache.spark.sql.GraftPlanBridge.column(
+      graft.functions.expressions.ShingleHashes(
+        org.apache.spark.sql.GraftPlanBridge.expression(tokens)))
 
   /** Explode a k-wide signature into `bands` rows of (band_idx, band_hash);
     * rowsPerBand = k / bands. Two documents are LSH candidates iff they
@@ -136,7 +147,16 @@ object NearDup {
     * candidates — the a-side of the band join is only the new batch, so
     * the shuffle carries |new| bands against the index, not |corpus|².
     * Pair ids are canonicalized (lo, hi) so output shape matches
-    * [[pairsFromSignatures]] restricted to pairs touching a new doc. */
+    * [[pairsFromSignatures]] restricted to pairs touching a new doc.
+    *
+    * Id-collision CONTRACT (r18 ADVICE, pinned in DocIngestSpec): ids
+    * must be unique WITHIN a batch; when a batch re-ingests an id the
+    * index already holds, the BATCH version's shingles win — every pair
+    * touching that id scores against its current content (the stale
+    * index row contributes only its band rows, which can still surface
+    * candidates). Steady-state callers (DocIngest) dedup ids upstream;
+    * this rule makes the re-ingest path deterministic rather than
+    * version-arbitrary. */
   def incrementalPairs(index: DataFrame, newSig: DataFrame,
                        threshold: Double = 0.5): DataFrame = {
     // same id-only band join + attach-once shape as pairsFromSignatures
@@ -150,7 +170,16 @@ object NearDup {
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"))
       .distinct()
-    val sh = all.select(col("id"), col("sh")).dropDuplicates("id")
+    // ONE shingle set per id, BATCH-PREFERRED on id collision (r18
+    // ADVICE): ids are normally disjoint between index and batch, but a
+    // re-ingested id with changed content must pair with its CURRENT
+    // (batch) shingles — min_by on the source flag picks the batch row
+    // deterministically, where a bare dropDuplicates("id") kept an
+    // arbitrary version and made that doc's jaccard nondeterministic.
+    // Same single exchange as dropDuplicates. Pinned in DocIngestSpec.
+    val sh = newSig.select(col("id"), col("sh"), lit(0).as("pref"))
+      .unionByName(index.select(col("id"), col("sh"), lit(1).as("pref")))
+      .groupBy("id").agg(min_by(col("sh"), col("pref")).as("sh"))
     cand
       .join(sh.select(col("id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(sh.select(col("id").as("b_id"), col("sh").as("b_sh")), "b_id")

@@ -62,10 +62,18 @@ object SimJoin {
     * |b| ≥ ⌈τ·|a|⌉ (the intersection can't exceed |b|), applied inside
     * the join. Verify and threshold are exact integer cross-multiplies
     * over 64-bit fingerprints (same collision note as jaccardJoin). */
-  def containmentJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def containmentJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    containmentJoinMat(matOf(sets), tNum, tDen)
+
+  /** [[containmentJoin]] over TOKEN arrays `docs(id, toks)` — shingles
+    * hash natively (matOfTokens), no trigram strings materialize. */
+  def containmentJoinTokens(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    containmentJoinMat(matOfTokens(docs), tNum, tDen)
+
+  private def containmentJoinMat(mat: DataFrame, tNum: Int,
+                                 tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
-    val mat = matOf(sets)
     val tok = tokOf(mat)
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
     // ONE global-order rank pass (dfreq join + row_number) shared by the
@@ -104,13 +112,23 @@ object SimJoin {
     verify(cand, fpOf(mat), tNum, tDen, containment = true)
   }
 
-  def jaccardJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+  def jaccardJoin(sets: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    jaccardJoinMat(matOf(sets), tNum, tDen)
+
+  /** [[jaccardJoin]] over TOKEN arrays `docs(id, toks)` — the r19
+    * native-shingle path: matOfTokens derives the sorted distinct
+    * fingerprints in ONE expression pass over the tokens
+    * ([[graft.functions.expressions.ShingleFps]]), so no trigram string
+    * is ever materialized or checkpointed. `n` is the distinct-shingle
+    * count (equal to the distinct trigram-STRING count except under a
+    * 2⁻⁶⁴-class fingerprint collision — the same documented trade the
+    * string path already makes for `i`). */
+  def jaccardJoinTokens(docs: DataFrame, tNum: Int, tDen: Int): DataFrame =
+    jaccardJoinMat(matOfTokens(docs), tNum, tDen)
+
+  private def jaccardJoinMat(mat: DataFrame, tNum: Int, tDen: Int): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
-    // the input feeds BOTH the prefix pipeline and the verify arrays —
-    // materialize the (usually tokenizer-derived) sets once, ALREADY
-    // HASHED (see matOf), not twice
-    val mat = matOf(sets)
     val tok = tokOf(mat)
     // global rarity order: document frequency, ties broken on the
     // fingerprint — any total order is correct; rarest-first is the fast
@@ -210,6 +228,23 @@ object SimJoin {
         .as("fps"))
       .localCheckpoint()
 
+  /** [[matOf]] from TOKEN arrays `docs(id, toks)`: the sorted distinct
+    * shingle fingerprints come from ONE native pass over the tokens
+    * ([[graft.functions.expressions.ShingleFps]] — token hashes chained
+    * per trigram, deduped, sorted), so the checkpoint holds long arrays
+    * that no trigram STRING ever preceded. `n` = |fps| — the distinct
+    * trigram count except under a 2⁻⁶⁴-class collision (where the
+    * string path's `n` would differ from its own deduped fps length the
+    * same way; see the class doc's collision note). */
+  private def matOfTokens(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftPlanBridge
+    docs.select(col("id"),
+        GraftPlanBridge.column(graft.functions.expressions.ShingleFps(
+          GraftPlanBridge.expression(col("toks")))).as("fps"))
+      .select(col("id"), size(col("fps")).as("n"), col("fps"))
+      .localCheckpoint()
+  }
+
   private def tokOf(mat: DataFrame): DataFrame =
     mat.select(col("id"), col("n"), explode(col("fps")).as("w"))
 
@@ -228,27 +263,91 @@ object SimJoin {
         col("n").as("na")), "a_id")
       .join(fp.select(col("id").as("b_id"), col("fps").as("setb"),
         col("n").as("nb")), "b_id")
-      .withColumn("i", expr("sorted_intersect_count(seta, setb)"))
+      // direct expression construction (r18 ADVICE): resolving through
+      // the SQL registry made every SimJoin API analysis-fail in a
+      // session created without the GraftExtensions extension
+      .withColumn("i", org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.expressions.SortedIntersectCount(
+          org.apache.spark.sql.GraftPlanBridge.expression(col("seta")),
+          org.apache.spark.sql.GraftPlanBridge.expression(col("setb")))))
       .filter(
         if (containment) col("i") * tDen >= col("na") * tNum
         else col("i") * tDen >= (col("na") + col("nb") - col("i")) * tNum)
       .select(col("a_id"), col("b_id"), col("i").cast("long").as("i"),
         col("na").cast("long").as("na"), col("nb").cast("long").as("nb"))
 
+  // ---------------------------------------------------------------------
+  // Index FORMAT stamp (r18 ADVICE): the r18 verify switched to
+  // sorted_intersect_count, which silently UNDER-COUNTS on the unsorted
+  // fps arrays pre-r18 writeIndex persisted — and the r19 tokens path
+  // additionally changes the fingerprint DOMAIN (token-hash chains vs
+  // xxhash64 of trigram strings), which a probe must match exactly.
+  // writeIndex stamps `_SIMJOIN_FORMAT` with version + domain; every
+  // probe refuses a missing/mismatched stamp loudly (rebuild via
+  // writeIndex) instead of silently dropping qualifying pairs.
+  // ---------------------------------------------------------------------
+  private val FormatFile = "_SIMJOIN_FORMAT"
+  private val FormatSortedPrefix = "sorted-v2:" // fps sorted+distinct
+  private[text] val DomainStringFp = "stringfp" // xxhash64(trigram string)
+  private[text] val DomainTokenFp = "tokenfp"   // ShingleFps token chain
+
+  private def stampFormat(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, domain: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, FormatFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write((FormatSortedPrefix + domain).getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def assertFormat(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, domain: Option[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, FormatFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
+      s"simjoin index at $dir carries no $FormatFile stamp — a pre-r18 " +
+        "index stored UNSORTED fingerprints the sorted-merge verify " +
+        "would silently under-count; rebuild it via writeIndex")
+    val in = fs.open(p)
+    val tag = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    require(tag.startsWith(FormatSortedPrefix),
+      s"simjoin index at $dir has unsupported format '$tag' — rebuild " +
+        "via writeIndex")
+    domain.foreach { d =>
+      require(tag == FormatSortedPrefix + d,
+        s"simjoin index at $dir was built with fingerprint domain " +
+          s"'${tag.stripPrefix(FormatSortedPrefix)}' but this probe " +
+          s"hashes '$d' — batch and index fingerprints would never " +
+          "match; rebuild the index with the same API family")
+    }
+  }
+
   /** Persist the prefix index of `sets(id, set)` under `dir`: the frozen
-    * token order (`dfreq`), the prefix postings (`prefix`), and the
-    * verify fingerprints (`fp`). Thresholds are part of the layout —
-    * prefix lengths encode τ — so probes must use the same tNum/tDen. */
-  def writeIndex(sets: DataFrame, dir: String, tNum: Int, tDen: Int): Unit = {
+    * token order (`dfreq`), the prefix postings (`prefix`), the verify
+    * fingerprints (`fp`), and the format stamp. Thresholds are part of
+    * the layout — prefix lengths encode τ — so probes must use the same
+    * tNum/tDen. */
+  def writeIndex(sets: DataFrame, dir: String, tNum: Int, tDen: Int): Unit =
+    writeIndexMat(matOf(sets), dir, tNum, tDen, DomainStringFp)
+
+  /** [[writeIndex]] over TOKEN arrays `docs(id, toks)` (native shingle
+    * fingerprints — probes must come through the Tokens APIs). */
+  def writeIndexTokens(docs: DataFrame, dir: String, tNum: Int,
+                       tDen: Int): Unit =
+    writeIndexMat(matOfTokens(docs), dir, tNum, tDen, DomainTokenFp)
+
+  private def writeIndexMat(mat: DataFrame, dir: String, tNum: Int,
+                            tDen: Int, domain: String): Unit = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
-    val mat = matOf(sets)
     val tok = tokOf(mat) // cheap explode off the hashed checkpoint
     val dfreq = tok.groupBy("w").agg(count(lit(1)).as("dfreq"))
     dfreq.write.mode("overwrite").parquet(s"$dir/dfreq")
     prefixOf(tok, dfreq, tNum, tDen)
       .write.mode("overwrite").parquet(s"$dir/prefix")
     fpOf(mat).write.mode("overwrite").parquet(s"$dir/fp")
+    stampFormat(mat.sparkSession, dir, domain)
   }
 
   /** Right-to-be-forgotten: rewrite the victims' rows out of the
@@ -277,6 +376,8 @@ object SimJoin {
     // deletion fence (composition marker at the family root — forget
     // spans the prefix AND fp relations)
     graft.operators.IndexForget.assertClean(spark, dir)
+    // any sorted-fps domain works: within-index pairs never mix domains
+    assertFormat(spark, dir, domain = None)
     val prefix = spark.read.parquet(s"$dir/prefix")
     verify(candJaccard(prefix, prefix, tNum, tDen),
       spark.read.parquet(s"$dir/fp"), tNum, tDen)
@@ -293,11 +394,29 @@ object SimJoin {
     * never re-form. */
   def incrementalJaccard(spark: org.apache.spark.sql.SparkSession,
                          dir: String, newSets: DataFrame,
-                         tNum: Int, tDen: Int): DataFrame = {
+                         tNum: Int, tDen: Int): DataFrame =
+    incrementalJaccardMat(spark, dir, matOf(newSets), tNum, tDen,
+      DomainStringFp)
+
+  /** [[incrementalJaccard]] over TOKEN arrays `newDocs(id, toks)` —
+    * requires an index built by [[writeIndexTokens]] (the stamp check
+    * enforces the matching fingerprint domain). */
+  def incrementalJaccardTokens(spark: org.apache.spark.sql.SparkSession,
+                               dir: String, newDocs: DataFrame,
+                               tNum: Int, tDen: Int): DataFrame =
+    incrementalJaccardMat(spark, dir, matOfTokens(newDocs), tNum, tDen,
+      DomainTokenFp)
+
+  private def incrementalJaccardMat(spark: org.apache.spark.sql.SparkSession,
+                                    dir: String, mat: DataFrame,
+                                    tNum: Int, tDen: Int,
+                                    domain: String): DataFrame = {
     require(tNum > 0 && tNum <= tDen,
       s"simjoin: threshold must be in (0,1], got $tNum/$tDen")
     graft.operators.IndexForget.assertClean(spark, dir)
-    val mat = matOf(newSets)
+    // batch fingerprints must live in the index's domain or the token
+    // join and the verify would silently miss every batch-base pair
+    assertFormat(spark, dir, Some(domain))
     val dfreq = spark.read.parquet(s"$dir/dfreq")
     val newPrefix = prefixOf(tokOf(mat), dfreq, tNum, tDen)
       .localCheckpoint() // probes the index AND self-joins

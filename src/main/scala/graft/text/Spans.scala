@@ -43,11 +43,28 @@ object Spans {
   /** Ingest path: append a NEW batch's span rows to an existing index —
     * old rows never rewrite, and cross-batch repeats surface because
     * [[maskedCounts]] groups over the whole relation (IndexSpec pins
-    * append == rebuild-over-union). */
+    * append == rebuild-over-union).
+    *
+    * Format guard (r18 ADVICE): r18 changed `h` from md5 hex STRING to
+    * xxhash64 LONG — appending long rows into a pre-r18 string-h index
+    * would either fail parquet schema merge at read or silently never
+    * match cross-batch repeated windows. An existing index must already
+    * carry bigint `h`; rebuild old indexes via [[writeIndex]]. */
   def appendToIndex(docs: DataFrame, idCol: String, tokensCol: String,
-                    path: String, window: Int = 20): Unit =
+                    path: String, window: Int = 20): Unit = {
+    val spark = docs.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val hType = spark.read.parquet(path).schema("h").dataType
+      require(hType == org.apache.spark.sql.types.LongType,
+        s"span index at $path stores h as ${hType.catalogString} (a " +
+          "pre-r18 md5-string index) — appending xxhash64 longs would " +
+          "never match its windows; rebuild via writeIndex")
+    }
     spanRelation(docs, idCol, tokensCol, window)
       .write.mode("append").parquet(path)
+  }
 
   /** The span relation back from a persisted index. */
   def fromIndex(spark: org.apache.spark.sql.SparkSession,

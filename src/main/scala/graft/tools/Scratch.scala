@@ -1,14 +1,20 @@
 package graft.tools
 
 import graft.Tables
-import graft.functions.{Ivf, VectorOps}
+import graft.functions.{Ivf, Pq}
+import graft.text.{NearDup, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Throwaway A/B diagnostics for the optimization round — NOT part of
-  * the engine. Interleaves the old (crossJoin + argmax agg) and new
-  * (map-only cellExpr) IVF assignment shapes in ONE session so shared-
-  * box load lands on both symmetrically. */
+/** Throwaway A/B diagnostics for the optimization rounds — NOT part of
+  * the engine. r19 edition: interleaves the r18 HOF formulations and
+  * the r19 native expressions in ONE session (shared-box load lands on
+  * both symmetrically), min over `iters` alternating pairs:
+  *   (a) MinHash signature build — k interpreted passes vs minhash_sig
+  *   (b) PQ corpus encode — nested HOF codesExpr vs pq_encode
+  *   (c) SimJoin set materialization — trigram strings + xxhash64 vs
+  *       shingle_fps straight off the tokens
+  * Usage: runMain graft.tools.Scratch [sfDir] [iters] */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val d = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
@@ -19,51 +25,56 @@ object Scratch {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
-
-    val corpus = Tables.embeddings(spark, d).localCheckpoint()
-    val centroids = Ivf.train(corpus, "vec_id", "embedding", 16, iters = 2)
-
-    def oldAssign(df: DataFrame, idCol: String, vuCol: String,
-                  keep: Seq[String]): DataFrame = {
-      val cdf = broadcast(centroids.zipWithIndex
-        .map { case (c, i) => (i, c) }.toDF("__cell", "__cvec"))
-      val aggKeep = keep.filterNot(k => k == idCol || k == vuCol)
-      val aggs = max(struct(col("__dot"), (-col("__cell")).as("__neg"),
-        col("__cell").as("__c"))).as("__m") +:
-        aggKeep.map(k => first(col(k)).as(k))
-      df.crossJoin(cdf)
-        .withColumn("__dot", call_function("vec_dot", col(vuCol), col("__cvec")))
-        .groupBy(col(idCol), col(vuCol))
-        .agg(aggs.head, aggs.tail: _*)
-        .select(col(idCol) +: col("__m.__c").as("cell") +: keep.map(col): _*)
-    }
-
-    def prep = corpus.select(col("vec_id").as("nn_id"),
-      col("embedding").as("cv"),
-      VectorOps.l2(col("embedding")).as("cn"),
-      Ivf.unit(col("embedding")).as("vu"))
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // warm both
-    oldAssign(prep, "nn_id", "vu", Seq("cv", "cn"))
-      .write.format("noop").mode("overwrite").save()
-    Ivf.assignCells(prep, "nn_id", "vu", centroids, Seq("cv", "cn"))
-      .write.format("noop").mode("overwrite").save()
-    val olds = scala.collection.mutable.ArrayBuffer.empty[Double]
-    val news = scala.collection.mutable.ArrayBuffer.empty[Double]
-    (1 to iters).foreach { _ =>
-      olds += time(oldAssign(prep, "nn_id", "vu", Seq("cv", "cn"))
-        .write.format("noop").mode("overwrite").save())
-      news += time(Ivf.assignCells(prep, "nn_id", "vu", centroids,
-          Seq("cv", "cn"))
-        .write.format("noop").mode("overwrite").save())
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def ab(tag: String, oldF: => Unit, newF: => Unit): Unit = {
+      val pairs = (1 to iters).map(_ => (time(oldF), time(newF)))
+      println(f"[scratch] $tag old_min=${pairs.map(_._1).min}%.3f " +
+        f"new_min=${pairs.map(_._2).min}%.3f " +
+        s"old=${pairs.map(p => f"${p._1}%.3f").mkString(",")} " +
+        s"new=${pairs.map(p => f"${p._2}%.3f").mkString(",")}")
     }
-    def f(x: Double) = "%.3f".format(x)
-    println(s"[ab] old: min=${f(olds.min)} all=${olds.map(f).mkString(",")}")
-    println(s"[ab] new: min=${f(news.min)} all=${news.map(f).mkString(",")}")
+
+    val docs = Tables.documents(spark, d)
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id").as("id"), col("w"))
+      .localCheckpoint()
+
+    // (a) signature build: shingle hashes + k-slot minhash + banding
+    def sigRel(hof: Boolean): DataFrame = {
+      val sh = NearDup.shingleHashes(col("w"))
+      val sig = if (hof) NearDup.minhashSignatureHof(col("sh"), 16)
+                else NearDup.minhashSignature(col("sh"), 16)
+      docs.select(col("id"), sh.as("sh")).withColumn("sig", sig)
+        .withColumn("band", explode(NearDup.bands(col("sig"), 16, 4)))
+        .select(col("id"), col("band.band_hash"))
+    }
+    ab("minhash_sig", noop(sigRel(hof = true)), noop(sigRel(hof = false)))
+
+    // (b) PQ corpus encode
+    val emb = Tables.embeddings(spark, d)
+      .select(col("vec_id"), Ivf.unit(col("embedding")).as("vu"))
+      .localCheckpoint()
+    val cb = Pq.train(emb, "vec_id", "vu", m = 8, ksub = 16, iters = 2,
+      unit = false)
+    ab("pq_encode",
+      noop(emb.select(col("vec_id"), Pq.codesExprHof(col("vu"), cb).as("c"))),
+      noop(emb.select(col("vec_id"), Pq.codesExpr(col("vu"), cb).as("c"))))
+
+    // (c) SimJoin set materialization (the matOf stage)
+    ab("simjoin_mat",
+      noop(docs.select(col("id"),
+        expr("sort_array(array_distinct(transform(" +
+          "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
+          "concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+          "element_at(w, i + 2)))), x -> xxhash64(x))))").as("fps"))),
+      noop(docs.select(col("id"), expr("shingle_fps(w)").as("fps"))))
+
     spark.stop()
   }
 }

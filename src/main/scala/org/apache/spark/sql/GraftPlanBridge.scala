@@ -20,4 +20,12 @@ object GraftPlanBridge {
   /** Catalyst expression behind a Column (Spark 4 wraps ColumnNode). */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Column over a Catalyst expression — the inverse crossing. Engine
+    * operators build their native expressions through this instead of
+    * the SQL registry (`expr("fn(...)")`), so they stay usable in a
+    * session created WITHOUT the GraftExtensions extension (r18 ADVICE:
+    * registry resolution made every SimJoin API analysis-fail there). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
 }

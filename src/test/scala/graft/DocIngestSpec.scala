@@ -18,6 +18,42 @@ class DocIngestSpec extends SparkTestBase {
                   ts: String = "2026-08-12T10:00:00.000Z"): String =
     s"""{"doc_id": $id, "text": "$text", "source": "$source", "ingest_ts": "$ts"}"""
 
+  test("incrementalPairs: a re-ingested id scores with its BATCH shingles (deterministic, not version-arbitrary)") {
+    // r18 ADVICE / r19 contract pin (NearDup.incrementalPairs scaladoc):
+    // when a batch re-ingests an id the index already holds with CHANGED
+    // content, every pair touching that id must score against the batch
+    // version. doc 1 is indexed as a twin of doc 2; the batch re-ingests
+    // id 1 with UNRELATED content — under the batch-wins rule the (1,2)
+    // jaccard drops below threshold, so no pair may surface. The old
+    // dropDuplicates pick could keep the stale index row and report
+    // (1, 2, 1.0) nondeterministically.
+    import graft.text.{NearDup, TextOps}
+    import spark.implicits._
+    // old content: ids 1 and 2 are exact twins (jaccard 1.0). The batch
+    // re-ingests id 1 with ONE token changed — enough shared shingles
+    // that a band still collides (the candidate forms), but the exact
+    // jaccard of (new 1, old 2) is strictly < 1.0.
+    val oldTokens = (0 until 40).map(i => s"tok$i")
+    val oldText = oldTokens.mkString(" ")
+    val newText = (oldTokens.dropRight(1) :+ "changed").mkString(" ")
+    def sig(rows: Seq[(Long, String)]) = NearDup.signatureRelation(
+      rows.toDF("id", "text")
+        .select(col("id"), TextOps.tokens(col("text")).as("w")),
+      "id", "w").localCheckpoint()
+    val index = sig(Seq((1L, oldText), (2L, oldText)))
+    val batch = sig(Seq((1L, newText)))
+    val expected = sig(Seq((10L, newText))).limit(1).select(col("sh"))
+      .crossJoin(sig(Seq((20L, oldText))).limit(1)
+        .select(col("sh").as("sh2")))
+      .select(TextOps.jaccard(col("sh"), col("sh2"))).first().getDouble(0)
+    assert(expected < 1.0 && expected >= 0.5) // construction sanity
+    val pairs = NearDup.incrementalPairs(index, batch, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq === Seq((1L, 2L, expected)),
+      s"re-ingested id must score with its BATCH shingles ($expected), " +
+        s"got ${pairs.mkString(",")}")
+  }
+
   test("ingest replay: quality rejects, content dedup, split partitioning, DLQ") {
     val src = tmpDir("doc_src")
     val lines = Seq(

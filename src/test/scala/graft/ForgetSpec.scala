@@ -906,6 +906,37 @@ class ForgetSpec extends SparkTestBase {
       stagedFraction = 0.0).isEmpty)
   }
 
+  test("forget resolves PATH-ESCAPED and NULL partition values (r18 ADVICE): victims under 'a:b'-style and __HIVE_DEFAULT_PARTITION__ dirs rewrite, never silently retain") {
+    import spark.implicits._
+    val root = tmp("forget_escaped")
+    // values 'k:0'/'k:1' path-escape on write (':' → '%3A' in the dir
+    // name); id % 5 == 4 rows carry a NULL value (the
+    // __HIVE_DEFAULT_PARTITION__ dir). The old raw-suffix comparison
+    // matched neither class and returned "no victims" with victim rows
+    // retained — the silent-compliance-no-op failure mode.
+    spark.range(40)
+      .select(col("id"),
+        when(pmod(col("id"), lit(5)) === 4, lit(null).cast("string"))
+          .otherwise(concat(lit("k:"), pmod(col("id"), lit(2)))).as("part"))
+      .write.partitionBy("part").mode("overwrite").parquet(root)
+    val dirNames = filesByPart(root).keySet
+    assert(dirNames.exists(_.contains("%3A")) &&
+      dirNames.contains("part=__HIVE_DEFAULT_PARTITION__"),
+      s"fixture did not lay out escaped/null dirs: $dirNames")
+    // victims in an escaped dir AND in the null dir
+    val victims = Seq(1L, 3L, 4L, 9L) // k:1, k:1, NULL, NULL
+    val rewritten = IndexForget.forget(spark, root, "part", "id", victims)
+    assert(rewritten.nonEmpty, "escaped/null victim dirs were not resolved")
+    val left = spark.read.parquet(root).select("id").as[Long].collect().toSet
+    assert(victims.forall(v => !left.contains(v)),
+      s"victim rows retained: ${victims.filter(left.contains)}")
+    assert(left.size === 40 - victims.size, "survivors lost")
+    assert(filesByPart(root).keySet === dirNames,
+      "forget renamed or merged escaped partition dirs")
+    // idempotent re-run
+    assert(IndexForget.forget(spark, root, "part", "id", victims).isEmpty)
+  }
+
   test("archive compaction: a batch dir whose only nonzero bytes live under dot-prefixed debris counts as fileless (all-fileless horizon reaps, no schema-inference crash)") {
     import graft.streaming.ArchiveCompaction
     // two committed-but-empty batch dirs (markers only); one additionally

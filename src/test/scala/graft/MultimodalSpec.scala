@@ -140,6 +140,43 @@ class MultimodalSpec extends SparkTestBase {
     assert(candShare < 0.6, f"probed cells hold $candShare%.2f of the corpus — no pruning")
   }
 
+  test("native quantizer expressions are bit-identical to their HOF references (cellExpr/codesExpr/adcExpr)") {
+    // r19: cellExpr/codesExpr/adcExpr dispatch to native single-pass
+    // expressions (functions/expressions/VectorQuant.scala); the HOF
+    // forms they replaced stay as *Hof references. Exact equality — the
+    // dot fold order, the −‖c‖²/2 term, and first-argmax ties must all
+    // match, or assignments (hence trained centroids, hence gated
+    // results) would drift.
+    import graft.functions.{Ivf, Pq}
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), Ivf.unit(col("embedding")).as("vu"))
+      .localCheckpoint()
+    val centroids = e.orderBy("vec_id").limit(16)
+      .collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cellDiff = e.select(
+        Ivf.cellExpr(col("vu"), centroids).as("got"),
+        Ivf.cellExprHof(col("vu"), centroids).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(cellDiff === 0, s"$cellDiff rows: native cell != HOF cell")
+
+    val dim = centroids.head.size
+    val dsub = dim / 8
+    val cb: Pq.Codebooks = Seq.tabulate(8)(s =>
+      centroids.take(16).map(_.slice(s * dsub, (s + 1) * dsub)))
+    val codesDiff = e.select(
+        Pq.codesExpr(col("vu"), cb).as("got"),
+        Pq.codesExprHof(col("vu"), cb).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(codesDiff === 0, s"$codesDiff rows: native codes != HOF codes")
+
+    val lut = Pq.lut(centroids.head, cb)
+    val adcDiff = e.select(Pq.codesExpr(col("vu"), cb).as("codes"))
+      .select(Pq.adcExpr(col("codes"), lut).as("got"),
+        Pq.adcExprHof(col("codes"), lut).as("want"))
+      .filter(col("got") =!= col("want")).count()
+    assert(adcDiff === 0, s"$adcDiff rows: native adc != HOF adc")
+  }
+
   test("IVF train falls back to the full corpus on an under-sized sample and fails clearly on an under-sized corpus") {
     import graft.functions.Ivf
     val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding"))

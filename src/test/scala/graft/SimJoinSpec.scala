@@ -215,6 +215,86 @@ class SimJoinSpec extends SparkTestBase {
     assert(got.contains(9001L) === got.contains(9002L)) // together or not at all
   }
 
+  // ---- r19 native-shingle (tokens) path ------------------------------
+
+  /** Random token sequences; the brute reference computes over the
+    * DISTINCT TRIGRAM STRING sets — exactly what the string path fed
+    * jaccardJoin — so tokens-path parity here proves the native
+    * fingerprints (ShingleFps) lose/invent nothing on real-shaped data. */
+  private def tokenDocs(seed: Int, n: Int): Seq[(Long, Seq[String])] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = (0 until 30).map(i => f"w$i%02d")
+    (0L until n.toLong).map { id =>
+      val len = 3 + rnd.nextInt(15)
+      id -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+    }
+  }
+
+  private def trigramSets(docs: Seq[(Long, Seq[String])]): Seq[(Long, Seq[String])] =
+    docs.map { case (id, toks) =>
+      id -> toks.sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSeq.distinct
+    }
+
+  test("jaccardJoinTokens: parity with brute force over the trigram-string sets, across thresholds") {
+    val docs = tokenDocs(47, 80)
+    val want = trigramSets(docs)
+    for ((tn, td) <- Seq((1, 100), (1, 2), (4, 5))) {
+      val got = SimJoin.jaccardJoinTokens(docs.toDF("id", "toks"), tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === brute(want, tn, td), s"tau=$tn/$td")
+    }
+  }
+
+  test("containmentJoinTokens: parity with the string-set containment model") {
+    val docs = tokenDocs(11, 60)
+    val sets = trigramSets(docs)
+    def bruteC(tNum: Int, tDen: Int): Set[(Long, Long, Long)] =
+      (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        i = sa.toSet.intersect(sb.toSet).size.toLong
+        if i * tDen >= sa.size.toLong * tNum
+      } yield (a, b, i)).toSet
+    for ((tn, td) <- Seq((2, 3), (1, 1))) {
+      val got = SimJoin.containmentJoinTokens(docs.toDF("id", "toks"), tn, td)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === bruteC(tn, td), s"tau=$tn/$td")
+    }
+  }
+
+  test("tokens index: writeIndexTokens + incremental == rebuild; stamp gates domain and pre-r18 indexes") {
+    val base = tokenDocs(123, 50)
+    val batch = Seq(
+      200L -> base(3)._2,                               // twin of base 3
+      201L -> (base(7)._2 ++ Seq("zq1", "zq2", "zq3")), // unseen tokens
+      202L -> Seq("zq1", "zq2", "zq3", "zq1", "zq2"))   // near-dup of 201's tail
+    val dir = java.nio.file.Files.createTempDirectory("graft_sj_tok").toString
+    SimJoin.writeIndexTokens(base.toDF("id", "toks"), s"$dir/i", 1, 2)
+    val basePairs = SimJoin.pairsFromIndex(spark, s"$dir/i", 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incPairs = SimJoin.incrementalJaccardTokens(spark, s"$dir/i",
+        batch.toDF("id", "toks"), 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(basePairs === brute(trigramSets(base), 1, 2))
+    assert(incPairs.forall(p => p._1 >= 200L || p._2 >= 200L))
+    assert(basePairs ++ incPairs ===
+      brute(trigramSets(base ++ batch), 1, 2), "incremental != rebuild")
+    // domain mismatch refuses loudly: a string-fp batch against the
+    // token-fp index would never match a fingerprint
+    val ex = intercept[IllegalArgumentException] {
+      SimJoin.incrementalJaccard(spark, s"$dir/i",
+        trigramSets(batch).toDF("id", "set"), 1, 2)
+    }
+    assert(ex.getMessage.contains("domain"))
+    // a stampless (pre-r18) index refuses instead of under-counting
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/i")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/i/_SIMJOIN_FORMAT"), false)
+    val ex2 = intercept[IllegalArgumentException] {
+      SimJoin.pairsFromIndex(spark, s"$dir/i", 1, 2)
+    }
+    assert(ex2.getMessage.contains("rebuild"))
+  }
+
   test("q123 matches the q45 family: every reported pair really clears tau on raw trigram sets") {
     val rows = SparkEntry.queries("q123_simjoin_prefix")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -125,6 +125,42 @@ class TextVectorSpec extends SparkTestBase {
     pairs.foreach(r => assert(r.getDouble(2) >= 0.5))
   }
 
+  test("native minhash_sig is bit-identical to the k-pass HOF reference (incl. empty shingle arrays)") {
+    // r19: minhashSignature runs one native pass over the shingle
+    // hashes (MinHashSig); minhashSignatureHof is the k interpreted
+    // transform+array_min passes it replaced. Any drift would re-band
+    // every document and change q40/q90's gated pair counts.
+    val sh = docs.select(col("doc_id"),
+        NearDup.shingleHashes(TextOps.tokens(col("text"))).as("sh"))
+      // force the empty-array edge in: a doc with < 3 tokens shingles
+      // to [], whose signature must be k nulls on BOTH paths
+      .unionByName(spark.range(1).select(lit(900000L).as("doc_id"),
+        expr("array()").cast("array<bigint>").as("sh")))
+    val diff = sh.select(col("doc_id"),
+        NearDup.minhashSignature(col("sh"), 16).as("got"),
+        NearDup.minhashSignatureHof(col("sh"), 16).as("want"))
+      .filter(!(col("got") <=> col("want"))).count()
+    assert(diff === 0, s"$diff docs: native signature != HOF signature")
+  }
+
+  test("shingle_fps: sorted, distinct, and size-matched to the distinct trigram-string set on the corpus") {
+    // the tokens-path SimJoin materialization (r19) — n = |fps| must
+    // equal the distinct trigram-STRING count (what the string path's
+    // thresholds used) on real data, and the array must satisfy the
+    // sorted_intersect_count contract (ascending, distinct)
+    val rows = docs
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"),
+        expr("shingle_fps(w)").as("fps"),
+        size(TextOps.trigrams(col("w"))).as("nStr"))
+      .withColumn("sortedDistinct",
+        col("fps") <=> expr("sort_array(array_distinct(fps))"))
+    val bad = rows.filter(size(col("fps")) =!= col("nStr") ||
+      !col("sortedDistinct")).count()
+    assert(bad === 0, s"$bad docs: fps size/order drifts from the trigram-string set")
+  }
+
   test("SimHash puts planted near-duplicates at small Hamming distance") {
     // both formulations: HOF reference (xxhash64) and native (Murmur3)
     val variants: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
