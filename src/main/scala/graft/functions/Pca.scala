@@ -69,19 +69,29 @@ object Pca {
   /** Exact integer second-moment relation (i, j, m) over `vecCol`
     * (1-based upper triangle, elements quantized to micro-units —
     * CAST(double(x)·1e6 AS BIGINT), identical on every engine and
-    * every shuffle order). Also the q133 gate's engine side. */
-  def momentRelation(df: DataFrame, vecCol: String, d: Int): DataFrame =
-    df.select(expr(
-        s"transform($vecCol, x -> CAST(CAST(x AS DOUBLE) * 1000000 AS BIGINT))")
-        .as("v"))
-      .select(explode(expr(
-        s"""flatten(transform(sequence(1, $d), i ->
-           |  transform(sequence(i, $d), j ->
-           |    struct(i AS i, j AS j,
-           |           element_at(v, i) * element_at(v, j) AS p))))"""
-          .stripMargin)).as("g"))
-      .select(col("g.i").as("i"), col("g.j").as("j"), col("g.p").as("p"))
-      .groupBy("i", "j").agg(sum("p").as("m"))
+    * every shuffle order). Also the q133 gate's engine side.
+    *
+    * r19: the per-row product kernel is the native
+    * [[graft.functions.expressions.UpperTriProducts]] single pass (the
+    * interpreted nested-HOF struct pipeline was a 2.2 s serial stage at
+    * sf0.1); rows explode by POSITION and the (i, j) coordinates attach
+    * AFTER the aggregation from two d(d+1)/2-element literal lookup
+    * arrays — the group key the exchange carries is one int, and the
+    * 2080-row post-agg projection is where the pair labels re-enter.
+    * Products, quantization, null/short-row behavior and the final
+    * (i, j, m) values are identical to the HOF form (PcaSpec +
+    * q133's oracle pin it). */
+  def momentRelation(df: DataFrame, vecCol: String, d: Int): DataFrame = {
+    val is = for (i <- 1 to d; j <- i to d) yield i
+    val js = for (i <- 1 to d; j <- i to d) yield j
+    df.select(posexplode(org.apache.spark.sql.GraftPlanBridge.column(
+        graft.functions.expressions.UpperTriProducts(
+          org.apache.spark.sql.GraftPlanBridge.expression(col(vecCol)), d)))
+        .as(Seq("pos", "p")))
+      .groupBy("pos").agg(sum("p").as("m"))
+      .select(element_at(typedLit(is), col("pos") + 1).as("i"),
+        element_at(typedLit(js), col("pos") + 1).as("j"), col("m"))
+  }
 
   /** Exact per-component micro-unit sums (1-based), O(d) driver data —
     * integer, so deterministic on any shuffle order. */

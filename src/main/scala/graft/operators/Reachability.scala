@@ -32,8 +32,13 @@ object Reachability {
   def bfs(edges: DataFrame, seeds: DataFrame, maxHops: Int,
           strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(maxHops >= 0, s"bfs: maxHops must be >= 0, got $maxHops")
+    // laid out by src ONCE — and SORTED within partitions (r19): the
+    // persisted relation then carries hashpartitioning(src) AND src
+    // ordering, so every hop's sort-merge join re-sorts only the small
+    // frontier side, never the edge relation (the per-hop e-side sort
+    // was the loop's dominant task time at gate SF)
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).persist()
+      .repartition(col("src")).sortWithinPartitions("src").persist()
     var visited = Checkpoint(seeds.select(col("node"), lit(0).as("depth"))
       .distinct(), strategy)
     var frontier = visited.select(col("node"))

@@ -46,8 +46,11 @@ object ShortestPaths {
   def bellmanFord(edges: DataFrame, seeds: DataFrame, maxHops: Int,
                   strategy: Checkpoint.Strategy = Checkpoint.Local): DataFrame = {
     require(maxHops >= 0, s"bellmanFord: maxHops must be >= 0, got $maxHops")
+    // src layout + within-partition src ORDER (r19, as Reachability):
+    // the persisted relation then satisfies the per-round sort-merge
+    // join's sort requirement — only the frontier side re-sorts
     val e = edges.select(col("src"), col("dst"), col("w"))
-      .repartition(col("src")).persist()
+      .repartition(col("src")).sortWithinPartitions("src").persist()
     // try/finally: isEmpty/Checkpoint run eager jobs inside the loop — a
     // failure there must not leak the persisted edge relation for the
     // rest of the session

@@ -66,6 +66,33 @@ object Scratch {
       noop(emb.select(col("vec_id"), Pq.codesExprHof(col("vu"), cb).as("c"))),
       noop(emb.select(col("vec_id"), Pq.codesExpr(col("vu"), cb).as("c"))))
 
+    // (d) PageRank iteration body: plan shape + cost of one iteration
+    if (sys.env.get("SCRATCH_PR").contains("1")) {
+      val pairs = Tables.lineitem(spark, d)
+        .select(col("l_partkey").cast("long").as("pk"),
+          col("l_suppkey").cast("long").as("sk"))
+        .distinct().localCheckpoint()
+      val edges = pairs.select(explode(array(
+          struct((col("pk") * 2).as("src"), (col("sk") * 2 + 1).as("dst")),
+          struct((col("sk") * 2 + 1).as("src"), (col("pk") * 2).as("dst"))))
+          .as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+        .localCheckpoint()
+      val e1 = edges.repartition(col("src")).join(deg, "src").persist()
+      e1.count()
+      val ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+        .localCheckpoint()
+      def iter(e: DataFrame): DataFrame = e
+        .join(ranks, e("src") === ranks("node"))
+        .groupBy(col("dst"))
+        .agg(expr("(17 * sum(r div d)) div 20").as("damped"))
+      println("[scratch] PR iteration plan:")
+      println(iter(e1).queryExecution.executedPlan.toString.take(3000))
+      ab("pr_iter", noop(iter(e1)), noop(iter(e1)))
+      e1.unpersist()
+    }
+
     // (c) SimJoin set materialization (the matOf stage)
     ab("simjoin_mat",
       noop(docs.select(col("id"),
