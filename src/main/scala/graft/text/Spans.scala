@@ -22,14 +22,21 @@ object Spans {
 
   /** The span relation over (idCol, tokensCol): (doc_id, start, h).
     * Documents shorter than `window` tokens emit no rows (they cannot
-    * contain a repeated window and carry no position to mask). */
+    * contain a repeated window and carry no position to mask).
+    * r19: `h` comes from the native single-pass
+    * [[graft.functions.expressions.WindowFps]] (token hashes chained
+    * per window) — the old interpreted transform built a
+    * `window`-token STRING per position before hashing it (O(n·w)
+    * bytes per document; q104's dominant serial stage). Same 64-bit
+    * equality-fingerprint contract, different internal domain. */
   def spanRelation(docs: DataFrame, idCol: String, tokensCol: String,
                    window: Int = 20): DataFrame =
     docs.filter(size(col(tokensCol)) >= window)
       .select(col(idCol).as("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col(tokensCol)) - window),
-          i => xxhash64(concat_ws(" ", slice(col(tokensCol), i + 1,
-            lit(window)))))))
+        posexplode(org.apache.spark.sql.GraftPlanBridge.column(
+          graft.functions.expressions.WindowFps(
+            org.apache.spark.sql.GraftPlanBridge.expression(col(tokensCol)),
+            window))))
       .select(col("doc_id"), col("pos").as("start"), col("col").as("h"))
 
   /** Persist the span relation as the corpus's substring-dedup index.

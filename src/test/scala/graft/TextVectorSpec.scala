@@ -161,6 +161,32 @@ class TextVectorSpec extends SparkTestBase {
     assert(bad === 0, s"$bad docs: fps size/order drifts from the trigram-string set")
   }
 
+  test("window_fps: same equality structure as the window-string hashes (per-doc distinct counts + row counts)") {
+    // the r19 span kernel changes the fingerprint DOMAIN (token-hash
+    // chain vs xxhash64 of the joined window string); what matters is
+    // that fingerprint equality still means window equality — pinned by
+    // comparing the per-document distinct-fingerprint counts and row
+    // counts of both formulations over the real corpus (q104's oracle
+    // additionally pins the full masked-count behavior at 3 SFs)
+    val w = 20
+    val toks = docs
+      .withColumn("w", TextOps.tokens(col("text")))
+      .filter(size(col("w")) >= w)
+      .select(col("doc_id"), col("w"))
+      .localCheckpoint()
+    val newRel = graft.text.Spans.spanRelation(toks, "doc_id", "w", w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("h")).as("ndv"))
+    val oldRel = toks
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - w),
+          i => xxhash64(concat_ws(" ", slice(col("w"), i + 1, lit(w)))))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), countDistinct(col("col")).as("ndv"))
+    assert(newRel.exceptAll(oldRel).isEmpty && oldRel.exceptAll(newRel).isEmpty,
+      "window fingerprint equality structure drifted from the string form")
+  }
+
   test("SimHash puts planted near-duplicates at small Hamming distance") {
     // both formulations: HOF reference (xxhash64) and native (Murmur3)
     val variants: Seq[(String, org.apache.spark.sql.Column => org.apache.spark.sql.Column)] = Seq(
